@@ -1,0 +1,69 @@
+"""Hash-family column expressions for dedup/LSH (SURVEY.md §2.E/F).
+
+Design notes for scale:
+- All hashes derive from md5 (hex string) so any SQL engine reproduces
+  them bit-for-bit — the parity oracle and a future cross-engine
+  migration both depend on that.
+- MinHash lanes are packed 4-per-md5: lane (g, j) is the j-th 8-hex-char
+  slice of md5(g || ':' || shingle). 128 lanes therefore cost 32 md5
+  calls per shingle, not 128. A minhash is the lexicographic MIN of a
+  lane over a doc's shingle set — a valid uniform min-hash because md5
+  is uniform over fixed-length hex strings.
+- Band keys concatenate r adjacent lanes; docs sharing any band bucket
+  are candidates, then candidates are verified with exact Jaccard.
+  With 64 bands × 2 rows, recall at Jaccard 0.5 is 1 - (1-0.25)^64
+  ≈ 1 - 1e-8: the LSH path is effectively exact above threshold while
+  pruning the quadratic pair space to bucket-local work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions.text import tokens
+
+N_GROUPS = 32          # md5 calls per shingle
+LANES_PER_GROUP = 4    # 8-hex-char slices per md5
+N_LANES = N_GROUPS * LANES_PER_GROUP  # 128 minhash lanes
+ROWS_PER_BAND = 2
+N_BANDS = N_LANES // ROWS_PER_BAND    # 64 bands
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined). Docs shorter than
+    k tokens contribute their full token string as a single shingle so
+    they still participate in dedup."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_lane_exprs(shingle_col: Column) -> list[Column]:
+    """128 per-row lane values for one shingle; aggregate with MIN
+    grouped by doc to get the signature."""
+    lanes: list[Column] = []
+    for g in range(N_GROUPS):
+        h = F.md5(F.concat(F.lit(f"{g}:"), shingle_col))
+        for j in range(LANES_PER_GROUP):
+            lanes.append(F.substring(h, 1 + 8 * j, 8))
+    return lanes
+
+
+def band_key(sig_cols: list[Column], band: int) -> Column:
+    """Bucket key for one band: concat of its ROWS_PER_BAND lanes."""
+    lo = band * ROWS_PER_BAND
+    return F.concat(*sig_cols[lo : lo + ROWS_PER_BAND])
+
+
+def jaccard(a: Column, b: Column, digits: int = 4) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays, rounded."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
+    return F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), digits)

@@ -1,0 +1,59 @@
+"""Table loaders.
+
+The test corpus is one parquet file per table under an sf directory
+(see TESTDATA.md). At cluster scale the same loaders point at
+partitioned parquet/iceberg table roots — reads stay schema-pruned and
+filter-pushed because every operator selects columns declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session built without engine configs;
+    these two are required for correct reads and must be set at
+    runtime: nanos parquet timestamps (events.ts) and UTC timestamp
+    literal semantics (oracle parity)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table. Parquet → column pruning + predicate
+    pushdown come for free from the DataFrame plan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (see session.py); convert
+    # to microsecond timestamps (the corpus has no sub-µs components).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division: ns epochs exceed 2^53, so going through
+            # a double division would lose microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

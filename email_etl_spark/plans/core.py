@@ -1,0 +1,226 @@
+"""Relational core queries (SURVEY.md §2.A, §2.I) — the DataFrame
+re-expression of the reference's PostgreSQL query surface
+(ref: src/database.py:212-343, src/etl_pipeline.py:233-245).
+
+Point lookups and top-Ns in the reference become declarative plans
+here: at scale they run as parquet scans with pushed predicates +
+TakeOrderedAndProject (no full sort, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+
+@register(
+    "doc_count",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(n_chars) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+""",
+    doc="Corpus stats (ref: get_email_count / storage stats, src/database.py:264, src/markdown_storage.py:254).",
+)
+def doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "latest_event_ts",
+    oracle="SELECT MAX(ts) AS latest_ts, COUNT(*) AS n_events FROM events",
+    doc="Max-watermark read (ref: get_latest_email_date, src/database.py:282).",
+)
+def latest_event_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("latest_ts"), F.count("*").alias("n_events"))
+
+
+@register(
+    "recent_events_topn",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id LIMIT 10
+""",
+    doc="Recent-N fetch (ref: get_recent_emails, src/database.py:292). Runs as TakeOrderedAndProject — no global sort.",
+)
+def recent_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.desc("ts"), "event_id")
+        .limit(10)
+    )
+
+
+@register(
+    "events_after_date",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events WHERE ts > TIMESTAMP '2024-01-28'
+ORDER BY ts DESC, event_id LIMIT 100
+""",
+    doc="Watermark filter + recent-N (ref: get_emails_after_date, src/database.py:306). Predicate pushes to parquet scan.",
+)
+def events_after_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") > F.lit("2024-01-28").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.desc("ts"), "event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "by_source_stats",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY source ORDER BY n_docs DESC, source
+""",
+    doc="Per-provider rollup (ref: emails_by_provider view, src/database.py:333).",
+)
+def by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n_docs"), "source")
+    )
+
+
+@register(
+    "thread_events",
+    oracle="""
+SELECT event_id, ts, event_type, value
+FROM events WHERE user_id = 42 ORDER BY ts, event_id
+""",
+    doc="Thread fetch ordered by date (ref: get_emails_by_thread, src/database.py:234).",
+)
+def thread_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id") == 42)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+
+
+@register(
+    "upsert_latest",
+    oracle="""
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+    doc="Keep-latest-per-key upsert semantics (ref: INSERT .. ON CONFLICT DO UPDATE, src/database.py:78-94). One shuffle on the key.",
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "missing_embeddings",
+    oracle="""
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+ORDER BY d.doc_id
+""",
+    doc="Docs lacking vectors (ref: get_emails_without_embeddings, src/database.py:247) as a broadcast anti-join.",
+)
+def missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id, "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "incremental_sync",
+    oracle="""
+WITH watermark AS (
+  SELECT MAX(ts) AS max_ts FROM events WHERE ts < TIMESTAMP '2024-01-20'
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type
+FROM events e, watermark w
+WHERE e.ts > w.max_ts
+ORDER BY e.ts, e.event_id
+LIMIT 500
+""",
+    doc="Incremental sync: rows newer than the stored max-date watermark (ref: run_incremental_sync, src/etl_pipeline.py:233-245).",
+)
+def incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the 'already loaded' side: everything before a cutoff; its max(ts)
+    # is the watermark — computed as a 1-row broadcast, not a collect.
+    watermark = (
+        ev.where(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(watermark))
+        .where(F.col("ts") > F.col("max_ts"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(500)
+    )
+
+
+@register(
+    "props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="JSON metadata extraction + rollup (ref: metadata JSONB column, scripts/init_db.sql:32).",
+)
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,196 @@
+"""Deduplication queries (SURVEY.md §2.E) — the training-data-pipeline
+dedup family over the documents corpus.
+
+Scale design:
+- exact dedup is one hash-groupBy (map-side combined);
+- near-dup NEVER materializes the quadratic pair space on the scale
+  path: MinHash+LSH prunes to bucket-local candidates, then exact
+  Jaccard verifies inside the buckets. The parity oracle computes
+  exact all-pairs Jaccard, which is feasible at oracle scale and
+  equals the LSH result whenever recall holds (with 64 bands × 2 rows,
+  miss probability at the 0.6 threshold is < 1e-12 — see
+  functions/hashing.py);
+- embedding near-dup keeps the exact pairwise form at test scale; its
+  scale path is the same bucket-then-verify pattern via random
+  hyperplane LSH (SURVEY §2.F).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions import hashing as H
+from email_etl_spark.functions import text as T
+from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+MINHASH_THRESHOLD = 0.6   # 3-gram Jaccard
+NGRAM_THRESHOLD = 0.5     # 2-gram Jaccard
+EMB_THRESHOLD = 0.45      # cosine
+
+_TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _shingle_cte(k: int) -> str:
+    """DuckDB CTE producing (doc_id, sh) with distinct word k-grams,
+    mirroring functions/hashing.py::shingles."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN list_distinct(list_transform(range(1, len(toks) - {k - 2}), i -> {parts}))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tok
+)"""
+
+
+def _pairs_sql(threshold: float) -> str:
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    )
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1 ORDER BY keep_id
+""",
+    doc="Exact dedup: canonical-fingerprint groupBy, keep lowest id (ref: skip-already-imported, src/etl_pipeline.py:112-118).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_shingle_cte(2)} {_pairs_sql(NGRAM_THRESHOLD)}",
+    doc="Exact word-2-gram Jaccard pair scan via shingle-inverted-index join (no cartesian product).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", H.shingles(F.col("text"), k=2).alias("sh"))
+    # inverted index: explode shingles, self-join on shingle → only doc
+    # pairs that actually share a shingle are generated (the scalable
+    # exact path; pairs sharing nothing never materialize).
+    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        4,
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash",
+    headline=True,
+    oracle=f"WITH {_shingle_cte(3)} {_pairs_sql(MINHASH_THRESHOLD)}",
+    doc=(
+        "MinHash+LSH near-dup: 128 md5-derived minhash lanes → 64 band buckets → "
+        "bucket-local candidate pairs → exact-Jaccard verify (SURVEY §2.E). "
+        "Oracle is exact all-pairs Jaccard; LSH recall at the threshold is ~1."
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", H.shingles(F.col("text"), k=3).alias("sh"))
+
+    # signature: min over shingles for each of the 128 lanes
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    lane_cols = H.minhash_lane_exprs(F.col("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(lane).alias(f"mh{i}") for i, lane in enumerate(lane_cols)]
+    )
+
+    # band buckets → candidate pairs (distinct across bands)
+    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            for b in range(H.N_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification on the (small) candidate set
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sha, "doc_a").join(shb, "doc_b")
+    jac = H.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {duckdb_cosine("a.embedding", "b.embedding")} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {duckdb_cosine("a.embedding", "b.embedding")} >= {EMB_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    doc="Embedding-cosine near-dup pairs (SURVEY §2.E); scale path = hyperplane-LSH bucket-then-verify.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_rounded(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= EMB_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,118 @@
+"""Pattern analytics (SURVEY.md §2.B) — analyze_email_patterns with
+group_by ∈ {sender, label, day, week} (ref: src/api/mcp_tools.py:204-224,
+src/llm_integration.py:309).
+
+Each is a single-shuffle groupBy; time buckets use date_trunc so the
+bucketing is a pure column expression (partition-prunable when the
+table is date-partitioned at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+DEC = "decimal(18,4)"
+
+
+@register(
+    "patterns_by_user",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_seen,
+       MAX(ts) AS last_seen
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 25
+""",
+    doc="group_by=sender: per-actor volume/diversity/value profile.",
+)
+def patterns_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "patterns_by_type",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="group_by=label: per-category volume and value.",
+)
+def patterns_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sum_dec = F.sum(F.col("value").cast(DEC)).cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_dec.alias("total_value"),
+            (sum_dec / F.count("*")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "patterns_by_day",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    doc="group_by=day: daily volume trend.",
+)
+def patterns_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "patterns_by_week",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    doc="group_by=week: weekly volume trend (Monday-truncated in both engines).",
+)
+def patterns_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("week")
+    )

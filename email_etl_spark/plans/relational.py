@@ -1,0 +1,206 @@
+"""Relational analytics core (SURVEY.md §2.G).
+
+These exercise the join/aggregate engine that backs every reference
+API call (reference: src/database.py's SQL surface). Shapes follow the
+classic TPC-H queries so plan quality is easy to judge:
+
+- aggregates over the fact table use DECIMAL(18,4)-exact partial
+  aggregation (map-side combine, order-insensitive → bit-stable at any
+  parallelism);
+- dimension joins are broadcast (region/nation/customer/supplier are
+  tiny relative to facts at every scale factor);
+- every LIMIT has a total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+DEC = "decimal(18,4)"
+
+
+def _disc_price(dec: str = DEC):
+    # l_extendedprice * (1 - l_discount), exact decimal arithmetic
+    return F.col("l_extendedprice").cast("decimal(12,4)") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
+
+
+@register(
+    "q1_pricing_summary",
+    headline=True,
+    oracle="""
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) * CAST(1.0 + l_tax AS DECIMAL(6,4))), 4) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: wide exact aggregation over the fact table (ref: src/database.py stats surface).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast(DEC)
+    price_dec = F.col("l_extendedprice").cast(DEC)
+    disc_price = _disc_price()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(6,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_dec).cast("double").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            (F.sum(qty_dec).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price_dec).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    headline=True,
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc="3-way join + agg + top-N; customer dim is broadcast, fact-fact join shuffles on orderkey.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    headline=True,
+    oracle="""
+SELECT n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="Snowflake rollup: all dims broadcast; single fact shuffle on orderkey.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "top_customers",
+    headline=True,
+    oracle="""
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+  COUNT(*) AS order_count
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 20
+""",
+    doc="Revenue top-N with broadcast dim join (ref: emails_by_provider-style rollup, src/database.py:333).",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spent"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "priority_monthly",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_value
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Month × priority matrix (ref: analyze_email_patterns group_by=week/day shape).",
+)
+def priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("month_value"),
+        )
+        .orderBy("order_month", "o_orderpriority")
+    )

@@ -1,0 +1,199 @@
+"""Search queries (SURVEY.md §2.C/§2.F) — the pgvector + full-text
+surface (ref: src/database.py:168-210, scripts/init_db.sql:94-144,
+src/llm_integration.py:32-59).
+
+The reference's `ORDER BY embedding <=> $q LIMIT k` becomes a
+broadcast of the (tiny) query-vector side against the distributed
+embedding table + TakeOrderedAndProject — no global sort, no collect.
+The hybrid score mirrors hybrid_email_search's 0.7·vector +
+0.3·text-rank blend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions.text import tokens
+from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+# Fixed "user query" for deterministic testing: terms + a corpus vector
+# standing in for the embedded query string.
+QUERY_TERMS = ("spark", "join", "fast")
+QUERY_VEC_ID = 0
+
+class _Cos:
+    """str.format-compatible wrapper over duckdb_cosine."""
+
+    @staticmethod
+    def format(a: str, b: str) -> str:
+        return duckdb_cosine(a, b)
+
+
+_COS = _Cos()
+
+
+def _term_rank(text_col):
+    """Term-frequency rank (ts_rank analog): sum of per-term counts
+    over (1 + token count), rounded for engine parity."""
+    toks = tokens(text_col)
+
+    def eq(term):  # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
+        return lambda t: t == term
+
+    tf = None
+    for term in QUERY_TERMS:
+        cnt = F.size(F.filter(toks, eq(term)))
+        tf = cnt if tf is None else tf + cnt
+    return F.round(tf.cast("double") / (F.size(toks) + F.lit(1)).cast("double"), 4)
+
+
+_TERM_RANK_SQL = (
+    "ROUND(CAST("
+    + " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in QUERY_TERMS
+    )
+    + " AS DOUBLE) / (len(toks) + 1), 4)"
+)
+_TOKS_SQL = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "semantic_topk",
+    headline=True,
+    oracle=f"""
+SELECT e.vec_id, e.label,
+       {_COS.format(a="e.embedding", b="q.embedding")} AS similarity
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY similarity DESC, e.vec_id
+LIMIT 10
+""",
+    doc="Vector cosine top-k (ref: search_similar_emails, src/database.py:168; pgvector `<=>`).",
+)
+def semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "text_rank",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, lang, {_TERM_RANK_SQL} AS rank
+FROM t
+WHERE {_TERM_RANK_SQL} > 0
+ORDER BY rank DESC, doc_id
+LIMIT 20
+""",
+    doc="Full-text term rank (ref: ts_rank in hybrid_email_search, scripts/init_db.sql:120-127).",
+)
+def text_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rank = _term_rank(F.col("text"))
+    return (
+        docs.select("doc_id", "lang", rank.alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "hybrid_search",
+    headline=True,
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+t AS (
+  SELECT d.doc_id, d.lang, {_TOKS_SQL} AS toks, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+)
+-- the 0.7/0.3 blend happens in DECIMAL: both operands are exact
+-- 4-decimal values, so the score is an exact 5-decimal value — no
+-- double-rounding boundary can split the engines.
+SELECT doc_id,
+       CAST(CAST({_COS.format(a="t.embedding", b="q.embedding")} AS DECIMAL(6,4)) * 0.7
+          + CAST({_TERM_RANK_SQL} AS DECIMAL(6,4)) * 0.3 AS DOUBLE) AS score
+FROM t CROSS JOIN q
+ORDER BY score DESC, doc_id
+LIMIT 15
+""",
+    doc="Hybrid 0.7·vector + 0.3·text-rank search with provider-style filter (ref: hybrid_email_search, scripts/init_db.sql:94-144).",
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).crossJoin(F.broadcast(q))
+    # blend in exact decimal (see oracle comment): 0.7·cos4 + 0.3·rank4
+    # is an exact 5-decimal value, immune to double-rounding boundaries
+    score = (
+        cosine_rounded(F.col("embedding"), F.col("qvec")).cast("decimal(6,4)")
+        * F.lit("0.7").cast("decimal(2,1)")
+        + _term_rank(F.col("text")).cast("decimal(6,4)") * F.lit("0.3").cast("decimal(2,1)")
+    ).cast("double")
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "ann_bruteforce",
+    headline=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {_COS.format(a="e.embedding", b="q.qvec")} AS similarity,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS.format(a="e.embedding", b="q.qvec")} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, similarity
+FROM scored WHERE rn <= 3
+ORDER BY query_id, similarity DESC, vec_id
+""",
+    doc="Exact batch ANN baseline: broadcast the query batch, window top-k per query (SURVEY §2.F).",
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "label", "similarity")
+        .orderBy("query_id", F.desc("similarity"), "vec_id")
+    )

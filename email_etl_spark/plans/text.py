@@ -1,0 +1,174 @@
+"""Text analysis queries (SURVEY.md §2.D) over the documents corpus.
+
+Each query pairs a functions/text.py column expression with its
+DuckDB twin. The heavy lifting (regex, array lambdas, arithmetic) is
+all JVM-side column work — these scan-and-project plans parallelize
+embarrassingly and push column pruning into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions import text as T
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+_TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_BPE = r"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+_PUNCT = r"len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))"
+
+
+def _stop_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, x -> x IN ({inlist})))"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       {_BPE} AS n_bpe_tokens,
+       n_chars
+FROM documents ORDER BY doc_id
+""",
+    doc="Whitespace + BPE-ish token counts (ref: tiktoken counting, src/embeddings.py:187-189).",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id,
+  ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)
+      + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)),
+  4) AS quality
+FROM documents ORDER BY doc_id
+""",
+    doc="Length/stopword/punctuation quality heuristic (SURVEY §2.D; training-data filtering op).",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    langs = list(T.LANG_PROFILES)
+    score = {lang: _stop_sql(words) for lang, words in T.LANG_PROFILES.items()}
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"{score[lang]} > {score[other]}")
+            elif j > i:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS lang_declared, {_lang_case_sql()} AS lang_detected
+FROM documents ORDER BY doc_id
+""",
+    doc="Stopword-profile language ID (SURVEY §2.D; n-gram heuristic langid).",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_guess(F.col("text")).alias("lang_detected"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+""",
+    doc="Canonical-form content fingerprint (ref: content identity, src/security.py:112-114).",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "content_hash",
+    oracle="SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    doc="SHA-256 content hash (ref: _calculate_hash, src/security.py:112-114).",
+)
+def content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.content_hash(F.col("text")).alias("sha")).orderBy("doc_id")
+
+
+def _suspicious_sql() -> str:
+    parts = [
+        f"CASE WHEN len(regexp_extract_all(lower(text), '{p}')) > 0 THEN 1 ELSE 0 END"
+        for p in T.SUSPICIOUS_PATTERNS
+    ]
+    return " + ".join(parts)
+
+
+@register(
+    "suspicious_content",
+    oracle=f"""
+SELECT doc_id, {_suspicious_sql()} AS n_hits,
+       CASE WHEN {_suspicious_sql()} > 0 THEN TRUE ELSE FALSE END AS is_suspicious
+FROM documents ORDER BY doc_id
+""",
+    doc="Security pattern scan (ref: validate_email_content, src/security.py:180-212).",
+)
+def suspicious_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.suspicious_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        hits.alias("n_hits"),
+        (hits > 0).alias("is_suspicious"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "prepare_embed_text",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, lang, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       'Source: ' || source || chr(10) || 'Lang: ' || lang || chr(10) || 'Content:' || chr(10)
+         || array_to_string(toks[1:64], ' ') AS embed_text,
+       LEAST(len(toks), 64) AS n_tokens_kept
+FROM t ORDER BY doc_id
+""",
+    doc="Embedding-input composition + token truncation (ref: prepare_email_text + _truncate_text, src/embeddings.py:95-149).",
+)
+def prepare_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    embed_text = F.concat(
+        F.lit("Source: "), F.col("source"), F.lit("\n"),
+        F.lit("Lang: "), F.col("lang"), F.lit("\n"),
+        F.lit("Content:\n"),
+        F.array_join(F.slice(toks, 1, 64), " "),
+    )
+    return docs.select(
+        "doc_id",
+        embed_text.alias("embed_text"),
+        F.least(F.size(toks), F.lit(64)).alias("n_tokens_kept"),
+    ).orderBy("doc_id")

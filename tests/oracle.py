@@ -1,0 +1,85 @@
+"""Oracle-parity harness mirroring the driver's correctness gate:
+run a query on Spark and its oracle SQL on DuckDB over the same
+parquet tables; compare row count, column names, and an
+order-insensitive value representation.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+from email_etl_spark.io import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # full precision: the conventions in plans/ (decimal-exact sums,
+        # rounded scores) are supposed to make values bit-identical.
+        return f"{v:.17g}"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[str]:
+    """Order-insensitive canonical form: per-row values sorted by
+    column name, rows sorted lexicographically."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = ["|".join(_norm_value(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def run_spark(query, spark, sf_dir: str):
+    df = query(spark, sf_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb_conn(sf_dir)
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def compare(name: str, spark, sf_dir: str, builder, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols, s_rows = run_spark(builder, spark, sf_dir)
+    o_cols, o_rows = run_oracle(sql, sf_dir)
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"{name}: columns differ spark={s_cols} oracle={o_cols}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+    s_can = canonical_rows(s_cols, s_rows)
+    o_can = canonical_rows(o_cols, o_rows)
+    if s_can != o_can:
+        diff_s = [r for r in s_can if r not in set(o_can)][:3]
+        diff_o = [r for r in o_can if r not in set(s_can)][:3]
+        problems.append(
+            f"{name}: values differ; spark-only={diff_s} oracle-only={diff_o}"
+        )
+    return problems
