@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from email_etl_spark.plans.registry import REGISTRY, headline_queries
+from email_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("email-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + codegen warmup so per-query numbers measure the engine,
+    # not classloading
+    REGISTRY["doc_count"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for q in headline_queries():
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).collect()
+        timings[q.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,16 @@ Design notes for scale:
   is uniform over fixed-length hex strings.
 - Band keys concatenate r adjacent lanes; docs sharing any band bucket
   are candidates, then candidates are verified with exact Jaccard.
-  With 64 bands × 2 rows, recall at Jaccard 0.5 is 1 - (1-0.25)^64
-  ≈ 1 - 1e-8: the LSH path is effectively exact above threshold while
-  pruning the quadratic pair space to bucket-local work.
+  With 32 bands × 2 rows of 32-bit lanes, recall at Jaccard 0.6 is
+  1 - (1-0.36)^32 ≈ 1 - 6e-7 and random band collisions are 2^-64:
+  the LSH path is effectively exact above threshold while pruning the
+  quadratic pair space to bucket-local work.
+
+Performance note: shingles() takes a *materialized token-array
+column*, never the tokens(text) expression inline — an expression
+referenced inside a generator (explode) is re-evaluated per output
+row, which turned an O(rows) split into O(rows × shingles) and cost
+15× on the dedup path.
 """
 
 from __future__ import annotations
@@ -21,20 +28,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from email_etl_spark.functions.text import tokens
-
-N_GROUPS = 32          # md5 calls per shingle
+N_GROUPS = 16          # md5 calls per shingle
 LANES_PER_GROUP = 4    # 8-hex-char slices per md5
-N_LANES = N_GROUPS * LANES_PER_GROUP  # 128 minhash lanes
+N_LANES = N_GROUPS * LANES_PER_GROUP  # 64 minhash lanes
 ROWS_PER_BAND = 2
-N_BANDS = N_LANES // ROWS_PER_BAND    # 64 bands
+N_BANDS = N_LANES // ROWS_PER_BAND    # 32 bands
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined). Docs shorter than
-    k tokens contribute their full token string as a single shingle so
-    they still participate in dedup."""
-    toks = tokens(col)
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (space-joined) from a
+    materialized token-array column. Docs shorter than k tokens
+    contribute their full token string as a single shingle so they
+    still participate in dedup."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),

@@ -7,8 +7,8 @@ Scale design:
   path: MinHash+LSH prunes to bucket-local candidates, then exact
   Jaccard verifies inside the buckets. The parity oracle computes
   exact all-pairs Jaccard, which is feasible at oracle scale and
-  equals the LSH result whenever recall holds (with 64 bands × 2 rows,
-  miss probability at the 0.6 threshold is < 1e-12 — see
+  equals the LSH result whenever recall holds (with 32 bands × 2 rows,
+  miss probability at the 0.6 threshold is ≈1e-6 — see
   functions/hashing.py);
 - embedding near-dup keeps the exact pairwise form at test scale; its
   scale path is the same bucket-then-verify pattern via random
@@ -81,57 +81,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"WITH {_shingle_cte(2)} {_pairs_sql(NGRAM_THRESHOLD)}",
-    doc="Exact word-2-gram Jaccard pair scan via shingle-inverted-index join (no cartesian product).",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", H.shingles(F.col("text"), k=2).alias("sh"))
-    # inverted index: explode shingles, self-join on shingle → only doc
-    # pairs that actually share a shingle are generated (the scalable
-    # exact path; pairs sharing nothing never materialize).
-    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = F.round(
-        F.col("n_inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
-        4,
-    )
-    return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= NGRAM_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
 
+def _lsh_verified_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Shared MinHash+LSH bucket-then-verify pipeline: word-k-gram
+    shingles → N_LANES md5-derived minhash lanes → band buckets →
+    bucket-local candidate pairs → exact-Jaccard verification.
 
-@register(
-    "dedup_minhash",
-    headline=True,
-    oracle=f"WITH {_shingle_cte(3)} {_pairs_sql(MINHASH_THRESHOLD)}",
-    doc=(
-        "MinHash+LSH near-dup: 128 md5-derived minhash lanes → 64 band buckets → "
-        "bucket-local candidate pairs → exact-Jaccard verify (SURVEY §2.E). "
-        "Oracle is exact all-pairs Jaccard; LSH recall at the threshold is ~1."
-    ),
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", H.shingles(F.col("text"), k=3).alias("sh"))
+    Output equals the exact all-pairs scan whenever LSH recall holds;
+    with 32 bands × 2 rows the miss probability for a pair at the
+    threshold J=t is (1-t²)^32 (≈1e-4 at t=0.5, ≈1e-6 at t=0.6) and
+    vanishes for real near-dups (J≥0.9 → <1e-22). Exact variants
+    (PPJoin prefix filtering) were measured 25x slower on this corpus:
+    a tiny uniform vocabulary makes every 2-gram high-frequency, which
+    is the worst case for inverted-index joins.
+    """
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    # explode the shingle expression directly: an intermediate
+    # shingle-array projection makes Spark re-evaluate the generator
+    # child per output row (10x slower)
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=k).alias("sh"))
+    ex = toks.select("doc_id", F.explode(H.shingles(F.col("toks"), k=k)).alias("s"))
 
-    # signature: min over shingles for each of the 128 lanes
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # signature: min over shingles for each of the N_LANES lanes
     lane_cols = H.minhash_lane_exprs(F.col("s"))
     sig = ex.groupBy("doc_id").agg(
         *[F.min(lane).alias(f"mh{i}") for i, lane in enumerate(lane_cols)]
@@ -163,13 +134,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification on the (small) candidate set
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(sha, "doc_a").join(shb, "doc_b")
     jac = H.jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        cand.join(sha, "doc_a").join(shb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_shingle_cte(2)} {_pairs_sql(NGRAM_THRESHOLD)}",
+    doc="Word-2-gram Jaccard near-dup pairs via LSH bucket-then-verify (exact-verified; see _lsh_verified_pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=2, threshold=NGRAM_THRESHOLD)
+
+
+@register(
+    "dedup_minhash",
+    headline=True,
+    oracle=f"WITH {_shingle_cte(3)} {_pairs_sql(MINHASH_THRESHOLD)}",
+    doc=(
+        "MinHash+LSH near-dup: 64 md5-derived minhash lanes → 32 band buckets → "
+        "bucket-local candidate pairs → exact-Jaccard verify (SURVEY §2.E). "
+        "Oracle is exact all-pairs Jaccard; LSH recall at the threshold is ~1."
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD)
 
 
 @register(
