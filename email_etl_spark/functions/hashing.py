@@ -67,6 +67,27 @@ def band_key(sig_cols: list[Column], band: int) -> Column:
     return F.concat(*sig_cols[lo : lo + ROWS_PER_BAND])
 
 
+def hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic ±1 random hyperplanes for sign-LSH, derived from
+    md5 so any engine (or oracle) reproduces them: component
+    (t, j, k) = +1 iff the low bit of md5("t:j:k")'s first byte is set.
+    Computed driver-side at plan-build time — they are plan constants,
+    broadcast with the plan, never data-dependent."""
+    import hashlib
+
+    planes: list[list[list[float]]] = []
+    for t in range(n_tables):
+        table = []
+        for j in range(n_bits):
+            vec = []
+            for k in range(dim):
+                h = hashlib.md5(f"{t}:{j}:{k}".encode()).digest()
+                vec.append(1.0 if h[0] & 1 else -1.0)
+            table.append(vec)
+        planes.append(table)
+    return planes
+
+
 def jaccard(a: Column, b: Column, digits: int = 4) -> Column:
     """Exact Jaccard over two (distinct-element) arrays, rounded."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

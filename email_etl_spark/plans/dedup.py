@@ -188,3 +188,122 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= EMB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup — 64-bit sign-sum fingerprint over the distinct token
+# set; near-dup pairs are pairs within Hamming distance HAM_T. The
+# 4-block bucketing is EXACT by pigeonhole (≤3 differing bits over 4
+# blocks ⇒ one block identical), so unlike MinHash there is no recall
+# gap at all: bucket-join candidates + exact Hamming verify ≡ the
+# all-pairs scan.
+# ---------------------------------------------------------------------------
+
+HAM_T = 3
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bits_spark(hashes_col):
+    """64-char '0'/'1' string from an array of 16-hex-char token
+    hashes: bit (p, b) is sign(sum over tokens of ±1 by that bit)."""
+    def fold(p, b):
+        # two-arg merge lambda built in a closure (extra default args
+        # would change the higher-order-function arity)
+        return lambda acc, h: acc + (
+            F.shiftright(F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int"), 3 - b)
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        )
+
+    bits = []
+    for p in range(16):          # hex char position (static → substring ok)
+        for b in range(4):       # bit within the nibble, MSB first
+            contrib = F.aggregate(hashes_col, F.lit(0), fold(p, b))
+            bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for p in range(16):
+        for b in range(4):
+            contrib = (
+                f"list_sum(list_transform(hs, h -> "
+                f"((strpos('{_HEX}', h[{p + 1}]) - 1 >> {3 - b}) & 1) * 2 - 1))"
+            )
+            terms.append(f"CASE WHEN {contrib} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(terms)
+
+
+_HAMMING_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+hsh AS (SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hs FROM tok),
+sim AS (SELECT doc_id, {_simhash_sql()} AS bits FROM hsh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_HAMMING_SQL} AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE {_HAMMING_SQL} <= {HAM_T}
+ORDER BY doc_a, doc_b
+""",
+    doc=(
+        "64-bit SimHash near-dup pairs at Hamming <= 3; 4-block bucketing is "
+        "exact by pigeonhole — bucket-join + verify equals the all-pairs scan "
+        "with zero recall loss (SURVEY §2.E)."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks")
+    )
+    hashes = toks.select(
+        "doc_id",
+        F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)).alias("hs"),
+    )
+    sim = hashes.select("doc_id", _simhash_bits_spark(F.col("hs")).alias("bits"))
+
+    # pigeonhole blocks: pairs at Hamming <= 3 must agree on >= 1 of 4
+    # 16-bit blocks → bucket join instead of cross join
+    blocks = F.array(
+        *[
+            F.struct(F.lit(blk).alias("blk"), F.substring("bits", 1 + 16 * blk, 16).alias("key"))
+            for blk in range(4)
+        ]
+    )
+    buckets = sim.select("doc_id", "bits", F.explode(blocks).alias("bk")).select(
+        "doc_id", "bits", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("l.bits").alias("bits_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("r.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    ham = None
+    for p in range(64):
+        d = F.when(F.substring("bits_a", p + 1, 1) != F.substring("bits_b", p + 1, 1), 1).otherwise(0)
+        ham = d if ham is None else ham + d
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= HAM_T)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -116,3 +116,35 @@ def patterns_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "thread_summary",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS thread_start,
+       MAX(ts) AS thread_end,
+       COUNT(DISTINCT event_type) AS n_types,
+       list_sort(list_distinct(list(event_type))) AS participants
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc=(
+        "Thread-summary context assembly: participants, date range, counts "
+        "per thread key — the deterministic core of summarize_thread "
+        "(ref: src/llm_integration.py:116-177) before the LLM call."
+    ),
+)
+def thread_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("thread_start"),
+            F.max("ts").alias("thread_end"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.array_sort(F.collect_set("event_type")).alias("participants"),
+        )
+        .orderBy("user_id")
+    )

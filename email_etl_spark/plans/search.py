@@ -197,3 +197,101 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "similarity")
         .orderBy("query_id", F.desc("similarity"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN via random-hyperplane (sign) LSH — the scale path for similarity
+# search: bucket on sign signatures, verify exact cosine only inside
+# colliding buckets. The hyperplanes are md5-derived plan constants
+# (functions/hashing.py::hyperplanes), so the oracle reproduces the
+# exact same buckets — the query is deterministic end to end, not
+# probabilistic at parity time.
+# ---------------------------------------------------------------------------
+
+from email_etl_spark.functions.hashing import hyperplanes  # noqa: E402
+
+LSH_TABLES = 4
+LSH_BITS = 8
+EMB_DIM = 64
+_PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
+
+
+def _sig_spark(emb_col) -> list:
+    """One LSH signature column per table: an 8-char '0'/'1' string."""
+    sigs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_BITS):
+            plane = F.array(*[F.lit(v) for v in _PLANES[t][j]])
+            dot = F.aggregate(
+                F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        sigs.append(F.concat(*bits).alias(f"sig{t}"))
+    return sigs
+
+
+def _sig_sql(emb_expr: str, t: int) -> str:
+    bits = []
+    for j in range(LSH_BITS):
+        plane = "[" + ", ".join(str(v) for v in _PLANES[t][j]) + "]::DOUBLE[]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> CAST({emb_expr}[i] AS DOUBLE) * ({plane})[i])), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _ann_lsh_oracle() -> str:
+    sig_cols = ", ".join(f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES))
+    collide = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH sigs AS (SELECT vec_id, label, embedding, {sig_cols} FROM embeddings),
+q AS (SELECT * FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT e.vec_id, e.label,
+         {_COS.format(a="e.embedding", b="q.embedding")} AS similarity
+  FROM sigs e CROSS JOIN q
+  WHERE e.vec_id <> q.vec_id AND ({collide})
+)
+SELECT vec_id, label, similarity FROM cand
+ORDER BY similarity DESC, vec_id LIMIT 5
+"""
+
+
+@register(
+    "ann_lsh",
+    headline=True,
+    oracle=_ann_lsh_oracle(),
+    doc=(
+        "Sign-LSH ANN: 4 tables x 8 hyperplane bits bucket the corpus; only "
+        "bucket-colliding vectors get exact cosine verification. At cluster "
+        "scale the signature computation is one map pass and candidates come "
+        "from a bucket-key join instead of a cross join (SURVEY §2.F)."
+    ),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", "label", "embedding", *_sig_spark(F.col("embedding")))
+    q = sigs.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(LSH_TABLES)]
+    )
+    collide = None
+    for t in range(LSH_TABLES):
+        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
+        collide = c if collide is None else (collide | c)
+    return (
+        sigs.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .where(collide)
+        .select(
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(5)
+    )
