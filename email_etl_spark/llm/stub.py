@@ -1,0 +1,111 @@
+"""Deterministic LLM stand-ins (SURVEY.md §2.K).
+
+The reference calls OpenAI for embeddings (ref: src/embeddings.py:27-93)
+and gpt-4o-mini for categorization / summarization / action items
+(ref: src/llm_integration.py:61-231). Those are external services; the
+engine's job is the distributed plumbing around them:
+
+- batching texts into Arrow-sized chunks,
+- a pandas_udf boundary with a fixed output schema,
+- deterministic retry-safe semantics (same input → same output).
+
+The stubs below keep every one of those properties with hash-derived
+outputs, so pipelines are testable offline and swapping in a real
+client is a one-function change at the marked seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 64
+
+CATEGORIES = ("Work", "Personal", "Finance", "Shopping", "Travel", "Marketing", "Spam", "Other")
+PRIORITIES = ("High", "Medium", "Low")
+
+CATEGORY_SCHEMA = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("action_required", T.BooleanType()),
+        T.StructField("summary", T.StringType()),
+    ]
+)
+
+
+def _embed_one(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic unit-norm embedding from sha256 of the text.
+    <-- SEAM: replace with a real embedding client here; the pandas_udf
+    wrapper, batching and schema do not change."""
+    if not text or not text.strip():
+        return [0.0] * dim
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < dim:
+        h = hashlib.sha256(f"{counter}:{text}".encode()).digest()
+        vals.extend(b / 255.0 - 0.5 for b in h)
+        counter += 1
+    vals = vals[:dim]
+    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / norm for v in vals]
+
+
+def embed_text_udf():
+    """Arrow-batched embedding UDF (ref: generate_batch_embeddings,
+    src/embeddings.py:50-93 — batching happens per Arrow chunk here
+    instead of per HTTP request)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts):
+        return texts.map(lambda t: _embed_one(t or ""))
+
+    return embed
+
+
+def categorize_udf():
+    """Deterministic categorizer with the reference's output contract
+    (ref: categorize_emails, src/llm_integration.py:61-114): category,
+    priority, action_required, summary."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def one(text):
+        text = text or ""
+        h = hashlib.sha256(text.encode()).digest()
+        return {
+            "category": CATEGORIES[h[0] % len(CATEGORIES)],
+            "priority": PRIORITIES[h[1] % len(PRIORITIES)],
+            "action_required": bool(h[2] % 2),
+            "summary": " ".join(text.split()[:12]),
+        }
+
+    @pandas_udf(CATEGORY_SCHEMA)
+    def categorize(texts):
+        return pd.DataFrame([one(t) for t in texts])
+
+    return categorize
+
+
+def embed_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("embedding", embed_text_udf()(F.col(text_col)))
+
+
+def categorize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    out = docs.withColumn("llm", categorize_udf()(F.col(text_col)))
+    return out.select(*docs.columns, "llm.category", "llm.priority", "llm.action_required", "llm.summary")
+
+
+def prepare_email_text(subject: Column, sender: Column, body: Column, max_chars: int = 10000) -> Column:
+    """Embedding-input composition (ref: prepare_email_text,
+    src/embeddings.py:109-149) as a pure column expression."""
+    return F.concat(
+        F.lit("Subject: "), F.coalesce(subject, F.lit("")), F.lit("\n"),
+        F.lit("From: "), F.coalesce(sender, F.lit("")), F.lit("\n\nContent:\n"),
+        F.substring(F.coalesce(body, F.lit("")), 1, max_chars),
+    )

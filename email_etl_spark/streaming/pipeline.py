@@ -1,0 +1,79 @@
+"""Structured-streaming twins of the batch pipelines (SURVEY.md §2.H).
+
+The reference's incremental sync (ref: src/etl_pipeline.py:233-245)
+polls for messages newer than a stored watermark. In Spark the same
+semantics are a file-source stream: new parquet drops are discovered
+per micro-batch, event-time watermarks bound state, and windowed
+aggregation replaces the ad-hoc max(date) bookkeeping.
+
+Tests run with trigger(availableNow=True) so a bounded corpus drains
+deterministically; a production job just switches the trigger and
+sink — the plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a DIRECTORY of events parquet drops
+    (Spark's file stream source discovers new files per micro-batch;
+    single-file paths are rejected). Schema comes from a batch read of
+    the same directory; the ns→µs timestamp conversion matches
+    io.load_table."""
+    from email_etl_spark.io import _ensure_confs
+
+    _ensure_confs(spark)
+    raw_schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(raw_schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a late-data
+    watermark — the streaming twin of the batch `tumbling_counts`
+    query (plans/sessions.py). State is bounded: windows older than
+    the watermark are finalized and dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def incremental_sink(df: DataFrame, out_dir: str, checkpoint_dir: str) -> DataStreamWriter:
+    """Append sink with checkpointing — exactly-once file output, the
+    durable replacement for the reference's audit-log bookkeeping."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def run_available_now(df: DataFrame, checkpoint_dir: str) -> list:
+    """Drain the bounded stream into memory (complete mode) and return
+    the rows — test harness path."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName("windowed_counts_test")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = df.sparkSession
+    return spark.sql("SELECT * FROM windowed_counts_test").collect()

@@ -1,0 +1,173 @@
+"""End-to-end email extract→transform→load over the new-module surface:
+sources (gmail-json + rfc822), email-text kit, llm stubs, markdown
+sink, multimodal plumbing (SURVEY §2.D/J/K)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+GMAIL_MSG = {
+    "id": "m-001",
+    "threadId": "t-001",
+    "labelIds": ["INBOX", "IMPORTANT"],
+    "snippet": "quarterly report attached",
+    "headers": [
+        {"name": "From", "value": '"Ada Lovelace" <Ada@Example.COM>'},
+        {"name": "To", "value": "bob@corp.com, Carol <carol@corp.com>"},
+        {"name": "Cc", "value": "dave@other.org"},
+        {"name": "Subject", "value": "Q3 report"},
+        {"name": "Date", "value": "Tue, 15 Jul 2025 10:30:00 +0000"},
+    ],
+    "body_plain": None,
+    "body_html": "<html><style>p{}</style><p>Hello <b>Bob</b> &amp; Carol</p><img width=1 height=1 src=x></html>",
+    "attachments": [
+        {
+            "filename": "report.pdf",
+            "mimeType": "application/pdf",
+            "size": 5,
+            "attachmentId": "a1",
+            "data": base64.b64encode(b"%PDF-").decode(),
+        }
+    ],
+}
+
+RFC822_MSG = """\
+From: "Grace Hopper" <grace@navy.mil>
+To: team@corp.com
+Cc: admiral@navy.mil
+Subject: compilers
+Date: Tue, 15 Jul 2025 12:00:00 +0000
+Message-ID: <rfc-001@navy.mil>
+Content-Type: text/plain
+
+It is easier to ask forgiveness than permission.
+"""
+
+
+@pytest.fixture(scope="module")
+def gmail_df(spark):
+    from email_etl_spark.sources.email_source import parse_gmail_json
+
+    raw = spark.createDataFrame([(json.dumps(GMAIL_MSG),)], ["payload"])
+    return parse_gmail_json(raw).cache()
+
+
+def test_gmail_json_parse(gmail_df):
+    row = gmail_df.collect()[0]
+    assert row.message_id == "m-001"
+    assert row.sender == "ada@example.com"
+    assert row.sender_name == "Ada Lovelace"
+    assert row.recipients == ["bob@corp.com", "carol@corp.com"]
+    assert row.cc_recipients == ["dave@other.org"]
+    assert row.subject == "Q3 report"
+    assert str(row.date) == "2025-07-15 10:30:00"
+    assert row.has_attachments is True
+    att = row.attachments[0]
+    assert att.filename == "report.pdf" and bytes(att.content) == b"%PDF-"
+    # html fallback: tags/entities stripped, tracking pixel removed
+    assert "Hello Bob & Carol" in row.body_markdown
+    assert "<" not in row.body_markdown
+
+
+def test_rfc822_parse(spark):
+    from email_etl_spark.sources.email_source import parse_rfc822
+
+    raw = spark.createDataFrame([(RFC822_MSG,)], ["raw"])
+    row = parse_rfc822(raw).collect()[0]
+    assert row.message_id == "rfc-001@navy.mil"
+    assert row.sender == "grace@navy.mil"
+    assert row.recipients == ["team@corp.com"]
+    assert "forgiveness" in row.body_plain
+    assert str(row.date) == "2025-07-15 12:00:00"
+
+
+def test_email_text_kit(spark):
+    from email_etl_spark.functions import email_text as E
+
+    df = spark.createDataFrame(
+        [("\"A B\" <A.B@Corp.COM>", "x@y.com, bad, Z <z@w.org>", "file/../e.exe")],
+        ["addr", "rcpt", "fname"],
+    )
+    row = df.select(
+        E.addr_email(F.col("addr")).alias("em"),
+        E.addr_name(F.col("addr")).alias("nm"),
+        E.email_domain(E.addr_email(F.col("addr"))).alias("dom"),
+        E.split_recipients(F.col("rcpt")).alias("rc"),
+        E.sanitize_filename(F.col("fname")).alias("fn"),
+    ).collect()[0]
+    assert row.em == "a.b@corp.com"
+    assert row.nm == "A B"
+    assert row.dom == "corp.com"
+    assert row.rc == ["x@y.com", "z@w.org"]
+    assert row.fn == "e.txt"  # dangerous extension neutralized
+
+
+def test_llm_stub_determinism(spark):
+    from email_etl_spark.llm.stub import categorize_documents, embed_documents
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "hello world"), (3, "")], ["doc_id", "text"])
+    out = embed_documents(docs).collect()
+    assert out[0].embedding == out[1].embedding  # same text → same vector
+    assert len(out[0].embedding) == 64
+    assert abs(sum(v * v for v in out[0].embedding) - 1.0) < 1e-5  # unit norm
+    assert all(v == 0.0 for v in out[2].embedding)  # empty → zero vector
+    cat = categorize_documents(docs).collect()
+    assert cat[0].category == cat[1].category
+    assert cat[0].category in {"Work", "Personal", "Finance", "Shopping", "Travel", "Marketing", "Spam", "Other"}
+
+
+def test_markdown_sink(gmail_df, tmp_path):
+    from email_etl_spark.sinks.markdown import build_index, render_markdown, write_markdown_tree
+
+    rendered = render_markdown(gmail_df).collect()[0]
+    assert rendered.markdown.startswith("---\nid: m-001\n")
+    assert "# Q3 report" in rendered.markdown
+    assert rendered.slug.startswith("20250715_103000_q3-report")
+
+    write_markdown_tree(gmail_df, str(tmp_path / "md"))
+    files = list((tmp_path / "md").rglob("*.txt"))
+    assert any("year=2025" in str(f) and "month=7" in str(f) for f in files)
+
+    idx = build_index(gmail_df).collect()[0]
+    assert idx.path == "2025/07/" + rendered.slug + ".md"
+
+
+def test_multimodal_plumbing(spark):
+    from email_etl_spark.operators.multimodal import image_features, size_budget_partitions
+
+    blobs = [(i, bytes([i]) * (100 * (i + 1))) for i in range(8)]
+    df = spark.createDataFrame(blobs, ["att_id", "content"])
+    feats = image_features(df).collect()
+    assert len(feats) == 8
+    f0 = feats[0]
+    assert f0.decode_ok and 16 <= f0.width <= 255 and len(f0.feature) == 8
+    # determinism: same bytes → same features
+    again = image_features(df).collect()
+    assert sorted(f.content_hash for f in feats) == sorted(f.content_hash for f in again)
+
+    sized = size_budget_partitions(df.withColumn("size_bytes", F.length("content")), "size_bytes", 1024)
+    assert sized.rdd.getNumPartitions() >= 1
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from email_etl_spark.plans.registry import REGISTRY
+    from email_etl_spark.streaming.pipeline import events_stream, run_available_now, windowed_counts
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    # the file stream source wants a directory of drops, not one file
+    events_dir = tmp_path / "events_drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-000.parquet")
+    stream = events_stream(spark, str(events_dir))
+    assert stream.isStreaming
+    rows = run_available_now(windowed_counts(stream), str(tmp_path / "ckpt"))
+    got = {(str(r.window_start), r.event_type): r.n_events for r in rows}
+    batch = REGISTRY["tumbling_counts"].builder(spark, sf).collect()
+    expected = {(str(r.window_start), r.event_type): r.n_events for r in batch}
+    assert got == expected  # stream drain equals the batch twin
