@@ -1,0 +1,56 @@
+"""Physical-plan quality gates (SURVEY §5.5): the properties that make
+these queries survive a 100x scale-up must be visible in the plan —
+broadcast joins for dims, pushed filters, pruned scans, no accidental
+cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from email_etl_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier", "top_customers"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fact_filter_pushdown(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning(spark):
+    # top-N over events must not read value/props
+    plan = plan_of(spark, "recent_events_topn")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "value" not in read and "props" not in read, read
+
+
+def test_topn_no_global_sort(spark):
+    plan = plan_of(spark, "recent_events_topn")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_accidental_cartesian(spark):
+    # every pair-generating dedup query must go through bucket joins,
+    # never a cartesian product (dedup_embedding's broadcast NL join is
+    # the documented exception at test scale)
+    for name in ("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears before and after the
+    # exchange for the decimal sums
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
