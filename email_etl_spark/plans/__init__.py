@@ -6,6 +6,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     dedup,
     patterns,
     relational,
+    relational_ext,
     search,
     sessions,
     text,

@@ -1,0 +1,161 @@
+"""Extended relational coverage (SURVEY.md §2.G): the join/window/
+grouping-set shapes the reference's API layer composes — semi/anti
+joins (EXISTS / NOT EXISTS), ROLLUP subtotals, running windows,
+per-group top-k, and point lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions.vectors import norm
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="EXISTS semi-join + agg (TPC-H Q4 shape): late-shipping orders per priority.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="NOT EXISTS anti-join (TPC-H Q22 shape): segment counts of order-less customers.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "rollup_source_lang",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+""",
+    doc="ROLLUP subtotals (storage-stats style hierarchy: corpus → source → source+lang).",
+)
+def rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.asc_nulls_first("source"), F.asc_nulls_first("lang"))
+    )
+
+
+@register(
+    "running_total",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cumulative_events
+FROM daily ORDER BY day
+""",
+    doc="Daily volume + running total (email-volume trend surface, ref: analyze_email_patterns).",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("cumulative_events", F.sum("n_events").over(w))
+        .orderBy("day")
+    )
+
+
+@register(
+    "top_docs_per_lang",
+    oracle="""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+ORDER BY lang, n_chars DESC, doc_id
+""",
+    doc="Per-group top-k via window (longest docs per language).",
+)
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", F.desc("n_chars"), "doc_id")
+    )
+
+
+@register(
+    "doc_by_id",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       len(e.embedding) AS embedding_dim,
+       ROUND(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (acc, v) -> acc + v)), 4) AS embedding_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.doc_id = 7
+""",
+    doc="Point lookup with vector metadata (ref: get_email_by_id, src/database.py:223).",
+)
+def doc_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") == 7)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("embedding").alias("embedding_dim"),
+        F.round(norm(F.col("embedding")), 4).alias("embedding_norm"),
+    )
