@@ -295,3 +295,83 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG context assembly (ref: answer_question, src/llm_integration.py:
+# 233-307 minus the generation call). The question's embedding comes
+# from the deterministic stub embedder at PLAN BUILD time and is
+# inlined as a literal — both engines rank against the identical
+# vector, and the assembled context block is byte-identical.
+# ---------------------------------------------------------------------------
+
+RAG_QUESTION = "spark join performance"
+
+
+def _rag_qvec() -> list[float]:
+    from email_etl_spark.llm.stub import _embed_one
+
+    return _embed_one(RAG_QUESTION)
+
+
+def _rag_oracle() -> str:
+    qvec = "[" + ", ".join(repr(v) for v in _rag_qvec()) + "]::DOUBLE[]"
+    cos = duckdb_cosine("e.embedding", f"({qvec})")
+    return f"""
+WITH hits AS (
+  SELECT d.doc_id, {cos} AS similarity, substr(d.text, 1, 200) AS snippet
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  ORDER BY similarity DESC, d.doc_id LIMIT 5
+)
+SELECT '{RAG_QUESTION}' AS question,
+       COUNT(*) AS n_sources,
+       string_agg(
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' (similarity ' || printf('%.4f', similarity) || '):' || chr(10) || snippet,
+         chr(10) || '---' || chr(10) ORDER BY similarity DESC, doc_id
+       ) AS context
+FROM hits
+"""
+
+
+@register(
+    "rag_context",
+    oracle=_rag_oracle(),
+    doc=(
+        "RAG context block: top-k semantic hits composed into the prompt "
+        "context the reference hands to the LLM (ask_email_question surface)."
+    ),
+)
+def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.array(*[F.lit(v) for v in _rag_qvec()])
+    hits = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            cosine_rounded(F.col("embedding"), qvec).alias("similarity"),
+            F.substring("text", 1, 200).alias("snippet"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id")
+        .limit(5)
+    )
+    entry = F.struct(
+        (-F.col("similarity")).alias("neg_sim"),
+        F.col("doc_id").alias("doc_id"),
+        F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"),
+            F.lit(" (similarity "), F.format_string("%.4f", F.col("similarity")),
+            F.lit("):\n"), F.col("snippet"),
+        ).alias("block"),
+    )
+    return (
+        hits.select(entry.alias("entry"))
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("entry")), lambda e: e["block"]),
+                "\n---\n",
+            ).alias("context"),
+        )
+        .select(F.lit(RAG_QUESTION).alias("question"), "n_sources", "context")
+    )
