@@ -41,7 +41,7 @@ def doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "latest_event_ts",
-    oracle="SELECT MAX(ts) AS latest_ts, COUNT(*) AS n_events FROM events",
+    oracle="SELECT CAST(MAX(ts) AS TIMESTAMP) AS latest_ts, COUNT(*) AS n_events FROM events",
     doc="Max-watermark read (ref: get_latest_email_date, src/database.py:282).",
 )
 def latest_event_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ def latest_event_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "recent_events_topn",
     oracle="""
-SELECT event_id, ts, user_id, event_type
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
 FROM events ORDER BY ts DESC, event_id LIMIT 10
 """,
     doc="Recent-N fetch (ref: get_recent_emails, src/database.py:292). Runs as TakeOrderedAndProject — no global sort.",
@@ -69,7 +69,7 @@ def recent_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_after_date",
     oracle="""
-SELECT event_id, ts, user_id, event_type
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
 FROM events WHERE ts > TIMESTAMP '2024-01-28'
 ORDER BY ts DESC, event_id LIMIT 100
 """,
@@ -112,7 +112,7 @@ def by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "thread_events",
     oracle="""
-SELECT event_id, ts, event_type, value
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
 FROM events WHERE user_id = 42 ORDER BY ts, event_id
 """,
     doc="Thread fetch ordered by date (ref: get_emails_by_thread, src/database.py:234).",
@@ -129,7 +129,7 @@ def thread_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "upsert_latest",
     oracle="""
-SELECT user_id, event_id, ts, event_type FROM (
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
   SELECT user_id, event_id, ts, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -174,7 +174,7 @@ def missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH watermark AS (
   SELECT MAX(ts) AS max_ts FROM events WHERE ts < TIMESTAMP '2024-01-20'
 )
-SELECT e.event_id, e.ts, e.user_id, e.event_type
+SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type
 FROM events e, watermark w
 WHERE e.ts > w.max_ts
 ORDER BY e.ts, e.event_id

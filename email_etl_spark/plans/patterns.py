@@ -25,8 +25,8 @@ SELECT user_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-       MIN(ts) AS first_seen,
-       MAX(ts) AS last_seen
+       CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_seen
 FROM events GROUP BY user_id
 ORDER BY n_events DESC, user_id LIMIT 25
 """,
@@ -123,8 +123,8 @@ def patterns_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       MIN(ts) AS thread_start,
-       MAX(ts) AS thread_end,
+       CAST(MIN(ts) AS TIMESTAMP) AS thread_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS thread_end,
        COUNT(DISTINCT event_type) AS n_types,
        list_sort(list_distinct(list(event_type))) AS participants
 FROM events GROUP BY user_id ORDER BY user_id

@@ -172,3 +172,30 @@ def prepare_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_text.alias("embed_text"),
         F.least(F.size(toks), F.lit(64)).alias("n_tokens_kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_cost_estimate",
+    oracle=f"""
+WITH t AS (SELECT source, len({_TOKS}) AS n_toks FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / 1000000.0 * 0.02, 6) AS est_cost_usd
+FROM t GROUP BY source ORDER BY source
+""",
+    doc="Embedding cost estimation per provider (ref: estimate_cost, src/embeddings.py:191-203).",
+)
+def embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = T.token_count(F.col("text"))
+    return (
+        docs.select("source", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_toks").cast("double") / F.lit(1000000.0) * F.lit(0.02), 6).alias("est_cost_usd"),
+        )
+        .orderBy("source")
+    )

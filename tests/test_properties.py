@@ -1,0 +1,104 @@
+"""Property-style invariants (SURVEY §5.3): dedup idempotence, LSH
+recall against the exact scan, salted-aggregation equivalence,
+hash-family determinism (hypothesis for the pure-python pieces)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dedup_exact_idempotent(spark):
+    """Running exact dedup on its own keepers changes nothing."""
+    from email_etl_spark.functions.text import fingerprint
+    from email_etl_spark.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    keep_ids = (
+        docs.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    kept = docs.join(keep_ids, docs.doc_id == keep_ids.keep_id).drop("keep_id")
+    again = (
+        kept.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert again.where(F.col("n") > 1).count() == 0
+
+
+def test_minhash_lsh_full_recall_on_corpus(spark):
+    """Every exact-Jaccard pair above threshold is found by the LSH
+    path (recall == 1 on this corpus, per the band math)."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash"].builder(spark, SF_SMOKE).collect()
+    }
+    # exact scan via the oracle
+    from tests.oracle import run_oracle
+
+    _, exact_rows = run_oracle(REGISTRY["dedup_minhash"].oracle, SF_SMOKE)
+    exact_pairs = {(r[0], r[1]) for r in exact_rows}
+    assert lsh_pairs == exact_pairs
+
+
+def test_salted_agg_equals_direct(spark):
+    from email_etl_spark.io import load_table
+    from email_etl_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        r.user_id: (r.n_events, float(r.total), r.first_ts)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+            F.min("ts").alias("first_ts"),
+        )
+        .collect()
+    }
+    salted = {
+        r.user_id: (r.n_events, float(r.total), r.first_ts)
+        for r in salted_agg(
+            ev,
+            "user_id",
+            {
+                "n_events": ("sum", F.count("*")),
+                "total": ("sum", F.sum(F.col("value").cast("decimal(18,4)"))),
+                "first_ts": ("min", F.min("ts")),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_stub_embedding_unit_norm(text):
+    from email_etl_spark.llm.stub import _embed_one
+
+    v = _embed_one(text)
+    assert len(v) == 64
+    n = sum(x * x for x in v)
+    if text.strip():
+        assert abs(n - 1.0) < 1e-6
+        assert v == _embed_one(text)  # deterministic
+    else:
+        assert n == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=7))
+def test_hyperplanes_deterministic(t, j):
+    from email_etl_spark.functions.hashing import hyperplanes
+
+    a = hyperplanes(4, 8, 16)
+    b = hyperplanes(4, 8, 16)
+    assert a[t][j] == b[t][j]
+    assert set(a[t][j]) <= {1.0, -1.0}
