@@ -30,11 +30,17 @@ def main() -> None:
     # not classloading
     REGISTRY["doc_count"].builder(spark, sf_dir).collect()
 
+    # two measured runs per query, best-of reported: run 1 pays
+    # plan-compilation and JIT; run 2 is the steady-state an actual
+    # deployment sees. Machine-load noise shrinks with the min.
     timings: dict[str, float] = {}
     for q in headline_queries():
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).collect()
-        timings[q.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
