@@ -109,3 +109,63 @@ def prepare_email_text(subject: Column, sender: Column, body: Column, max_chars:
         F.lit("From: "), F.coalesce(sender, F.lit("")), F.lit("\n\nContent:\n"),
         F.substring(F.coalesce(body, F.lit("")), 1, max_chars),
     )
+
+
+ACTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("description", T.StringType()),
+            T.StructField("owner", T.StringType()),
+            T.StructField("due", T.StringType()),
+            T.StructField("priority", T.StringType()),
+        ]
+    )
+)
+
+_ACTION_CUES = ("please", "todo", "action", "must", "need to", "by friday", "asap")
+
+
+def extract_actions_udf():
+    """Deterministic action-item extractor with the reference's output
+    contract (ref: extract_action_items, src/llm_integration.py:179-231):
+    list of {description, owner, due, priority}. The stub detects cue
+    phrases per sentence; the LLM swap-in happens at this seam."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def one(text):
+        import re
+
+        text = text or ""
+        out = []
+        for sent in text.replace("\n", " ").split("."):
+            low = sent.strip().lower()
+            if not low:
+                continue
+            # word-boundary match: 'action' must not fire on 'actionable'
+            if any(re.search(rf"\b{re.escape(cue)}\b", low) for cue in _ACTION_CUES):
+                h = hashlib.sha256(low.encode()).digest()
+                out.append(
+                    {
+                        "description": sent.strip()[:120],
+                        "owner": None,
+                        "due": None,
+                        "priority": PRIORITIES[h[0] % len(PRIORITIES)],
+                    }
+                )
+        return out
+
+    @pandas_udf(ACTION_SCHEMA)
+    def extract(texts):
+        return pd.Series([one(t) for t in texts])
+
+    return extract
+
+
+def extract_action_items(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    out = docs.withColumn("actions", extract_actions_udf()(F.col(text_col)))
+    return (
+        out.where(F.size("actions") > 0)
+        .select(*docs.columns, F.explode("actions").alias("action"))
+        .select(*docs.columns, "action.description", "action.priority")
+    )

@@ -93,3 +93,32 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Exact interpolated percentiles per category (volume/latency "
+        "profile surface). Spark percentile == SQL quantile_cont (both "
+        "linear interpolation over the sorted set); at cluster scale swap "
+        "to approx_percentile (t-digest) and drop the oracle to rows-only."
+    ),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -94,3 +94,25 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     # every emitted session respects the gap invariant
     for r in got:
         assert (r.session_end - r.session_start).total_seconds() >= 0
+
+
+def test_extract_action_items(spark):
+    from email_etl_spark.llm.stub import extract_action_items
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Please send the report by Friday. The weather is nice."),
+            (2, "Nothing actionable here at all"),
+            (3, "TODO: fix the build. We must ship asap."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = extract_action_items(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.description)
+    assert 1 in by_doc and 3 in by_doc and 2 not in by_doc
+    assert len(by_doc[3]) == 2
+    # deterministic
+    again = extract_action_items(docs).collect()
+    assert sorted(r.description for r in out) == sorted(r.description for r in again)
