@@ -122,3 +122,89 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(first_signup) AS n_signed_up,
+       COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted,
+       ROUND(CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS DOUBLE)
+             / GREATEST(COUNT(first_signup), 1), 4) AS conversion_rate
+FROM firsts
+""",
+    doc=(
+        "Sequence funnel: users whose first purchase follows their first "
+        "signup — conditional-aggregation pivot, one shuffle on user_id "
+        "(engagement-analysis surface, ref: analyze_email_patterns)."
+    ),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = F.count(
+        F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        converted.alias("n_converted"),
+        F.round(
+            converted.cast("double") / F.greatest(F.count("first_signup"), F.lit(1)), 4
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "daily_retention",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+)
+SELECT a.day,
+       COUNT(*) AS active_users,
+       COUNT(b.user_id) AS retained_next_day,
+       ROUND(CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*), 4) AS retention_rate
+FROM active a
+LEFT JOIN active b
+  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day ORDER BY a.day
+""",
+    doc=(
+        "Next-day retention: distinct-activity self-join offset by one day "
+        "— the day-over-day engagement trend (pattern-analysis surface)."
+    ),
+)
+def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    a, b = active.alias("a"), active.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") == F.col("a.day") + F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count("*").alias("active_users"),
+            F.count(F.col("b.user_id")).alias("retained_next_day"),
+            F.round(
+                F.count(F.col("b.user_id")).cast("double") / F.count("*"), 4
+            ).alias("retention_rate"),
+        )
+        .orderBy("day")
+    )
