@@ -21,7 +21,7 @@ from email_etl_spark.plans.registry import register
     oracle="""
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents

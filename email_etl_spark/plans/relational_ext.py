@@ -71,7 +71,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_source_lang",
     oracle="""
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY ROLLUP(source, lang)
 ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
@@ -95,7 +95,7 @@ WITH daily AS (
   FROM events GROUP BY 1
 )
 SELECT day, n_events,
-       SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cumulative_events
+       CAST(SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_events
 FROM daily ORDER BY day
 """,
     doc="Daily volume + running total (email-volume trend surface, ref: analyze_email_patterns).",
@@ -156,6 +156,6 @@ def doc_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.size("embedding").alias("embedding_dim"),
+        F.size("embedding").cast("bigint").alias("embedding_dim"),
         F.round(norm(F.col("embedding")), 4).alias("embedding_norm"),
     )

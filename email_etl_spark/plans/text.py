@@ -40,8 +40,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
         "n_chars",
     ).orderBy("doc_id")
 
@@ -170,7 +170,7 @@ def prepare_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         embed_text.alias("embed_text"),
-        F.least(F.size(toks), F.lit(64)).alias("n_tokens_kept"),
+        F.least(F.size(toks), F.lit(64)).cast("bigint").alias("n_tokens_kept"),
     ).orderBy("doc_id")
 
 
