@@ -208,3 +208,70 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "inter_event_gaps",
+    oracle="""
+WITH gaps AS (
+  -- exact ns diff floored to seconds (date_diff('second') would count
+  -- boundary crossings instead and disagree with the Arrow path)
+  SELECT user_id,
+         (epoch_ns(ts) - epoch_ns(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000000 AS gap_s
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_s) AS n_gaps,
+       ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s), 4) AS mean_gap_s,
+       ROUND(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""",
+    doc=(
+        "Per-user inter-event gap profile, computed group-wise in NumPy via "
+        "applyInPandas — the engine's template for group-local algorithms "
+        "that don't decompose into SQL aggregates. Gap sums are integer "
+        "(order-insensitive) so the Arrow path hash-matches the window-SQL "
+        "oracle exactly."
+    ),
+)
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def r4(x):  # round-half-up like SQL ROUND (python round is banker's)
+            return math.floor(float(x) * 10000 + 0.5) / 10000
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = np.diff(pdf["ts"].astype("int64").to_numpy()) // 1_000_000_000
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "mean_gap_s", "median_gap_s", "max_gap_s"]
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_gaps": len(gaps),
+                    "mean_gap_s": r4(int(gaps.sum()) / len(gaps)),
+                    "median_gap_s": r4(np.quantile(gaps, 0.5, method="linear")),
+                    "max_gap_s": int(gaps.max()),
+                }
+            ]
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            profile,
+            schema="user_id bigint, n_gaps bigint, mean_gap_s double, median_gap_s double, max_gap_s bigint",
+        )
+        .orderBy("user_id")
+    )
