@@ -51,8 +51,11 @@ class EmailETLPipeline:
 
     # -- stages -----------------------------------------------------------
     def transform(self, raw_json: DataFrame) -> DataFrame:
-        """raw gmail-json payloads → validated, embedded email frame."""
-        emails = parse_gmail_json(raw_json)
+        """raw gmail-json payloads → validated, embedded email frame.
+        Unparseable payloads (no message_id after parsing) are dropped
+        here and counted by run_import as `failed` (ref: stats
+        bookkeeping, src/etl_pipeline.py:24-30)."""
+        emails = parse_gmail_json(raw_json).where(F.col("message_id").isNotNull())
         emails = flag_suspicious_content(emails)
         embed_input = prepare_email_text(
             F.col("subject"), F.col("sender"), F.col("body_markdown")
@@ -64,6 +67,7 @@ class EmailETLPipeline:
     def run_import(self, raw_json: DataFrame, write_markdown: bool = True) -> dict:
         """Full import (ref: run_import, src/etl_pipeline.py:32-91):
         parse → validate → skip-already-imported → persist → archive."""
+        n_raw = raw_json.count()
         emails = self.transform(raw_json)
         existing = self._existing()
         if existing is not None:
@@ -84,9 +88,11 @@ class EmailETLPipeline:
                 F.current_timestamp().alias("at"),
             )
             audit.write.mode("append").parquet(self.audit_path)
+        n_parsed = emails.count()
         stats = {
             "processed": n_new,
-            "skipped": emails.count() - n_new,
+            "skipped": n_parsed - n_new,
+            "failed": n_raw - n_parsed,
         }
         new.unpersist()
         return stats

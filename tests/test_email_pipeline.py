@@ -171,3 +171,20 @@ def test_streaming_windowed_counts(spark, tmp_path):
     batch = REGISTRY["tumbling_counts"].builder(spark, sf).collect()
     expected = {(str(r.window_start), r.event_type): r.n_events for r in batch}
     assert got == expected  # stream drain equals the batch twin
+
+
+def test_parquet_sink_layout(spark, tmp_path):
+    from email_etl_spark.io import load_table
+    from email_etl_spark.sinks.parquet import write_events_by_day
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_wh")
+    write_events_by_day(ev, out)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    days = [p.name for p in (tmp_path / "events_wh").iterdir() if p.name.startswith("day=")]
+    assert len(days) >= 25  # one partition dir per active day
+    # partition pruning: a one-day filter reads one partition
+    one_day = back.where(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() > 0

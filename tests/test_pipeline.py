@@ -58,11 +58,11 @@ def test_import_dedup_and_sync(spark, pipeline):
         ["payload"],
     )
     stats = pipeline.run_import(raw1)
-    assert stats == {"processed": 2, "skipped": 0}
+    assert stats == {"processed": 2, "skipped": 0, "failed": 0}
 
     # re-import the same payloads → all skipped (anti-join dedup)
     stats2 = pipeline.run_import(raw1)
-    assert stats2 == {"processed": 0, "skipped": 2}
+    assert stats2 == {"processed": 0, "skipped": 2, "failed": 0}
 
     # incremental sync: one older (filtered by watermark), one newer
     raw2 = spark.createDataFrame(
@@ -106,3 +106,12 @@ def test_attachment_validation(spark):
     assert not evil.is_safe and evil.dangerous_extension
     # declared pdf but content is not a pdf → mismatch surfaced
     assert evil.detected_mime is None or evil.mime_mismatch
+
+
+def test_malformed_payload_counted_failed(spark, pipeline):
+    raw = spark.createDataFrame(
+        [(_msg(1, "Mon, 4 Aug 2025 09:00:00"),), ("{not valid json",), ("42",)],
+        ["payload"],
+    )
+    stats = pipeline.run_import(raw)
+    assert stats == {"processed": 1, "skipped": 0, "failed": 2}
