@@ -335,6 +335,7 @@ FROM hits
 
 @register(
     "rag_context",
+    headline=True,
     oracle=_rag_oracle(),
     doc=(
         "RAG context block: top-k semantic hits composed into the prompt "

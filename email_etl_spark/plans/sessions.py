@@ -74,6 +74,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tumbling_counts",
+    headline=True,
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
