@@ -376,3 +376,173 @@ def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit(RAG_QUESTION).alias("question"), "n_sources", "context")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantize vectors to their nearest centroid,
+# probe only the query's nprobe nearest centroid lists, verify exact
+# cosine inside the probed lists. Centroids here are deterministic
+# seeds (vec_id < K) so the oracle replays the identical structure; a
+# production build iterates k-means with the same assignment operator
+# (assignment is the engine op — the seeding policy is pluggable).
+# ---------------------------------------------------------------------------
+
+IVF_K = 16       # coarse centroids
+IVF_NPROBE = 4   # probed lists per query
+
+
+def _ann_ivf_oracle() -> str:
+    cos_cv = _COS.format(a="v.embedding", b="c.embedding")
+    cos_qc = _COS.format(a="q.embedding", b="c.embedding")
+    cos_qv = _COS.format(a="v.embedding", b="q.embedding")
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {IVF_K}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos_cv} DESC, c.cid) AS rn
+    FROM embeddings v CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {cos_qc} DESC, c.cid) AS rn
+    FROM c CROSS JOIN q
+  ) WHERE rn <= {IVF_NPROBE}
+)
+SELECT v.vec_id, v.label, {cos_qv} AS similarity
+FROM embeddings v
+JOIN assign a ON v.vec_id = a.vec_id
+JOIN probes p ON a.cid = p.cid
+CROSS JOIN q
+WHERE v.vec_id <> {QUERY_VEC_ID}
+ORDER BY similarity DESC, v.vec_id
+LIMIT 5
+"""
+
+
+@register(
+    "ann_ivf",
+    oracle=_ann_ivf_oracle(),
+    doc=(
+        "IVF ANN: deterministic coarse quantizer (argmax-cosine assignment "
+        "to K centroid seeds), nprobe nearest lists probed, exact verify "
+        "inside lists. At scale, assignment is one broadcast-centroid map "
+        "pass and probing reads only nprobe/K of the corpus (SURVEY §2.F)."
+    ),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    # assignment: broadcast centroids, argmax cosine per vector
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        cosine_rounded(F.col("embedding"), F.col("cvec")).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    # probe the query's nprobe nearest centroid lists
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    probe_scored = cents.crossJoin(F.broadcast(q)).select(
+        "cid", cosine_rounded(F.col("cvec"), F.col("qvec")).alias("q_sim")
+    )
+    wq = Window.orderBy(F.desc("q_sim"), "cid")
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF ranked search: classic lexical relevance with corpus-level
+# document frequencies — the step up from ts_rank-style term counting.
+# idf = ln(N / df) over the same fixed query terms; all arithmetic is
+# (int, int) -> one double op, so both engines agree bit-for-bit
+# before the final rounding.
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_oracle() -> str:
+    toks = _TOKS_SQL
+    tf = {t: f"len(list_filter(toks, x -> x = '{t}'))" for t in QUERY_TERMS}
+    per_term = " + ".join(
+        f"CASE WHEN {tf[t]} > 0 THEN {tf[t]} * ln(CAST(n_total AS DOUBLE) / df_{t}) ELSE 0.0 END"
+        for t in QUERY_TERMS
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN {tf[t]} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in QUERY_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+stats AS (SELECT COUNT(*) AS n_total, {dfs} FROM t)
+SELECT doc_id, ROUND({per_term}, 4) AS tfidf
+FROM t CROSS JOIN stats
+WHERE {per_term} > 0
+ORDER BY tfidf DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "tfidf_search",
+    oracle=_tfidf_oracle(),
+    doc=(
+        "TF-IDF ranked search over fixed query terms: corpus df via one "
+        "aggregate broadcast back over the scan — two passes total, no "
+        "per-term joins (full-text surface, scripts/init_db.sql:66-71)."
+    ),
+)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+    def eq(term):
+        return lambda x: x == term
+
+    tf_cols = {t: F.size(F.filter(F.col("toks"), eq(t))) for t in QUERY_TERMS}
+    with_tf = toks_df.select(
+        "doc_id", *[tf.alias(f"tf_{t}") for t, tf in tf_cols.items()]
+    )
+    stats = with_tf.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    score = None
+    for t in QUERY_TERMS:
+        term_score = F.when(
+            F.col(f"tf_{t}") > 0,
+            F.col(f"tf_{t}") * F.log(F.col("n_total").cast("double") / F.col(f"df_{t}")),
+        ).otherwise(F.lit(0.0))
+        score = term_score if score is None else score + term_score
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .where(score > 0)
+        .select("doc_id", F.round(score, 4).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "doc_id")
+        .limit(20)
+    )
