@@ -159,3 +159,103 @@ def doc_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("embedding_dim"),
         F.round(norm(F.col("embedding")), 4).alias("embedding_norm"),
     )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Pivot (crosstab): priority rows × status columns via the pivot operator (conditional-agg twin in the oracle).",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH flat AS (
+  SELECT label, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (VALUES (1), (2), (3), (4)) AS d(i)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(x), 4) AS centroid_val
+FROM flat
+GROUP BY label, dim ORDER BY label, dim
+""",
+    doc=(
+        "Per-label embedding centroids (first 4 dims shown): element-wise "
+        "vector aggregation via posexplode → group — the building block for "
+        "k-means iterations and class prototypes (SURVEY §2.F)."
+    ),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).cast("bigint").alias("dim"), F.col("x").cast("double").alias("x"))
+    return (
+        flat.where(F.col("dim") <= 4)
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg("x"), 4).alias("centroid_val"))
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "approx_user_counts",
+    oracle=None,  # approximate sketches are engine-specific; rows-only check
+    doc=(
+        "HLL approximate distinct users per event type — the documented "
+        "scale path for COUNT(DISTINCT) when exactness is not required "
+        "(rows-only: sketch estimates are engine-specific)."
+    ),
+)
+def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_value_quantiles",
+    oracle=None,  # t-digest estimates are engine-specific; rows-only check
+    doc=(
+        "Approximate percentiles per event type via approx_percentile "
+        "(t-digest-style sketch) — the scale path twin of value_percentiles."
+    ),
+)
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
