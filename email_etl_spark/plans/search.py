@@ -217,20 +217,36 @@ _PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
 
 
 def _sig_spark(emb_col) -> list:
-    """One LSH signature column per table: an 8-char '0'/'1' string."""
-    sigs = []
-    for t in range(LSH_TABLES):
-        bits = []
-        for j in range(LSH_BITS):
-            plane = F.array(*[F.lit(v) for v in _PLANES[t][j]])
-            dot = F.aggregate(
+    """One LSH signature column per table: an 8-char '0'/'1' string.
+
+    All 32 hyperplanes go in as ONE literal array-of-arrays and the
+    sign bits come out of a single transform lambda — one compiled
+    expression applied 32 times at runtime instead of 32 inlined fold
+    trees (half the wall time, identical fold order → identical bits).
+    """
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(v) for v in _PLANES[t][j]])
+            for t in range(LSH_TABLES)
+            for j in range(LSH_BITS)
+        ]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda plane: F.when(
+            F.aggregate(
                 F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        sigs.append(F.concat(*bits).alias(f"sig{t}"))
-    return sigs
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return [
+        F.array_join(F.slice(bits, 1 + t * LSH_BITS, LSH_BITS), "").alias(f"sig{t}")
+        for t in range(LSH_TABLES)
+    ]
 
 
 def _sig_sql(emb_expr: str, t: int) -> str:
