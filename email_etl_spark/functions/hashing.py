@@ -28,11 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-N_GROUPS = 16          # md5 calls per shingle
+N_GROUPS = 8           # md5 calls per shingle
 LANES_PER_GROUP = 4    # 8-hex-char slices per md5
-N_LANES = N_GROUPS * LANES_PER_GROUP  # 64 minhash lanes
+N_LANES = N_GROUPS * LANES_PER_GROUP  # 32 minhash lanes
 ROWS_PER_BAND = 2
-N_BANDS = N_LANES // ROWS_PER_BAND    # 32 bands
+N_BANDS = N_LANES // ROWS_PER_BAND    # 16 bands
+# recall with 16 bands x 2 rows: pairs at J=0.8 (the corpus floor)
+# are missed w.p. (1-0.64)^16 ~ 8.5e-8; raise N_GROUPS if a corpus
+# ever needs catching pairs near J=0.5 (miss there is ~1.6%).
 
 
 def shingles(toks: Column, k: int = 3) -> Column:

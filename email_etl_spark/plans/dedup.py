@@ -141,13 +141,26 @@ def _lsh_verified_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
         .distinct()
     )
 
-    # exact verification on the (small) candidate set
+    # exact verification on the candidate set. The intersection is
+    # materialized ONCE per pair via an explicit projection — putting
+    # H.jaccard's tree straight into select() evaluates array_intersect
+    # twice (numerator + union term; no CSE across the filter).
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = H.jaccard(F.col("sh_a"), F.col("sh_b"))
+    sized = (
+        cand.join(F.broadcast(sha), "doc_a")
+        .join(F.broadcast(shb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
+            F.size("sh_a").cast("double").alias("na"),
+            F.size("sh_b").cast("double").alias("nb"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
     return (
-        cand.join(sha, "doc_a").join(shb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
