@@ -390,3 +390,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS {{_pairs}},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+-- transitive closure by recursive reachability (small near-dup graph)
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+)
+SELECT node AS doc_id, MIN(reachable) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""".replace("{_pairs}", "(" + _pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "") + ")"),
+    doc=(
+        "Duplicate clusters: transitive closure over near-dup pairs via "
+        "iterative min-label propagation (operators/graph.py) — keeps one "
+        "representative per duplicate GROUP, not per pair. Oracle computes "
+        "the same closure with a recursive CTE (SURVEY §2.E)."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.graph import connected_components
+
+    pairs = _lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")

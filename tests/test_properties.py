@@ -102,3 +102,25 @@ def test_hyperplanes_deterministic(t, j):
     b = hyperplanes(4, 8, 16)
     assert a[t][j] == b[t][j]
     assert set(a[t][j]) <= {1.0, -1.0}
+
+
+def test_connected_components_transitivity(spark):
+    """A-B, B-C, D-E → {A,B,C} and {D,E} with min-id labels."""
+    from email_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 5)], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5}
+
+
+def test_connected_components_chain(spark):
+    """A long chain converges (diameter > 1 iteration's reach)."""
+    from email_etl_spark.operators.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
