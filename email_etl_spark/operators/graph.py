@@ -41,19 +41,20 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component")).alias(
-                    "changed"
-                ),
-            )
-            .cache()
+        updated = labels.join(nbr_min, labels.node == nbr_min.node2, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+            (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component")).alias(
+                "changed"
+            ),
         )
+        # localCheckpoint truncates the lineage: without it each round
+        # nests the previous round's plan and deep graphs (long chains)
+        # blow up analysis around iteration ~10. On a cluster prefer
+        # reliable checkpoint(dir) for executor-loss tolerance.
+        updated = updated.localCheckpoint(eager=True)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.select("node", "component")
         if n_changed == 0:
