@@ -259,3 +259,43 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS edit_dist
+FROM customer
+WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+ORDER BY edit_dist, c_custkey
+""",
+    doc="Fuzzy identity matching via edit distance (sender-alias resolution surface).",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        cust.select("c_custkey", "c_name", dist.cast("bigint").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("edit_dist", "c_custkey")
+    )
+
+
+@register(
+    "hourly_histogram",
+    oracle="""
+SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    doc="Hour-of-day activity histogram (communication-habits surface, ref: analyze_email_patterns).",
+)
+def hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("hour_of_day")
+    )
