@@ -3,6 +3,7 @@ the engine registry (`email_etl_spark.plans.registry.REGISTRY`)."""
 
 from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     core,
+    curation,
     dedup,
     patterns,
     relational,

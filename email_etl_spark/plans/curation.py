@@ -1,0 +1,187 @@
+"""Training-data curation queries (SURVEY.md §2.L extension).
+
+The ops a 100 TB pretraining pipeline runs after dedup/quality
+filtering: deterministic split assignment, stratified sampling,
+benchmark decontamination, and sequence-packing budgeting. All
+splits/samples hash on md5(doc_id) so any engine reproduces the
+assignment bit-for-bit (same convention as functions/hashing.py) and
+re-runs are stable under repartitioning — no RNG state anywhere.
+
+Scale notes:
+- split/sample/pack are scan + single groupBy rollups: partial
+  aggregation means the shuffle carries only (group × partition)
+  rows at 100 TB.
+- decontaminate broadcasts the *benchmark* shingle set (benchmarks
+  are small by construction — MBs even when the corpus is 100 TB)
+  and streams the corpus through a broadcast semi-join: no shuffle
+  of the big side at all.
+
+Reference surface: skip-already-processed dedup + incremental curation
+in etl_pipeline.py (src/etl_pipeline.py:60-104) generalized to the
+training-data case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions import hashing as H
+from email_etl_spark.functions import text as T
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+_TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# hex-prefix thresholds: uniform md5 → first 2 hex chars < 'e6' keeps
+# 230/256 ≈ 89.8%, < 'f3' keeps 243/256 ≈ 94.9%.
+_TRAIN_HI = "e6"
+_VAL_HI = "f3"
+_SAMPLE_HI = "33"  # 51/256 ≈ 19.9%
+
+
+def _hash2(prefix: str, col: F.Column) -> F.Column:
+    return F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 2)
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+WITH t AS (
+  SELECT substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h, n_chars
+  FROM documents
+)
+SELECT CASE WHEN h < '{_TRAIN_HI}' THEN 'train'
+            WHEN h < '{_VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM t GROUP BY 1 ORDER BY 1
+""",
+    doc="Deterministic hash-based train/val/test assignment (90/5/5) — "
+    "stable under reshuffles and re-runs, no RNG (curation op; "
+    "ref: skip-processed idempotence, src/etl_pipeline.py:60-78).",
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hash2("split:", F.col("doc_id"))
+    split = (
+        F.when(h < _TRAIN_HI, "train").when(h < _VAL_HI, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN h < '{_SAMPLE_HI}' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM t GROUP BY lang ORDER BY lang
+""",
+    doc="Per-language deterministic ~20% sample (hash-threshold, not "
+    "RNG) — the stratified downsampling step of corpus mixing; "
+    "exact reproducibility across engines and re-runs.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (_hash2("samp:", F.col("doc_id")) < _SAMPLE_HI).cast("long")
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"), F.sum("keep").cast("bigint").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "decontaminate",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              ELSE [array_to_string(toks, ' ')] END AS sh,
+         substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench)
+SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (s) ORDER BY doc_id
+""",
+    doc="Benchmark decontamination: flag corpus docs sharing any word "
+    "5-gram with a held-out benchmark set (~1/16 of docs by hash). "
+    "Benchmark shingles broadcast; corpus side is a streamed "
+    "semi-join — no big-side shuffle at 100 TB.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1)
+        == "0"
+    )
+    sh = toks.select(
+        "doc_id", H.shingles(F.col("toks"), k=5).alias("sh"), is_bench.alias("is_bench")
+    )
+    bench_sh = (
+        sh.where("is_bench").select(F.explode("sh").alias("s")).distinct()
+    )
+    return (
+        sh.where(~F.col("is_bench"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench_sh), "s", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "seq_pack_estimate",
+    oracle=f"""
+WITH t AS (SELECT lang, len({_TOKS}) AS n FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_docs,
+       CAST(CEIL(CAST(SUM(n) AS DOUBLE) / 256.0) AS BIGINT) AS n_seqs_packed,
+       CAST(SUM(CAST(CEIL(CAST(n AS DOUBLE) / 256.0) AS BIGINT)) AS BIGINT) AS n_seqs_padded
+FROM t GROUP BY lang ORDER BY lang
+""",
+    doc="Sequence-packing budget per language for a 256-token context: "
+    "concatenation lower bound vs one-doc-per-sequence padding cost "
+    "(training-batch planning over token_count).",
+)
+def seq_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    return (
+        docs.select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("n") > 256).cast("long")).cast("bigint").alias("n_overflow_docs"),
+            F.ceil(F.sum("n").cast("double") / F.lit(256.0)).cast("bigint").alias("n_seqs_packed"),
+            F.sum(F.ceil(F.col("n").cast("double") / F.lit(256.0)).cast("bigint")).cast("bigint").alias("n_seqs_padded"),
+        )
+        .orderBy("lang")
+    )
