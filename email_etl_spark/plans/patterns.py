@@ -148,3 +148,53 @@ def thread_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DOMAINS = ("example.com", "corp.example.org", "mail.example.net", "example.io")
+
+
+@register(
+    "patterns_by_domain",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, value,
+         'user' || CAST(user_id AS VARCHAR) || '@' ||
+         CASE CAST(user_id % 4 AS INTEGER)
+              WHEN 0 THEN '{_DOMAINS[0]}' WHEN 1 THEN '{_DOMAINS[1]}'
+              WHEN 2 THEN '{_DOMAINS[2]}' ELSE '{_DOMAINS[3]}' END AS sender
+  FROM events
+)
+SELECT lower(regexp_extract(sender, '@([A-Za-z0-9.-]+)$', 1)) AS domain,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_senders,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM t GROUP BY 1 ORDER BY n_events DESC, domain
+""",
+    doc=(
+        "group_by=domain: sender-domain rollup via the address-parsing "
+        "kit (ref: src/api/mcp_tools.py:218-221 'domain' enum; domain = "
+        "sender address split on '@'). The corpus has no address column, "
+        "so a deterministic sender mailbox is derived from user_id and "
+        "then parsed with functions/email_text.email_domain — the same "
+        "operator an email corpus would hit."
+    ),
+)
+def patterns_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions import email_text as ET
+
+    ev = load_table(spark, sf_dir, "events")
+    domains = F.array(*[F.lit(d) for d in _DOMAINS])
+    sender = F.concat(
+        F.lit("user"), F.col("user_id").cast("string"), F.lit("@"),
+        F.element_at(domains, (F.col("user_id") % 4 + 1).cast("int")),
+    )
+    return (
+        ev.select(ET.email_domain(sender).alias("domain"), "user_id", "value")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_senders"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "domain")
+    )
