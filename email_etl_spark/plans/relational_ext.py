@@ -299,3 +299,59 @@ def hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("hour_of_day")
     )
+
+
+@register(
+    "audit_error_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS error_bps
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    doc="Daily audit error-rate rollup in basis points (ref: audit log + "
+    "ProcessingStatus tracking, src/database.py:321-327; error share is "
+    "exact-integer bps so every engine agrees bit-for-bit).",
+)
+def audit_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum((F.col("event_type") == "error").cast("long"))
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            n_err.cast("bigint").alias("n_errors"),
+            F.floor(n_err * 10000.0 / F.count("*")).cast("bigint").alias("error_bps"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "archive_layout_stats",
+    oracle="""
+SELECT CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(length(props)) AS BIGINT) AS payload_bytes
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Year/month archive-partition statistics (ref: markdown year/month "
+    "layout + get_storage_stats, src/markdown_storage.py:58-74,254-280): "
+    "record counts and payload bytes per partition directory.",
+)
+def archive_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("int").alias("y"), F.month("ts").cast("int").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.length("props")).cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("y", "m")
+    )
