@@ -54,14 +54,56 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
 
 def minhash_lane_exprs(shingle_col: Column) -> list[Column]:
-    """128 per-row lane values for one shingle; aggregate with MIN
-    grouped by doc to get the signature."""
+    """Per-shingle lane values; aggregate with MIN grouped by doc to
+    get the signature. Kept for the exploded-shingle path; the
+    shuffle-free path is with_minhash_sig()."""
     lanes: list[Column] = []
     for g in range(N_GROUPS):
         h = F.md5(F.concat(F.lit(f"{g}:"), shingle_col))
         for j in range(LANES_PER_GROUP):
             lanes.append(F.substring(h, 1 + 8 * j, 8))
     return lanes
+
+
+def _md5_lane(g: int):
+    # closure factories, NOT `lambda s, g=g: ...` — a 2-arg lambda
+    # passed to a higher-order function is treated as (element, index)
+    def f(s: Column) -> Column:
+        return F.md5(F.concat(F.lit(f"{g}:"), s))
+
+    return f
+
+
+def _hex_slice(j: int):
+    def f(h: Column) -> Column:
+        return F.substring(h, 1 + 8 * j, 8)
+
+    return f
+
+
+def with_minhash_sig(df, sh_col: str = "sh"):
+    """Append the N_LANES minhash signature columns mh0..mhN to a
+    DataFrame with a shingle-array column — computed array-locally per
+    row (transform + array_min), so signature construction is
+    SHUFFLE-FREE: the only shuffle in an LSH dedup is the band-bucket
+    join itself. At 100 TB this beats the exploded-shingle/groupBy
+    formulation by two full-data shuffles.
+
+    The md5 arrays are built in their own projection so each of the 4
+    lanes per group reuses one md5 array (CollapseProject leaves
+    non-cheap aliases with >1 use un-inlined rather than duplicating
+    the md5 work)."""
+    md5c = df.select(
+        "*", *[F.transform(F.col(sh_col), _md5_lane(g)).alias(f"_h{g}") for g in range(N_GROUPS)]
+    )
+    lanes = [
+        F.array_min(F.transform(F.col(f"_h{g}"), _hex_slice(j))).alias(
+            f"mh{g * LANES_PER_GROUP + j}"
+        )
+        for g in range(N_GROUPS)
+        for j in range(LANES_PER_GROUP)
+    ]
+    return md5c.select(*df.columns, *lanes)
 
 
 def band_key(sig_cols: list[Column], band: int) -> Column:

@@ -55,5 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy scan across every core when the input
+    has fewer splits than the session has slots (one small parquet
+    file in tests; a handful of huge unsplittable files in
+    production). No-op when the scan already parallelizes — on a real
+    cluster reading many files this never fires. The repartition pays
+    one shuffle of the input rows to unlock N× parallelism for
+    expensive downstream projections (minhash, simhash, LSH)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
