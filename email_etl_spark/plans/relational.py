@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from email_etl_spark.io import load_table
+from email_etl_spark.io import load_table, parallelize_scan
 from email_etl_spark.plans.registry import register
 
 DEC = "decimal(18,4)"
@@ -49,7 +49,7 @@ GROUP BY l_returnflag, l_linestatus
     doc="TPC-H Q1 shape: wide exact aggregation over the fact table (ref: src/database.py stats surface).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
     qty_dec = F.col("l_quantity").cast(DEC)
     price_dec = F.col("l_extendedprice").cast(DEC)
     disc_price = _disc_price()

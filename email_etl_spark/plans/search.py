@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from email_etl_spark.functions.text import tokens
 from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine
-from email_etl_spark.io import load_table
+from email_etl_spark.io import load_table, parallelize_scan
 from email_etl_spark.plans.registry import register
 
 # Fixed "user query" for deterministic testing: terms + a corpus vector
@@ -75,7 +75,7 @@ LIMIT 10
     doc="Vector cosine top-k (ref: search_similar_emails, src/database.py:168; pgvector `<=>`).",
 )
 def semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
     return (
         emb.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -103,7 +103,7 @@ LIMIT 20
     doc="Full-text term rank (ref: ts_rank in hybrid_email_search, scripts/init_db.sql:120-127).",
 )
 def text_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     rank = _term_rank(F.col("text"))
     return (
         docs.select("doc_id", "lang", rank.alias("rank"))
@@ -136,7 +136,7 @@ LIMIT 15
     doc="Hybrid 0.7·vector + 0.3·text-rank search with provider-style filter (ref: hybrid_email_search, scripts/init_db.sql:94-144).",
 )
 def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents").where(F.col("lang") == "en"))
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
     joined = docs.join(emb, docs.doc_id == emb.vec_id).crossJoin(F.broadcast(q))
@@ -176,7 +176,7 @@ ORDER BY query_id, similarity DESC, vec_id
     doc="Exact batch ANN baseline: broadcast the query batch, window top-k per query (SURVEY §2.F).",
 )
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -290,7 +290,7 @@ ORDER BY similarity DESC, vec_id LIMIT 5
     ),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     sigs = emb.select("vec_id", "label", "embedding", *_sig_spark(F.col("embedding")))
     q = sigs.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec"), *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(LSH_TABLES)]
@@ -360,7 +360,7 @@ FROM hits
 )
 def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     qvec = F.array(*[F.lit(v) for v in _rag_qvec()])
     hits = (
         docs.join(emb, docs.doc_id == emb.vec_id)
@@ -449,7 +449,7 @@ LIMIT 5
     ),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -531,7 +531,7 @@ LIMIT 20
     ),
 )
 def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
 
     def eq(term):
