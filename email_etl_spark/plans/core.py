@@ -156,13 +156,17 @@ FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 ORDER BY d.doc_id
 """,
-    doc="Docs lacking vectors (ref: get_emails_without_embeddings, src/database.py:247) as a broadcast anti-join.",
+    doc="Docs lacking vectors (ref: get_emails_without_embeddings, src/database.py:247) as a key-pruned anti-join.",
 )
 def missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # no broadcast hint: the embeddings side is corpus-sized at scale,
+    # so this must stay a shuffle anti-join on the key column only
+    # (column-pruned to 8 bytes/row); AQE still broadcasts it at test
+    # scale where it is actually small.
     return (
-        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id, "left_anti")
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_anti")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )

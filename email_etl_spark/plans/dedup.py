@@ -135,11 +135,14 @@ def _lsh_verified_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     # materialized ONCE per pair via an explicit projection — putting
     # H.jaccard's tree straight into select() evaluates array_intersect
     # twice (numerator + union term; no CSE across the filter).
+    # Broadcast the CANDIDATE side, never the shingle table: candidates
+    # are bucket-local survivors (small by construction) while sh is
+    # the full corpus — at 100 TB broadcasting sh is an OOM.
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (
-        cand.join(F.broadcast(sha), "doc_a")
-        .join(F.broadcast(shb), "doc_b")
+        F.broadcast(cand).join(sha, "doc_a")
+        .join(shb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -232,13 +235,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact verification: the oracle-identical sequential fold, on the
-    # few hundred survivors only
+    # few hundred survivors only. Broadcast the candidate side — the
+    # embedding table is the corpus and must stream, not broadcast.
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine_rounded(F.col("ea"), F.col("eb"))
     return (
-        cand.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        F.broadcast(cand).join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= EMB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
