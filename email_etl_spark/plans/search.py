@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from email_etl_spark.functions.text import tokens
-from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine
+from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine, sign_bits_fast
 from email_etl_spark.io import load_table, parallelize_scan
 from email_etl_spark.plans.registry import register
 
@@ -219,20 +219,28 @@ _PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
 def _sig_spark(emb_col) -> list:
     """One LSH signature column per table: an 8-char '0'/'1' string.
 
-    All 32 hyperplanes go in as ONE literal array-of-arrays and the
-    sign bits come out of a single transform lambda — one compiled
-    expression applied 32 times at runtime instead of 32 inlined fold
-    trees (half the wall time, identical fold order → identical bits).
-    """
-    planes_lit = F.array(
-        *[
-            F.array(*[F.lit(v) for v in _PLANES[t][j]])
+    Two bit-identical kernels (same IEEE operation sequence per
+    (vector, plane) dot — see vectors.py):
+    - default: all 32 hyperplanes as ONE nested-array literal, sign
+      bits from a single transform lambda (one compiled expression
+      applied 32 times, not 32 inlined fold trees);
+    - SPARK_GRAFT_VECTOR_KERNEL=pandas: Arrow kernel
+      (sign_bits_fast), which wins once tasks carry ~10^5+ vectors.
+    The four substrings below reference one expression either way, so
+    the signature work runs once per row."""
+    import os
+
+    flat_planes = [
+        [float(v) for v in _PLANES[t][j]] for t in range(LSH_TABLES) for j in range(LSH_BITS)
+    ]
+    if os.environ.get("SPARK_GRAFT_VECTOR_KERNEL") == "pandas":
+        bits = sign_bits_fast(emb_col, flat_planes)
+        return [
+            F.substring(bits, 1 + t * LSH_BITS, LSH_BITS).alias(f"sig{t}")
             for t in range(LSH_TABLES)
-            for j in range(LSH_BITS)
         ]
-    )
-    bits = F.transform(
-        planes_lit,
+    bit_arr = F.transform(
+        F.lit(flat_planes),
         lambda plane: F.when(
             F.aggregate(
                 F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
@@ -244,7 +252,7 @@ def _sig_spark(emb_col) -> list:
         ).otherwise(F.lit("0")),
     )
     return [
-        F.array_join(F.slice(bits, 1 + t * LSH_BITS, LSH_BITS), "").alias(f"sig{t}")
+        F.array_join(F.slice(bit_arr, 1 + t * LSH_BITS, LSH_BITS), "").alias(f"sig{t}")
         for t in range(LSH_TABLES)
     ]
 
