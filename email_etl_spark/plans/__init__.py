@@ -10,6 +10,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     relational_ext,
     search,
     sessions,
+    temporal,
     text,
 )
 from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, query_map

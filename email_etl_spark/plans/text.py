@@ -199,3 +199,51 @@ def embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ngram_topk",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT lang,
+         UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t
+),
+c AS (SELECT lang, gram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+r AS (SELECT lang, gram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rank
+      FROM c)
+SELECT lang, gram, n, rank FROM r WHERE rank <= 3 ORDER BY lang, rank
+""",
+    doc=(
+        "Top-3 word bigrams per language — corpus n-gram profiling for "
+        "training-data analysis (SURVEY §2.L). Count shuffle is map-side "
+        "combined on (lang, gram); the per-lang top-k is a tiny second "
+        "shuffle over distinct grams only."
+    ),
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — gate short docs
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    counts = (
+        docs.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("lang", "rank")
+    )
