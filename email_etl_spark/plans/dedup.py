@@ -82,7 +82,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _lsh_verified_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
+def _lsh_verified_pairs(
+    docs: DataFrame, k: int, threshold: float, with_containment: bool = False
+) -> DataFrame:
     """Shared MinHash+LSH bucket-then-verify pipeline: word-k-gram
     shingles → N_LANES md5-derived minhash lanes → band buckets →
     bucket-local candidate pairs → exact-Jaccard verification.
@@ -152,6 +154,18 @@ def _lsh_verified_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
         )
     )
     jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    if with_containment:
+        return (
+            sized.select(
+                "doc_a",
+                "doc_b",
+                jac.alias("jaccard"),
+                F.round(F.col("n_inter") / F.col("na"), 4).alias("containment_a"),
+                F.round(F.col("n_inter") / F.col("nb"), 4).alias("containment_b"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b")
+        )
     return (
         sized.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -422,3 +436,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def _containment_sql(threshold: float) -> str:
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    )
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS containment_a,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4) AS containment_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"WITH {_shingle_cte(2)} {_containment_sql(NGRAM_THRESHOLD)}",
+    doc=(
+        "Near-dup pairs with shingle CONTAINMENT scores (|A∩B|/|A| and "
+        "/|B|) alongside Jaccard — the asymmetric signal that flags "
+        "doc-inside-doc duplication (boilerplate wrapping, quoted replies: "
+        "the reference's reply-chain corpus makes these common). Same "
+        "LSH bucket-then-verify pair discovery as dedup_ngram_jaccard "
+        "(SURVEY §2.E)."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=2,
+        threshold=NGRAM_THRESHOLD,
+        with_containment=True,
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+c AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       CAST(FLOOR(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS dup_rate_bps
+FROM f JOIN c ON f.fp = c.fp
+GROUP BY f.source ORDER BY f.source
+""",
+    doc=(
+        "Duplication-rate QA per source: share of docs whose exact "
+        "fingerprint occurs more than once anywhere in the corpus "
+        "(curation health metric; exact-integer bps). Two hash-key "
+        "shuffles: global fingerprint counts, then a co-partitioned "
+        "join back — both map-side combined."
+    ),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
+    c = f.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    dup = F.when(F.col("n_copies") > 1, 1).otherwise(0)
+    return (
+        f.join(c, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dup_docs"),
+            F.floor(F.sum(dup) * 10000.0 / F.count("*")).cast("bigint").alias("dup_rate_bps"),
+        )
+        .orderBy("source")
+    )
