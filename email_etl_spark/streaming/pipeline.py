@@ -77,3 +77,30 @@ def run_available_now(df: DataFrame, checkpoint_dir: str) -> list:
     q.awaitTermination(300)
     spark = df.sparkSession
     return spark.sql("SELECT * FROM windowed_counts_test").collect()
+
+
+def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on the message identity — the streaming
+    twin of the reference's skip-already-imported check (ref:
+    src/etl_pipeline.py:112-118): re-delivered drops (provider
+    retries, overlapping syncs) are suppressed exactly once per
+    watermark horizon. State is bounded by the watermark: an event_id
+    is remembered only until event time passes beyond it, so state
+    size tracks the duplicate-arrival window, not the corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now_append(df: DataFrame, checkpoint_dir: str, name: str) -> list:
+    """Drain a bounded APPEND-mode stream into memory and return the
+    rows — test harness path for stateful operators whose output is
+    final-on-emit (dedup, sessionization)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.sql(f"SELECT * FROM {name}").collect()

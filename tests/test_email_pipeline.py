@@ -188,3 +188,29 @@ def test_parquet_sink_layout(spark, tmp_path):
     one_day = back.where(F.col("day") == "2024-01-05")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert one_day.count() > 0
+
+
+def test_streaming_dedup_suppresses_redelivered_drops(spark, tmp_path):
+    """The same events file dropped twice (provider retry) must come
+    out of the deduped stream exactly once per event_id."""
+    import shutil
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.streaming.pipeline import (
+        deduped_stream,
+        events_stream,
+        run_available_now_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "events_drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "drop-000.parquet")
+    shutil.copy(f"{sf}/events.parquet", events_dir / "drop-001.parquet")
+
+    stream = deduped_stream(events_stream(spark, str(events_dir)))
+    rows = run_available_now_append(stream, str(tmp_path / "ckpt"), "dedup_stream_test")
+
+    n_distinct = load_table(spark, sf, "events").select("event_id").distinct().count()
+    assert len(rows) == n_distinct
+    assert len({r.event_id for r in rows}) == len(rows)
