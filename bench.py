@@ -30,13 +30,13 @@ def main() -> None:
     # not classloading
     REGISTRY["doc_count"].builder(spark, sf_dir).collect()
 
-    # two measured runs per query, best-of reported: run 1 pays
-    # plan-compilation and JIT; run 2 is the steady-state an actual
-    # deployment sees. Machine-load noise shrinks with the min.
+    # three measured runs per query, best-of reported: run 1 pays
+    # plan-compilation and JIT; later runs are the steady-state an
+    # actual deployment sees. Machine-load noise shrinks with the min.
     timings: dict[str, float] = {}
     for q in headline_queries():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -247,3 +247,37 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "vocab_stats",
+    oracle=f"""
+WITH t AS (SELECT lang, UNNEST({_TOKS}) AS tok FROM documents),
+g AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 4) AS ttr
+FROM g GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Vocabulary profile per language: token count, distinct types, "
+        "type-token ratio (corpus diversity signal for curation). "
+        "Two-level aggregation — the wide (lang, token) shuffle is "
+        "map-side combined, the per-lang rollup shuffles distinct types "
+        "only (SURVEY §2.L)."
+    ),
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    g = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*").cast("double") / F.sum("n").cast("bigint"), 4).alias("ttr"),
+        )
+        .orderBy("lang")
+    )
