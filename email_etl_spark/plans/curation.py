@@ -185,3 +185,68 @@ def seq_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+QUALITY_CUT = 0.5
+
+
+@register(
+    "curation_funnel",
+    oracle=None,  # assembled below after plans.text imports resolve
+    doc="",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter funnel in ONE scan: raw count → lang filter →
+    quality filter → distinct surviving fingerprints, as conditional
+    aggregates (no per-stage passes; countDistinct shuffles only the
+    surviving fingerprint keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    lang_ok = F.col("lang") == "en"
+    qual_ok = lang_ok & (q >= QUALITY_CUT)
+    fp = T.fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(lang_ok.cast("bigint")).alias("n_lang_ok"),
+        F.sum(qual_ok.cast("bigint")).alias("n_quality_ok"),
+        F.countDistinct(F.when(qual_ok, fp)).alias("n_unique"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from email_etl_spark.plans.text import _PUNCT, _stop_sql, _TOKS  # noqa: F401
+
+    qsql = (
+        f"ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)), 4)"
+    )
+    return f"""
+WITH t AS (
+  SELECT lang = 'en' AS lang_ok,
+         lang = 'en' AND {qsql} >= {QUALITY_CUT} AS qual_ok,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       COUNT(DISTINCT CASE WHEN qual_ok THEN fp END) AS n_unique
+FROM t
+"""
+
+
+# late-bind the oracle (it reuses plans.text SQL fragments; building it
+# at decoration time would be an import cycle)
+from email_etl_spark.plans.registry import REGISTRY as _R  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_R["curation_funnel"] = _dc.replace(
+    _R["curation_funnel"],
+    oracle=_funnel_oracle(),
+    doc=(
+        "Curation filter funnel (raw → lang → quality → unique) as one "
+        "scan of conditional aggregates — the etl_pipeline stats surface "
+        "generalized to training-data filtering (SURVEY §2.L)."
+    ),
+)
