@@ -54,3 +54,17 @@ def test_partial_aggregation(spark):
     # exchange for the decimal sums
     plan = plan_of(spark, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_asof_join_no_pair_blowup(spark):
+    # the union-sort-window form must plan as a Window, never as an
+    # inequality join (BNL/cartesian pair space)
+    plan = plan_of(spark, "asof_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_range_join_equality_form(spark):
+    # the binned form must run as an equality hash join on (user, bin)
+    plan = plan_of(spark, "range_join_count")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
