@@ -5,6 +5,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     core,
     curation,
     dedup,
+    llm,
     patterns,
     relational,
     relational_ext,
