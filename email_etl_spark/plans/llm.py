@@ -62,3 +62,51 @@ def categorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "category", "priority", "action_required", "summary")
         .orderBy("doc_id")
     )
+
+
+from email_etl_spark.llm.stub import _ACTION_CUES, extract_actions_udf  # noqa: E402
+
+
+def _action_sql() -> str:
+    cue_match = " OR ".join(f"regexp_matches(low, '\\b{c}\\b')" for c in _ACTION_CUES)
+    hi = f"(strpos('{_HEX}', substr(sha256(low), 1, 1)) - 1)"
+    lo = f"(strpos('{_HEX}', substr(sha256(low), 2, 1)) - 1)"
+    byte0 = f"({hi} * 16 + {lo})"
+    pr = "[" + ", ".join(f"'{p}'" for p in PRIORITIES) + "]"
+    return f"""
+WITH s AS (
+  SELECT doc_id, UNNEST(str_split(replace(text, chr(10), ' '), '.')) AS sent
+  FROM documents
+),
+t AS (
+  SELECT doc_id, trim(sent, ' \t\r\n') AS sent_t, lower(trim(sent, ' \t\r\n')) AS low
+  FROM s
+)
+SELECT doc_id,
+       substr(sent_t, 1, 120) AS description,
+       {pr}[({byte0} % {len(PRIORITIES)}) + 1] AS priority
+FROM t
+WHERE low <> '' AND ({cue_match})
+ORDER BY doc_id, description
+"""
+
+
+@register(
+    "action_items",
+    oracle=_action_sql(),
+    doc=(
+        "Action-item extraction contract (ref: extract_action_items, "
+        "src/llm_integration.py:179-231): cue-phrase sentences exploded to "
+        "one row per item with sha-derived priority, through the stub's "
+        "Arrow pandas_udf seam, verified against a sentence-level SQL "
+        "oracle (SURVEY §2.K)."
+    ),
+)
+def action_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    acted = docs.withColumn("actions", extract_actions_udf()(F.col("text")))
+    return (
+        acted.select("doc_id", F.explode("actions").alias("a"))
+        .select("doc_id", F.col("a.description").alias("description"), F.col("a.priority").alias("priority"))
+        .orderBy("doc_id", "description")
+    )
