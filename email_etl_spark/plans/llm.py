@@ -110,3 +110,61 @@ def action_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("a.description").alias("description"), F.col("a.priority").alias("priority"))
         .orderBy("doc_id", "description")
     )
+
+
+from email_etl_spark.llm.stub import EMBED_DIM, embed_documents  # noqa: E402
+
+
+def _embed_sql() -> str:
+    """Byte-exact SQL twin of llm/stub.py::_embed_one: two sha256
+    digests ('0:'||text, '1:'||text) → 64 bytes → b/255.0 - 0.5 →
+    unit-normalize (sequential-fold norm, same IEEE op order as the
+    Python sum) → quantize each component to FLOAT exactly where the
+    engine stores float32."""
+
+    def byte(src: str, i: int) -> str:
+        hi = f"(strpos('{_HEX}', substr({src}, {2 * i + 1}, 1)) - 1)"
+        lo = f"(strpos('{_HEX}', substr({src}, {2 * i + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    comps = []
+    for d in range(EMBED_DIM):
+        src = "h0x" if d < 32 else "h1x"
+        comps.append(f"{byte(src, d % 32)} / 255.0 - 0.5")
+    vals = "[" + ", ".join(comps) + "]"
+    zero = "[" + ", ".join(["CAST(0.0 AS FLOAT)"] * EMBED_DIM) + "]"
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(vals, x -> x * x)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH e AS (
+  SELECT doc_id, text,
+         sha256('0:' || text) AS h0x, sha256('1:' || text) AS h1x
+  FROM documents
+),
+v AS (SELECT doc_id, text, {vals} AS vals FROM e),
+n AS (SELECT doc_id, text, vals, {norm} AS nrm FROM v)
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text, ' \t\r\n') = '' THEN {zero}
+            ELSE list_transform(vals, x -> CAST(x / COALESCE(NULLIF(nrm, 0.0), 1.0) AS FLOAT))
+       END AS embedding
+FROM n ORDER BY doc_id
+"""
+
+
+@register(
+    "embed_docs",
+    oracle=_embed_sql(),
+    doc=(
+        "Batch embedding contract (ref: generate_batch_embeddings, "
+        "src/embeddings.py:50-93) through the stub embedder's Arrow "
+        "pandas_udf seam — the full float32 vectors hash-match a "
+        "byte-exact SQL oracle (same sha256 bytes, same IEEE op order, "
+        "same float32 quantization point), so the embedding plumbing is "
+        "verified bit-for-bit, not rows-only (SURVEY §2.K)."
+    ),
+)
+def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return embed_documents(docs).select("doc_id", "embedding").orderBy("doc_id")
