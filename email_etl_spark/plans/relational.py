@@ -285,3 +285,54 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name
+ORDER BY cust_nation, supp_nation
+""",
+    doc=(
+        "TPC-H Q7 shape: cross-nation trade-volume matrix (customer "
+        "nation x supplier nation, excluding domestic). All four dims "
+        "broadcast; the only big shuffle is lineitem joining orders on "
+        "orderkey; the pair-grouped aggregate is map-side combined."
+    ),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation")
+    )
