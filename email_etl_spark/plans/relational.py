@@ -336,3 +336,54 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
         .orderBy("cust_nation", "supp_nation")
     )
+
+
+@register(
+    "part_type_revenue",
+    oracle="""
+WITH j AS (
+  SELECT p_type,
+         ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4)), 4) AS disc4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+g AS (SELECT p_type, SUM(disc4) AS rev FROM j GROUP BY p_type),
+u AS (SELECT p_type, rev, CAST(rev * 10000 AS BIGINT) AS units FROM g)
+SELECT p_type,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST((units * 10000) // SUM(units) OVER () AS BIGINT) AS share_bps
+FROM u ORDER BY p_type
+""",
+    doc=(
+        "TPC-H Q14 shape generalized: revenue per part type for a ship "
+        "year with each type's share of total in EXACT integer bps "
+        "(scale-4 decimals converted to integer units; integer division "
+        "only — no float ratio can split the engines). Part dim "
+        "broadcast; one orderkey-free scan-side shuffle on the groupBy."
+    ),
+)
+def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    disc4 = F.round(_disc_price(), 4).cast("decimal(18,4)")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(disc4).alias("rev"))
+    )
+    u = g.select(
+        "p_type", "rev", (F.col("rev") * 10000).cast("bigint").alias("units")
+    )
+    # total via a single-partition window over the 6 grouped rows only,
+    # never over fact rows
+    return (
+        u.select(
+            "p_type",
+            F.col("rev").cast("double").alias("revenue"),
+            F.expr("CAST((units * 10000) DIV SUM(units) OVER () AS BIGINT)").alias("share_bps"),
+        )
+        .orderBy("p_type")
+    )
