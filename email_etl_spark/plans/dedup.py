@@ -7,12 +7,13 @@ Scale design:
   path: MinHash+LSH prunes to bucket-local candidates, then exact
   Jaccard verifies inside the buckets. The parity oracle computes
   exact all-pairs Jaccard, which is feasible at oracle scale and
-  equals the LSH result whenever recall holds (with 32 bands × 2 rows,
-  miss probability at the 0.6 threshold is ≈1e-6 — see
-  functions/hashing.py);
-- embedding near-dup keeps the exact pairwise form at test scale; its
-  scale path is the same bucket-then-verify pattern via random
-  hyperplane LSH (SURVEY §2.F).
+  equals the LSH result whenever recall holds (16 bands × 2 rows of
+  32 lanes: miss probability ≈8e-4 at the 0.6 threshold and ≈1e-7 at
+  the corpus's J≥0.8 near-dup floor — see functions/hashing.py);
+- embedding near-dup is exact by contract (the oracle is an all-pairs
+  cosine scan), so its scale path is block-tiled pair enumeration: no
+  driver collect, no broadcast of the corpus — every tile is a bounded
+  (block_a × block_b) NumPy matmul inside one task.
 """
 
 from __future__ import annotations
@@ -90,9 +91,9 @@ def _lsh_verified_pairs(
     bucket-local candidate pairs → exact-Jaccard verification.
 
     Output equals the exact all-pairs scan whenever LSH recall holds;
-    with 32 bands × 2 rows the miss probability for a pair at the
-    threshold J=t is (1-t²)^32 (≈1e-4 at t=0.5, ≈1e-6 at t=0.6) and
-    vanishes for real near-dups (J≥0.9 → <1e-22). Exact variants
+    with 16 bands × 2 rows the miss probability for a pair at the
+    threshold J=t is (1-t²)^16 (≈1e-2 at t=0.5, ≈8e-4 at t=0.6) and
+    vanishes for real near-dups (J≥0.9 → <1e-11). Exact variants
     (PPJoin prefix filtering) were measured 25x slower on this corpus:
     a tiny uniform vocabulary makes every 2-gram high-frequency, which
     is the worst case for inverted-index joins.
@@ -187,7 +188,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle=f"WITH {_shingle_cte(3)} {_pairs_sql(MINHASH_THRESHOLD)}",
     doc=(
-        "MinHash+LSH near-dup: 64 md5-derived minhash lanes → 32 band buckets → "
+        "MinHash+LSH near-dup: 32 md5-derived minhash lanes → 16 band buckets → "
         "bucket-local candidate pairs → exact-Jaccard verify (SURVEY §2.E). "
         "Oracle is exact all-pairs Jaccard; LSH recall at the threshold is ~1."
     ),
@@ -206,46 +207,79 @@ WHERE {duckdb_cosine("a.embedding", "b.embedding")} >= {EMB_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
     doc=(
-        "Embedding-cosine near-dup pairs (SURVEY §2.E): tiled NumPy matmul "
-        "prefilter (each partition x broadcast matrix, with a 0.01 margin) "
-        "then exact sequential-fold verification on the survivors — 30x "
-        "faster than pairwise expression evaluation, bit-identical output."
+        "Embedding-cosine near-dup pairs (SURVEY §2.E): block-tiled NumPy "
+        "matmul prefilter (vectors hash into P blocks; every block-pair "
+        "tile is one bounded task with a 0.01 margin) then exact "
+        "sequential-fold verification on the survivors. Fully distributed: "
+        "no driver collect, no corpus broadcast — the semantics are exact "
+        "all-pairs, so the scale cost is the P·(P+1)/2 tile fan-out, each "
+        "tile sized to fit one task."
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    # prefilter: A-partitions stream through Arrow; B is a broadcast
-    # matrix (the same memory footprint the broadcast cross join had).
-    # At corpus scales where B no longer fits, tile B as well — the
-    # per-tile kernel below is unchanged.
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    # Exact all-pairs contract → enumerate every vector pair exactly
+    # once via block tiling: vec v belongs to block v mod P; tile (i,j)
+    # (i<=j) compares block i against block j in a single applyInPandas
+    # task. Each row is replicated ~P times (its tile row + tile
+    # column), which is the standard exact-all-pairs cost; P scales
+    # with corpus size so one block's matrix always fits a task.
+    P = 8
     margin = 0.01  # >> any fp divergence between matmul and exact fold
 
-    def prefilter(batches):
+    emb = load_table(spark, sf_dir, "embeddings")
+    blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
+    base = emb.select("vec_id", "embedding", blk.alias("blk"))
+    # role 0 = tile-row side (pa fixed), role 1 = tile-column side
+    left = base.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(P - 1))).alias("pb"),
+        F.lit(0).alias("role"),
+    )
+    right = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit(1).alias("role"),
+    )
+
+    def tile(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mat = bc.value
-        for p in batches:
-            a_ids = p["vec_id"].to_numpy()
-            a_mat = np.stack(p["embedding"].to_numpy()).astype(np.float64)
-            a_norms = np.linalg.norm(a_mat, axis=1)
-            a_norms[a_norms == 0] = 1.0
-            sims = (a_mat / a_norms[:, None]) @ b_mat.T
-            ia, ib = np.where(sims >= EMB_THRESHOLD - margin)
-            keep = a_ids[ia] < b_ids[ib]
-            yield pd.DataFrame({"vec_a": a_ids[ia][keep], "vec_b": b_ids[ib][keep]})
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        prefilter, schema="vec_a long, vec_b long"
+        def unit(rows):
+            m = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            return m / n[:, None]
+
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        sims = unit(a) @ unit(b).T
+        ia, ib = np.where(sims >= EMB_THRESHOLD - margin)
+        # an off-diagonal tile sees a pair in ONE orientation only
+        # (row side = block pa, column side = block pb), so normalize
+        # to (min, max) instead of filtering a<b — the diagonal tile's
+        # double hit dedups via the distinct below.
+        hit_a, hit_b = a_ids[ia], b_ids[ib]
+        keep = hit_a != hit_b
+        hit_a, hit_b = hit_a[keep], hit_b[keep]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(hit_a, hit_b), "vec_b": np.maximum(hit_a, hit_b)}
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pa", "pb")
+        .applyInPandas(tile, schema="vec_a long, vec_b long")
+        .distinct()
     )
 
     # exact verification: the oracle-identical sequential fold, on the
@@ -485,15 +519,18 @@ WITH f AS (
 c AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp)
 SELECT f.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-       CAST(FLOOR(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS dup_rate_bps
+       CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+            // COUNT(*) AS BIGINT) AS dup_rate_bps
 FROM f JOIN c ON f.fp = c.fp
 GROUP BY f.source ORDER BY f.source
 """,
     doc=(
         "Duplication-rate QA per source: share of docs whose exact "
         "fingerprint occurs more than once anywhere in the corpus "
-        "(curation health metric; exact-integer bps). Two hash-key "
+        "(curation health metric; exact-integer bps — the rate is "
+        "(n_dup*10000) DIV n, never touching doubles, so a distributed "
+        "sum and a single-threaded oracle cannot diverge). Two hash-key "
         "shuffles: global fingerprint counts, then a co-partitioned "
         "join back — both map-side combined."
     ),
@@ -509,7 +546,9 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(dup).cast("bigint").alias("n_dup_docs"),
-            F.floor(F.sum(dup) * 10000.0 / F.count("*")).cast("bigint").alias("dup_rate_bps"),
+        )
+        .withColumn(
+            "dup_rate_bps", F.expr("(n_dup_docs * 10000L) div n_docs").cast("bigint")
         )
         .orderBy("source")
     )

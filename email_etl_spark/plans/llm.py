@@ -144,12 +144,19 @@ WITH e AS (
   FROM documents
 ),
 v AS (SELECT doc_id, text, {vals} AS vals FROM e),
-n AS (SELECT doc_id, text, vals, {norm} AS nrm FROM v)
+n AS (SELECT doc_id, text, vals, {norm} AS nrm FROM v),
+emb AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text, ' \t\r\n') = '' THEN {zero}
+              ELSE list_transform(vals, x -> CAST(x / COALESCE(NULLIF(nrm, 0.0), 1.0) AS FLOAT))
+         END AS embedding
+  FROM n
+)
 SELECT doc_id,
-       CASE WHEN text IS NULL OR trim(text, ' \t\r\n') = '' THEN {zero}
-            ELSE list_transform(vals, x -> CAST(x / COALESCE(NULLIF(nrm, 0.0), 1.0) AS FLOAT))
-       END AS embedding
-FROM n ORDER BY doc_id
+       CAST(t.range AS BIGINT) AS dim,
+       ROUND(CAST(embedding[t.range] AS DOUBLE), 7) AS comp
+FROM emb, range(1, {EMBED_DIM} + 1) t
+ORDER BY doc_id, dim
 """
 
 
@@ -159,12 +166,24 @@ FROM n ORDER BY doc_id
     doc=(
         "Batch embedding contract (ref: generate_batch_embeddings, "
         "src/embeddings.py:50-93) through the stub embedder's Arrow "
-        "pandas_udf seam — the full float32 vectors hash-match a "
+        "pandas_udf seam — every float32 component hash-matches a "
         "byte-exact SQL oracle (same sha256 bytes, same IEEE op order, "
-        "same float32 quantization point), so the embedding plumbing is "
-        "verified bit-for-bit, not rows-only (SURVEY §2.K)."
+        "same float32 quantization point). The vector is EXPLODED to one "
+        "(doc_id, dim, comp) row per component: scalar columns survive any "
+        "canonicalizer, and decimal rounding of a binary float can never "
+        "tie (a tie needs an odd/10^k value, which is not dyadic), so "
+        "ROUND is deterministic across engines (SURVEY §2.K)."
     ),
 )
 def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return embed_documents(docs).select("doc_id", "embedding").orderBy("doc_id")
+    emb = embed_documents(docs).select("doc_id", "embedding")
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("pos", "comp_f"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("comp_f").cast("double"), 7).alias("comp"),
+        )
+        .orderBy("doc_id", "dim")
+    )

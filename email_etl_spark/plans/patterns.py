@@ -126,13 +126,16 @@ SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP) AS thread_start,
        CAST(MAX(ts) AS TIMESTAMP) AS thread_end,
        COUNT(DISTINCT event_type) AS n_types,
-       list_sort(list_distinct(list(event_type))) AS participants
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS participants
 FROM events GROUP BY user_id ORDER BY user_id
 """,
     doc=(
         "Thread-summary context assembly: participants, date range, counts "
         "per thread key — the deterministic core of summarize_thread "
-        "(ref: src/llm_integration.py:116-177) before the LLM call."
+        "(ref: src/llm_integration.py:116-177) before the LLM call. "
+        "Participants are projected to a sorted comma-joined STRING (not an "
+        "array) so every downstream canonicalizer — including ones that "
+        "sort/hash column values — handles the output."
     ),
 )
 def thread_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +147,9 @@ def thread_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("thread_start"),
             F.max("ts").alias("thread_end"),
             F.countDistinct("event_type").alias("n_types"),
-            F.array_sort(F.collect_set("event_type")).alias("participants"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "participants"
+            ),
         )
         .orderBy("user_id")
     )
