@@ -5,16 +5,17 @@ Design notes for scale:
   them bit-for-bit — the parity oracle and a future cross-engine
   migration both depend on that.
 - MinHash lanes are packed 4-per-md5: lane (g, j) is the j-th 8-hex-char
-  slice of md5(g || ':' || shingle). 128 lanes therefore cost 32 md5
-  calls per shingle, not 128. A minhash is the lexicographic MIN of a
+  slice of md5(g || ':' || shingle). The 32 lanes therefore cost 8 md5
+  calls per shingle, not 32. A minhash is the lexicographic MIN of a
   lane over a doc's shingle set — a valid uniform min-hash because md5
   is uniform over fixed-length hex strings.
 - Band keys concatenate r adjacent lanes; docs sharing any band bucket
   are candidates, then candidates are verified with exact Jaccard.
-  With 32 bands × 2 rows of 32-bit lanes, recall at Jaccard 0.6 is
-  1 - (1-0.36)^32 ≈ 1 - 6e-7 and random band collisions are 2^-64:
-  the LSH path is effectively exact above threshold while pruning the
-  quadratic pair space to bucket-local work.
+  With 16 bands × 2 rows of 32-bit lanes, recall at Jaccard 0.6 is
+  1 - (1-0.36)^16 ≈ 1 - 8e-4 (and ≈ 1 - 1e-7 at the corpus's J≥0.8
+  near-dup floor); random band collisions are 2^-64: the LSH path is
+  effectively exact above threshold while pruning the quadratic pair
+  space to bucket-local work.
 
 Performance note: shingles() takes a *materialized token-array
 column*, never the tokens(text) expression inline — an expression

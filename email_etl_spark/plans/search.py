@@ -292,25 +292,46 @@ ORDER BY similarity DESC, vec_id LIMIT 5
     oracle=_ann_lsh_oracle(),
     doc=(
         "Sign-LSH ANN: 4 tables x 8 hyperplane bits bucket the corpus; only "
-        "bucket-colliding vectors get exact cosine verification. At cluster "
-        "scale the signature computation is one map pass and candidates come "
-        "from a bucket-key join instead of a cross join (SURVEY §2.F)."
+        "bucket-colliding vectors get exact cosine verification. The "
+        "signature computation is one map pass, and candidates come from an "
+        "EQUALITY join on the (table, signature) bucket key — at scale a "
+        "bucket-partitioned store reads only the colliding buckets, never "
+        "the corpus (SURVEY §2.F)."
     ),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    sigs = emb.select("vec_id", "label", "embedding", *_sig_spark(F.col("embedding")))
-    q = sigs.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(LSH_TABLES)]
+    sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+    # one bucket row per (vector, table): the LSH "index". A production
+    # deployment materializes this bucketed by (t, key) so the join
+    # below is a pruned bucket read, not a scan.
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+            for t in range(LSH_TABLES)
+        ]
     )
-    collide = None
-    for t in range(LSH_TABLES):
-        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
-        collide = c if collide is None else (collide | c)
+    buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
+        "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
+    # query side: LSH_TABLES rows — broadcast into a hash join on the
+    # bucket key; a vector colliding in several tables dedups via
+    # distinct. No cross join, no OR-filter: candidate discovery only
+    # ever touches colliding buckets.
+    qb = buckets.where(F.col("vec_id") == QUERY_VEC_ID).select("t", "key")
+    cand_ids = (
+        buckets.join(F.broadcast(qb), ["t", "key"])
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    # exact verification inside the collided set: broadcast the (small
+    # by construction) candidate ids back over the embedding table.
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
     return (
-        sigs.where(F.col("vec_id") != QUERY_VEC_ID)
+        F.broadcast(cand_ids)
+        .join(emb, "vec_id")
         .crossJoin(F.broadcast(q))
-        .where(collide)
         .select(
             "vec_id",
             "label",
@@ -318,6 +339,139 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-filtered search (ref: hybrid_email_search(date_from, date_to),
+# scripts/init_db.sql:99-131; every MCP search tool exposes the same
+# date_from/date_to pair, src/api/mcp_tools.py:32-44, 71-83).
+#
+# The corpus has no timestamp column, so a deterministic ingest date is
+# derived from the id: doc k arrives on 2024-01-01 + (k div 10) days —
+# ten docs a day, the monotone id↔date mapping every append-only ingest
+# produces. At scale the table is date-partitioned and the date window
+# prunes partitions; here the monotone mapping plays that role: the
+# builder converts the window to an id range and pushes THAT into the
+# parquet scan (visible as PushedFilters), so the scan reads only the
+# window — the date predicate never touches out-of-window rows.
+# ---------------------------------------------------------------------------
+
+EPOCH_DATE = "2024-01-01"
+DOCS_PER_DAY = 10
+DATE_FROM = "2024-01-08"
+DATE_TO = "2024-01-21"
+
+
+def _date_window_id_bounds() -> tuple[int, int]:
+    """Convert the [DATE_FROM, DATE_TO] window to the equivalent
+    contiguous id range under the monotone ingest mapping."""
+    from datetime import date
+
+    epoch = date.fromisoformat(EPOCH_DATE)
+    lo_day = (date.fromisoformat(DATE_FROM) - epoch).days
+    hi_day = (date.fromisoformat(DATE_TO) - epoch).days
+    return lo_day * DOCS_PER_DAY, (hi_day + 1) * DOCS_PER_DAY - 1
+
+
+_DOC_DATE_SQL = f"DATE '{EPOCH_DATE}' + CAST(doc_id // {DOCS_PER_DAY} AS INTEGER)"
+_VEC_DATE_SQL = f"DATE '{EPOCH_DATE}' + CAST(vec_id // {DOCS_PER_DAY} AS INTEGER)"
+
+
+def _doc_date_col(id_col):
+    return F.date_add(F.to_date(F.lit(EPOCH_DATE)), (id_col / DOCS_PER_DAY).cast("int"))
+
+
+@register(
+    "hybrid_search_dated",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+t AS (
+  SELECT d.doc_id, {_DOC_DATE_SQL.replace("doc_id", "d.doc_id")} AS doc_date,
+         {_TOKS_SQL.replace("text", "d.text")} AS toks, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+    AND {_DOC_DATE_SQL.replace("doc_id", "d.doc_id")} BETWEEN DATE '{DATE_FROM}' AND DATE '{DATE_TO}'
+)
+SELECT doc_id, doc_date,
+       CAST(CAST({_COS.format(a="t.embedding", b="q.embedding")} AS DECIMAL(6,4)) * 0.7
+          + CAST({_TERM_RANK_SQL} AS DECIMAL(6,4)) * 0.3 AS DOUBLE) AS score
+FROM t CROSS JOIN q
+ORDER BY score DESC, doc_id
+LIMIT 15
+""",
+    doc=(
+        "Date-windowed hybrid search — the full hybrid_email_search "
+        "surface incl. date_from/date_to (ref: scripts/init_db.sql:99-131, "
+        "src/api/mcp_tools.py:32-44). The date window becomes a pushed id "
+        "range under the monotone ingest mapping (= partition pruning on a "
+        "date-partitioned table), then the 0.7/0.3 blend runs on the "
+        "pruned slice only."
+    ),
+)
+def hybrid_search_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = _date_window_id_bounds()
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents").where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi) & (F.col("lang") == "en")
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).crossJoin(F.broadcast(q))
+    score = (
+        cosine_rounded(F.col("embedding"), F.col("qvec")).cast("decimal(6,4)")
+        * F.lit("0.7").cast("decimal(2,1)")
+        + _term_rank(F.col("text")).cast("decimal(6,4)") * F.lit("0.3").cast("decimal(2,1)")
+    ).cast("double")
+    return (
+        joined.select(
+            "doc_id", _doc_date_col(F.col("doc_id")).alias("doc_date"), score.alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "semantic_topk_dated",
+    oracle=f"""
+SELECT e.vec_id, {_VEC_DATE_SQL.replace("vec_id", "e.vec_id")} AS vec_date, e.label,
+       {_COS.format(a="e.embedding", b="q.embedding")} AS similarity
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+  AND {_VEC_DATE_SQL.replace("vec_id", "e.vec_id")} BETWEEN DATE '{DATE_FROM}' AND DATE '{DATE_TO}'
+ORDER BY similarity DESC, e.vec_id
+LIMIT 10
+""",
+    doc=(
+        "Date-windowed vector top-k — search_similar_emails with "
+        "date_from/date_to (ref: src/database.py:168-210, "
+        "src/api/mcp_tools.py:71-83). Same pushed id-range pruning as "
+        "hybrid_search_dated."
+    ),
+)
+def semantic_topk_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = _date_window_id_bounds()
+    emb = parallelize_scan(
+        load_table(spark, sf_dir, "embeddings").where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)
+        )
+    )
+    full = load_table(spark, sf_dir, "embeddings")
+    q = full.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _doc_date_col(F.col("vec_id")).alias("vec_date"),
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(10)
     )
 
 
