@@ -326,16 +326,26 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification inside the collided set: broadcast the (small
-    # by construction) candidate ids back over the embedding table.
-    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    # by construction) candidate ids back over the embedding table. The
+    # query vector is a PLAN CONSTANT, exactly as in real ANN serving
+    # (the caller hands the engine an embedded query, it never lives in
+    # the corpus scan): a single-row pushed-filter lookup at build time
+    # becomes a literal array, so verification is a pure map over the
+    # candidate rows — no join, no nested loop.
+    qvec_row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qvec_row[0]])
     return (
         F.broadcast(cand_ids)
         .join(emb, "vec_id")
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+            cosine_rounded(F.col("embedding"), qvec).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(5)
