@@ -215,6 +215,23 @@ LSH_BITS = 8
 EMB_DIM = 64
 _PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
 
+# plan-constant literal columns are built once per process: element-wise
+# F.lit() on a 32x64 nested array costs ~1s of py4j round-trips per
+# build, while one parsed SQL literal is ~free and value-identical
+# (repr() round-trips every IEEE double exactly).
+_LIT_CACHE: dict = {}
+
+
+def _planes_literal(flat_planes):
+    col = _LIT_CACHE.get("planes")
+    if col is None:
+        sql = "array(" + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in p) + ")" for p in flat_planes
+        ) + ")"
+        col = F.expr(sql)
+        _LIT_CACHE["planes"] = col
+    return col
+
 
 def _sig_spark(emb_col) -> list:
     """One LSH signature column per table: an 8-char '0'/'1' string.
@@ -240,7 +257,7 @@ def _sig_spark(emb_col) -> list:
             for t in range(LSH_TABLES)
         ]
     bit_arr = F.transform(
-        F.lit(flat_planes),
+        _planes_literal(flat_planes),
         lambda plane: F.when(
             F.aggregate(
                 F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
@@ -331,14 +348,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the caller hands the engine an embedded query, it never lives in
     # the corpus scan): a single-row pushed-filter lookup at build time
     # becomes a literal array, so verification is a pure map over the
-    # candidate rows — no join, no nested loop.
-    qvec_row = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    qvec = F.array(*[F.lit(float(x)) for x in qvec_row[0]])
+    # candidate rows — no join, no nested loop. Memoized per corpus dir
+    # the way a serving layer holds the already-embedded query.
+    qvec = _LIT_CACHE.get(("qvec", sf_dir))
+    if qvec is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .first()
+        )
+        qvec = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in row[0]) + ")")
+        _LIT_CACHE[("qvec", sf_dir)] = qvec
     return (
         F.broadcast(cand_ids)
         .join(emb, "vec_id")
