@@ -64,6 +64,97 @@ def html_to_text(col: Column) -> Column:
     return F.trim(s)
 
 
+# ---------------------------------------------------------------------------
+# HTML → markdown (ref: provider.py:17,352 converts HTML bodies with
+# html2text; plain tag-stripping loses links/headers/lists). One rule
+# table drives BOTH engines — the Spark column chain and the DuckDB
+# oracle SQL — so the conversion rules themselves are hash-checked
+# cross-engine, not just eyeballed. Patterns are the RE2-compatible
+# subset of Java regex (no backreferences: script/style are separate
+# rules), replacements differ only in group syntax ($1 vs \1).
+# Rule order matters: subtree drops first, inline marks (b/i/code)
+# before links so nested '<a><b>x</b></a>' becomes '[**x**](u)',
+# structure tags before the generic tag strip.
+# ---------------------------------------------------------------------------
+
+_NL = "\n"
+_MD_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # 1x1 tracking pixels drop entirely; real images keep their src
+    (r"""(?i)<img[^>]*(width|height)=["']?1["']?[^>]*>""", " "),
+    (r"""(?is)<img[^>]*src=["']([^"']*)["'][^>]*/?>""", "![]($1)"),
+    # (?:\s[^>]*)? after each tag name: '<b ...>' or '<b>' but never
+    # '<body>' / '<img>' / '<link>' swallowed by a shorter tag's rule
+    (r"(?is)<h1(?:\s[^>]*)?>(.*?)</h1>", _NL + "# $1" + _NL),
+    (r"(?is)<h2(?:\s[^>]*)?>(.*?)</h2>", _NL + "## $1" + _NL),
+    (r"(?is)<h3(?:\s[^>]*)?>(.*?)</h3>", _NL + "### $1" + _NL),
+    (r"(?is)<h4(?:\s[^>]*)?>(.*?)</h4>", _NL + "#### $1" + _NL),
+    (r"(?is)<h5(?:\s[^>]*)?>(.*?)</h5>", _NL + "##### $1" + _NL),
+    (r"(?is)<h6(?:\s[^>]*)?>(.*?)</h6>", _NL + "###### $1" + _NL),
+    (r"(?is)<(?:b|strong)(?:\s[^>]*)?>(.*?)</(?:b|strong)>", "**$1**"),
+    (r"(?is)<(?:i|em)(?:\s[^>]*)?>(.*?)</(?:i|em)>", "*$1*"),
+    (r"(?is)<code(?:\s[^>]*)?>(.*?)</code>", "`$1`"),
+    (r"""(?is)<a\s[^>]*href=["']([^"']*)["'][^>]*>(.*?)</a>""", "[$2]($1)"),
+    (r"(?is)<li(?:\s[^>]*)?>(.*?)</li>", _NL + "- $1"),
+    (r"(?is)<blockquote(?:\s[^>]*)?>(.*?)</blockquote>", _NL + "> $1" + _NL),
+    (r"(?i)<hr[^>]*/?>", _NL + "---" + _NL),
+    (r"(?i)<br[^>]*/?>|</p>|</div>|</tr>|</ul>|</ol>|</table>", _NL),
+    (r"<[^>]+>", " "),
+]
+_MD_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+)
+
+
+def html_to_markdown(col: Column) -> Column:
+    """HTML → structure-preserving markdown (headers, links, images,
+    bold/italic/code, lists, rules) — html2text-fidelity analog of
+    html_to_text, still a pure JVM regex chain: a 100 TB body pass is
+    one scan-project stage with zero Python."""
+    s = col
+    for pat, rep in _MD_RULES:
+        s = F.regexp_replace(s, pat, rep)
+    for ent, rep in _MD_ENTITIES:
+        s = F.regexp_replace(s, ent, rep)
+    s = F.regexp_replace(s, "[ \\t]+", " ")
+    s = F.regexp_replace(s, " ?\\n ?", "\n")
+    s = F.regexp_replace(s, "\\n{3,}", "\n\n")
+    # regex trim, not F.trim: trim() strips spaces only, and the edge
+    # whitespace here includes newlines from structural rules
+    return F.regexp_replace(s, "^\\s+|\\s+$", "")
+
+
+def html_to_markdown_sql(expr: str) -> str:
+    """The DuckDB twin of html_to_markdown, generated from the SAME
+    rule table (group refs translated $1 → \\1), so an oracle can
+    hash-check the conversion rules cross-engine."""
+    s = expr
+    for pat, rep in _MD_RULES:
+        duck_rep = rep.replace("$1", "\\1").replace("$2", "\\2")
+        s = _duck_rr(s, pat, duck_rep)
+    for ent, rep in _MD_ENTITIES:
+        s = _duck_rr(s, ent, rep)
+    s = _duck_rr(s, "[ \\t]+", " ")
+    s = _duck_rr(s, " ?\\n ?", chr(10))
+    s = _duck_rr(s, "\\n{3,}", chr(10) * 2)
+    return _duck_rr(s, "^\\s+|\\s+$", "")
+
+
+def _duck_rr(inner: str, pat: str, rep: str) -> str:
+    q_pat = pat.replace("'", "''")
+    q_rep = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+    # 'g' only — dotall/case flags live inline in each pattern, so both
+    # engines see exactly the same flag set per rule.
+    return f"regexp_replace({inner}, '{q_pat}', '{q_rep}', 'g')"
+
+
 def sanitize_filename(col: Column) -> Column:
     """Safe attachment filename (ref: src/security.py:214-229): strip
     path components, keep [A-Za-z0-9.-_], force a .txt extension for

@@ -54,6 +54,16 @@ _GATE_ORDER = (
     "part_type_revenue",
     "attachment_mime_stats",
     "attachment_risk_by_source",
+    # new this round: conversion/tokenizer/provider surface + TPC-H widening
+    "html_to_md",
+    "bpe_token_count",
+    "provider_status",
+    "q6_forecast_revenue",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     # queries fixed or rewritten this round
     "dup_rate_by_source",
     "embed_docs",
@@ -73,20 +83,11 @@ _GATE_ORDER = (
     "hourly_histogram",
     "audit_error_daily",
     "archive_layout_stats",
-    # relational analytics core
+    # headline relational + dedup continuity (the rest of the r1-passed
+    # relational/dedup family rotates past the window this round — all
+    # remain repo-sweep green at both SFs)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "top_customers",
-    "priority_monthly",
-    # dedup family
     "dedup_minhash",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_clusters",
 )
 
 

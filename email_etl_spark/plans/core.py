@@ -228,3 +228,67 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "provider_status",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id,
+         DATE '2024-01-01' + CAST(doc_id // 10 AS INTEGER) AS ingest_date
+  FROM documents
+),
+w AS (SELECT MAX(ingest_date) AS corpus_max FROM d)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(MAX(d.doc_id) AS BIGINT) AS last_doc_id,
+       CAST(MAX(d.ingest_date) AS DATE) AS last_sync_date,
+       CAST(SUM(CASE WHEN d.ingest_date > w.corpus_max - 7 THEN 1 ELSE 0 END) AS BIGINT) AS docs_last_7d,
+       CAST(w.corpus_max - MAX(d.ingest_date) AS BIGINT) AS days_behind
+FROM d CROSS JOIN w
+GROUP BY d.source, w.corpus_max
+ORDER BY d.source
+""",
+    doc=(
+        "Provider registry status (ref: get_providers / provider sync "
+        "metadata, src/database.py:333-391): per provider — volume, last "
+        "ingested id, last-sync date under the monotone ingest mapping, "
+        "7-day inflow, and staleness vs the corpus watermark. The global "
+        "watermark is a 1-row broadcast (scalar agg), never a driver "
+        "round-trip; the rollup is one map-side-combined shuffle."
+    ),
+)
+def provider_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("doc_id") / 10).cast("int")).alias(
+            "ingest_date"
+        ),
+    )
+    watermark = docs.agg(F.max("ingest_date").alias("corpus_max"))
+    return (
+        docs.crossJoin(F.broadcast(watermark))
+        .groupBy("source", "corpus_max")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").cast("bigint").alias("last_doc_id"),
+            F.max("ingest_date").alias("last_sync_date"),
+            F.sum(
+                (F.col("ingest_date") > F.date_sub(F.col("corpus_max"), 7)).cast("int")
+            )
+            .cast("bigint")
+            .alias("docs_last_7d"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "last_doc_id",
+            "last_sync_date",
+            "docs_last_7d",
+            F.datediff(F.col("corpus_max"), F.col("last_sync_date"))
+            .cast("bigint")
+            .alias("days_behind"),
+        )
+        .orderBy("source")
+    )

@@ -387,3 +387,255 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc=(
+        "TPC-H Q6 shape: pure pushed-predicate scan + exact-decimal "
+        "aggregate, zero joins — every filter reaches the parquet reader "
+        "(PushedFilters), so at 100 TB only matching row groups are read."
+    ),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 4).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc=(
+        "TPC-H Q13 shape: customer order-count distribution — left outer "
+        "join (null-preserving) then a two-level aggregation. The second "
+        "agg's shuffle carries at most distinct(c_count) rows."
+    ),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = parallelize_scan(load_table(spark, sf_dir, "orders"))
+    co = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12' AND p.p_size <= 15
+  AND CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * pa.cnt < pa.sq
+""",
+    doc=(
+        "TPC-H Q17 shape: small-quantity outlier revenue — the correlated "
+        "'qty < 0.2*avg(qty) per part' subquery becomes a per-part "
+        "aggregate joined back to the fact. The 0.2*avg boundary is an "
+        "EXACT decimal cross-multiplication (5*qty*cnt < sum), immune to "
+        "distributed-vs-sequential float summation order. The per-part "
+        "agg runs only over parts passing the (broadcast) dim filter."
+    ),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    parts = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15)
+    )
+    li_f = li.join(F.broadcast(parts.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    pa = li_f.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"), F.count("*").alias("cnt")
+    )
+    joined = li_f.join(pa, "l_partkey").where(
+        F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sq")
+    )
+    return joined.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0, 2)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(big.total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+""",
+    doc=(
+        "TPC-H Q18 shape: large-volume orders — HAVING over the fact "
+        "aggregate, then joins back to orders/customer. The >300 filter "
+        "shrinks the agg output to a sliver before any join, and the "
+        "top-100 is TakeOrderedAndProject (each task returns ≤100 rows)."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l.l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc=(
+        "TPC-H Q19 shape: OR-of-ANDs disjunctive predicates across the "
+        "part dim and the fact — Catalyst derives the per-side residues "
+        "(p_size<=15, quantity ranges) and pushes them below the "
+        "broadcast join, so neither side scans rows no branch can match."
+    ),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return j.where(cond).agg(
+        F.round(F.sum(rev), 4).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c CROSS JOIN pos
+  WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.n > pos.s
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM eligible GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers with no recent "
+        "orders, rolled up per nation — scalar-subquery average (exact "
+        "cross-multiplied decimal, no float boundary), anti-join against "
+        "the date-filtered orders (pushed predicate), single rollup. The "
+        "1-row average broadcast replaces TPC-H's correlated subquery."
+    ),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = parallelize_scan(load_table(spark, sf_dir, "orders"))
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"), F.count("*").alias("n")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    eligible = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

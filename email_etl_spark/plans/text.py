@@ -281,3 +281,103 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → markdown conversion (ref: provider.py:17,352 — html2text on
+# HTML bodies). The corpus stores plain text, so a deterministic HTML
+# body is synthesized from each document (header, paragraph, list,
+# blockquote, link, image, tracking pixel — every rule class fires),
+# identically in both engines, then converted by the SHARED rule table
+# in functions/email_text.py. The hash check therefore verifies the
+# conversion rules themselves cross-engine.
+# ---------------------------------------------------------------------------
+
+_HTML_PARTS_SPARK = None  # built in-function to avoid import-order issues
+
+
+def _synth_html_spark(doc_id, text, lang, source):
+    sid = doc_id.cast("string")
+    return F.concat(
+        F.lit("<h1>Doc "), sid, F.lit("</h1><p>"),
+        F.substring(text, 1, 160),
+        F.lit('</p><ul><li><b>lang:</b> '), lang,
+        F.lit("</li><li><em>source:</em> "), source,
+        F.lit("</li></ul><blockquote>quoted reply</blockquote>"),
+        F.lit('<a href="https://archive.example/'), sid,
+        F.lit('">permalink</a><hr><img src="https://img.example/'), sid,
+        F.lit('.png"/><img width="1" height="1" src="https://track.example/p.gif"/>'),
+    )
+
+
+_SYNTH_HTML_SQL = (
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 160)"
+    " || '</p><ul><li><b>lang:</b> ' || lang"
+    " || '</li><li><em>source:</em> ' || source"
+    " || '</li></ul><blockquote>quoted reply</blockquote>'"
+    " || '<a href=\"https://archive.example/' || CAST(doc_id AS VARCHAR)"
+    " || '\">permalink</a><hr><img src=\"https://img.example/' || CAST(doc_id AS VARCHAR)"
+    " || '.png\"/><img width=\"1\" height=\"1\" src=\"https://track.example/p.gif\"/>'"
+)
+
+
+def _html_to_md_oracle() -> str:
+    from email_etl_spark.functions.email_text import html_to_markdown_sql
+
+    return f"""
+WITH h AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)
+SELECT doc_id, {html_to_markdown_sql("html")} AS md
+FROM h ORDER BY doc_id
+"""
+
+
+@register(
+    "html_to_md",
+    oracle=_html_to_md_oracle(),
+    doc=(
+        "HTML→markdown body conversion with html2text fidelity (ref: "
+        "src/providers/gmail/provider.py:17,352): headers, links, images, "
+        "bold/italic/code, lists, blockquotes survive as markdown; "
+        "script/style/tracking-pixels drop. Pure JVM regex chain — one "
+        "scan-project stage, no Python — and the oracle is generated from "
+        "the same rule table, so the rules are hash-checked cross-engine."
+    ),
+)
+def html_to_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.email_text import html_to_markdown
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = _synth_html_spark(
+        F.col("doc_id"), F.col("text"), F.col("lang"), F.col("source")
+    )
+    return (
+        docs.select("doc_id", html_to_markdown(html).alias("md"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bpe_token_count",
+    # no oracle: BPE's iterative merge loop is genuinely not
+    # SQL-expressible — verified instead by tests/test_bpe.py (exact
+    # encode/decode round-trip, budget truncation, determinism) and
+    # the driver's rows-only check.
+    doc=(
+        "True byte-level BPE token counting (ref: src/embeddings.py:5,20 "
+        "— tiktoken counts + budget truncation). Real merge-loop BPE over "
+        "a deterministically trained merge table (functions/bpe.py), run "
+        "as an Arrow pandas_udf; the regex `token_count` stays as the "
+        "oracle-checked cheap path. Output contrasts BPE vs regex counts "
+        "and the 64-token budget truncation length per document."
+    ),
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.bpe import bpe_token_count_col, bpe_truncate_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).alias("n_regex_tokens"),
+        F.length(bpe_truncate_col(F.col("text"), 64)).alias("n_chars_at_64_tokens"),
+    ).orderBy("doc_id")

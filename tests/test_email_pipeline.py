@@ -106,6 +106,44 @@ def test_email_text_kit(spark):
     assert row.fn == "e.txt"  # dangerous extension neutralized
 
 
+def test_html_to_markdown(spark):
+    from email_etl_spark.functions import email_text as E
+
+    html = (
+        '<html><head><style>p{color:red}</style>'
+        "<script>track()</script></head><body>"
+        "<h2>Re: meeting</h2>"
+        "<p>Hi — see the <a href='https://ex.org/doc'><b>agenda</b></a> "
+        "&amp; notes.</p>"
+        "<ul><li>item <em>one</em></li><li><code>item_two</code></li></ul>"
+        '<img width="1" height="1" src="https://t.example/p.gif"/>'
+        '<img src="https://ex.org/chart.png"/>'
+        "<blockquote>previous reply</blockquote><hr></body></html>"
+    )
+    md = (
+        spark.createDataFrame([(html,)], ["h"])
+        .select(E.html_to_markdown(F.col("h")).alias("md"))
+        .collect()[0]
+        .md
+    )
+    assert "## Re: meeting" in md
+    assert "[**agenda**](https://ex.org/doc)" in md  # link keeps inner bold
+    assert "& notes." in md  # entity decoded
+    assert "- item *one*" in md and "- `item_two`" in md
+    assert "![](https://ex.org/chart.png)" in md  # real image kept
+    assert "t.example/p.gif" not in md  # tracking pixel dropped
+    assert "track()" not in md and "color:red" not in md
+    assert "> previous reply" in md
+    assert "---" in md
+    # the DuckDB twin generated from the same rule table agrees exactly
+    import duckdb
+
+    sql_md = duckdb.sql(
+        "SELECT " + E.html_to_markdown_sql(f"'{html.replace(chr(39), chr(39) * 2)}'")
+    ).fetchone()[0]
+    assert sql_md == md
+
+
 def test_llm_stub_determinism(spark):
     from email_etl_spark.llm.stub import categorize_documents, embed_documents
 
