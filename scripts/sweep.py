@@ -29,15 +29,32 @@ def main() -> int:
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     failures = 0
     total = 0
+    results: dict[str, dict] = {}
     for sf_dir in sf_dirs:
+        sf_key = os.path.basename(sf_dir.rstrip("/"))
         for name, q in sorted(REGISTRY.items()):
             if not q.oracle:
+                results.setdefault(name, {})[sf_key] = "no-oracle"
                 continue
             total += 1
             problems = compare(name, spark, sf_dir, q.builder, q.oracle)
+            results.setdefault(name, {})[sf_key] = problems or "ok"
             if problems:
                 failures += 1
                 print(f"FAIL {sf_dir} {name}: {problems}")
+    # committed artifact: the repo-side gate record for this round
+    # (VERDICT r1 item 10 — catch repo-green vs driver-green divergence
+    # before the driver runs)
+    import json
+
+    out = {
+        "checks": total,
+        "failures": failures,
+        "sf_dirs": sf_dirs,
+        "queries": results,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..", "SWEEP.json"), "w") as fh:
+        json.dump(out, fh, indent=1, default=str)
     print(f"sweep: {failures} failures of {total} checks across {len(sf_dirs)} SFs")
     return 1 if failures else 0
 
