@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,3 +113,154 @@ def size_budget_partitions(df: DataFrame, size_col: str, target_batch_bytes: int
     total = df.agg(F.sum(size_col)).first()[0] or 0
     n_parts = max(1, int(total / target_batch_bytes) + 1)
     return df.repartition(n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Image resize / audio features / video frame sampling — the rest of
+# the multimodal pass family. Decode/transcode steps are STUBS (this
+# container ships no codec libraries): metadata comes deterministically
+# from the payload hash, so tests are exact and a real codec
+# (PIL/ffmpeg) drops into the same mapInPandas seam with no plan
+# change. The Spark-side mechanics — schemas, Arrow batch shapes,
+# one-to-many frame explode, size-budget partitioning — are real.
+# ---------------------------------------------------------------------------
+
+IMAGE_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms_db", T.FloatType()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def image_resize(df: DataFrame, binary_col: str = "content", max_px: int = 256) -> DataFrame:
+    """Aspect-preserving thumbnail pass. STUB transcode: output bytes
+    are a deterministic digest-derived payload; real PIL `thumbnail()`
+    slots into `shrink` unchanged."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def shrink(w: int, h: int) -> tuple[int, int]:
+            s = max(w, h)
+            if s <= max_px:
+                return w, h
+            return max(1, w * max_px // s), max(1, h * max_px // s)
+
+        for pdf in batches:
+            out = []
+            for data in pdf[binary_col]:
+                data = bytes(data) if data is not None else b""
+                digest = hashlib.sha256(data)
+                w, h, _c, _ok = _decode_image(data)
+                ow, oh = shrink(w, h)
+                out.append(
+                    {
+                        "content_hash": digest.hexdigest(),
+                        "src_width": w,
+                        "src_height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        # stub transcode: hash-derived bytes sized to the
+                        # thumbnail's pixel count (bounded, deterministic)
+                        "content": (digest.digest() * ((ow * oh * 3) // 32 + 1))[: ow * oh * 3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_RESIZE_SCHEMA.fields])
+
+    return df.select(binary_col).mapInPandas(batch_fn, schema=IMAGE_RESIZE_SCHEMA)
+
+
+def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Audio metadata/loudness pass. STUB decode: duration/rate/
+    channels/loudness derive from the payload hash; a real decoder
+    (soundfile/ffmpeg) replaces `fake_meta` only."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def fake_meta(h: bytes, n: int) -> tuple[int, int, int, float]:
+            duration = 500 + int.from_bytes(h[2:5], "big") % 600_000
+            rate = (8000, 16000, 22050, 44100, 48000)[h[5] % 5]
+            chans = 1 + h[6] % 2
+            rms = -60.0 + (h[7] / 255.0) * 57.0
+            return duration, rate, chans, rms
+
+        for pdf in batches:
+            out = []
+            for data in pdf[binary_col]:
+                data = bytes(data) if data is not None else b""
+                digest = hashlib.sha256(data)
+                h = digest.digest()
+                dur, rate, ch, rms = fake_meta(h, len(data))
+                out.append(
+                    {
+                        "content_hash": digest.hexdigest(),
+                        "duration_ms": dur,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "rms_db": rms,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(binary_col).mapInPandas(batch_fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def video_frame_sample(
+    df: DataFrame, binary_col: str = "content", every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """One-to-many frame sampling: each video row yields
+    ceil(duration/every_ms) frame rows (capped). STUB decode: duration
+    and frame bytes are hash-derived; a real ffmpeg seek-and-decode
+    replaces the inner loop. The one-to-many Arrow batch shape — the
+    part that matters for Spark — is real: output batches are larger
+    than input batches and downstream ops see one row per frame."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for data in pdf[binary_col]:
+                data = bytes(data) if data is not None else b""
+                digest = hashlib.sha256(data)
+                h = digest.digest()
+                duration_ms = 500 + int.from_bytes(h[2:5], "big") % 600_000
+                n_frames = min(max_frames, (duration_ms + every_ms - 1) // every_ms)
+                for i in range(n_frames):
+                    fh = hashlib.sha256(h + i.to_bytes(4, "big")).digest()
+                    out.append(
+                        {
+                            "content_hash": digest.hexdigest(),
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "frame": fh,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return df.select(binary_col).mapInPandas(batch_fn, schema=VIDEO_FRAME_SCHEMA)

@@ -64,6 +64,8 @@ _GATE_ORDER = (
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "q8_market_share",
+    "q15_top_supplier",
     # queries fixed or rewritten this round
     "dup_rate_by_source",
     "embed_docs",

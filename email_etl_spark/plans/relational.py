@@ -639,3 +639,138 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l.l_discount AS DECIMAL(6,4)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o    ON o.o_orderkey = l.l_orderkey
+  JOIN customer c  ON c.c_custkey = o.o_custkey
+  JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+  JOIN region r    ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+  JOIN part p      ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS nation_rev,
+       CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS total_rev,
+       ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DECIMAL(12,4)) END), 4) AS DOUBLE)
+           / CAST(ROUND(SUM(volume), 4) AS DOUBLE), 6) AS mkt_share
+FROM rev GROUP BY o_year ORDER BY o_year
+""",
+    doc=(
+        "TPC-H Q8 shape: national market share by order year — the "
+        "two-role nation dim (customer-side region filter, supplier-side "
+        "share numerator) joins broadcast twice; the only fact-fact "
+        "shuffle is lineitem⋈orders. Share = one double division of two "
+        "exact decimal sums, deterministic at any parallelism."
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    orders = parallelize_scan(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    cust_in_region = (
+        cust.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey")
+    ).select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+
+    vol = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey)
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0).cast("decimal(12,4)")
+    )
+    agg = rev.groupBy("o_year").agg(
+        F.round(F.sum(nat_vol), 4).cast("double").alias("nation_rev"),
+        F.round(F.sum("volume"), 4).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH srev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+m AS (SELECT MAX(total_rev) AS max_rev FROM srev)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(srev.total_rev, 4) AS DOUBLE) AS total_rev
+FROM srev CROSS JOIN m
+JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+WHERE srev.total_rev = m.max_rev
+ORDER BY s.s_suppkey
+""",
+    doc=(
+        "TPC-H Q15 shape: top supplier by quarterly revenue — the "
+        "revenue 'view' is one pushed-date-filter aggregate, the max is "
+        "a 1-row broadcast rejoined to the view (no second scan of the "
+        "fact), and the equality keeps ties exactly (decimal compare)."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
+    supp = load_table(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    srev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(vol).alias("total_rev"))
+    )
+    m = srev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        srev.crossJoin(F.broadcast(m))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 4).cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )

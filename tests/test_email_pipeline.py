@@ -191,6 +191,53 @@ def test_multimodal_plumbing(spark):
     assert sized.rdd.getNumPartitions() >= 1
 
 
+def test_multimodal_resize_audio_video(spark):
+    import hashlib
+    import math
+
+    from email_etl_spark.operators.multimodal import (
+        audio_features,
+        image_resize,
+        video_frame_sample,
+    )
+
+    blobs = [(i, bytes([i]) * (100 * (i + 1))) for i in range(6)]
+    df = spark.createDataFrame(blobs, ["att_id", "content"])
+
+    rs = image_resize(df, max_px=64).collect()
+    assert len(rs) == 6
+    for r in rs:
+        assert max(r.out_width, r.out_height) <= 64
+        # aspect preserved within integer rounding
+        if r.src_width >= r.src_height:
+            assert r.out_width >= r.out_height
+        assert len(r.content) == r.out_width * r.out_height * 3
+
+    au = audio_features(df).collect()
+    assert len(au) == 6
+    for a in au:
+        assert 500 <= a.duration_ms < 600_500
+        assert a.sample_rate in (8000, 16000, 22050, 44100, 48000)
+        assert a.n_channels in (1, 2)
+        assert -60.0 <= a.rms_db <= -3.0
+
+    # one-to-many frame explode: row counts follow the stub duration
+    frames = video_frame_sample(df, every_ms=1000, max_frames=16).collect()
+    by_hash: dict = {}
+    for fr in frames:
+        by_hash.setdefault(fr.content_hash, []).append(fr)
+    assert len(by_hash) == 6
+    for data in (b for _i, b in blobs):
+        h = hashlib.sha256(data).digest()
+        dur = 500 + int.from_bytes(h[2:5], "big") % 600_000
+        expect = min(16, math.ceil(dur / 1000))
+        got = sorted(by_hash[hashlib.sha256(data).hexdigest()], key=lambda r: r.frame_idx)
+        assert len(got) == expect
+        assert [g.ts_ms for g in got] == [i * 1000 for i in range(expect)]
+        # frames are distinct, deterministic payloads
+        assert len({bytes(g.frame) for g in got}) == expect
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     from email_etl_spark.plans.registry import REGISTRY
     from email_etl_spark.streaming.pipeline import events_stream, run_available_now, windowed_counts
