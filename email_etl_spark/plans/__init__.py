@@ -66,6 +66,7 @@ _GATE_ORDER = (
     "q22_idle_customers",
     "q8_market_share",
     "q15_top_supplier",
+    "unigram_logprob",
     # queries fixed or rewritten this round
     "dup_rate_by_source",
     "embed_docs",

@@ -381,3 +381,60 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("n_regex_tokens"),
         F.length(bpe_truncate_col(F.col("text"), 64)).alias("n_chars_at_64_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(LN(CAST(c.c AS DOUBLE) / n.n_total), 6) AS DECIMAL(18,6)) AS lp
+  FROM tok t JOIN cnt c USING (tok) CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(lp) AS DOUBLE) AS logprob,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=(
+        "Unigram language-model surprise score per document — the "
+        "classic perplexity-flavored quality filter for training-data "
+        "curation (low avg log-prob = gibberish / boilerplate outliers). "
+        "Per-token ln(count/N) is rounded to DECIMAL(18,6) BEFORE the "
+        "per-doc sum, making the distributed aggregation exact and "
+        "order-insensitive (float addition order can never flip the "
+        "result). The vocabulary table broadcasts (vocab ≪ corpus); at "
+        "extreme vocab sizes the join degrades to shuffle + AQE skew "
+        "handling. Two shuffles total: token counts, per-doc rollup."
+    ),
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    lp = (
+        F.round(F.log(F.col("c").cast("double") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    scored = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp").cast("double").alias("logprob"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -104,3 +104,29 @@ def run_available_now_append(df: DataFrame, checkpoint_dir: str, name: str) -> l
     )
     q.awaitTermination(300)
     return df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the
+    (broadcast) static dimension — the streaming analog of attaching
+    provider/account metadata to the audit stream. Stream-static joins
+    are stateless (no watermark needed on the static side) and the
+    broadcast keeps per-batch work shuffle-free; Spark re-plans the
+    static side per micro-batch, so a slowly-refreshed dim table is
+    picked up on file change."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def tiered_windowed_counts(
+    events: DataFrame, dim: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed counts per enrichment tier — stream-static join feeding
+    a watermarked tumbling aggregation (join is stateless, agg state is
+    bounded by the watermark)."""
+    return (
+        enriched_stream(events, dim)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("tier"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events")
+    )

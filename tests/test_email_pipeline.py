@@ -299,3 +299,42 @@ def test_streaming_dedup_suppresses_redelivered_drops(spark, tmp_path):
     n_distinct = load_table(spark, sf, "events").select("event_id").distinct().count()
     assert len(rows) == n_distinct
     assert len({r.event_id for r in rows}) == len(rows)
+
+
+def test_streaming_static_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment join + windowed agg drains availableNow
+    to exactly the batch twin's result."""
+    import shutil
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        tiered_windowed_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-000.parquet")
+
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("standard").alias("tier"),
+    )
+    stream = events_stream(spark, str(events_dir))
+    rows = run_available_now(
+        tiered_windowed_counts(stream, dim), str(tmp_path / "ckpt")
+    )
+    got = {(r.window_start, r.tier): r.n_events for r in rows}
+
+    batch = (
+        load_table(spark, sf, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events")
+        .collect()
+    )
+    want = {(r.window_start, r.tier): r.n_events for r in batch}
+    assert got == want and len(want) > 0
