@@ -86,9 +86,9 @@ _GATE_ORDER = (
     "hourly_histogram",
     "audit_error_daily",
     "archive_layout_stats",
-    # headline relational + dedup continuity (the rest of the r1-passed
-    # relational/dedup family rotates past the window this round — all
-    # remain repo-sweep green at both SFs)
+    # positions 51+: r1-driver-passed queries rotate past the 50-query
+    # window this round (all remain repo-sweep green at both SFs);
+    # q1/dedup_minhash lead the rotation queue for round 3.
     "q1_pricing_summary",
     "dedup_minhash",
 )

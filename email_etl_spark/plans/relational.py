@@ -774,3 +774,111 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+""",
+    doc=(
+        "TPC-H Q9 shape: product-line profit by supplier nation and "
+        "order year (ref: src/database.py rollup surface). The LIKE "
+        "filter prunes the part dim before the join, so only matching "
+        "partkeys ship; part/supplier/nation broadcast at test SFs, and "
+        "when part outgrows the broadcast threshold at extreme scale "
+        "the same plan degrades to a shuffle join on partkey (AQE "
+        "decides from size stats). The only fact-fact shuffle is "
+        "lineitem joining orders on orderkey."
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+),
+sole AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS only_supp
+  FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole JOIN multi USING (l_orderkey)
+JOIN supplier ON only_supp = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+""",
+    doc=(
+        "TPC-H Q21 shape: suppliers who were the sole late shipper on a "
+        "multi-supplier finished order ('late' = shipped >45 days after "
+        "order date; this corpus has no commit/receipt dates). The "
+        "classic EXISTS / NOT-EXISTS correlated-subquery chain is "
+        "decorrelated into two aggregations — distinct late (order, "
+        "supplier) pairs reduced per order, and a per-order distinct- "
+        "supplier count — joined on orderkey, so there is no correlated "
+        "re-scan of the fact and every shuffle is on the same orderkey "
+        "the aggregates already partition by. Supplier dim broadcasts."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders_f, li.l_orderkey == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_late"), F.min("l_suppkey").alias("only_supp"))
+        .where(F.col("n_late") == 1)
+        .select("l_orderkey", "only_supp")
+    )
+    return (
+        sole.join(multi, "l_orderkey")
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("only_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
