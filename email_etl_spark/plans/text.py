@@ -438,3 +438,139 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "repetition_ratio",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(bg) AS n_bigrams,
+       len(list_distinct(bg)) AS n_uniq_bigrams,
+       CASE WHEN len(bg) > 0
+            THEN CAST(FLOOR((len(bg) - len(list_distinct(bg))) * 10000.0 / len(bg)) AS BIGINT)
+            ELSE 0 END AS rep_bps
+FROM b ORDER BY doc_id
+""",
+    doc=(
+        "Within-document bigram repetition ratio — the standard "
+        "boilerplate/spam signal in training-data curation (high "
+        "repeated-n-gram fraction = low-value doc). Entirely "
+        "array-local column work: bigrams are built with a transform "
+        "over the token array, never exploded, so the plan is a "
+        "zero-shuffle scan-and-project that parallelizes "
+        "embarrassingly at any corpus size. Ratio follows the repo's "
+        "exact-integer-bps convention."
+    ),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size("bg").cast("bigint")
+    uniq = F.size(F.array_distinct("bg")).cast("bigint")
+    return (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            n.alias("n_bigrams"),
+            uniq.alias("n_uniq_bigrams"),
+            F.when(n > 0, F.floor((n - uniq) * 10000.0 / n).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("rep_bps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE text END AS body
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, body,
+         len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(body, '{_PII_IP}')) AS n_ips
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       sha256(regexp_replace(regexp_replace(regexp_replace(body,
+              '{_PII_EMAIL}', '[EMAIL]', 'g'),
+              '{_PII_IP}', '[IP]', 'g'),
+              '{_PII_PHONE}', '[PHONE]', 'g')) AS scrub_sha
+FROM counted ORDER BY doc_id
+""",
+    doc=(
+        "PII detection + redaction over the corpus: email / phone / "
+        "IPv4 regex counts and a sha256 of the scrubbed text so the "
+        "*replacement output* (not just the counts) is hash-verified "
+        "cross-engine. The synthetic corpus contains no natural PII, "
+        "so a deterministic md5-gated quarter of documents gets a "
+        "seeded contact footer inside the query — keeping the check "
+        "non-vacuous (the r1 action_items lesson) while both engines "
+        "must agree on seeding, regex semantics, and replacement "
+        "order. Pure scan-and-project: zero shuffles, regexes stay in "
+        "the JVM (no Python UDF), column pruning reaches the scan."
+    ),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    seeded = F.substring(
+        F.md5(F.concat(F.lit("pii:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin("0", "1", "2", "3")
+    body = F.when(seeded, F.concat(F.col("text"), footer)).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IP,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return (
+        docs.select("doc_id", body.alias("body"))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("body"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+            F.regexp_count(F.col("body"), F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+            F.regexp_count(F.col("body"), F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+            F.sha2(scrubbed, 256).alias("scrub_sha"),
+        )
+        .orderBy("doc_id")
+    )
