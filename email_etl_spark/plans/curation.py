@@ -250,3 +250,97 @@ _R["curation_funnel"] = _dc.replace(
         "generalized to training-data filtering (SURVEY §2.L)."
     ),
 )
+
+
+_FUZZY_DECON_THRESHOLD = 0.6  # 3-gram Jaccard
+
+
+@register(
+    "fuzzy_decontaminate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS sh,
+         substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM tok
+)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+       ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) /
+             (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))), 4) AS jaccard
+FROM sh t JOIN sh b ON NOT t.is_bench AND b.is_bench
+WHERE ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) /
+            (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))), 4)
+      >= {_FUZZY_DECON_THRESHOLD}
+ORDER BY train_id, bench_id
+""",
+    doc=(
+        "Fuzzy benchmark decontamination: near-duplicate (not just "
+        "exact-n-gram) overlap between the training corpus and the "
+        "held-out benchmark split, the guard against paraphrased eval "
+        "leakage. Cross-set MinHash+LSH: both sides get array-local "
+        "minhash signatures, candidates come from an EQUALITY join on "
+        "(band, key) — a shuffle join, because unlike exact "
+        "decontaminate's tiny shingle set, a hash-defined bench split "
+        "scales with the corpus and must never be broadcast — and "
+        "only bucket-colliding train×bench pairs are exact-Jaccard "
+        "verified (candidates broadcast; the shingle table never). "
+        "Oracle is the exact all-pairs cross-set scan; LSH recall at "
+        "the corpus's J>=0.8 near-dup floor is ~1 (functions/hashing.py)."
+    ),
+)
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.io import parallelize_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1)
+        == "0"
+    )
+    sh = toks.select(
+        "doc_id", H.shingles(F.col("toks"), k=3).alias("sh"), is_bench.alias("is_bench")
+    ).cache()
+
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            for b in range(H.N_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", "is_bench", F.explode(bands).alias("bk")).select(
+        "doc_id", "is_bench", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    train_b = buckets.where(~F.col("is_bench")).select(
+        F.col("doc_id").alias("train_id"), "band", "key"
+    )
+    bench_b = buckets.where(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_id"), "band", "key"
+    )
+    cand = train_b.join(bench_b, ["band", "key"]).select("train_id", "bench_id").distinct()
+
+    sht = sh.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t"))
+    shb = sh.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b"))
+    sized = (
+        F.broadcast(cand)
+        .join(sht, "train_id")
+        .join(shb, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            F.size(F.array_intersect("sh_t", "sh_b")).cast("double").alias("n_inter"),
+            F.size("sh_t").cast("double").alias("nt"),
+            F.size("sh_b").cast("double").alias("nb"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / (F.col("nt") + F.col("nb") - F.col("n_inter")), 4)
+    return (
+        sized.select("train_id", "bench_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _FUZZY_DECON_THRESHOLD)
+        .orderBy("train_id", "bench_id")
+    )
