@@ -755,3 +755,58 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), "doc_id")
         .limit(20)
     )
+
+
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, v) -> acc + v))"
+)
+
+
+@register(
+    "embedding_qa",
+    oracle=f"""
+WITH v AS (
+  SELECT label, len(embedding) AS dim,
+         CAST(ROUND({_NORM_SQL}, 6) AS DECIMAL(18,6)) AS norm_r
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN dim = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok,
+       CAST(SUM(CASE WHEN norm_r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(MIN(norm_r) AS DOUBLE) AS min_norm,
+       CAST(MAX(norm_r) AS DOUBLE) AS max_norm,
+       ROUND(CAST(SUM(norm_r) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+FROM v GROUP BY label ORDER BY label
+""",
+    doc=(
+        "Embedding-table QA rollup — the sanity pass a pipeline runs "
+        "before indexing or training on a vector column: per-label "
+        "counts, dimension-contract violations, zero vectors, and "
+        "norm statistics. Per-row norms are rounded to DECIMAL(18,6) "
+        "BEFORE the distributed sum (the unigram_logprob convention) "
+        "so the mean is order-insensitive and bit-stable at any "
+        "parallelism. One scan + one partial-aggregated shuffle; the "
+        "fold stays in the JVM (no Python UDF)."
+    ),
+)
+def embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    norm_r = F.round(F.sqrt(dot(e, e)), 6).cast("decimal(18,6)")
+    v = emb.select("label", F.size(e).alias("dim"), norm_r.alias("norm_r"))
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("dim") == 64, 1).otherwise(0)).cast("bigint").alias("n_dim_ok"),
+            F.sum(F.when(F.col("norm_r") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.min("norm_r").cast("double").alias("min_norm"),
+            F.max("norm_r").cast("double").alias("max_norm"),
+            F.round(F.sum("norm_r").cast("double") / F.count("*"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -574,3 +574,28 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+SELECT lang AS lang_declared, {_lang_case_sql()} AS lang_detected, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc=(
+        "Language-ID confusion matrix: declared vs detected language "
+        "counts — the eval a pipeline runs to calibrate its langid "
+        "filter before trusting it at corpus scale. One scan + one "
+        "partial-aggregated shuffle of (pair, count) rows."
+    ),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("lang_declared"),
+            T.lang_guess(F.col("text")).alias("lang_detected"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_declared", "lang_detected")
+    )
