@@ -130,3 +130,31 @@ def tiered_windowed_counts(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "tier", "n_events")
     )
+
+
+def error_context_join(errors: DataFrame, actions: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each error event joins the same
+    user's non-error actions from the preceding hour — the streaming
+    root-cause-context primitive (what was this user doing just before
+    the failure?). Both sides carry watermarks and the join condition
+    bounds event time from BOTH directions, so Spark can prove when a
+    buffered row can never match again and evict it: state is
+    O(one hour of traffic per side), not unbounded. Pass the same
+    source stream filtered two ways; Spark plans one scan feeding both
+    join inputs."""
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    ).withWatermark("error_ts", "2 hours")
+    a = actions.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("action_ts"),
+        F.col("event_type").alias("action_type"),
+    ).withWatermark("action_ts", "2 hours")
+    return e.join(
+        a,
+        (F.col("e_user") == F.col("a_user"))
+        & (F.col("action_ts") >= F.col("error_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("action_ts") < F.col("error_ts")),
+    ).select("error_id", "e_user", "error_ts", "action_type", "action_ts")

@@ -338,3 +338,49 @@ def test_streaming_static_join_matches_batch(spark, tmp_path):
     )
     want = {(r.window_start, r.tier): r.n_events for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (errors x preceding actions) drains
+    availableNow to exactly the batch twin's row set."""
+    import shutil
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.streaming.pipeline import (
+        error_context_join,
+        events_stream,
+        run_available_now_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-000.parquet")
+
+    stream = events_stream(spark, str(events_dir))
+    joined = error_context_join(
+        stream.where(F.col("event_type") == "error"),
+        stream.where(F.col("event_type") != "error"),
+    )
+    rows = run_available_now_append(joined, str(tmp_path / "ckpt"), "err_ctx")
+    got = {(r.error_id, r.action_type, r.action_ts) for r in rows}
+
+    ev = load_table(spark, sf, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    a = ev.where(F.col("event_type") != "error").select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("action_ts"),
+        F.col("event_type").alias("action_type"),
+    )
+    batch = e.join(
+        a,
+        (F.col("e_user") == F.col("a_user"))
+        & (F.col("action_ts") >= F.col("error_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("action_ts") < F.col("error_ts")),
+    ).collect()
+    want = {(r.error_id, r.action_type, r.action_ts) for r in batch}
+    assert got == want and len(want) > 0
