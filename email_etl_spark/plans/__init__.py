@@ -7,6 +7,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     curation,
     dedup,
     llm,
+    multimodal,
     patterns,
     relational,
     relational_ext,
@@ -66,18 +67,31 @@ _GATE_ORDER = (
     "q22_idle_customers",
     "q8_market_share",
     "q15_top_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "unigram_logprob",
+    "repetition_ratio",
+    "pii_scrub",
+    "fuzzy_decontaminate",
+    "embedding_qa",
+    "langid_confusion",
+    "image_decode_stats",
     # queries fixed or rewritten this round
     "dup_rate_by_source",
     "embed_docs",
     "thread_summary",
     "action_items",
     "dedup_embedding",
-    # relational extensions
+    # relational extensions (r1-untested; the rest of this family
+    # rotates to round 3)
     "q4_order_priority",
     "customers_without_orders",
     "rollup_source_lang",
     "running_total",
+    # positions 51+: r1-driver-passed queries and repo-green long-tail
+    # extensions rotate past the 50-query window this round (all remain
+    # repo-sweep green at both SFs); this ordered tail is the round-3
+    # rotation queue.
     "top_docs_per_lang",
     "doc_by_id",
     "pivot_status_priority",
@@ -86,9 +100,6 @@ _GATE_ORDER = (
     "hourly_histogram",
     "audit_error_daily",
     "archive_layout_stats",
-    # positions 51+: r1-driver-passed queries rotate past the 50-query
-    # window this round (all remain repo-sweep green at both SFs);
-    # q1/dedup_minhash lead the rotation queue for round 3.
     "q1_pricing_summary",
     "dedup_minhash",
 )
