@@ -79,3 +79,114 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width_bucket")
     )
+
+
+def _int3_sql(sha: str, i: int) -> str:
+    """Big-endian 3-byte integer at byte offset i of a hex digest."""
+    return (
+        f"(65536 * {_byte_sql(sha, i)} + 256 * {_byte_sql(sha, i + 1)}"
+        f" + {_byte_sql(sha, i + 2)})"
+    )
+
+
+@register(
+    "audio_meta_stats",
+    oracle=f"""
+WITH b AS (SELECT text, sha256(text) AS sha FROM documents),
+m AS (
+  SELECT sha,
+         500 + ({_int3_sql('sha', 2)} % 600000) AS duration_ms,
+         CASE {_byte_sql('sha', 5)} % 5
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+              WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+         1 + ({_byte_sql('sha', 6)} % 2) AS n_channels,
+         ROUND(-60.0 + (CAST({_byte_sql('sha', 7)} AS DOUBLE) / 255.0) * 57.0, 3) AS rms_db
+  FROM b
+)
+SELECT sample_rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+       CAST(SUM(CASE WHEN n_channels = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stereo,
+       MIN(rms_db) AS min_rms,
+       MAX(rms_db) AS max_rms
+FROM m GROUP BY sample_rate ORDER BY sample_rate
+""",
+    doc=(
+        "Audio-metadata QA rollup through the REAL mapInPandas audio "
+        "pass (operators/multimodal.py::audio_features): per-sample-"
+        "rate clip counts, total duration, stereo share, loudness "
+        "range. The oracle reconstructs the deterministic stub codec "
+        "byte-for-byte from the sha256 hex digest (3-byte big-endian "
+        "duration, table-indexed rate, float rms recomputed with the "
+        "same IEEE op order, rounded before aggregation). Exercises "
+        "the Arrow seam + a partial-aggregated rollup; blobs never "
+        "reach the shuffle."
+    ),
+)
+def audio_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(F.encode(F.col("text"), "UTF-8").alias("content"))
+    feats = audio_features(blobs)
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("duration_ms").cast("bigint").alias("total_ms"),
+            F.sum(F.when(F.col("n_channels") == 2, 1).otherwise(0)).cast("bigint").alias("n_stereo"),
+            F.min(F.round(F.col("rms_db").cast("double"), 3)).alias("min_rms"),
+            F.max(F.round(F.col("rms_db").cast("double"), 3)).alias("max_rms"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+@register(
+    "video_frame_stats",
+    oracle=f"""
+WITH b AS (SELECT text, sha256(text) AS sha FROM documents),
+m AS (
+  SELECT DISTINCT sha,
+         LEAST(16, CAST(CEIL(CAST(500 + ({_int3_sql('sha', 2)} % 600000) AS DOUBLE) / 1000.0) AS BIGINT)) AS n_frames
+  FROM b
+)
+SELECT n_frames,
+       COUNT(*) AS n_videos,
+       CAST((n_frames - 1) * 1000 AS BIGINT) AS last_ts_ms,
+       COUNT(DISTINCT sha) AS n_uniq
+FROM m GROUP BY n_frames ORDER BY n_frames
+""",
+    doc=(
+        "Video frame-sampling QA through the REAL one-to-many "
+        "mapInPandas pass (operators/multimodal.py::video_frame_sample "
+        "— output batches larger than input batches, one row per "
+        "sampled frame). Frames are regrouped per video and the "
+        "distribution of frames-per-video, the last frame timestamp, "
+        "and distinct payloads are all verified against an oracle "
+        "that derives the stub's frame count arithmetic from the "
+        "digest. Two shuffles: per-video regroup, distribution rollup."
+    ),
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.multimodal import video_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(F.encode(F.col("text"), "UTF-8").alias("content"))
+    # duplicate payloads share a content_hash and collapse into one
+    # group here, so frame cardinality must be distinct-counted (the
+    # oracle likewise DISTINCTs per sha) — identical videos are one
+    # video for QA purposes
+    frames = video_frame_sample(blobs)
+    per_video = frames.groupBy("content_hash").agg(
+        F.countDistinct("frame_idx").alias("n_frames"), F.max("ts_ms").alias("last_ts")
+    )
+    return (
+        per_video.groupBy("n_frames")
+        .agg(
+            F.count("*").alias("n_videos"),
+            F.max("last_ts").cast("bigint").alias("last_ts_ms"),
+            F.countDistinct("content_hash").alias("n_uniq"),
+        )
+        .orderBy("n_frames")
+    )
