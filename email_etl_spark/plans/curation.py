@@ -257,6 +257,7 @@ _FUZZY_DECON_THRESHOLD = 0.6  # 3-gram Jaccard
 
 @register(
     "fuzzy_decontaminate",
+    headline=True,
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (

@@ -35,6 +35,7 @@ def _byte_sql(sha: str, i: int) -> str:
 
 @register(
     "image_decode_stats",
+    headline=True,
     oracle=f"""
 WITH b AS (SELECT text, sha256(text) AS sha FROM documents),
 wh AS (

@@ -385,6 +385,7 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_logprob",
+    headline=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
