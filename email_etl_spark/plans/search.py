@@ -810,3 +810,126 @@ def embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KNN_K = 3
+
+
+@register(
+    "knn_join",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS q, b.vec_id AS n,
+         {duckdb_cosine('a.embedding', 'b.embedding')} AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT q, n, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+  FROM pairs
+)
+SELECT q AS vec_id, rk AS rank, n AS neighbor_id, c AS cos_sim
+FROM ranked WHERE rk <= {_KNN_K} ORDER BY vec_id, rank
+""",
+    doc=(
+        "Exact k-NN self-join over the embedding table: every vector's "
+        f"top-{_KNN_K} cosine neighbors — the all-to-all variant of ANN "
+        "(semantic clustering, hard-negative mining, citation-graph "
+        "construction). Scale shape: block tiling (vec mod P), each "
+        "(i,j) tile one bounded NumPy matmul task that emits only its "
+        "LOCAL top-(k+slack) per row — so the shuffle carries O(P·k) "
+        "candidate rows per vector, never the O(n) similarity row — "
+        "then survivors are exact-fold verified (the matmul is a "
+        "pruner, not the contract) and a per-query window takes the "
+        "global top-k with a deterministic (cos desc, id) tiebreak. "
+        "No driver collect, no corpus broadcast; P grows with the "
+        "corpus so a block always fits a task. ann_lsh/ann_ivf are the "
+        "approximate fast paths when recall<1 is acceptable."
+    ),
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = 8
+    slack = 8  # local-rank cushion >> any matmul-vs-fold fp divergence
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
+    base = emb.select("vec_id", "embedding", blk.alias("blk"))
+    left = base.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(P - 1))).alias("pb"),
+        F.lit(0).alias("role"),
+    )
+    right = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit(1).alias("role"),
+    )
+
+    def tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"q": [], "n": []}).astype("int64")
+
+        def unit(rows):
+            m = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        sims = unit(a) @ unit(b).T
+        sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # mask self
+        kk = _KNN_K + slack
+        out_q, out_n = [], []
+        # a-rows take neighbors from b; on off-diagonal tiles b-rows
+        # symmetrically take neighbors from a (the diagonal tile holds
+        # the same rows in both roles, so one direction covers it)
+        for ids_q, ids_n, s in (
+            (a_ids, b_ids, sims),
+            (b_ids, a_ids, sims.T) if a.iloc[0]["pa"] != a.iloc[0]["pb"] else (None, None, None),
+        ):
+            if ids_q is None:
+                continue
+            top = np.argsort(-s, axis=1)[:, :kk]
+            for row, cols in enumerate(top):
+                cols = cols[np.isfinite(s[row, cols])]
+                out_q.extend([ids_q[row]] * len(cols))
+                out_n.extend(ids_n[cols])
+        return pd.DataFrame({"q": np.asarray(out_q, dtype="int64"), "n": np.asarray(out_n, dtype="int64")})
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pa", "pb")
+        .applyInPandas(tile, schema="q long, n long")
+        .distinct()
+    )
+
+    # exact-fold verification on candidates only, then the global top-k
+    eq = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("eq"))
+    en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
+    scored = (
+        F.broadcast(cand)
+        .join(eq, "q")
+        .join(en, "n")
+        .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .select(
+            F.col("q").alias("vec_id"),
+            F.col("rk").cast("bigint").alias("rank"),
+            F.col("n").alias("neighbor_id"),
+            F.col("c").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )

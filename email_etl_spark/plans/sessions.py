@@ -276,3 +276,44 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""",
+    doc=(
+        "SCD-type-2 history construction from the event stream: each "
+        "user's events become versioned validity intervals "
+        "[valid_from, valid_to) with an open-ended current row — the "
+        "warehouse pattern behind the reference's upsert-by-message_id "
+        "bookkeeping (src/database.py ON CONFLICT) when history must "
+        "be kept instead of overwritten. One shuffle on the partition "
+        "key; lead() is O(1) running state per row within the sorted "
+        "partition, so the plan is a single Window pass at any scale "
+        "(hot users salt like any keyed window)."
+    ),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
