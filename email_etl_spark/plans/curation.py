@@ -345,3 +345,55 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _FUZZY_DECON_THRESHOLD)
         .orderBy("train_id", "bench_id")
     )
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_raw
+  FROM s
+),
+t AS (SELECT SUM(w_raw) AS w_total FROM r)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(w_raw AS DOUBLE) * 10000.0 / CAST(w_total AS DOUBLE), 4) AS weight_bps
+FROM r CROSS JOIN t ORDER BY source
+""",
+    doc=(
+        "Training-mixture weights with temperature sampling: per-source "
+        "token counts re-weighted by n^0.5 (alpha=0.5, the standard "
+        "upsample-the-tail mixing rule) and normalized to basis "
+        "points. The per-source sqrt is rounded to DECIMAL(18,6) "
+        "BEFORE the normalizing sum, so the total — and therefore "
+        "every weight — is order-insensitive and bit-stable at any "
+        "parallelism. The normalizer is a 1-row broadcast; one "
+        "partial-aggregated shuffle total."
+    ),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    r = s.withColumn(
+        "w_raw", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    )
+    t = r.agg(F.sum("w_raw").alias("w_total"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("w_raw").cast("double") * 10000.0 / F.col("w_total").cast("double"), 4
+            ).alias("weight_bps"),
+        )
+        .orderBy("source")
+    )

@@ -600,3 +600,43 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_declared", "lang_detected")
     )
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len({_TOKS}) AS n FROM documents
+),
+b AS (
+  SELECT lang, CAST(FLOOR(LOG2(n + 1)) AS BIGINT) AS bucket, n FROM t
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS min_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+    doc=(
+        "Per-language log2-bucketed token-length histogram — the "
+        "sequence-length planning input for packing/curriculum "
+        "decisions (how much of each language sits in each length "
+        "band). Bucket boundaries are exact integer log2 floors, so "
+        "both engines bucket identically; one scan + one "
+        "partial-aggregated shuffle."
+    ),
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    return (
+        docs.select("lang", n.alias("n"))
+        .select("lang", F.floor(F.log2(F.col("n") + 1)).cast("bigint").alias("bucket"), "n")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
