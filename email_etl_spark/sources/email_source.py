@@ -159,3 +159,31 @@ def parse_rfc822(raw: DataFrame, text_col: str = "raw") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in EMAIL_SCHEMA.fields])
 
     return raw.mapInPandas(parse_batch, schema=EMAIL_SCHEMA)
+
+
+def read_mbox(spark, path: str) -> DataFrame:
+    """Read mbox files (the classic 'From '-separated email corpus
+    format) into the canonical schema.
+
+    Spark-first splitting: the text source with a custom record
+    delimiter ('\\nFrom ') turns each message into one row at the scan
+    — no whole-file reads, so a directory of multi-GB mbox archives
+    parallelizes by file split like any text corpus. Each record then
+    drops its envelope remainder (everything before the first newline)
+    and flows through the same RFC-2822 mapInPandas parser as single-
+    message ingestion (one parser path to maintain).
+
+    Ref: the reference ingests via the Gmail API (src/providers/
+    gmail/provider.py); mbox is the equivalent bulk-archive entry
+    point (Google Takeout exports, listserv archives).
+    """
+    raw = spark.read.option("lineSep", "\nFrom ").text(path)
+    body = F.when(
+        F.instr(F.col("value"), "\n") > 0,
+        F.expr("substring(value, instr(value, '\n') + 1)"),
+    ).otherwise(F.lit(""))
+    msgs = (
+        raw.select(body.alias("raw"))
+        .where(F.length(F.trim(F.col("raw"))) > 0)
+    )
+    return parse_rfc822(msgs)
