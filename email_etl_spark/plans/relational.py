@@ -882,3 +882,212 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH sc AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice / l_quantity, 4) AS DECIMAL(18,4))) AS cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+),
+asia_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+costs AS (
+  SELECT p_partkey, sc.cost, a.s_name, a.s_acctbal, a.n_name
+  FROM part JOIN sc ON p_partkey = sc.l_partkey
+            JOIN asia_supp a ON sc.l_suppkey = a.s_suppkey
+  WHERE p_size < 15 AND p_type = 'STANDARD'
+),
+mins AS (SELECT p_partkey, MIN(cost) AS min_cost FROM costs GROUP BY 1)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, CAST(c.cost AS DOUBLE) AS cost
+FROM costs c JOIN mins m ON c.p_partkey = m.p_partkey AND c.cost = m.min_cost
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey LIMIT 100
+""",
+    doc=(
+        "TPC-H Q2 shape: min-cost supplier per part within a region. "
+        "This corpus has no partsupp table, so supply cost derives "
+        "from lineitem (observed min unit price per part-supplier "
+        "pair, rounded to exact DECIMAL before the min so the "
+        "min-equality rejoin can never fp-miss). Min-per-group + "
+        "equality join-back — the grouped twin of q15's global max. "
+        "Region-filtered supplier dim broadcasts; both aggs and the "
+        "rejoin share the partkey shuffle key."
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    sc = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).cast("decimal(18,4)")
+            ).alias("cost")
+        )
+    )
+    asia = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        sc.join(F.broadcast(part.select("p_partkey")), sc.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia), sc.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "cost", "s_name", "s_acctbal", "n_name")
+    )
+    mins = (
+        costs.groupBy("p_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .withColumnRenamed("p_partkey", "mk")
+    )
+    return (
+        costs.join(
+            mins,
+            (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(6,1))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 3 GROUP BY 1
+),
+t AS (SELECT SUM(val) AS total FROM v)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v CROSS JOIN t WHERE 1000 * val > total
+ORDER BY part_value DESC, p_partkey
+""",
+    doc=(
+        "TPC-H Q11 shape: parts representing an outsized share of one "
+        "nation's traded value (partsupp-free: value = shipped "
+        "price x quantity). The HAVING-over-scalar-subquery threshold "
+        "is evaluated as pure decimal integer arithmetic "
+        "(1000*val > total) — no double boundary to diverge on — with "
+        "the grand total a 1-row broadcast over the per-part rollup."
+    ),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    val = F.col("l_extendedprice").cast("decimal(12,4)") * F.col("l_quantity").cast("decimal(6,1)")
+    v = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.lit(1000) * F.col("val") > F.col("total"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc=(
+        "TPC-H Q16 shape: how many distinct suppliers can source each "
+        "(brand, type, size) bucket (partsupp-free: supply "
+        "relationships observed from lineitem). COUNT(DISTINCT) over "
+        "a broadcast-pruned part dim; Spark plans distinct-count as a "
+        "two-level partial aggregate, so the shuffle carries "
+        "(group, suppkey) pairs, not lineitem rows."
+    ),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+WITH elig AS (
+  SELECT DISTINCT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 30
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM elig)
+ORDER BY s_name
+""",
+    doc=(
+        "TPC-H Q20 shape: suppliers with a concentrated position in a "
+        "promoted part family (shipped >30 units of some red part in "
+        "1997). The nested-IN chain decorrelates to a grouped HAVING "
+        "feeding a left-semi join — the fact table is scanned once "
+        "with part and date filters pushed, and the eligible-supplier "
+        "set (tiny by construction) broadcasts into the semi join."
+    ),
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    elig = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(elig), supp.s_suppkey == elig.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
