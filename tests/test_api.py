@@ -116,3 +116,36 @@ def test_extract_action_items(spark):
     # deterministic
     again = extract_action_items(docs).collect()
     assert sorted(r.description for r in out) == sorted(r.description for r in again)
+
+
+def test_provider_config_store(spark, tmp_path):
+    """Config/token KV parity with the reference's save/get surface:
+    latest-wins upserts, account scoping, token expiry filtering."""
+    from email_etl_spark.config_store import ProviderConfigStore
+
+    store = ProviderConfigStore(spark, str(tmp_path / "store"))
+    assert store.get_config("gmail") == {}
+    assert store.get_token("gmail", "a@x.com", "access") is None
+
+    store.save_config("gmail", None, "batch_size", "100")
+    store.save_config("gmail", None, "batch_size", "250")  # upsert wins
+    store.save_config("gmail", None, "labels", "INBOX")
+    store.save_config("gmail", "b@x.com", "batch_size", "7")  # other account
+    store.save_config("outlook", None, "batch_size", "9")  # other provider
+
+    assert store.get_config("gmail") == {"batch_size": "250", "labels": "INBOX"}
+    assert store.get_config("gmail", "b@x.com") == {"batch_size": "7"}
+    assert store.get_config("outlook") == {"batch_size": "9"}
+
+    store.save_token("gmail", "a@x.com", "access", "tok-1", expires_at=1000)
+    store.save_token("gmail", "a@x.com", "access", "tok-2", expires_at=2000)
+    store.save_token("gmail", "a@x.com", "refresh", "ref-1")
+    assert store.get_token("gmail", "a@x.com", "access", now=1500) == {
+        "token": "tok-2",
+        "expires_at": 2000,
+    }
+    assert store.get_token("gmail", "a@x.com", "access", now=2500) is None  # expired
+    assert store.get_token("gmail", "a@x.com", "refresh", now=9999)["token"] == "ref-1"
+
+    latest = store.compact()
+    assert latest.count() == 4  # one row per live key
