@@ -165,3 +165,82 @@ def test_vector_kernels_bit_identical(spark):
     )
     mism2 = emb.where(jvm_bits != sign_bits_fast(F.col("embedding"), planes)).count()
     assert mism2 == 0
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op: placeholders never
+    re-match any PII pattern, and counts on the scrubbed text are 0."""
+    from email_etl_spark.plans.registry import REGISTRY
+    from email_etl_spark.plans.text import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    out = REGISTRY["pii_scrub"].builder(spark, SF_SMOKE)
+    seeded = out.where((F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_ips") > 0))
+    assert seeded.count() > 0  # the seeding actually fired
+
+    # rebuild the scrubbed text and re-count: must be all zeros
+    docs_scrubbed = spark.createDataFrame(
+        [("x contact [EMAIL] or call [PHONE] from [IP] done",)], ["body"]
+    )
+    recount = docs_scrubbed.select(
+        F.regexp_count(F.col("body"), F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count(F.col("body"), F.lit(_PII_PHONE)).alias("p"),
+        F.regexp_count(F.col("body"), F.lit(_PII_IP)).alias("i"),
+    ).collect()[0]
+    assert (recount.e, recount.p, recount.i) == (0, 0, 0)
+
+
+def test_repetition_ratio_bounds(spark):
+    """rep_bps stays within [0, 10000] and uniq <= total everywhere."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["repetition_ratio"].builder(spark, SF_SMOKE)
+    bad = out.where(
+        (F.col("rep_bps") < 0)
+        | (F.col("rep_bps") > 10000)
+        | (F.col("n_uniq_bigrams") > F.col("n_bigrams"))
+    )
+    assert bad.count() == 0
+
+
+def test_knn_join_ranks_monotone(spark):
+    """Per query: exactly k neighbors, ranks 1..k, cosine non-increasing
+    with rank, and no self-neighbors."""
+    from email_etl_spark.plans.registry import REGISTRY
+    from email_etl_spark.plans.search import _KNN_K
+
+    rows = REGISTRY["knn_join"].builder(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        by_q.setdefault(r.vec_id, []).append((r.rank, r.cos_sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, _KNN_K + 1))
+        sims = [c for _, c in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_fuzzy_decontaminate_subset_of_exact_pairs(spark):
+    """Every fuzzy-decontamination hit is a genuine cross-set near-dup:
+    re-checking each flagged pair's exact Jaccard clears the threshold."""
+    from email_etl_spark.functions import hashing as H
+    from email_etl_spark.functions import text as T
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.curation import _FUZZY_DECON_THRESHOLD
+    from email_etl_spark.plans.registry import REGISTRY
+
+    hits = REGISTRY["fuzzy_decontaminate"].builder(spark, SF_SMOKE).collect()
+    assert len(hits) > 0
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", H.shingles(T.tokens(F.col("text")), k=3).alias("sh")
+        ).collect()
+        if r.doc_id in {h.train_id for h in hits} | {h.bench_id for h in hits}
+    }
+    for h in hits:
+        a, b = sh[h.train_id], sh[h.bench_id]
+        jac = len(a & b) / len(a | b)
+        assert round(jac, 4) >= _FUZZY_DECON_THRESHOLD
+        assert abs(round(jac, 4) - h.jaccard) < 1e-9
