@@ -30,7 +30,36 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # so a hash gate can't check them anyway.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # flagship + search family
+    # -- round-3 rotation: every query that has never had a driver
+    # correctness row (absent from CORRECTNESS_r01 and _r02) leads the
+    # window this round --
+    "top_docs_per_lang",
+    "doc_by_id",
+    "pivot_status_priority",
+    "label_centroids",
+    "fuzzy_name_match",
+    "hourly_histogram",
+    "audit_error_daily",
+    "archive_layout_stats",
+    "token_length_histogram",
+    "mixture_weights",
+    "audio_meta_stats",
+    "video_frame_stats",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_promo_suppliers",
+    "knn_join",
+    "scd2_history",
+    # sketches: no SQL oracle by design → driver records rows-only
+    "approx_user_counts",
+    "approx_value_quantiles",
+    # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
+    "sessionize",
+    "range_join_count",
+    "asof_join",
+    "tumbling_counts",
+    # -- flagship + headline surface stays continuously verified --
     "hybrid_search",
     "semantic_topk",
     "text_rank",
@@ -41,67 +70,35 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "tfidf_search",
-    # sessions / streams
-    "sessionize",
-    "tumbling_counts",
-    "value_percentiles",
-    "conversion_funnel",
-    "daily_retention",
-    "inter_event_gaps",
-    # temporal joins
-    "asof_join",
-    "range_join_count",
-    # relational additions + attachment analytics
-    "part_type_revenue",
-    "attachment_mime_stats",
-    "attachment_risk_by_source",
-    # new this round: conversion/tokenizer/provider surface + TPC-H widening
-    "html_to_md",
-    "bpe_token_count",
-    "provider_status",
-    "q6_forecast_revenue",
-    "q13_order_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    "unigram_logprob",
-    "repetition_ratio",
-    "pii_scrub",
-    "fuzzy_decontaminate",
-    "embedding_qa",
-    "langid_confusion",
-    "image_decode_stats",
-    # queries fixed or rewritten this round
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dup_rate_by_source",
     "embed_docs",
     "thread_summary",
     "action_items",
     "dedup_embedding",
-    # relational extensions (r1-untested; the rest of this family
-    # rotates to round 3)
-    "q4_order_priority",
-    "customers_without_orders",
-    "rollup_source_lang",
-    "running_total",
-    # positions 51+: r1-driver-passed queries and repo-green long-tail
-    # extensions rotate past the 50-query window this round (all remain
-    # repo-sweep green at both SFs); this ordered tail is the round-3
-    # rotation queue.
-    "top_docs_per_lang",
-    "doc_by_id",
-    "pivot_status_priority",
-    "label_centroids",
-    "fuzzy_name_match",
-    "hourly_histogram",
-    "audit_error_daily",
-    "archive_layout_stats",
-    "q1_pricing_summary",
-    "dedup_minhash",
+    "patterns_by_domain",
+    "doc_count",
+    "upsert_latest",
+    "incremental_sync",
+    # positions 51+: r1/r2-driver-passed queries rotate past the window
+    # (all stay repo-sweep green at both SFs — SWEEP.json is the
+    # committed record).
+    "value_percentiles",
+    "conversion_funnel",
+    "daily_retention",
+    "inter_event_gaps",
+    "part_type_revenue",
+    "attachment_mime_stats",
+    "attachment_risk_by_source",
+    "html_to_md",
+    "bpe_token_count",
+    "provider_status",
 )
 
 

@@ -50,7 +50,11 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # unix_timestamp handles both TIMESTAMP and TIMESTAMP_NTZ scans
+    # (a plain cast("long") is rejected for NTZ); session tz is pinned
+    # UTC by io._ensure_confs so the epoch is tz-independent.
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap = ts_s - F.unix_timestamp(F.lag(F.col("ts")).over(w))
     new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     sess = ev.withColumn(
         "sess_id",
@@ -58,7 +62,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_sess = sess.groupBy("user_id", "sess_id").agg(
         F.count("*").alias("sess_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("sess_seconds"),
+        (F.max(F.unix_timestamp(F.col("ts"))) - F.min(F.unix_timestamp(F.col("ts")))).alias(
+            "sess_seconds"
+        ),
     )
     return (
         per_sess.groupBy("user_id")

@@ -70,7 +70,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("src"),
         F.lit(None).cast("long").alias("b_event_id"),
         F.lit(None).cast("string").alias("b_type"),
-        F.lit(None).cast("timestamp").alias("b_ts"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("b_ts"),
     )
     # src=0 sorts build rows BEFORE an equal-ts probe row, so b.ts <=
     # a.ts ties are included; event_id breaks build-side ties exactly
@@ -128,7 +128,9 @@ def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # bin = floor(epoch_seconds / window). A half-open 30-min lookback
     # spans at most bins {bin-1, bin} because bin width == window width.
-    binexpr = F.floor(F.col("ts").cast("long") / RANGE_WINDOW_S)
+    # unix_timestamp works on both TIMESTAMP and TIMESTAMP_NTZ scans
+    # (cast("long") is rejected for NTZ parquet reads).
+    binexpr = F.floor(F.unix_timestamp(F.col("ts")) / RANGE_WINDOW_S)
     a = (
         ev.where(F.col("event_type") == "error")
         .select(

@@ -29,8 +29,13 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     _ensure_confs(spark)
     raw_schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(raw_schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # event-time watermarks require TIMESTAMP (LTZ); the session tz
+        # is pinned UTC by _ensure_confs so this cast is a pure retag
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
