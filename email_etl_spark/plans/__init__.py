@@ -54,6 +54,8 @@ _GATE_ORDER = (
     # sketches: no SQL oracle by design → driver records rows-only
     "approx_user_counts",
     "approx_value_quantiles",
+    # -- new this round --
+    "dedup_substring",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -85,7 +87,6 @@ _GATE_ORDER = (
     "patterns_by_domain",
     "doc_count",
     "upsert_latest",
-    "incremental_sync",
     # positions 51+: r1/r2-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the
     # committed record).

@@ -552,3 +552,121 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SUBSTR_K = 30  # duplicated-span width (chars)
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH base AS (SELECT doc_id, source, length(text) AS n_chars FROM documents),
+sh AS (
+  SELECT doc_id, source, u.pos, substr(text, u.pos, {SUBSTR_K}) AS sh
+  FROM documents CROSS JOIN UNNEST(range(1, length(text) - {SUBSTR_K} + 2)) AS u(pos)
+  WHERE length(text) >= {SUBSTR_K}
+),
+dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT s.doc_id, s.source, s.pos FROM sh s WHERE s.sh IN (SELECT sh FROM dup)),
+cov AS (
+  SELECT doc_id, source,
+         COALESCE(LEAST(LEAD(pos) OVER w - pos, {SUBSTR_K}), {SUBSTR_K}) AS contrib,
+         CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(contrib) AS dup_chars, SUM(new_span) AS n_spans
+  FROM cov GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_dup_docs, SUM(n_spans) AS n_spans,
+         SUM(dup_chars) AS dup_chars
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM base GROUP BY source)
+SELECT t.source,
+       t.n_docs,
+       CAST(COALESCE(p.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(p.dup_chars, 0) * 10000 // t.total_chars AS BIGINT) AS dup_bps
+FROM tot t LEFT JOIN per_src p USING (source)
+ORDER BY t.source
+""",
+    doc=(
+        "Exact duplicated-SUBSTRING coverage per source (the "
+        "suffix-array-style train-data dedup signal: how many chars sit "
+        "inside a >=30-char span shared verbatim by another document). "
+        "Shape: every char position contributes one 30-char shingle "
+        "(JVM-side transform+posexplode, no Python); cross-doc repeated "
+        "shingles found by one map-side-combined groupBy; coverage is an "
+        "exact interval-union computed with one lead() window per doc "
+        "(min(next-pos, K) per position — adjacent duplicated windows "
+        "never double-count). Exact-integer bps. At 100 TB the shingle "
+        "stream is C*K bytes: stride the positions (every 4th char) or "
+        "shingle per-partition suffix arrays first; the plan shape "
+        "(explode -> count -> join-back -> per-doc window) is unchanged."
+    ),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", F.length("text").alias("n_chars"))
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"CASE WHEN length(text) >= {SUBSTR_K} THEN "
+                f"transform(sequence(1, length(text) - {SUBSTR_K} + 1), "
+                f"p -> substring(text, p, {SUBSTR_K})) "
+                "ELSE array() END"
+            ).alias("shs"),
+        )
+        .select("doc_id", "source", F.posexplode("shs").alias("pos", "sh"))
+    )
+    dup_sh = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("sh")
+    )
+    dp = sh.join(dup_sh, "sh").select("doc_id", "source", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.coalesce(
+        F.least(F.lead("pos").over(w) - F.col("pos"), F.lit(SUBSTR_K)),
+        F.lit(SUBSTR_K),
+    )
+    new_span = F.when(
+        F.lag("pos").over(w).isNull() | ((F.col("pos") - F.lag("pos").over(w)) > SUBSTR_K),
+        1,
+    ).otherwise(0)
+    per_doc = (
+        dp.select("doc_id", "source", contrib.alias("contrib"), new_span.alias("new_span"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("contrib").alias("dup_chars"), F.sum("new_span").alias("n_spans"))
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_dup_docs"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("dup_chars").alias("dup_chars"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).cast("bigint").alias("n_dup_docs"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.expr("(coalesce(dup_chars, 0) * 10000L) div total_chars")
+            .cast("bigint")
+            .alias("dup_bps"),
+        )
+        .orderBy("source")
+    )
