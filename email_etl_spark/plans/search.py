@@ -933,3 +933,114 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def _recall_oracle() -> str:
+    sig_cols = ", ".join(f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES))
+    collide = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, sig0, sig1, sig2, sig3
+      FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM sigs e JOIN q ON e.vec_id <> q.query_id AND ({collide.replace('q.sig', 'q.sig')})
+),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS.format(a="e.embedding", b="q.qvec")} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+top3 AS (SELECT query_id, vec_id FROM exact WHERE rn <= 3),
+hits AS (
+  SELECT t.query_id,
+         SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM top3 t LEFT JOIN cand c ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+  GROUP BY t.query_id
+),
+nc AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id)
+SELECT h.query_id,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits * 10000 // 3 AS BIGINT) AS recall_bps
+FROM hits h LEFT JOIN nc USING (query_id)
+ORDER BY h.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_recall_oracle(),
+    doc=(
+        "ANN QA: recall@3 of the sign-LSH bucket index against the exact "
+        "cosine top-3, per query (first 5 corpus vectors as the query "
+        "batch). The eval every production ANN deployment runs before "
+        "trusting an index: candidates from the (table, signature) "
+        "EQUALITY bucket join, ground truth from the exact broadcast "
+        "top-k, one left join to count hits. Exact-integer recall bps. "
+        "On this synthetic near-uniform corpus the measured recall is "
+        "LOW — which is the point: the eval surfaces that 4x8-bit "
+        "signatures under-bucket this distribution BEFORE an index ships "
+        "(the fix is more tables / multi-probe, a config change). At "
+        "100 TB the ground-truth side runs on a sampled query set "
+        "(recall is a statistical property); the candidate side is the "
+        "same pruned bucket read as ann_lsh (SURVEY §2.F)."
+    ),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
+        "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
+    qb = buckets.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "t", "key"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["t", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    top3 = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        top3.join(cand.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+    )
+    nc = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        hits.join(nc, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.expr("(n_hits * 10000L) div 3").cast("bigint").alias("recall_bps"),
+        )
+        .orderBy("query_id")
+    )
