@@ -397,3 +397,88 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SHARD_BUDGET = 1024  # tokens per export shard
+_PREFIX_BUCKET = 256  # contiguous doc_id range per prefix-sum bucket
+
+
+@register(
+    "shard_plan",
+    oracle=f"""
+WITH t AS (SELECT lang, doc_id, len({_TOKS}) AS n FROM documents),
+c AS (
+  SELECT lang, doc_id, n,
+         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT lang,
+       CAST(cum_before // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM c GROUP BY 1, 2 ORDER BY lang, shard_id
+""",
+    doc=(
+        "Deterministic token-budgeted export-shard assignment per "
+        "language (the planning step behind sinks/jsonl.py): doc k goes "
+        "to shard floor(tokens-before-k / budget) in doc_id order. The "
+        "prefix sum is computed the SCALABLE way — per contiguous "
+        "doc_id-range bucket subtotals, a tiny window over the bucket "
+        "totals for cross-bucket offsets (broadcast back), then a "
+        "window WITHIN each (lang, bucket) — so no single serial "
+        "per-lang window ever scans the corpus; every window partition "
+        "is one bounded bucket. The oracle is the equivalent "
+        "single-window cumsum, exact at oracle scale."
+    ),
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        F.expr(f"doc_id div {_PREFIX_BUCKET}").alias("bucket"),
+    )
+    # level 1: per-bucket subtotals (tiny: one row per 256-doc range)
+    sub = t.groupBy("lang", "bucket").agg(F.sum("n").alias("bucket_tokens"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    # level 2: parallel window inside each bounded bucket
+    w_in = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        t.join(F.broadcast(offsets), ["lang", "bucket"])
+        .select(
+            "lang",
+            "doc_id",
+            "n",
+            (F.col("offset") + F.coalesce(F.sum("n").over(w_in), F.lit(0))).alias("cum_before"),
+        )
+    )
+    return (
+        c.groupBy("lang", F.expr(f"cum_before div {SHARD_BUDGET}").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("lang", "shard_id")
+    )
