@@ -58,6 +58,7 @@ _GATE_ORDER = (
     "dedup_substring",
     "ann_recall_eval",
     "shard_plan",
+    "kmeans_codebook",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -86,7 +87,6 @@ _GATE_ORDER = (
     "thread_summary",
     "action_items",
     "dedup_embedding",
-    "patterns_by_domain",
     # positions 51+: r1/r2-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the
     # committed record).

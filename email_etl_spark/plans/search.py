@@ -1044,3 +1044,162 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means codebook training — the Lloyd-iteration step that produces
+# the IVF coarse quantizer ann_ivf seeds with (and the prototype step
+# behind label_centroids). Classic distributed shape: assignment is a
+# broadcast-centroid map pass over the corpus; the update collects only
+# the K x dim codebook (plan constants, like MLlib's KMeans), never
+# corpus rows.
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 2  # assignment rounds; KM_ITERS - 1 centroid updates
+
+
+def _km_dist_sql(vexpr: str, cexpr: str) -> str:
+    """Sequential squared-L2 fold over the 64 dims (same IEEE op order
+    as the Spark zip_with/aggregate fold, so distances are
+    bit-identical)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> ({vexpr}[i] - {cexpr}[i]) * ({vexpr}[i] - {cexpr}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    d0 = _km_dist_sql("e.v", "c.v")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d0} ASC, c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+c1f AS (
+  SELECT cid, d.i AS dim,
+         ROUND(CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+  FROM a1 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+  GROUP BY cid, d.i
+),
+c1 AS (SELECT cid, list(cval ORDER BY dim) AS v FROM c1f GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {d0} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d0} ASC, c.cid) AS rn
+    FROM e CROSS JOIN c1 c
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id,
+       ROUND(CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_dist
+FROM a2 GROUP BY cid ORDER BY cid
+"""
+
+
+def _km_assign(df: DataFrame, cents: list) -> DataFrame:
+    """Broadcast-codebook assignment: per row, squared-L2 to every
+    centroid (one nested-array literal), argmin with lowest-cid
+    tiebreak (array_position finds the FIRST minimum; cents are sorted
+    by cid)."""
+    clit = F.expr(
+        "array("
+        + ",".join("array(" + ",".join(f"{v!r}D" for v in vec) + ")" for _, vec in cents)
+        + ")"
+    )
+    cid_lit = F.expr("array(" + ",".join(f"{cid}L" for cid, _ in cents) + ")")
+    dists = F.transform(
+        clit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    step = df.select("vec_id", "embedding", dists.alias("dists"))
+    idx = F.array_position(F.col("dists"), F.array_min(F.col("dists"))).cast("int")
+    return step.select(
+        "vec_id",
+        "embedding",
+        F.element_at(cid_lit, idx).alias("cid"),
+        F.element_at(F.col("dists"), idx).alias("dist"),
+    )
+
+
+@register(
+    "kmeans_codebook",
+    oracle=_kmeans_oracle(),
+    doc=(
+        "Distributed Lloyd k-means (2 assignment rounds, K=8, seeded "
+        "from the first K vectors): trains the IVF coarse-quantizer "
+        "codebook. Assignment = broadcast-codebook map pass (squared-L2 "
+        "as one JVM fold per centroid, argmin + lowest-cid tiebreak); "
+        "update = posexplode -> (cid, dim) partial-aggregated sum with "
+        "the repo's round-to-DECIMAL(18,6)-before-sum convention, then "
+        "collect of the K x 64 codebook ONLY (plan constants, the MLlib "
+        "shape — corpus rows never reach the driver). Empty clusters "
+        "drop (both engines). Oracle = the same two rounds unrolled as "
+        "CTEs with an identical sequential fold, so distances are "
+        "bit-identical and the final rollup hash-matches exactly."
+    ),
+)
+def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    init = (
+        emb.where(F.col("vec_id") < KM_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+    for _ in range(KM_ITERS - 1):
+        a = _km_assign(emb, cents)
+        upd = (
+            a.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("cval")
+            )
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in upd:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cval"])
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    final = _km_assign(emb, cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(
+                F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_dist"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "n_vectors",
+            "min_vec_id",
+            "avg_dist",
+        )
+        .orderBy("cluster_id")
+    )
