@@ -640,3 +640,80 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+LIFT_MIN_COUNT = 5
+LIFT_TOP = 5
+
+
+@register(
+    "label_top_terms",
+    oracle=f"""
+WITH d AS (
+  SELECT e.label, UNNEST({_TOKS}) AS tok
+  FROM documents JOIN embeddings e ON doc_id = e.vec_id
+),
+c AS (SELECT label, tok, COUNT(*) AS n FROM d GROUP BY 1, 2),
+l AS (SELECT label, SUM(n) AS label_toks FROM c GROUP BY label),
+t AS (SELECT tok, SUM(n) AS tok_total FROM c GROUP BY tok),
+scored AS (
+  SELECT c.label, c.tok, c.n,
+         ROUND(CAST(c.n * (SELECT SUM(n) FROM c) AS DOUBLE)
+               / (l.label_toks * t.tok_total), 4) AS lift
+  FROM c JOIN l USING (label) JOIN t USING (tok)
+  WHERE c.n >= {LIFT_MIN_COUNT}
+),
+r AS (SELECT label, tok, n, lift,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY lift DESC, n DESC, tok) AS rank
+      FROM scored)
+SELECT CAST(label AS BIGINT) AS label, tok, n, lift, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {LIFT_TOP} ORDER BY label, rank
+""",
+    doc=(
+        "Distinctive terms per embedding label (cluster labeling): lift "
+        "= in-label relative term frequency over corpus relative "
+        "frequency, min-count filtered, top-5 per label. The numerator "
+        "and denominator are exact integer products folded into ONE "
+        "double division before rounding, so a distributed run and the "
+        "single-threaded oracle agree bit-for-bit. Shuffles: the "
+        "doc->label join keys on id; term counts are map-side combined "
+        "on (label, tok); lift joins run over the vocab-sized counts "
+        "table, never corpus rows (SURVEY §2.L)."
+    ),
+)
+def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    d = docs.join(emb, "doc_id").select("label", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    c = d.groupBy("label", "tok").agg(F.count("*").alias("n"))
+    l = c.groupBy("label").agg(F.sum("n").alias("label_toks"))
+    t = c.groupBy("tok").agg(F.sum("n").alias("tok_total"))
+    n_all = c.agg(F.sum("n").alias("n_all"))
+    scored = (
+        c.where(F.col("n") >= LIFT_MIN_COUNT)
+        .join(F.broadcast(l), "label")
+        .join(t, "tok")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "label",
+            "tok",
+            "n",
+            F.round(
+                (F.col("n") * F.col("n_all")).cast("double")
+                / (F.col("label_toks") * F.col("tok_total")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("lift"), F.desc("n"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LIFT_TOP)
+        .select(F.col("label").cast("bigint").alias("label"), "tok", "n", "lift", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("label", "rank")
+    )
