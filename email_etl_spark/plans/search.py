@@ -1203,3 +1203,93 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+OUTLIER_TOP = 10
+
+
+def _outlier_oracle() -> str:
+    dist = _km_dist_sql("e.v", "c.v")
+    return f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cf AS (
+  SELECT label, d.i AS dim,
+         ROUND(CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+  FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+  GROUP BY label, d.i
+),
+c AS (SELECT label, list(cval ORDER BY dim) AS v FROM cf GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, ROUND({dist}, 4) AS center_dist
+  FROM e JOIN c ON e.label = c.label
+)
+SELECT vec_id, label, center_dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY center_dist DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY center_dist DESC, vec_id LIMIT {OUTLIER_TOP}
+"""
+
+
+@register(
+    "embedding_outliers",
+    oracle=_outlier_oracle(),
+    doc=(
+        "Embedding-QA outlier report: the top-10 vectors farthest "
+        "from their own label centroid (mislabel / corrupt-vector "
+        "detection before training). Centroids use the "
+        "round-to-DECIMAL(18,6)-before-sum convention and are collected "
+        "as the per-label codebook (plan constants — same MLlib shape as "
+        "kmeans_codebook); distances are the bit-identical sequential "
+        "L2 fold; global top-N is TakeOrderedAndProject, so every task "
+        "returns at most N rows."
+    ),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cf = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cval")
+        )
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cf:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cval"])
+    cents = [
+        (lbl, [dims[p] for p in sorted(dims)]) for lbl, dims in sorted(by_label.items())
+    ]
+    # per-label centroid lookup via map literal keyed by label
+    centmap = F.expr(
+        "map("
+        + ",".join(
+            f"{lbl}, array(" + ",".join(f"{v!r}D" for v in vec) + ")"
+            for lbl, vec in cents
+        )
+        + ")"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(centmap, F.col("label").cast("int")),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.select("vec_id", "label", F.round(dist, 4).alias("center_dist"))
+    # global top-N first (TakeOrderedAndProject: each task returns <=N
+    # rows), THEN rank the surviving N — the global row_number window
+    # never sees the corpus
+    top = scored.orderBy(F.desc("center_dist"), "vec_id").limit(OUTLIER_TOP)
+    w = Window.orderBy(F.desc("center_dist"), "vec_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .orderBy(F.desc("center_dist"), "vec_id")
+    )
