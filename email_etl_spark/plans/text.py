@@ -717,3 +717,89 @@ def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("bigint").alias("label"), "tok", "n", "lift", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("label", "rank")
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+uni AS (SELECT UNNEST(toks) AS w FROM t),
+cu AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+tot AS (SELECT (SELECT SUM(n_ab) FROM cb) AS b_total, (SELECT SUM(n_w) FROM cu) AS n_total),
+scored AS (
+  SELECT cb.w1 || ' ' || cb.w2 AS gram, cb.n_ab,
+         ROUND(ln(CAST(cb.n_ab AS DOUBLE) * tot.n_total * tot.n_total
+                  / (tot.b_total * a.n_w * b.n_w)), 4) AS pmi
+  FROM cb
+  JOIN cu a ON cb.w1 = a.w
+  JOIN cu b ON cb.w2 = b.w
+  CROSS JOIN tot
+  WHERE cb.n_ab >= {PMI_MIN_COUNT}
+)
+SELECT gram, CAST(n_ab AS BIGINT) AS n_ab, pmi
+FROM scored ORDER BY pmi DESC, gram LIMIT {PMI_TOP}
+""",
+    doc=(
+        "Bigram pointwise mutual information, top-20 collocations with a "
+        "min-count floor (phrase mining / tokenizer-merge candidates). "
+        "PMI folds the exact integer counts into ONE double expression "
+        "(n_ab*N^2 / (B*n_a*n_b)) before the single ln + round, so "
+        "parallelism cannot reorder the arithmetic. Bigram and unigram "
+        "counts are map-side combined; the PMI joins run over the "
+        "vocab-sized count tables; corpus totals broadcast as 1-row "
+        "aggregates; final top-20 is TakeOrderedAndProject."
+    ),
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+        ),
+    )
+    bi = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    cu = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    tot = cb.agg(F.sum("n_ab").alias("b_total")).crossJoin(
+        cu.agg(F.sum("n_w").alias("n_total"))
+    )
+    a = cu.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = cu.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    scored = (
+        cb.where(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_total")
+                    * F.col("n_total")
+                    / (F.col("b_total") * F.col("n_a") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "gram").limit(PMI_TOP)
