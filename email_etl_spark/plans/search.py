@@ -1293,3 +1293,92 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy(F.desc("center_dist"), "vec_id")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    toks = _TOKS_SQL
+    tf = {t: f"len(list_filter(toks, x -> x = '{t}'))" for t in QUERY_TERMS}
+    dfs = ", ".join(
+        f"SUM(CASE WHEN {tf[t]} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in QUERY_TERMS
+    )
+    # dl/avgdl folded to (dl*n_total)/sum_dl: exact integer products, ONE
+    # double division — same op tree as the Spark side
+    norm = "(0.25 + 0.75 * (CAST(dl * n_total AS DOUBLE) / sum_dl))"
+    per_term = " + ".join(
+        f"CASE WHEN {tf[t]} > 0 THEN "
+        f"ln(1.0 + (CAST(n_total - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ({tf[t]} * 2.2) / ({tf[t]} + 1.2 * {norm}) ELSE 0.0 END"
+        for t in QUERY_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks, len({toks}) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_total, SUM(dl) AS sum_dl, {dfs} FROM t)
+SELECT doc_id, ROUND({per_term}, 4) AS bm25
+FROM t CROSS JOIN stats
+WHERE {per_term} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "bm25_search",
+    oracle=_bm25_oracle(),
+    doc=(
+        "BM25-ranked search over the fixed query terms (k1=1.2, b=0.75) "
+        "— the standard lexical ranker a production search deployment "
+        "uses where ts_rank/TF-IDF fall short. Same two-pass shape as "
+        "tfidf_search: one aggregate computes N, sum(dl) and per-term "
+        "document frequencies, broadcast back over the scan; dl/avgdl "
+        "is folded to (dl*N)/sum_dl so exact integer products feed ONE "
+        "double division per doc and both engines share the op tree "
+        "bit-for-bit. Top-20 via TakeOrderedAndProject."
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    def eq(term):
+        return lambda x: x == term
+
+    tf_cols = {t: F.size(F.filter(F.col("toks"), eq(t))) for t in QUERY_TERMS}
+    with_tf = toks_df.select(
+        "doc_id", "dl", *[tf.alias(f"tf_{t}") for t, tf in tf_cols.items()]
+    )
+    stats = with_tf.agg(
+        F.count("*").alias("n_total"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    norm = F.lit(0.25) + F.lit(0.75) * (
+        (F.col("dl") * F.col("n_total")).cast("double") / F.col("sum_dl")
+    )
+    score = None
+    for t in QUERY_TERMS:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_total") - F.col(f"df_{t}")).cast("double") + F.lit(0.5))
+            / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        )
+        term_score = F.when(
+            tf > 0, idf * (tf * F.lit(2.2)) / (tf + F.lit(1.2) * norm)
+        ).otherwise(F.lit(0.0))
+        score = term_score if score is None else score + term_score
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .where(score > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
