@@ -63,6 +63,7 @@ _GATE_ORDER = (
     "embedding_outliers",
     "cooccurrence_pmi",
     "bm25_search",
+    "pca_power_top1",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -86,7 +87,6 @@ _GATE_ORDER = (
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dup_rate_by_source",
     # positions 51+: r1/r2-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the
     # committed record).

@@ -1382,3 +1382,114 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration for the top principal direction of the embedding
+# cloud (uncentred — the dominant variance axis). Two UNNORMALIZED
+# matrix-vector rounds: v_{k+1} = A^T (A v_k). Skipping inter-round
+# normalization sidesteps any driver-side rounding: the only values
+# that cross rounds are exact DECIMAL sums cast to double (correctly
+# rounded in both engines), and the final normalize+round runs inside
+# the engines themselves.
+# ---------------------------------------------------------------------------
+
+_PCA_V0 = 0.125  # uniform unit start: 64 dims of 1/8 -> norm 1
+
+
+def _pca_dot_sql(vexpr: str, cexpr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> {vexpr}[i] * ({cexpr})[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _pca_oracle() -> str:
+    v0 = "[" + ", ".join(str(_PCA_V0) for _ in range(EMB_DIM)) + "]::DOUBLE[]"
+    return f"""
+WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+p1 AS (SELECT v, {_pca_dot_sql('v', v0)} AS s FROM e),
+m1 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p1 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c1 AS (SELECT list(m ORDER BY dim) AS v1 FROM m1),
+p2 AS (SELECT e.v, {_pca_dot_sql('e.v', 'c1.v1')} AS s FROM e CROSS JOIN c1),
+m2 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p2 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c2 AS (SELECT list(m ORDER BY dim) AS v2 FROM m2),
+n AS (
+  SELECT v2,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v2, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM c2
+)
+SELECT CAST(d.i AS BIGINT) AS dim, ROUND(v2[d.i] / nrm, 6) AS loading
+FROM n CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+ORDER BY dim
+"""
+
+
+@register(
+    "pca_power_top1",
+    oracle=_pca_oracle(),
+    doc=(
+        "Top principal direction of the embedding cloud via two "
+        "distributed power-iteration rounds (uncentred Gram matrix, "
+        "uniform unit start). Each round is one broadcast-vector map "
+        "pass (sequential dot fold) + a posexplode (dim) partial "
+        "aggregate with round-to-DECIMAL(18,6)-before-sum; only the "
+        "64-value iterate crosses rounds (plan constants). Final "
+        "normalization + rounding happens inside the engine from the "
+        "dim-sorted array, so no driver arithmetic touches the result. "
+        "The oracle unrolls both rounds with identical fold order — "
+        "loadings hash-match exactly."
+    ),
+)
+def pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+
+    def mv_pass(vec_lit: list) -> DataFrame:
+        """One A^T(A v) round: s = x . v per row, then per-dim exact sums."""
+        vlit = F.expr("array(" + ",".join(f"{v!r}D" for v in vec_lit) + ")")
+        s = F.aggregate(
+            F.zip_with(F.col("embedding"), vlit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            emb.select(F.posexplode("embedding").alias("pos", "x"), s.alias("s"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.round(F.col("x").cast("double") * F.col("s"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("m")
+            )
+            .select((F.col("pos") + 1).alias("dim"), "m")
+        )
+
+    m1 = mv_pass([_PCA_V0] * EMB_DIM).orderBy("dim").collect()
+    v1 = [float(r["m"]) for r in m1]
+    m2 = mv_pass(v1)
+    # engine-side normalize + round over the dim-sorted 64-value array
+    packed = m2.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("sm")
+    ).select(F.transform("sm", lambda s: s["m"]).alias("v2"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v2", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    return (
+        packed.select(
+            F.posexplode(F.transform("v2", lambda x: F.round(x / nrm, 6))).alias(
+                "pos", "loading"
+            )
+        )
+        .select((F.col("pos") + 1).cast("bigint").alias("dim"), "loading")
+        .orderBy("dim")
+    )
