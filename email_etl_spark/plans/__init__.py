@@ -64,6 +64,8 @@ _GATE_ORDER = (
     "cooccurrence_pmi",
     "bm25_search",
     "pca_power_top1",
+    "dedup_keep_best",
+    "anomaly_zscore",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -84,8 +86,6 @@ _GATE_ORDER = (
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
     # positions 51+: r1/r2-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the

@@ -670,3 +670,93 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _quality_sql_fragment() -> str:
+    """The quality_score oracle expression (plans/text.py), reused so
+    keep-best decisions hash-match the standalone quality query."""
+    from email_etl_spark.plans.text import _PUNCT, _stop_sql
+
+    return (
+        "ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)), 4)"
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=None,  # assembled below (needs text helpers at import time)
+    doc=(
+        "Curation keep-best: inside every transitive near-dup cluster "
+        "keep the highest-quality member (quality tie -> lowest doc_id). "
+        "The step after dedup_clusters in a real pipeline: clusters from "
+        "the LSH bucket path + min-label propagation, quality from the "
+        "shared heuristic, one window per cluster. Oracle composes the "
+        "recursive-CTE closure with the same quality expression "
+        "(SURVEY §2.E)."
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from email_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    m = comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).join(
+        q, "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("best_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    pairs = "(" + _pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "") + ")"
+    return f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS {pairs},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+),
+clusters AS (SELECT node AS doc_id, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT doc_id, {_quality_sql_fragment()} AS quality FROM documents),
+m AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       COUNT(*) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN quality END) AS best_quality
+FROM m GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+# late-bind the oracle (reuses plans.text SQL fragments; building it at
+# decoration time would be an import cycle) — same pattern as
+# curation_funnel
+from email_etl_spark.plans.registry import REGISTRY as _R  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_R["dedup_keep_best"] = _dc.replace(_R["dedup_keep_best"], oracle=_keep_best_oracle())

@@ -323,3 +323,64 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+Z_FLAG = 2.0  # |z| threshold for an anomalous day
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS nd, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+       ROUND(CAST(d.n * s.nd - s.s1 AS DOUBLE)
+             / sqrt(CAST(s.nd * s.s2 - s.s1 * s.s1 AS DOUBLE)), 4) AS z
+FROM d JOIN s USING (event_type)
+WHERE s.nd * s.s2 - s.s1 * s.s1 > 0
+  AND ABS(CAST(d.n * s.nd - s.s1 AS DOUBLE)
+          / sqrt(CAST(s.nd * s.s2 - s.s1 * s.s1 AS DOUBLE))) >= {Z_FLAG}
+ORDER BY event_type, day
+""",
+    doc=(
+        "Daily-volume anomaly detection per event type (ops monitoring "
+        "over the audit stream): days whose count deviates >= 2 "
+        "population-sigma from that type's mean. The z-score is pure "
+        "integer algebra until the last two ops — z = (n*N - S1) / "
+        "sqrt(N*S2 - S1^2) with exact BIGINT sums — so a distributed "
+        "aggregation and the single-threaded oracle agree bit-for-bit "
+        "(at counts beyond ~3e9/day switch the sums to DECIMAL; the "
+        "shape is unchanged). Two map-side-combined aggregations, the "
+        "per-type stats broadcast back over the tiny daily table."
+    ),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = d.join(F.broadcast(s), "event_type")
+    num = (F.col("n") * F.col("nd") - F.col("s1")).cast("double")
+    den2 = F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = num / F.sqrt(den2.cast("double"))
+    return (
+        j.where((den2 > 0) & (F.abs(z) >= Z_FLAG))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
