@@ -66,6 +66,8 @@ _GATE_ORDER = (
     "pca_power_top1",
     "dedup_keep_best",
     "anomaly_zscore",
+    "length_deciles",
+    "source_overlap",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -82,10 +84,8 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "tfidf_search",
-    "q1_pricing_summary",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
     "dedup_clusters",
     # positions 51+: r1/r2-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the

@@ -803,3 +803,107 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "gram").limit(PMI_TOP)
+
+
+@register(
+    "length_deciles",
+    oracle=f"""
+WITH t AS (SELECT lang, doc_id, len({_TOKS}) AS n FROM documents),
+d AS (SELECT lang, n, NTILE(10) OVER (PARTITION BY lang ORDER BY n, doc_id) AS decile FROM t)
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       MIN(n) AS min_tokens,
+       MAX(n) AS max_tokens,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM d GROUP BY 1, 2 ORDER BY lang, decile
+""",
+    doc=(
+        "Token-length deciles per language (curriculum/packing planning: "
+        "which length bands hold the tokens). NTILE over (n, doc_id) — "
+        "the doc_id tiebreak makes band boundaries deterministic, so "
+        "both engines cut identical deciles. One window shuffle on "
+        "lang; at 100 TB swap NTILE for approx quantile cuts and "
+        "broadcast the boundaries (shape unchanged)."
+    ),
+)
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "doc_id", T.token_count(F.col("text")).alias("n"))
+    w = Window.partitionBy("lang").orderBy("n", "doc_id")
+    d = t.withColumn("decile", F.ntile(10).over(w))
+    return (
+        d.groupBy("lang", F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+@register(
+    "source_overlap",
+    oracle="""
+WITH f AS (
+  SELECT DISTINCT source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+per_src AS (SELECT source, COUNT(*) AS n_fp FROM f GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / (pa.n_fp + pb.n_fp - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN per_src pa ON i.src_a = pa.source
+JOIN per_src pb ON i.src_b = pb.source
+WHERE i.n_common >= 1
+ORDER BY jaccard DESC, src_a, src_b
+""",
+    doc=(
+        "Pairwise source content overlap (mirror / re-crawl detection "
+        "before mixture weighting): Jaccard of the sources' distinct "
+        "content-fingerprint sets. The pair space is generated by a "
+        "self-join ON THE FINGERPRINT KEY — only fingerprints shared by "
+        "2+ sources ever pair up, so the join output is bounded by true "
+        "co-occurrence, never |sources|^2 x corpus. Exact integer "
+        "intersection/union folded into one double division. At 100 TB "
+        "the fp self-join partitions by fingerprint hash like any "
+        "equality join; hot boilerplate fingerprints salt via "
+        "operators/skew.py."
+    ),
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", T.fingerprint(F.col("text")).alias("fp")).distinct()
+    per_src = f.groupBy("source").agg(F.count("*").alias("n_fp"))
+    a, b = f.alias("a"), f.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    pa = per_src.select(F.col("source").alias("src_a"), F.col("n_fp").alias("n_a"))
+    pb = per_src.select(F.col("source").alias("src_b"), F.col("n_fp").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+    )
