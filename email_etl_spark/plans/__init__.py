@@ -68,6 +68,8 @@ _GATE_ORDER = (
     "anomaly_zscore",
     "length_deciles",
     "source_overlap",
+    "dup_graph_degrees",
+    "retention_cohorts",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",
@@ -84,7 +86,6 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "tfidf_search",
-    "dedup_exact",
     "dedup_minhash",
     "dedup_clusters",
     # positions 51+: r1/r2-driver-passed queries rotate past the window

@@ -760,3 +760,46 @@ from email_etl_spark.plans.registry import REGISTRY as _R  # noqa: E402
 import dataclasses as _dc  # noqa: E402
 
 _R["dedup_keep_best"] = _dc.replace(_R["dedup_keep_best"], oracle=_keep_best_oracle())
+
+
+@register(
+    "dup_graph_degrees",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       COUNT(*) AS n_docs,
+       CAST(MIN(node) AS BIGINT) AS example_doc
+FROM deg GROUP BY degree ORDER BY degree
+""",
+    doc=(
+        "Near-dup graph degree distribution (template/boilerplate HUB "
+        "detection: a doc near-duplicating many others is a template, "
+        "not an accident). Pairs come from the same LSH bucket path as "
+        "dedup_minhash; degrees are one union + map-side-combined "
+        "count; the histogram is a second tiny aggregate. Heavy hubs "
+        "are exactly the skewed keys operators/skew.py salts at scale "
+        "(SURVEY §2.E)."
+    ),
+)
+def dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("bigint").alias("degree"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("node").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("degree")
+    )

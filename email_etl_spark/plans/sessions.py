@@ -384,3 +384,69 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+),
+m AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, a.week) AS BIGINT) AS week_offset,
+         a.user_id
+  FROM firsts f JOIN active a USING (user_id)
+),
+sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+SELECT m.cohort_week, m.week_offset,
+       COUNT(DISTINCT m.user_id) AS n_active,
+       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+       CAST(COUNT(DISTINCT m.user_id) * 10000 // sz.cohort_size AS BIGINT) AS retention_bps
+FROM m JOIN sz USING (cohort_week)
+GROUP BY m.cohort_week, m.week_offset, sz.cohort_size
+ORDER BY m.cohort_week, m.week_offset
+""",
+    doc=(
+        "Weekly cohort retention matrix (signup-week x weeks-since): "
+        "the standard engagement triangle. First-seen week per user is "
+        "one groupBy; the matrix is a distinct-activity join back on "
+        "user_id; retention is exact-integer bps so the distributed run "
+        "hash-matches the oracle. date_trunc('week') is Monday-anchored "
+        "in both engines (SURVEY §2.H/§L)."
+    ),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    # week_offset via integer day arithmetic on the truncated stamps
+    m = firsts.join(active, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sz = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        m.join(F.broadcast(sz), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.expr("(n_active * 10000L) div cohort_size").cast("bigint").alias("retention_bps"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
