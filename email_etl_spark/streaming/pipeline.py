@@ -163,3 +163,57 @@ def error_context_join(errors: DataFrame, actions: DataFrame) -> DataFrame:
         & (F.col("action_ts") >= F.col("error_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("action_ts") < F.col("error_ts")),
     ).select("error_id", "e_user", "error_ts", "action_type", "action_ts")
+
+
+def run_upsert_stream(
+    events: DataFrame, store_dir: str, checkpoint_dir: str, key: str = "user_id"
+) -> None:
+    """Streaming keyed UPSERT via foreachBatch — the streaming twin of
+    the reference's INSERT ... ON CONFLICT keep-latest (upsert by
+    message_id, src/database.py:84-130) and of the batch
+    `upsert_latest` query.
+
+    Each micro-batch: reduce the batch to its latest row per key
+    (window by ts desc), merge against the current store with a
+    full-outer keep-latest, atomically replace the store. On a real
+    deployment the store is a Delta/Iceberg table and the merge is
+    `MERGE INTO` (partition-pruned, no full rewrite); plain parquet
+    here keeps the container dependency-free while exercising the
+    identical foreachBatch seam and merge semantics. availableNow
+    makes the same code a bounded backfill runner."""
+    import os
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        )
+        if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)
+        ):
+            cur = spark.read.parquet(store_dir)
+            merged = (
+                cur.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        # stage-then-swap: foreachBatch may retry a batch, so the write
+        # must be idempotent — never append
+        staged = merged.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(store_dir)
+        staged.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

@@ -1,0 +1,65 @@
+"""foreachBatch streaming upsert: latest-row-per-key store semantics
+must match the batch upsert (reference INSERT ... ON CONFLICT,
+src/database.py:84-130)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from email_etl_spark.streaming.pipeline import events_stream, run_upsert_stream
+
+
+def _write_drop(spark, src_dir: str, rows, name: str) -> None:
+    """Materialize one parquet FILE into the watched directory (the
+    file stream source lists files, not nested dataset dirs)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    stage = os.path.join(src_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(stage)
+
+
+def test_upsert_stream_keeps_latest_per_key(spark, tmp_path):
+    src = str(tmp_path / "drops")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(s)
+    _write_drop(
+        spark,
+        src,
+        [
+            (1, t("2024-01-01T10:00:00"), 7, "login", 1.0, "{}"),
+            (2, t("2024-01-01T11:00:00"), 7, "click", 2.0, "{}"),
+            (3, t("2024-01-01T09:00:00"), 8, "login", 3.0, "{}"),
+        ],
+        "d1",
+    )
+    run_upsert_stream(events_stream(spark, src), store, ck, key="user_id")
+    got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(store).collect()}
+    assert got == {7: 2, 8: 3}  # latest ts per key wins
+
+    # second drop: newer row for 7, older (late) row for 8, new key 9
+    _write_drop(
+        spark,
+        src,
+        [
+            (4, t("2024-01-01T12:00:00"), 7, "buy", 4.0, "{}"),
+            (5, t("2024-01-01T08:00:00"), 8, "stale", 5.0, "{}"),
+            (6, t("2024-01-01T10:30:00"), 9, "login", 6.0, "{}"),
+        ],
+        "d2",
+    )
+    run_upsert_stream(events_stream(spark, src), store, ck, key="user_id")
+    got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(store).collect()}
+    # 7 upgraded to the newer row, 8 kept (late row loses), 9 inserted
+    assert got == {7: 4, 8: 3, 9: 6}
