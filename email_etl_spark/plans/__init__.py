@@ -70,6 +70,7 @@ _GATE_ORDER = (
     "source_overlap",
     "dup_graph_degrees",
     "retention_cohorts",
+    "salted_topk_users",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

@@ -450,3 +450,51 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "salted_topk_users",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+    doc=(
+        "Top-20 users by event volume THROUGH the two-phase salted "
+        "aggregation (operators/skew.py): shuffle 1 spreads every key "
+        "over 16 (key, salt) reducers, shuffle 2 re-aggregates the tiny "
+        "partial table — the remedy for hot keys (bulk senders, viral "
+        "threads) at 100 TB. The oracle is the PLAIN group-by: salting "
+        "must be observationally invisible, and the value sum goes "
+        "through exact DECIMAL so reassociation cannot shift a bit. "
+        "Top-20 via TakeOrderedAndProject."
+    ),
+)
+def salted_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_agg(
+        ev,
+        "user_id",
+        {
+            "n_events": ("sum", F.count("*")),
+            "total_value": (
+                "sum",
+                F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")),
+            ),
+        },
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
