@@ -68,3 +68,31 @@ def test_range_join_equality_form(spark):
     # the binned form must run as an equality hash join on (user, bin)
     plan = plan_of(spark, "range_join_count")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_dedup_bucket_join(spark):
+    # repeated-shingle discovery must be a key join, never a pair scan
+    plan = plan_of(spark, "dedup_substring")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shard_plan_bounded_windows(spark):
+    # two-level prefix sum: windows exist, but no cartesian/BNL and the
+    # cross-bucket offsets arrive via broadcast
+    plan = plan_of(spark, "shard_plan")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_overlap_key_join(spark):
+    # the pair space must come from the fingerprint-key self-join
+    plan = plan_of(spark, "source_overlap")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_salted_topk_two_phase(spark):
+    # both aggregation phases present and the result is a top-N, not a
+    # global sort
+    plan = plan_of(spark, "salted_topk_users")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 phases
