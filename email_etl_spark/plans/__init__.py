@@ -71,6 +71,7 @@ _GATE_ORDER = (
     "dup_graph_degrees",
     "retention_cohorts",
     "salted_topk_users",
+    "ann_multiprobe",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

@@ -1493,3 +1493,102 @@ def pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("pos") + 1).cast("bigint").alias("dim"), "loading")
         .orderBy("dim")
     )
+
+
+def _hamming1_sql(t: int) -> str:
+    """DuckDB: hamming distance between corpus and query signature t."""
+    return (
+        f"list_reduce(list_prepend(0, list_transform(range(1, {LSH_BITS} + 1), "
+        f"i -> CASE WHEN substr(e.sig{t}, i, 1) <> substr(q.sig{t}, i, 1) "
+        f"THEN 1 ELSE 0 END)), (a, b) -> a + b) <= 1"
+    )
+
+
+def _ann_multiprobe_oracle() -> str:
+    sig_cols = ", ".join(f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES))
+    collide = " OR ".join(_hamming1_sql(t) for t in range(LSH_TABLES))
+    return f"""
+WITH sigs AS (SELECT vec_id, label, embedding, {sig_cols} FROM embeddings),
+q AS (SELECT * FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT e.vec_id, e.label,
+         {_COS.format(a="e.embedding", b="q.embedding")} AS similarity
+  FROM sigs e CROSS JOIN q
+  WHERE e.vec_id <> q.vec_id AND ({collide})
+)
+SELECT vec_id, label, similarity FROM cand
+ORDER BY similarity DESC, vec_id LIMIT 5
+"""
+
+
+@register(
+    "ann_multiprobe",
+    oracle=_ann_multiprobe_oracle(),
+    doc=(
+        "Multi-probe sign-LSH ANN — the fix ann_recall_eval points at: "
+        "besides the query's own bucket, probe every Hamming-1 neighbor "
+        "bucket (9 keys per table x 4 tables = 36 probe keys, plan "
+        "constants derived driver-side from the SAME md5 hyperplanes "
+        "with the same sequential fold, so keys are bit-identical to "
+        "engine signatures). Candidate discovery stays a pure EQUALITY "
+        "join on (table, signature) — multi-probe multiplies probe KEYS, "
+        "never scanned rows, so the 100 TB story is unchanged: read 36 "
+        "buckets instead of 4 (SURVEY §2.F)."
+    ),
+)
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
+        "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
+    # query signatures recomputed driver-side: same planes, same
+    # sequential fold order (0.0 + x0*y0 + ...) -> bit-identical bits
+    qvec = _LIT_CACHE.get(("qvec_list", sf_dir))
+    if qvec is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .first()
+        )
+        qvec = [float(x) for x in row[0]]
+        _LIT_CACHE[("qvec_list", sf_dir)] = qvec
+    probes = []
+    for t in range(LSH_TABLES):
+        acc_bits = []
+        for j in range(LSH_BITS):
+            dot = 0.0
+            for d in range(EMB_DIM):
+                dot = dot + qvec[d] * float(_PLANES[t][j][d])
+            acc_bits.append("1" if dot >= 0 else "0")
+        key = "".join(acc_bits)
+        probes.append((t, key))
+        for j in range(LSH_BITS):  # all Hamming-1 neighbors
+            flipped = key[:j] + ("0" if key[j] == "1" else "1") + key[j + 1 :]
+            probes.append((t, flipped))
+    probe_df = spark.createDataFrame(probes, "t int, key string")
+    cand_ids = (
+        buckets.join(F.broadcast(probe_df), ["t", "key"])
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    qlit = F.expr("array(" + ",".join(f"{x!r}D" for x in qvec) + ")")
+    return (
+        F.broadcast(cand_ids)
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), qlit).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(5)
+    )
