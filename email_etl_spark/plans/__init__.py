@@ -72,6 +72,7 @@ _GATE_ORDER = (
     "retention_cohorts",
     "salted_topk_users",
     "ann_multiprobe",
+    "hybrid_search_rrf",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

@@ -1592,3 +1592,88 @@ def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(5)
     )
+
+
+RRF_K = 60
+RRF_DEPTH = 50
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+t AS (
+  SELECT d.doc_id, {_TOKS_SQL} AS toks, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           ORDER BY {_COS.format(a="t.embedding", b="q.embedding")} DESC, doc_id) AS r
+  FROM t CROSS JOIN q
+),
+txt AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {_TERM_RANK_SQL} DESC, doc_id) AS r
+  FROM t WHERE {_TERM_RANK_SQL} > 0
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, x.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_K} + s.r), 0) + COALESCE(1.0 / ({RRF_K} + x.r), 0), 6) AS rrf
+  FROM (SELECT * FROM sem WHERE r <= {RRF_DEPTH}) s
+  FULL OUTER JOIN (SELECT * FROM txt WHERE r <= {RRF_DEPTH}) x ON s.doc_id = x.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_rrf_oracle(),
+    doc=(
+        "Reciprocal-rank-fusion hybrid search — the modern alternative "
+        "to the reference's 0.7/0.3 weighted blend: each retriever "
+        "(cosine, term rank) contributes 1/(60+rank) from its top-50, "
+        "summed over a full-outer doc join. Ranks are computed AFTER a "
+        "TakeOrderedAndProject depth cut, so the rank window only ever "
+        "sees 50 rows — no global single-reducer sort at any corpus "
+        "size. Integer ranks make the fused score two deterministic "
+        "divisions; rankings reuse the rounded-cosine/rank tiebreak "
+        "conventions (SURVEY §2.C)."
+    ),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).crossJoin(F.broadcast(q))
+
+    sem_top = (
+        joined.select(
+            "doc_id", cosine_rounded(F.col("embedding"), F.col("qvec")).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_sem = Window.orderBy(F.desc("sim"), "doc_id")
+    sem = sem_top.withColumn("r_sem", F.row_number().over(w_sem)).select("doc_id", "r_sem")
+
+    rank = _term_rank(F.col("text"))
+    txt_top = (
+        docs.select("doc_id", rank.alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_txt = Window.orderBy(F.desc("rank"), "doc_id")
+    txt = txt_top.withColumn("r_txt", F.row_number().over(w_txt)).select("doc_id", "r_txt")
+
+    fused = sem.join(txt, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_txt")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
