@@ -73,6 +73,7 @@ _GATE_ORDER = (
     "salted_topk_users",
     "ann_multiprobe",
     "hybrid_search_rrf",
+    "mmr_rerank",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

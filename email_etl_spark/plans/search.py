@@ -1677,3 +1677,119 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
+MMR_POOL = 20
+MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: sel_i = argmax(0.7*rel - 0.3*max-sim-to-
+    selected) over the remaining pool. rel/sim are DECIMAL(6,4) and the
+    lambda blend stays in decimal (the hybrid_search convention), so
+    every argmax compares exact values."""
+    cos_eq = _COS.format(a="e.embedding", b="q.embedding")
+    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    steps = []
+    sel_terms = ["SELECT vec_id FROM s1"]
+    for i in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(sel_terms)
+        steps.append(f"""
+m{i} AS (
+  SELECT va, MAX(sim) AS ms FROM sims
+  WHERE vb IN ({prev_sel}) GROUP BY va
+),
+s{i} AS (
+  SELECT c.vec_id, CAST(c.rel * 0.7 - m.ms * 0.3 AS DOUBLE) AS score
+  FROM cand c JOIN m{i} m ON c.vec_id = m.va
+  WHERE c.vec_id NOT IN ({prev_sel})
+  ORDER BY c.rel * 0.7 - m.ms * 0.3 DESC, c.vec_id LIMIT 1
+)""")
+        sel_terms.append(f"SELECT vec_id FROM s{i}")
+    union_out = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, score FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT e.vec_id, CAST({cos_eq} AS DECIMAL(6,4)) AS rel, e.embedding
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, CAST({cos_ab} AS DECIMAL(6,4)) AS sim
+  FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, CAST(rel AS DOUBLE) AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+{",".join(steps)}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, score FROM ({union_out}) ORDER BY rank
+"""
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=(
+        "Maximal-marginal-relevance re-rank: diversify the semantic "
+        "top-20 into 5 results (score = 0.7*relevance - 0.3*max-"
+        "similarity-to-already-selected). Candidate retrieval is the "
+        "distributed part (broadcast top-k); the greedy re-rank runs "
+        "over the 20-row pool with 20x20 pairwise cosines — the page-"
+        "local re-rank every production retrieval stack does. All "
+        "scores blend DECIMAL(6,4) operands in decimal (the "
+        "hybrid_search convention) so each greedy argmax compares exact "
+        "values; oracle unrolls the identical 5 steps (SURVEY §2.C)."
+    ),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    cand = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec"))
+            .cast("decimal(6,4)")
+            .alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+    ).cache()
+    a = cand.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            cosine_rounded(F.col("ea"), F.col("eb")).cast("decimal(6,4)").alias("sim"),
+        )
+    ).cache()
+    lam = F.lit("0.7").cast("decimal(2,1)")
+    lam_c = F.lit("0.3").cast("decimal(2,1)")
+    sel = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("rank"), "vec_id", F.col("rel").cast("double").alias("score"))
+    )
+    for i in range(2, MMR_K + 1):
+        sel_ids = sel.select("vec_id")
+        ms = (
+            sims.join(F.broadcast(sel_ids.withColumnRenamed("vec_id", "vb")), "vb")
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        nxt = (
+            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .join(F.broadcast(ms.withColumnRenamed("va", "vec_id")), "vec_id")
+            .select("vec_id", (F.col("rel") * lam - F.col("ms") * lam_c).alias("mmr"))
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .select(F.lit(i).alias("rank"), "vec_id", F.col("mmr").cast("double").alias("score"))
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select(F.col("rank").cast("bigint").alias("rank"), "vec_id", "score").orderBy("rank")
