@@ -21,13 +21,14 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 # Registration order is part of the external contract: correctness
 # harnesses that sample "the first N registered queries" must see the
-# headline surface first, not whatever alphabetical import order
-# happens to yield. The gate tier leads with the flagship search/ANN
-# family, sessions, temporal joins, and every query whose plan changed
-# or was newly added this round; long-tail queries that are already
-# parity-proven follow. approx_user_counts / approx_value_quantiles
-# are intentionally late: they have no SQL oracle by design (sketches),
-# so a hash gate can't check them anyway.
+# right tier first, not whatever alphabetical import order happens to
+# yield. Round-3 rotation policy: (1) every query that has never had
+# an external correctness row leads, (2) then the sketches (rows-only
+# by design), (3) then everything added or fixed this round, (4) then
+# the flagship search/ANN surface for continuous re-verification.
+# Long-tail queries already externally verified in r1/r2 rotate past
+# the window; ALL queries stay covered by the repo's own sweep
+# (scripts/sweep.py -> SWEEP.json) at both SFs every round.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # -- round-3 rotation: every query that has never had a driver
