@@ -76,6 +76,8 @@ _GATE_ORDER = (
     "hybrid_search_rrf",
     "mmr_rerank",
     "minhash_recall_eval",
+    "time_to_conversion",
+    "js_divergence",
     # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
     "sessionize",
     "range_join_count",

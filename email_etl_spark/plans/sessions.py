@@ -498,3 +498,51 @@ def salted_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "time_to_conversion",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT date_diff('second', s, p) AS delta_s
+  FROM firsts WHERE s IS NOT NULL AND p IS NOT NULL AND p > s
+)
+SELECT COUNT(*) AS n_converted,
+       MIN(delta_s) AS min_s,
+       CAST(ROUND(quantile_cont(delta_s, 0.5), 1) AS DOUBLE) AS p50_s,
+       CAST(ROUND(quantile_cont(delta_s, 0.9), 1) AS DOUBLE) AS p90_s,
+       MAX(delta_s) AS max_s
+FROM d
+""",
+    doc=(
+        "Conversion-latency profile: seconds from first signup to first "
+        "purchase per converting user, with exact interpolated "
+        "percentiles (the engagement-latency twin of conversion_funnel). "
+        "One user_id shuffle for the firsts pivot; deltas are exact "
+        "integer seconds (timestampdiff, NTZ-safe) so the percentile "
+        "interpolation runs on identical inputs in both engines."
+    ),
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    d = (
+        firsts.where(F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("s")))
+        .select((F.unix_timestamp("p") - F.unix_timestamp("s")).alias("delta_s"))
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 1).alias("p50_s"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 1).alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )

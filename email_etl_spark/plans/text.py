@@ -907,3 +907,103 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "src_a", "src_b")
     )
+
+
+def _jsd_sql() -> str:
+    # per-token terms: pa/m folds to 2*na*Nb/(na*Nb + nb*Na) — pure
+    # integer products inside one double division + one ln
+    ca = "CAST(na AS DOUBLE) / na_tot * ln(CAST(2 * na * nb_tot AS DOUBLE) / (na * nb_tot + nb * na_tot))"
+    cb = "CAST(nb AS DOUBLE) / nb_tot * ln(CAST(2 * nb * na_tot AS DOUBLE) / (nb * na_tot + na * nb_tot))"
+    return f"""
+WITH c AS (
+  SELECT source, UNNEST({_TOKS}) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, COUNT(*) AS n FROM c GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS n_tot FROM cnt GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb,
+         ta.n_tot AS na_tot, tb.n_tot AS nb_tot
+  FROM cnt a
+  JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+  JOIN tot ta ON a.source = ta.source
+  JOIN tot tb ON b.source = tb.source
+),
+agg AS (
+  SELECT src_a, src_b, na_tot, nb_tot,
+         SUM(CAST(ROUND({ca}, 9) AS DECIMAL(18,9))) AS sum_a,
+         SUM(CAST(ROUND({cb}, 9) AS DECIMAL(18,9))) AS sum_b,
+         SUM(na) AS sa, SUM(nb) AS sb
+  FROM shared GROUP BY 1, 2, 3, 4
+)
+SELECT src_a, src_b,
+       ROUND(0.5 * CAST(sum_a + sum_b AS DOUBLE)
+             + 0.5 * ln(2.0) * (CAST(na_tot - sa AS DOUBLE) / na_tot
+                                + CAST(nb_tot - sb AS DOUBLE) / nb_tot), 4) AS jsd
+FROM agg ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "js_divergence",
+    oracle=_jsd_sql(),
+    doc=(
+        "Jensen-Shannon divergence between every source pair's unigram "
+        "distribution (distribution-level mirror detection — the "
+        "statistical complement of source_overlap's exact-fingerprint "
+        "Jaccard). Per-token terms fold the probabilities into pure "
+        "integer products (2*na*Nb/(na*Nb+nb*Na)) so each is one "
+        "double division + one ln, rounded to DECIMAL(18,9) BEFORE the "
+        "distributed sum; tokens absent from one source contribute "
+        "their exact ln(2) mass via integer remainders (Na-SA)/Na — no "
+        "full-outer token join needed. Pair space is vocab-bounded by "
+        "the token-key join, never corpus-bounded (SURVEY §2.L)."
+    ),
+)
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cnt = c.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("n_tot"))
+    a = cnt.select(F.col("source").alias("src_a"), "tok", F.col("n").alias("na"))
+    b = cnt.select(F.col("source").alias("src_b"), "tok", F.col("n").alias("nb"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_tot").alias("na_tot"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_tot").alias("nb_tot"))
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+    )
+    ca = (
+        F.col("na").cast("double")
+        / F.col("na_tot")
+        * F.log(
+            (2 * F.col("na") * F.col("nb_tot")).cast("double")
+            / (F.col("na") * F.col("nb_tot") + F.col("nb") * F.col("na_tot"))
+        )
+    )
+    cb = (
+        F.col("nb").cast("double")
+        / F.col("nb_tot")
+        * F.log(
+            (2 * F.col("nb") * F.col("na_tot")).cast("double")
+            / (F.col("nb") * F.col("na_tot") + F.col("na") * F.col("nb_tot"))
+        )
+    )
+    agg = shared.groupBy("src_a", "src_b", "na_tot", "nb_tot").agg(
+        F.sum(F.round(ca, 9).cast("decimal(18,9)")).alias("sum_a"),
+        F.sum(F.round(cb, 9).cast("decimal(18,9)")).alias("sum_b"),
+        F.sum("na").alias("sa"),
+        F.sum("nb").alias("sb"),
+    )
+    jsd = F.round(
+        F.lit(0.5) * (F.col("sum_a") + F.col("sum_b")).cast("double")
+        + F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (
+            (F.col("na_tot") - F.col("sa")).cast("double") / F.col("na_tot")
+            + (F.col("nb_tot") - F.col("sb")).cast("double") / F.col("nb_tot")
+        ),
+        4,
+    )
+    return agg.select("src_a", "src_b", jsd.alias("jsd")).orderBy("src_a", "src_b")
