@@ -1659,8 +1659,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = sem_top.withColumn("r_sem", F.row_number().over(w_sem)).select("doc_id", "r_sem")
 
     rank = _term_rank(F.col("text"))
+    # Text leg ranks over the SAME docs-join-embeddings universe as the
+    # semantic leg (oracle CTE `t`) — a doc without an embedding row must
+    # not enter either retriever.  Semi-join keeps the text leg from
+    # carrying the embedding column through the rank sort.
+    docs_embedded = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
     txt_top = (
-        docs.select("doc_id", rank.alias("rank"))
+        docs_embedded.select("doc_id", rank.alias("rank"))
         .where(F.col("rank") > 0)
         .orderBy(F.desc("rank"), "doc_id")
         .limit(RRF_DEPTH)
