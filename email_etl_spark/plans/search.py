@@ -1687,7 +1687,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MMR_POOL = 20
-MMR_K = 5
+MMR_K = 10
 
 
 def _mmr_oracle() -> str:
@@ -1701,12 +1701,14 @@ def _mmr_oracle() -> str:
     sel_terms = ["SELECT vec_id FROM s1"]
     for i in range(2, MMR_K + 1):
         prev_sel = " UNION ALL ".join(sel_terms)
+        # MATERIALIZED: step i references s1..s{i-1} twice each — inlined,
+        # the unrolled plan expands exponentially in MMR_K.
         steps.append(f"""
-m{i} AS (
+m{i} AS MATERIALIZED (
   SELECT va, MAX(sim) AS ms FROM sims
   WHERE vb IN ({prev_sel}) GROUP BY va
 ),
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT c.vec_id, CAST(c.rel * 0.7 - m.ms * 0.3 AS DOUBLE) AS score
   FROM cand c JOIN m{i} m ON c.vec_id = m.va
   WHERE c.vec_id NOT IN ({prev_sel})
@@ -1718,17 +1720,17 @@ s{i} AS (
     )
     return f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
-cand AS (
+cand AS MATERIALIZED (
   SELECT e.vec_id, CAST({cos_eq} AS DECIMAL(6,4)) AS rel, e.embedding
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> {QUERY_VEC_ID}
   ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
 ),
-sims AS (
+sims AS MATERIALIZED (
   SELECT a.vec_id AS va, b.vec_id AS vb, CAST({cos_ab} AS DECIMAL(6,4)) AS sim
   FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id
 ),
-s1 AS (SELECT vec_id, CAST(rel AS DOUBLE) AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+s1 AS MATERIALIZED (SELECT vec_id, CAST(rel AS DOUBLE) AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
 {",".join(steps)}
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, score FROM ({union_out}) ORDER BY rank
 """
@@ -1740,16 +1742,22 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, score FROM ({union_out}) ORDER BY r
     doc=(
         "Maximal-marginal-relevance re-rank: diversify the semantic "
         "top-20 into 5 results (score = 0.7*relevance - 0.3*max-"
-        "similarity-to-already-selected). Candidate retrieval is the "
-        "distributed part (broadcast top-k); the greedy re-rank runs "
-        "over the 20-row pool with 20x20 pairwise cosines — the page-"
-        "local re-rank every production retrieval stack does. All "
-        "scores blend DECIMAL(6,4) operands in decimal (the "
-        "hybrid_search convention) so each greedy argmax compares exact "
-        "values; oracle unrolls the identical 5 steps (SURVEY §2.C)."
+        "similarity-to-already-selected). Candidate retrieval and the "
+        "20x20 pairwise cosines are the distributed part (broadcast "
+        "top-k, both computed by Spark expressions shared with the "
+        "oracle); the greedy argmax loop then runs over the COLLECTED "
+        "20-row pool as plan constants — the kmeans_codebook "
+        "convention — because a lazy per-step union would double the "
+        "plan at every iteration (round-3 audit: 803 exchanges at "
+        "K=5). Rel/sim stay DECIMAL(6,4) end-to-end and the greedy "
+        "blend runs in exact python Decimal, so each argmax compares "
+        "the same exact values as the oracle's unrolled steps "
+        "(SURVEY §2.C)."
     ),
 )
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
     cand = (
@@ -1775,28 +1783,28 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vb",
             cosine_rounded(F.col("ea"), F.col("eb")).cast("decimal(6,4)").alias("sim"),
         )
-    ).cache()
-    lam = F.lit("0.7").cast("decimal(2,1)")
-    lam_c = F.lit("0.3").cast("decimal(2,1)")
-    sel = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(F.lit(1).alias("rank"), "vec_id", F.col("rel").cast("double").alias("score"))
     )
+    # Bounded collects (MMR_POOL rows + MMR_POOL^2 pairs): the pool is a
+    # plan constant from here on, like the K x 64 kmeans codebook.
+    rel_by_id = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim_by_pair = {(r["va"], r["vb"]): r["sim"] for r in sims.collect()}
+    cand.unpersist()
+    lam, lam_c = Decimal("0.7"), Decimal("0.3")
+    first = min(rel_by_id, key=lambda v: (-rel_by_id[v], v))
+    selected = [(1, first, float(rel_by_id[first]))]
+    chosen = {first}
     for i in range(2, MMR_K + 1):
-        sel_ids = sel.select("vec_id")
-        ms = (
-            sims.join(F.broadcast(sel_ids.withColumnRenamed("vec_id", "vb")), "vb")
-            .groupBy("va")
-            .agg(F.max("sim").alias("ms"))
-        )
-        nxt = (
-            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
-            .join(F.broadcast(ms.withColumnRenamed("va", "vec_id")), "vec_id")
-            .select("vec_id", (F.col("rel") * lam - F.col("ms") * lam_c).alias("mmr"))
-            .orderBy(F.desc("mmr"), "vec_id")
-            .limit(1)
-            .select(F.lit(i).alias("rank"), "vec_id", F.col("mmr").cast("double").alias("score"))
-        )
-        sel = sel.unionByName(nxt)
-    return sel.select(F.col("rank").cast("bigint").alias("rank"), "vec_id", "score").orderBy("rank")
+        best = None
+        for v, rel in rel_by_id.items():
+            if v in chosen:
+                continue
+            ms = max(sim_by_pair[(v, s)] for s in chosen)
+            score = rel * lam - ms * lam_c
+            if best is None or (-score, v) < (-best[1], best[0]):
+                best = (v, score)
+        selected.append((i, best[0], float(best[1])))
+        chosen.add(best[0])
+    vec_id_type = dict(emb.dtypes)["vec_id"]
+    return spark.createDataFrame(
+        selected, f"rank bigint, vec_id {vec_id_type}, score double"
+    ).orderBy("rank")
