@@ -937,14 +937,15 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_oracle() -> str:
     sig_cols = ", ".join(f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES))
+    q_sig_cols = ", ".join(f"sig{t}" for t in range(LSH_TABLES))
     collide = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(LSH_TABLES))
     return f"""
 WITH sigs AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qvec, sig0, sig1, sig2, sig3
+q AS (SELECT vec_id AS query_id, embedding AS qvec, {q_sig_cols}
       FROM sigs WHERE vec_id < 5),
 cand AS (
   SELECT DISTINCT q.query_id, e.vec_id
-  FROM sigs e JOIN q ON e.vec_id <> q.query_id AND ({collide.replace('q.sig', 'q.sig')})
+  FROM sigs e JOIN q ON e.vec_id <> q.query_id AND ({collide})
 ),
 exact AS (
   SELECT q.query_id, e.vec_id,
@@ -1308,10 +1309,13 @@ def _bm25_oracle() -> str:
     # dl/avgdl folded to (dl*n_total)/sum_dl: exact integer products, ONE
     # double division — same op tree as the Spark side
     norm = "(0.25 + 0.75 * (CAST(dl * n_total AS DOUBLE) / sum_dl))"
+    # k1/(k1+1) constants cast to DOUBLE explicitly: as DuckDB DECIMALs
+    # the products are exact-then-converted-once, ~1 ulp off the Spark
+    # double-literal path — enough to split ROUND(...,4) on knife edges
     per_term = " + ".join(
         f"CASE WHEN {tf[t]} > 0 THEN "
         f"ln(1.0 + (CAST(n_total - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
-        f" * ({tf[t]} * 2.2) / ({tf[t]} + 1.2 * {norm}) ELSE 0.0 END"
+        f" * ({tf[t]} * 2.2::DOUBLE) / ({tf[t]} + 1.2::DOUBLE * {norm}) ELSE 0.0 END"
         for t in QUERY_TERMS
     )
     return f"""
