@@ -175,18 +175,38 @@ def run_upsert_stream(
 
     Each micro-batch: reduce the batch to its latest row per key
     (window by ts desc), merge against the current store with a
-    full-outer keep-latest, atomically replace the store. On a real
-    deployment the store is a Delta/Iceberg table and the merge is
-    `MERGE INTO` (partition-pruned, no full rewrite); plain parquet
-    here keeps the container dependency-free while exercising the
-    identical foreachBatch seam and merge semantics. availableNow
-    makes the same code a bounded backfill runner."""
+    full-outer keep-latest, and swap the store via rename. The merged
+    result is written to a TEMP SIBLING directory and renamed over the
+    store (previous store parked at `<store>.old` until the swap
+    lands, restored on the next run if a crash interrupts the swap) —
+    overwriting the store in place would delete the old data before
+    the new write finishes, so a crash mid-write would truncate the
+    store and a checkpointed batch retry would then merge against
+    nothing. Writing to a sibling also means the lazy merge plan reads
+    the old store while the new one is written: no self-overwrite, no
+    defensive cache/materialize. On a real deployment the store is a
+    Delta/Iceberg table and the merge is `MERGE INTO`
+    (partition-pruned, no full rewrite, transactional log instead of
+    the rename dance); plain parquet here keeps the container
+    dependency-free while exercising the identical foreachBatch seam
+    and merge semantics. availableNow makes the same code a bounded
+    backfill runner."""
     import os
+    import shutil
 
     from pyspark.sql import Window
 
+    old_dir = store_dir.rstrip("/") + ".old"
+
+    def restore_if_interrupted() -> None:
+        # crash landed between rename(store->old) and rename(tmp->store):
+        # the parked copy is the authoritative store
+        if not os.path.isdir(store_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, store_dir)
+
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        restore_if_interrupted()
         w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
         latest = (
             batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
@@ -204,11 +224,15 @@ def run_upsert_stream(
         else:
             merged = latest
         # stage-then-swap: foreachBatch may retry a batch, so the write
-        # must be idempotent — never append
-        staged = merged.cache()
-        staged.count()
-        staged.write.mode("overwrite").parquet(store_dir)
-        staged.unpersist()
+        # must be idempotent — never append, never overwrite in place
+        tmp_dir = store_dir.rstrip("/") + f".tmp-{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old_dir)
+        os.rename(tmp_dir, store_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)

@@ -63,3 +63,39 @@ def test_upsert_stream_keeps_latest_per_key(spark, tmp_path):
     got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(store).collect()}
     # 7 upgraded to the newer row, 8 kept (late row loses), 9 inserted
     assert got == {7: 4, 8: 3, 9: 6}
+
+
+def test_upsert_stream_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between rename(store->old) and rename(tmp->store) must not
+    lose the previously upserted keys: the parked .old copy is the
+    authoritative store and is restored before the retry merges."""
+    src = str(tmp_path / "drops")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(s)
+    _write_drop(
+        spark,
+        src,
+        [(1, t("2024-01-01T10:00:00"), 7, "login", 1.0, "{}")],
+        "d1",
+    )
+    run_upsert_stream(events_stream(spark, src), store, ck, key="user_id")
+    # simulate the interrupted swap window
+    shutil.move(store, store + ".old")
+    assert not os.path.isdir(store)
+
+    _write_drop(
+        spark,
+        src,
+        [(2, t("2024-01-01T11:00:00"), 9, "click", 2.0, "{}")],
+        "d2",
+    )
+    run_upsert_stream(events_stream(spark, src), store, ck, key="user_id")
+    got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(store).collect()}
+    # key 7 survived the simulated crash; key 9 merged on top
+    assert got == {7: 1, 9: 2}
+    assert not os.path.isdir(store + ".old")
