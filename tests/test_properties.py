@@ -244,3 +244,70 @@ def test_fuzzy_decontaminate_subset_of_exact_pairs(spark):
         jac = len(a & b) / len(a | b)
         assert round(jac, 4) >= _FUZZY_DECON_THRESHOLD
         assert abs(round(jac, 4) - h.jaccard) < 1e-9
+
+
+def test_approx_user_counts_error_bounded(spark):
+    """approx_count_distinct(rsd=0.02) must land near the exact
+    distinct count — an HLL returning schema-valid garbage would
+    otherwise pass the rows-only driver check unnoticed. HLL++ at
+    rsd=0.02 is well inside 5x rsd for these cardinalities (~2k/type);
+    the bound is deliberately loose so the test pins CORRECTNESS of
+    the sketch wiring, not the sketch's luck."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    approx = {
+        r.event_type: (r.approx_users, r.n_events)
+        for r in REGISTRY["approx_user_counts"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: (r.exact_users, r.n_events)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, (est, n_events) in approx.items():
+        true, n_exact_events = exact[et]
+        assert n_events == n_exact_events  # the exact column IS exact
+        assert abs(est - true) <= max(0.10 * true, 5), (et, est, true)
+
+
+def test_approx_value_quantiles_rank_bounded(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error within
+    n/1000; assert each estimate's true rank is within 1% of target
+    (10x the documented bound, so the test checks wiring, not noise)."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    est = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in REGISTRY["approx_value_quantiles"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    vals = {
+        et: sorted(v for (v,) in rows)
+        for et, rows in (
+            (r.event_type, [(x.value,) for x in ev.where(F.col("event_type") == r.event_type).select("value").collect()])
+            for r in ev.select("event_type").distinct().collect()
+        )
+    }
+    assert set(est) == set(vals) and len(vals) > 0
+    for et, (p50, p95) in est.items():
+        xs = vals[et]
+        n = len(xs)
+        for target, v in ((0.5, p50), (0.95, p95)):
+            # true rank of the returned value
+            import bisect
+
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v)
+            target_rank = target * (n - 1)
+            assert lo - 0.01 * n <= target_rank <= hi + 0.01 * n, (
+                et, target, v, lo, hi, n,
+            )
+        assert p50 <= p95
