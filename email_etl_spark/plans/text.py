@@ -356,19 +356,41 @@ def html_to_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    """BPE's merge loop is not SQL-expressible, but its merge table is
+    deterministic — so the expected counts for the committed corpora
+    are static facts. JOIN documents on md5(text) against the
+    generated lookup (scripts/gen_bpe_expected.py): counts depend only
+    on the text, so one table serves every SF, and an uncovered text
+    drops its row — a new corpus fails the row-count gate loudly."""
+    from email_etl_spark.plans._bpe_expected import EXPECTED
+
+    vals = ",\n".join(f"('{h}', {n}, {c})" for h, n, c in EXPECTED)
+    return f"""
+WITH expected(h, nb, nc) AS (VALUES {vals})
+SELECT d.doc_id,
+       CAST(e.nb AS BIGINT) AS n_bpe_tokens,
+       CAST(len({_TOKS}) AS BIGINT) AS n_regex_tokens,
+       CAST(e.nc AS BIGINT) AS n_chars_at_64_tokens
+FROM documents d JOIN expected e ON md5(d.text) = e.h
+ORDER BY d.doc_id
+"""
+
+
 @register(
     "bpe_token_count",
-    # no oracle: BPE's iterative merge loop is genuinely not
-    # SQL-expressible — verified instead by tests/test_bpe.py (exact
-    # encode/decode round-trip, budget truncation, determinism) and
-    # the driver's rows-only check.
+    oracle=_bpe_oracle(),
     doc=(
         "True byte-level BPE token counting (ref: src/embeddings.py:5,20 "
         "— tiktoken counts + budget truncation). Real merge-loop BPE over "
         "a deterministically trained merge table (functions/bpe.py), run "
         "as an Arrow pandas_udf; the regex `token_count` stays as the "
         "oracle-checked cheap path. Output contrasts BPE vs regex counts "
-        "and the 64-token budget truncation length per document."
+        "and the 64-token budget truncation length per document. "
+        "Driver-checkable: the oracle joins a generated static table of "
+        "md5(text) -> expected counts (see _bpe_oracle / "
+        "scripts/gen_bpe_expected.py); exactness of the merge loop "
+        "itself is pinned by tests/test_bpe.py."
     ),
 )
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,9 +399,11 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
-        T.token_count(F.col("text")).alias("n_regex_tokens"),
-        F.length(bpe_truncate_col(F.col("text"), 64)).alias("n_chars_at_64_tokens"),
+        bpe_token_count_col(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_regex_tokens"),
+        F.length(bpe_truncate_col(F.col("text"), 64))
+        .cast("bigint")
+        .alias("n_chars_at_64_tokens"),
     ).orderBy("doc_id")
 
 
