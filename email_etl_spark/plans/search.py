@@ -11,6 +11,8 @@ The hybrid score mirrors hybrid_email_search's 0.7·vector +
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -367,6 +369,126 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             cosine_rounded(F.col("embedding"), qvec).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: the reference builds its vector index ONCE and
+# serves queries from it (HNSW, scripts/init_db.sql:53; GIN full-text,
+# init_db.sql:59-67) — recomputing signatures inside every query plan
+# is the 100 TB anti-pattern. build_ann_index materializes the
+# (t, key, vec_id) bucket table partitioned by (t, key); a query then
+# computes the query vector's LSH_TABLES bucket keys driver-side (plan
+# constants, same md5-derived planes) and reads ONLY those partitions
+# — directory-level pruning, the corpus is never scanned.
+# ---------------------------------------------------------------------------
+
+ANN_INDEX_ROOT = os.path.join("spark-warehouse", "ann_lsh_index")
+
+
+def _qvec_list(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The already-embedded query vector as plan-constant floats
+    (memoized per corpus dir, shared with ann_multiprobe)."""
+    qvec = _LIT_CACHE.get(("qvec_list", sf_dir))
+    if qvec is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .first()
+        )
+        qvec = [float(x) for x in row[0]]
+        _LIT_CACHE[("qvec_list", sf_dir)] = qvec
+    return qvec
+
+
+def _query_bucket_keys(qvec: list[float]) -> list[tuple[int, str]]:
+    """(table, signature) bucket keys for a query vector, computed
+    driver-side with the same left-to-right IEEE dot accumulation as
+    the engine kernels (bit-identical; the ann_multiprobe convention)."""
+    keys = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_BITS):
+            dot = 0.0
+            for d in range(EMB_DIM):
+                dot = dot + qvec[d] * float(_PLANES[t][j][d])
+            bits.append("1" if dot >= 0 else "0")
+        keys.append((t, "".join(bits)))
+    return keys
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """Materialize the sign-LSH bucket table for a corpus, partitioned
+    by (t, key) — one signature map pass over the embeddings, written
+    once through the warehouse layout rules (sinks/parquet.py). Query
+    plans against the index are partition-pruned bucket reads.
+    Idempotent per corpus dir: skipped when the index already exists."""
+    import os as _os
+
+    from email_etl_spark.sinks.parquet import write_partitioned
+
+    index_dir = index_dir or _os.path.join(
+        ANN_INDEX_ROOT, _os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not _os.path.exists(_os.path.join(index_dir, "_SUCCESS")):
+        emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+        sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+                for t in range(LSH_TABLES)
+            ]
+        )
+        buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
+            "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+        )
+        write_partitioned(buckets, index_dir, ["t", "key"], sort_col="vec_id")
+    return index_dir
+
+
+@register(
+    "ann_lsh_indexed",
+    oracle=_ann_lsh_oracle(),
+    doc=(
+        "Sign-LSH ANN served from the PERSISTED bucket index (ref: "
+        "build-once HNSW index, scripts/init_db.sql:53): build_ann_index "
+        "materializes (t, key, vec_id) partitioned by (t, key); the "
+        "query computes its bucket keys driver-side from the md5-derived "
+        "planes and reads only those partitions (PartitionFilters — "
+        "proven pruned in tests/test_ann_index.py), then verifies exact "
+        "cosine over the colliding vectors only. Same results as "
+        "ann_lsh, without recomputing corpus signatures per query "
+        "(SURVEY §2.F)."
+    ),
+)
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_ann_index(spark, sf_dir)
+    qvec = _qvec_list(spark, sf_dir)
+    keys = _query_bucket_keys(qvec)
+    idx = spark.read.parquet(index_dir)
+    pred = None
+    for t, key in keys:
+        clause = (F.col("t") == t) & (F.col("key") == key)
+        pred = clause if pred is None else (pred | clause)
+    cand_ids = (
+        idx.where(pred)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlit = F.expr("array(" + ",".join(f"{x!r}D" for x in qvec) + ")")
+    return (
+        F.broadcast(cand_ids)
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), qlit).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), "vec_id")
         .limit(5)
