@@ -38,12 +38,24 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# scan memoization: spark.read.parquet costs ~100 ms of driver-side
+# footer/schema I/O per call, paid again by EVERY query build on the
+# same immutable table. Key by applicationId (unique per session, no
+# id() reuse hazard) + resolved path; values are lazy analyzed plans,
+# so the cache holds no data.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Parquet → column pruning + predicate
     pushdown come for free from the DataFrame plan."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(os.path.join(sf_dir, name)))
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py); convert
     # to microsecond timestamps (the corpus has no sub-µs components).
@@ -52,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: ns epochs exceed 2^53, so going through
             # a double division would lose microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
@@ -63,11 +76,17 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     cluster reading many files this never fires. The repartition pays
     one shuffle of the input rows to unlock N× parallelism for
     expensive downstream projections (minhash, simhash, LSH)."""
+    cached = getattr(df, "_graft_par_scan", None)
+    if cached is not None:
+        return cached
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    res = df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    # memoized as an attribute (not a dict keyed by id(): ids are
+    # reused after GC): df.rdd pays a physical planning of the scan,
+    # once per table object is enough
+    df._graft_par_scan = res
+    return res
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
