@@ -197,6 +197,107 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD)
 
 
+MINHASH_INDEX_ROOT = "spark-warehouse/minhash_index"
+
+
+def build_minhash_index(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> str:
+    """Materialize the MinHash band-bucket table for the documents
+    corpus: (band, key, doc_id), partitioned by band (16 dirs) and
+    key-sorted within partitions for row-group pruning. The 8-md5-per-
+    shingle signature pass — the expensive part of every LSH dedup —
+    runs ONCE at index-build time instead of inside each query plan
+    (the reference's build-once index discipline, init_db.sql:53-67).
+    Keys are NOT partition columns: band keys are corpus-cardinality,
+    and one directory per key is a small-file storm at any scale.
+    Idempotent per corpus dir."""
+    import os
+
+    from email_etl_spark.sinks.parquet import write_partitioned
+
+    index_dir = index_dir or os.path.join(
+        MINHASH_INDEX_ROOT, os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
+        sig = H.with_minhash_sig(sh, "sh").drop("sh")
+        sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+                for b in range(H.N_BANDS)
+            ]
+        )
+        buckets = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        write_partitioned(buckets, index_dir, ["band"], sort_col="key")
+    return index_dir
+
+
+@register(
+    "dedup_minhash_indexed",
+    oracle=f"WITH {_shingle_cte(3)} {_pairs_sql(MINHASH_THRESHOLD)}",
+    doc=(
+        "MinHash+LSH near-dup served from the PERSISTED band-bucket "
+        "index (build_minhash_index): candidates come from a self-join "
+        "of the stored (band, key, doc_id) table — the signature pass "
+        "never re-runs at query time — and exact-Jaccard verification "
+        "shingles ONLY the candidate docs (broadcast semi-join), so "
+        "query-time work scales with the candidate set, not the "
+        "corpus. Same results and oracle as dedup_minhash "
+        "(SURVEY §2.E)."
+    ),
+)
+def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_minhash_index(spark, sf_dir)
+    idx = spark.read.parquet(index_dir)
+    l, r = idx.alias("l"), idx.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # shingle ONLY candidate docs for verification
+    docs = load_table(spark, sf_dir, "documents")
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    sh = (
+        docs.join(F.broadcast(cand_docs), "doc_id")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        F.broadcast(cand)
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
+            F.size("sh_a").cast("double").alias("na"),
+            F.size("sh_b").cast("double").alias("nb"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    return (
+        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "dedup_embedding",
     oracle=f"""
