@@ -25,6 +25,7 @@ row-at-a-time Python UDF.
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
@@ -110,6 +111,55 @@ _MERGES = train_merges(_SEED, N_MERGES)
 _RANKS: dict[tuple[bytes, bytes], int] = {p: i for i, p in enumerate(_MERGES)}
 
 
+def _bytes_to_unicode() -> dict[int, str]:
+    """The published GPT-2 byte↔unicode table (printable stand-ins for
+    raw bytes in merges.txt; same construction as the public gpt-2
+    encoder.py): printable ASCII/Latin-1 ranges map to themselves,
+    everything else to codepoints 256+."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def load_merges_file(path: str) -> int:
+    """Swap the trained merge table for a published GPT-2-format
+    merges.txt (one 'A B' pair per line, bytes in the GPT-2
+    byte↔unicode encoding). With OpenAI's published gpt2 merges this
+    makes count_tokens equal tiktoken's gpt2 encoding on ASCII text
+    (our pre-tokenizer is the GPT-2 regex ASCII-classed; non-ASCII
+    letter classes can split differently). The file is not vendored —
+    drop it in and set SPARK_GRAFT_BPE_MERGES, or call this directly;
+    executors pick the env var up at module import. Returns the number
+    of merges loaded. Closes the tiktoken-parity gap structurally
+    (ref: src/embeddings.py:5,20 counts with tiktoken cl100k)."""
+    dec = {v: k for k, v in _bytes_to_unicode().items()}
+    merges: list[tuple[bytes, bytes]] = []
+    with open(path, encoding="utf-8") as fh:
+        for ln in fh:
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            a, b = ln.split(" ")
+            merges.append(
+                (bytes(dec[c] for c in a), bytes(dec[c] for c in b))
+            )
+    global _MERGES, _RANKS
+    _MERGES = merges
+    _RANKS = {p: i for i, p in enumerate(merges)}
+    _encode_piece.cache_clear()
+    return len(merges)
+
+
 @lru_cache(maxsize=65536)
 def _encode_piece(piece: bytes) -> tuple[bytes, ...]:
     """The standard BPE encode loop: merge the lowest-rank adjacent
@@ -169,3 +219,10 @@ def bpe_truncate_col(col: Column, max_tokens: int) -> Column:
         return s.map(lambda t: truncate_to_tokens(t, max_tokens) if t is not None else "")
 
     return _trunc(col)
+
+
+# env hook at module END so load_merges_file's dependencies exist;
+# executors import this module fresh, so the same env var swaps the
+# table on workers too (set it before the session starts).
+if os.environ.get("SPARK_GRAFT_BPE_MERGES"):
+    load_merges_file(os.environ["SPARK_GRAFT_BPE_MERGES"])

@@ -72,3 +72,35 @@ def test_spark_column_matches_python(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == (bpe.count_tokens(t) if t is not None else 0)
+
+
+def test_load_gpt2_format_merges_file(tmp_path):
+    """A published GPT-2-format merges.txt swaps the merge table in
+    place: same encode loop, file-defined ranks (incl. the Ġ
+    space-prefix byte in the GPT-2 byte↔unicode table)."""
+    from email_etl_spark.functions import bpe
+
+    saved = (bpe._MERGES, dict(bpe._RANKS))
+    mf = tmp_path / "merges.txt"
+    # 'Ġ' encodes byte 0x20 (space) in the GPT-2 table
+    mf.write_text("#version: test\nt h\nth e\nĠ t\n", encoding="utf-8")
+    try:
+        n = bpe.load_merges_file(str(mf))
+        assert n == 3
+        assert bpe._RANKS[(b"t", b"h")] == 0
+        assert bpe._RANKS[(b" ", b"t")] == 2
+        # lowest-rank pair merges first: t+h (rank 0) beats the ' t'
+        # merge (rank 2), so ' the' ends as [' ', 'the']
+        assert bpe.encode("the") == [b"the"]
+        assert bpe.encode(" the") == [b" ", b"the"]
+        assert bpe.encode(" tx") == [b" t", b"x"]  # rank-2 merge fires here
+    finally:
+        bpe._MERGES, bpe._RANKS = saved[0], saved[1]
+        bpe._encode_piece.cache_clear()
+
+
+def test_seed_table_restored_after_swap():
+    from email_etl_spark.functions import bpe
+
+    assert len(bpe._MERGES) > 100  # trained table active again
+    assert bpe.count_tokens("the quick brown fox") > 0
