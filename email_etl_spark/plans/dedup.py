@@ -1037,3 +1037,105 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bps"),
         )
     )
+
+
+SEMDEDUP_THRESHOLD = 0.45  # cosine; aligned with dedup_embedding
+
+
+def _semdedup_oracle() -> str:
+    from email_etl_spark.plans.search import EMB_DIM, KM_K, _km_dist_sql
+
+    d0 = _km_dist_sql("e.v", "c.v")
+    cos = duckdb_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
+a1 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d0} ASC, c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT b.vec_id, b.cid, a.vec_id AS keeper_id,
+         CAST({cos} AS DECIMAL(6,4)) AS sim
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+best AS (
+  SELECT vec_id, cid, keeper_id, sim FROM (
+    SELECT vec_id, cid, keeper_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, keeper_id) AS rn
+    FROM p
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, keeper_id,
+       CAST(sim AS DOUBLE) AS similarity
+FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
+"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup-style semantic pruning (Abbas et al. 2023, public "
+        "paper): assign every embedding to its nearest coarse centroid "
+        "(the kmeans_codebook convention — broadcast plan-constant "
+        "codebook seeded from the first K vectors, bit-identical L2 "
+        "folds), then search near-duplicates ONLY within each cluster "
+        "and prune every vector that has a smaller-id cluster peer at "
+        "cosine >= threshold, reporting its keeper. Cluster bounding "
+        "is the scale story: pair work is sum of per-cluster squares, "
+        "not corpus^2 — with production K, clusters are small and the "
+        "cid-keyed join salts like any skewed key (operators/skew.py). "
+        "Exact decimal sims make the keeper argmax deterministic "
+        "(SURVEY §2.E/§2.F)."
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from email_etl_spark.plans.search import KM_K, _km_assign
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    init = (
+        emb.where(F.col("vec_id") < KM_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+    a = _km_assign(emb, cents).select("vec_id", "embedding", "cid")
+    keep = a.select(
+        F.col("cid").alias("k_cid"),
+        F.col("vec_id").alias("keeper_id"),
+        F.col("embedding").alias("e_keep"),
+    )
+    pairs = a.join(
+        keep,
+        (F.col("cid") == F.col("k_cid")) & (F.col("keeper_id") < F.col("vec_id")),
+    ).select(
+        "vec_id",
+        "cid",
+        "keeper_id",
+        cosine_rounded(F.col("embedding"), F.col("e_keep"))
+        .cast("decimal(6,4)")
+        .alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "keeper_id")
+    best = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.where(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "keeper_id",
+            F.col("sim").cast("double").alias("similarity"),
+        )
+        .orderBy("vec_id")
+    )
