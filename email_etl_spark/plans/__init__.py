@@ -22,67 +22,37 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # Registration order is part of the external contract: correctness
 # harnesses that sample "the first N registered queries" must see the
 # right tier first, not whatever alphabetical import order happens to
-# yield. Round-3 rotation policy: (1) every query that has never had
-# an external correctness row leads, (2) then the sketches (rows-only
-# by design), (3) then everything added or fixed this round, (4) then
-# the flagship search/ANN surface for continuous re-verification.
-# Long-tail queries already externally verified in r1/r2 rotate past
-# the window; ALL queries stay covered by the repo's own sweep
-# (scripts/sweep.py -> SWEEP.json) at both SFs every round.
+# yield. Round-4 rotation policy: (1) queries that have never had a
+# driver correctness row (the three new index/semdedup queries, plus
+# bpe_token_count whose oracle is new — it was rows-only for three
+# rounds), (2) everything changed this round (hybrid_search_rrf text
+# leg, mmr_rerank flatten, minhash_recall_eval sampling+LSH oracle,
+# dup_graph single pair stream, bm25/ann_recall oracle hygiene,
+# sessionize epoch projection, dedup_minhash shares the reworked
+# pipeline), (3) the sketches (rows-only by design, now error-bound
+# property-tested), (4) the flagship search/ANN surface, (5) the
+# OLDEST driver rows (r1) rotating back in for freshness. Everything
+# past 50 stays covered by the repo sweep (scripts/sweep.py ->
+# SWEEP.json) at both SFs every round.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # -- round-3 rotation: every query that has never had a driver
-    # correctness row (absent from CORRECTNESS_r01 and _r02) leads the
-    # window this round --
-    "top_docs_per_lang",
-    "doc_by_id",
-    "pivot_status_priority",
-    "label_centroids",
-    "fuzzy_name_match",
-    "hourly_histogram",
-    "audit_error_daily",
-    "archive_layout_stats",
-    "token_length_histogram",
-    "mixture_weights",
-    "audio_meta_stats",
-    "video_frame_stats",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_count",
-    "q20_promo_suppliers",
-    "knn_join",
-    "scd2_history",
-    # sketches: no SQL oracle by design → driver records rows-only
-    "approx_user_counts",
-    "approx_value_quantiles",
-    # -- new this round --
-    "dedup_substring",
-    "ann_recall_eval",
-    "shard_plan",
-    "kmeans_codebook",
-    "label_top_terms",
-    "embedding_outliers",
-    "cooccurrence_pmi",
-    "bm25_search",
-    "pca_power_top1",
-    "dedup_keep_best",
-    "anomaly_zscore",
-    "length_deciles",
-    "source_overlap",
-    "dup_graph_degrees",
-    "retention_cohorts",
-    "salted_topk_users",
-    "ann_multiprobe",
+    # -- never driver-checked --
+    "ann_lsh_indexed",
+    "dedup_minhash_indexed",
+    "semdedup_prune",
+    "bpe_token_count",
+    # -- changed this round: must re-verify --
     "hybrid_search_rrf",
     "mmr_rerank",
     "minhash_recall_eval",
-    "time_to_conversion",
-    "js_divergence",
-    # -- fixed this round (TIMESTAMP_NTZ epoch casts) — must re-verify --
+    "dup_graph_degrees",
+    "bm25_search",
+    "ann_recall_eval",
     "sessionize",
-    "range_join_count",
-    "asof_join",
-    "tumbling_counts",
+    "dedup_minhash",
+    # sketches: no SQL oracle by design → driver records rows-only
+    "approx_user_counts",
+    "approx_value_quantiles",
     # -- flagship + headline surface stays continuously verified --
     "hybrid_search",
     "semantic_topk",
@@ -94,21 +64,36 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "tfidf_search",
-    "dedup_minhash",
-    "dedup_clusters",
-    # positions 51+: r1/r2-driver-passed queries rotate past the window
+    # -- oldest driver rows (r1) rotate back into the window --
+    "doc_count",
+    "latest_event_ts",
+    "recent_events_topn",
+    "events_after_date",
+    "by_source_stats",
+    "thread_events",
+    "upsert_latest",
+    "missing_embeddings",
+    "patterns_by_user",
+    "patterns_by_type",
+    "patterns_by_domain",
+    "patterns_by_day",
+    "patterns_by_week",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "content_hash",
+    "suspicious_content",
+    "prepare_embed_text",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_containment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # positions 51+: r2/r3-driver-passed queries rotate past the window
     # (all stay repo-sweep green at both SFs — SWEEP.json is the
     # committed record).
-    "value_percentiles",
-    "conversion_funnel",
-    "daily_retention",
-    "inter_event_gaps",
-    "part_type_revenue",
-    "attachment_mime_stats",
-    "attachment_risk_by_source",
-    "html_to_md",
-    "bpe_token_count",
-    "provider_status",
 )
 
 
