@@ -149,3 +149,29 @@ def test_provider_config_store(spark, tmp_path):
 
     latest = store.compact()
     assert latest.count() == 4  # one row per live key
+
+
+def test_cli_estimate_cost_and_domain_patterns(spark, capsys):
+    """CLI verbs mirror the reference surface (main.py): estimate-cost
+    is the reference's $0.02/1M-token arithmetic; patterns accepts the
+    MCP enum's 'domain' grouping."""
+    from email_etl_spark.__main__ import main
+
+    assert main(["estimate-cost", "-t", "2000", "-a", "300"]) == 0
+    out = capsys.readouterr().out
+    assert "estimated_tokens: 600000" in out
+    assert "estimated_cost_usd: 0.012" in out
+
+    assert main(["--sf-dir", SF_SMOKE, "patterns", "domain"]) == 0
+    pat_out = capsys.readouterr().out
+    assert "domain" in pat_out and "example" in pat_out
+
+
+def test_cli_actions_and_categorize(spark, capsys):
+    from email_etl_spark.__main__ import main
+
+    assert main(["--sf-dir", SF_SMOKE, "actions", "--days", "14", "--limit", "3"]) == 0
+    capsys.readouterr()
+    assert main(["--sf-dir", SF_SMOKE, "categorize", "--ids", "1,2"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out
