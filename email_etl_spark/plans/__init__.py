@@ -40,6 +40,7 @@ _GATE_ORDER = (
     "ann_lsh_indexed",
     "dedup_minhash_indexed",
     "semdedup_prune",
+    "embedding_drift",
     "bpe_token_count",
     # -- changed this round: must re-verify --
     "hybrid_search_rrf",

@@ -452,6 +452,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str | None = No
 
 @register(
     "ann_lsh_indexed",
+    headline=True,
     oracle=_ann_lsh_oracle(),
     doc=(
         "Sign-LSH ANN served from the PERSISTED bucket index (ref: "
@@ -1934,3 +1935,129 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, f"rank bigint, vec_id {vec_id_type}, score double"
     ).orderBy("rank")
+
+
+def _drift_oracle() -> str:
+    return """
+WITH thr AS (SELECT (MAX(vec_id) + 1) // 2 AS t FROM embeddings),
+f AS (
+  SELECT e.label, e.vec_id < thr.t AS is_ref, d.i AS dim,
+         CAST(ROUND(CAST(e.embedding[d.i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+  FROM embeddings e CROSS JOIN thr
+  CROSS JOIN UNNEST(range(1, 65)) AS d(i)
+),
+m AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(SUM(CASE WHEN is_ref THEN x END) AS DOUBLE)
+               / SUM(CASE WHEN is_ref THEN 1 ELSE 0 END), 6) AS DECIMAL(8,6)) AS mr,
+         CAST(ROUND(CAST(SUM(CASE WHEN NOT is_ref THEN x END) AS DOUBLE)
+               / SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END), 6) AS DECIMAL(8,6)) AS mn
+  FROM f GROUP BY label, dim
+),
+j AS (
+  SELECT label,
+         SUM(mr * mn) AS sp, SUM(mr * mr) AS na, SUM(mn * mn) AS nb,
+         SUM((mr - mn) * (mr - mn)) AS sq
+  FROM m GROUP BY label
+),
+c AS (
+  SELECT e.label,
+         CAST(SUM(CASE WHEN e.vec_id < thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN e.vec_id >= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM embeddings e CROSS JOIN thr GROUP BY e.label
+)
+SELECT c.label, c.n_ref, c.n_new,
+       ROUND(CAST(j.sp AS DOUBLE) /
+             (sqrt(CAST(j.na AS DOUBLE)) * sqrt(CAST(j.nb AS DOUBLE))), 4) AS mean_cosine,
+       ROUND(sqrt(CAST(j.sq AS DOUBLE)), 4) AS mean_l2_shift
+FROM c JOIN j ON c.label = j.label
+WHERE c.n_ref > 0 AND c.n_new > 0
+ORDER BY c.label
+"""
+
+
+@register(
+    "embedding_drift",
+    oracle=_drift_oracle(),
+    doc=(
+        "Embedding drift monitor — the train/serve skew check a "
+        "production vector pipeline runs before trusting a new ingest "
+        "window: split the corpus at the id midpoint (the monotone "
+        "ingest mapping makes this a time split), compute per-label "
+        "per-dimension means for each half, and report the cosine and "
+        "L2 shift between the two mean vectors per label. Every fold "
+        "that crosses rows or dims is EXACT-DECIMAL (components and "
+        "mean products rounded to fixed scale before summation — the "
+        "kmeans/unigram convention) so the statistic is bit-stable at "
+        "any parallelism; only the final sqrt/ratio runs in double. "
+        "One scan, two partial-aggregated shuffles, no UDFs "
+        "(SURVEY §2.F)."
+    ),
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    thr = emb.agg(((F.max("vec_id") + 1) / 2).cast("long").alias("t"))
+    flat = (
+        emb.crossJoin(F.broadcast(thr))
+        .select(
+            "label",
+            (F.col("vec_id") < F.col("t")).alias("is_ref"),
+            F.posexplode("embedding").alias("dim", "xr"),
+        )
+        .select(
+            "label",
+            "is_ref",
+            "dim",
+            F.round(F.col("xr").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+        )
+    )
+    m = flat.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.when(F.col("is_ref"), F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("is_ref"), 1).otherwise(0)),
+            6,
+        )
+        .cast("decimal(8,6)")
+        .alias("mr"),
+        F.round(
+            F.sum(F.when(~F.col("is_ref"), F.col("x"))).cast("double")
+            / F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)),
+            6,
+        )
+        .cast("decimal(8,6)")
+        .alias("mn"),
+    )
+    j = m.groupBy("label").agg(
+        F.sum(F.col("mr") * F.col("mn")).alias("sp"),
+        F.sum(F.col("mr") * F.col("mr")).alias("na"),
+        F.sum(F.col("mn") * F.col("mn")).alias("nb"),
+        F.sum((F.col("mr") - F.col("mn")) * (F.col("mr") - F.col("mn"))).alias("sq"),
+    )
+    c = (
+        emb.crossJoin(F.broadcast(thr))
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") < F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("vec_id") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    return (
+        c.join(j, "label")
+        .where((F.col("n_ref") > 0) & (F.col("n_new") > 0))
+        .select(
+            "label",
+            "n_ref",
+            "n_new",
+            F.round(
+                F.col("sp").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("mean_cosine"),
+            F.round(F.sqrt(F.col("sq").cast("double")), 4).alias("mean_l2_shift"),
+        )
+        .orderBy("label")
+    )
