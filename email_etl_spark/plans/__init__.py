@@ -41,6 +41,8 @@ _GATE_ORDER = (
     "dedup_minhash_indexed",
     "semdedup_prune",
     "embedding_drift",
+    "vocab_growth",
+    "near_dup_rate_curve",
     "bpe_token_count",
     # -- changed this round: must re-verify --
     "hybrid_search_rrf",

@@ -1139,3 +1139,50 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "near_dup_rate_curve",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+p AS (
+  SELECT CAST(ROUND(
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4
+         ) * 10000 AS BIGINT) // 1000 AS band
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+),
+h AS (SELECT band, COUNT(*) AS n_pairs FROM p GROUP BY band)
+SELECT band, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT) AS pairs_at_or_above
+FROM h ORDER BY band
+""",
+    doc=(
+        "Near-dup rate curve: pair counts per Jaccard decile band "
+        "(0.5-1.0) with the descending-cumulative count at or above "
+        "each band — the threshold-tuning view a dedup deployment "
+        "reads before picking its cut (how much MORE would 0.6 -> 0.5 "
+        "remove?). Pairs ride the same LSH bucket-verify stream as "
+        "dedup_minhash at the curve's lowest band; banding is integer "
+        "arithmetic on the rounded Jaccard (no float-floor knife "
+        "edges); the cumulative window runs over <=6 rollup rows "
+        "(SURVEY §2.E)."
+    ),
+)
+def near_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = _lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+    band = (F.round(F.col("jaccard") * 10000).cast("bigint") / 1000).cast("bigint")
+    hist = pairs.groupBy(band.alias("band")).agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn("pairs_at_or_above", F.sum("n_pairs").over(w).cast("bigint"))
+        .orderBy("band")
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from email_etl_spark.functions import text as T
-from email_etl_spark.io import load_table
+from email_etl_spark.io import load_table, parallelize_scan
 from email_etl_spark.plans.registry import register
 
 _TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -1031,3 +1031,42 @@ def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return agg.select("src_a", "src_b", jsd.alias("jsd")).orderBy("src_a", "src_b")
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+fs AS (SELECT tok, MIN(doc_id) AS first_seen FROM tok GROUP BY tok),
+b AS (SELECT first_seen // 50 AS bucket, COUNT(*) AS n_new FROM fs GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       n_new,
+       CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM b ORDER BY bucket
+""",
+    doc=(
+        "Vocabulary growth curve (Heaps-law profile): per 50-doc ingest "
+        "bucket, how many never-before-seen tokens appear and the "
+        "cumulative vocabulary size — the curation signal for corpus "
+        "saturation (a flattening curve means new data adds little "
+        "lexical novelty). First-seen is one map-side-combined "
+        "min-aggregate over the exploded token stream; the cumulative "
+        "window runs over the tiny bucket rollup, never the corpus "
+        "(SURVEY §2.D)."
+    ),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_seen"))
+    buckets = (
+        first_seen.groupBy(F.expr("first_seen div 50").cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        buckets.withColumn("vocab_size", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("bucket")
+    )
