@@ -187,3 +187,58 @@ def read_mbox(spark, path: str) -> DataFrame:
         .where(F.length(F.trim(F.col("raw"))) > 0)
     )
     return parse_rfc822(msgs)
+
+
+def read_maildir(spark, path: str) -> DataFrame:
+    """Read a Maildir (one RFC-2822 message per file under cur/ and
+    new/) into the canonical schema.
+
+    Maildir filenames carry a `:2,<flags>` info suffix, and Hadoop
+    path URIs reject the colon — so the Hadoop text source cannot
+    scan a real Maildir at all. Instead the driver lists NAMES only
+    (strings, never contents), distributes them, and executors open
+    and read the files inside an Arrow-batched mapInPandas — the same
+    shape as any file-manifest ingest, and the read work parallelizes
+    across the cluster. Messages then flow through the shared
+    RFC-2822 parser. tmp/ is skipped by contract (delivery-in-
+    progress files are not messages yet).
+
+    Ref: the reference ingests via the Gmail API (src/providers/
+    gmail/provider.py); Maildir is the per-message on-disk twin of the
+    mbox bulk-archive path (Dovecot/Courier local mail, offlineimap
+    and isync exports).
+    """
+    import os
+
+    import pandas as pd
+
+    files: list[str] = []
+    for sub in ("cur", "new"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if not f.startswith(".")
+            )
+    if not files and os.path.isdir(path):  # flat directory of messages
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if os.path.isfile(os.path.join(path, f)) and not f.startswith(".")
+        ]
+    par = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(par)
+
+    def read_files(batches):
+        for pdf in batches:
+            texts = []
+            for p in pdf["path"]:
+                with open(p, encoding="utf-8", errors="replace") as fh:
+                    texts.append(fh.read())
+            yield pd.DataFrame({"raw": texts})
+
+    msgs = paths_df.mapInPandas(read_files, "raw string").where(
+        F.length(F.trim(F.col("raw"))) > 0
+    )
+    return parse_rfc822(msgs)

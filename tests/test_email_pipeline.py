@@ -458,3 +458,37 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
     a = {r.doc_id: r.text for r in back.collect()}
     b = {r.doc_id: r.text for r in docs.collect()}
     assert a == b
+
+
+def test_read_maildir(spark, tmp_path):
+    """Maildir ingestion: one message per file under cur/ and new/,
+    parsed through the same RFC-2822 path as mbox/gmail (tmp/ is
+    skipped by contract)."""
+    from email_etl_spark.sources.email_source import read_maildir
+
+    md = tmp_path / "Maildir"
+    for sub in ("cur", "new", "tmp"):
+        (md / sub).mkdir(parents=True)
+    msg = (
+        "From: {frm}\nTo: team@example.com\nSubject: {subj}\n"
+        "Date: Thu, 4 Jan 2024 0{n}:00:00 +0000\n\n{body}\n"
+    )
+    (md / "cur" / "1704355200.M1.host:2,S").write_text(
+        msg.format(frm="Ann <ann@example.com>", subj="report", n=1, body="Q4 numbers attached.")
+    )
+    (md / "cur" / "1704355201.M2.host:2,").write_text(
+        msg.format(frm="Bob <bob@example.com>", subj="standup", n=2, body="Moved to 10am.")
+    )
+    (md / "new" / "1704355202.M3.host").write_text(
+        msg.format(frm="Cyd <cyd@example.com>", subj="deploy", n=3, body="Shipped v2.")
+    )
+    (md / "tmp" / "1704355203.M4.host").write_text(
+        msg.format(frm="Nope <no@example.com>", subj="partial", n=4, body="not delivered")
+    )
+
+    got = read_maildir(spark, str(md)).collect()
+    assert len(got) == 3
+    by_subj = {r.subject: r for r in got}
+    assert set(by_subj) == {"report", "standup", "deploy"}
+    assert by_subj["report"].sender == "ann@example.com"
+    assert "Shipped v2." in by_subj["deploy"].body_markdown
