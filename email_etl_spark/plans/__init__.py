@@ -43,6 +43,7 @@ _GATE_ORDER = (
     "embedding_drift",
     "vocab_growth",
     "near_dup_rate_curve",
+    "quality_length_corr",
     "bpe_token_count",
     # -- changed this round: must re-verify --
     "hybrid_search_rrf",

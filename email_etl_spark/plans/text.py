@@ -1070,3 +1070,68 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.withColumn("vocab_size", F.sum("n_new").over(w).cast("bigint"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "quality_length_corr",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS x,
+         CAST(ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)
+             + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)),
+           4) AS DECIMAL(5,4)) AS y
+  FROM documents
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM t GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       ROUND((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_len_quality
+FROM s ORDER BY source
+""",
+    doc=(
+        "Pearson correlation between document length and the quality "
+        "heuristic, per source — the sanity check that a quality "
+        "filter is not just a length filter (|r| near 1 means the "
+        "expensive signal adds nothing over n_chars). Every cross-row "
+        "sum is EXACT (integer chars, DECIMAL(5,4) quality, exact "
+        "decimal products) and cast to double once per group, so the "
+        "statistic is order-insensitive at any parallelism; the "
+        "closed-form combination is fixed-order scalar arithmetic "
+        "(SURVEY §2.D)."
+    ),
+)
+def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("x"),
+        T.quality_score(F.col("text")).cast("decimal(5,4)").alias("y"),
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        s.select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(r, 4).alias("corr_len_quality"),
+        )
+        .orderBy("source")
+    )
