@@ -197,7 +197,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD)
 
 
-MINHASH_INDEX_ROOT = "spark-warehouse/minhash_index"
+# anchored at the repo root (not the caller's cwd) — see ANN_INDEX_ROOT
+import os as _os
+
+MINHASH_INDEX_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "minhash_index",
+)
 
 
 def build_minhash_index(

@@ -386,7 +386,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — directory-level pruning, the corpus is never scanned.
 # ---------------------------------------------------------------------------
 
-ANN_INDEX_ROOT = os.path.join("spark-warehouse", "ann_lsh_index")
+# anchored at the repo root (not the caller's cwd): a driver running
+# from elsewhere must not scatter index dirs outside the repo
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ANN_INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "ann_lsh_index")
 
 
 def _qvec_list(spark: SparkSession, sf_dir: str) -> list[float]:
