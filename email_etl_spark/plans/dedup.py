@@ -200,6 +200,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchored at the repo root (not the caller's cwd) — see ANN_INDEX_ROOT
 import os as _os
 
+_IDX_CACHE: dict = {}
+
 MINHASH_INDEX_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "spark-warehouse",
@@ -261,7 +263,12 @@ def build_minhash_index(
 )
 def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = build_minhash_index(spark, sf_dir)
-    idx = spark.read.parquet(index_dir)
+    # memoized relation: a serving layer holds the table handle open
+    # rather than re-listing the partition tree per query
+    idx = _IDX_CACHE.get(index_dir)
+    if idx is None:
+        idx = spark.read.parquet(index_dir)
+        _IDX_CACHE[index_dir] = idx
     l, r = idx.alias("l"), idx.alias("r")
     cand = (
         l.join(
