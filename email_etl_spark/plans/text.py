@@ -1135,3 +1135,100 @@ def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SUMLEN = f"list_sum(list_transform({_TOKS}, x -> len(x)))"
+_NSTOP_DISTINCT = (
+    "len(list_intersect(list_distinct(" + _TOKS + "), "
+    "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]))"
+)
+
+
+@register(
+    "gopher_quality",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         len({_TOKS}) AS n,
+         COALESCE({_SUMLEN}, 0) AS sum_len,
+         len(list_distinct({_TOKS})) AS n_distinct,
+         {_NSTOP_DISTINCT} AS n_stop
+  FROM documents
+), r AS (
+  SELECT source,
+         CASE WHEN n BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS p_wc,
+         CASE WHEN 3 * n <= sum_len AND sum_len <= 10 * n THEN 1 ELSE 0 END AS p_mwl,
+         CASE WHEN 5 * n_distinct >= 2 * n THEN 1 ELSE 0 END AS p_ttr,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p_wc) * 10000 // COUNT(*) AS BIGINT) AS pass_wordcount_bps,
+       CAST(SUM(p_mwl) * 10000 // COUNT(*) AS BIGINT) AS pass_meanwordlen_bps,
+       CAST(SUM(p_ttr) * 10000 // COUNT(*) AS BIGINT) AS pass_ttr_bps,
+       CAST(SUM(p_stop) * 10000 // COUNT(*) AS BIGINT) AS pass_stopword_bps,
+       CAST(SUM(p_wc * p_mwl * p_ttr * p_stop) * 10000 // COUNT(*) AS BIGINT) AS pass_all_bps
+FROM r GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Gopher/C4-style rule-filter report per source (Rae et al. "
+        "2021, public recipe, thresholds adapted to this corpus): "
+        "word-count bounds [30,90], mean word length in [3,10] as the "
+        "pure-integer compare 3n <= sum_len <= 10n, type-token ratio "
+        ">= 0.40 as 5*distinct >= 2*n, and >= 2 distinct stopword "
+        "hits. Every rule is exact integer arithmetic (no float "
+        "knife-edges), rates are exact-integer bps. One scan + one "
+        "map-side-combined groupBy(source): embarrassingly parallel "
+        "at 100 TB, no shuffle beyond |sources| rows (SURVEY §2.D)."
+    ),
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    t = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n"),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_len"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in T.STOPWORDS]),
+            )
+        ).cast("bigint").alias("n_stop"),
+    )
+    r = t.select(
+        "source",
+        F.when((F.col("n") >= 30) & (F.col("n") <= 90), 1).otherwise(0).alias("p_wc"),
+        F.when(
+            (3 * F.col("n") <= F.col("sum_len")) & (F.col("sum_len") <= 10 * F.col("n")), 1
+        ).otherwise(0).alias("p_mwl"),
+        F.when(5 * F.col("n_distinct") >= 2 * F.col("n"), 1).otherwise(0).alias("p_ttr"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("p_stop"),
+    )
+    out = r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("p_wc").alias("s_wc"),
+        F.sum("p_mwl").alias("s_mwl"),
+        F.sum("p_ttr").alias("s_ttr"),
+        F.sum("p_stop").alias("s_stop"),
+        F.sum(
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_ttr") * F.col("p_stop")
+        ).alias("s_all"),
+    )
+    return (
+        out.select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("s_wc * 10000L div n_docs").cast("bigint").alias("pass_wordcount_bps"),
+            F.expr("s_mwl * 10000L div n_docs").cast("bigint").alias("pass_meanwordlen_bps"),
+            F.expr("s_ttr * 10000L div n_docs").cast("bigint").alias("pass_ttr_bps"),
+            F.expr("s_stop * 10000L div n_docs").cast("bigint").alias("pass_stopword_bps"),
+            F.expr("s_all * 10000L div n_docs").cast("bigint").alias("pass_all_bps"),
+        )
+        .orderBy("source")
+    )
