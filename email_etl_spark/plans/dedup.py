@@ -1200,3 +1200,142 @@ def near_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.withColumn("pairs_at_or_above", F.sum("n_pairs").over(w).cast("bigint"))
         .orderBy("band")
     )
+
+
+WINNOW_K = 4      # word k-gram width
+WINNOW_W = 4      # winnowing window (guarantee: any shared run of
+                  # >= W + K - 1 = 7 tokens leaves a shared fingerprint)
+WINNOW_DF_CAP = 100   # boilerplate guard: drop fingerprints in > cap docs
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "winnowing_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, u.pos,
+         substr(md5(array_to_string(list_slice(toks, u.pos, u.pos + {WINNOW_K} - 1), ' ')), 1, 16) AS h
+  FROM tok CROSS JOIN UNNEST(range(1, GREATEST(len(toks) - {WINNOW_K} + 1, 1) + 1)) AS u(pos)
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wcnt,
+         MAX(pos) OVER (PARTITION BY doc_id) AS m
+  FROM g
+),
+sk AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM win
+  WHERE wcnt = {WINNOW_W} OR (m < {WINNOW_W} AND pos = 1)
+),
+eligible AS (
+  SELECT fp FROM sk GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {WINNOW_DF_CAP}
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sk GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM eligible)
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.shared AS BIGINT) AS shared_fps,
+       CAST(sa.sz AS BIGINT) AS sketch_a,
+       CAST(sb.sz AS BIGINT) AS sketch_b,
+       CAST(p.shared * 10000 // LEAST(sa.sz, sb.sz) AS BIGINT) AS overlap_bps
+FROM p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.shared >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+    doc=(
+        "Winnowing (MOSS) fingerprint near-dup pairs (Schleimer/"
+        "Wilkerson/Aiken 2003, public algorithm): positional word "
+        f"{WINNOW_K}-gram md5 hashes, per-position window-of-"
+        f"{WINNOW_W} minima as the selected sketch (guarantee: any "
+        f"verbatim run of >= {WINNOW_W + WINNOW_K - 1} tokens shared "
+        "between two docs leaves a shared fingerprint), then a "
+        "fingerprint-key equality self-join. Scale shape: the sketch "
+        f"is ~2/(w+1) of the gram stream; a df-in-[2,{WINNOW_DF_CAP}] "
+        "semi-join drops singleton AND boilerplate fingerprints "
+        "BEFORE the self-join, so the pair space is bounded by true "
+        "co-occurrence, never corpus^2 — the same discipline as "
+        "source_overlap. One window per doc, three keyed shuffles "
+        "total; no driver collect (SURVEY §2.E)."
+    ),
+)
+def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - F.lit(WINNOW_K - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(WINNOW_K))),
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.substring(F.md5(F.col("gram")), 1, 16).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wd = Window.partitionBy("doc_id")
+    win = g.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("wmin"),
+        F.count("*").over(w).alias("wcnt"),
+        F.max("pos").over(wd).alias("m"),
+    )
+    sk = (
+        win.where(
+            (F.col("wcnt") == WINNOW_W)
+            | ((F.col("m") < WINNOW_W) & (F.col("pos") == 1))
+        )
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    eligible = (
+        sk.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("fp")
+    )
+    sk2 = sk.join(eligible, "fp", "left_semi")
+    sz = sk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sk2.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sk2.select(F.col("doc_id").alias("doc_b"), "fp")
+    p = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        p.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sketch_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sketch_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared_fps"),
+            F.col("sketch_a").cast("bigint"),
+            F.col("sketch_b").cast("bigint"),
+            F.expr("shared * 10000L div least(sketch_a, sketch_b)")
+            .cast("bigint")
+            .alias("overlap_bps"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
