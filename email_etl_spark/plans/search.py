@@ -2070,3 +2070,221 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- ann_pq: product quantization with asymmetric distance (ADC) ----------
+
+PQ_M = 8      # subspaces
+PQ_D = 8      # dims per subspace (PQ_M * PQ_D == EMB_DIM)
+PQ_K = 8      # centroids per subspace codebook
+PQ_NQ = 5     # query batch: vec_id < PQ_NQ
+PQ_TOPK = 5
+
+
+def _pq_dist_sql(vexpr: str, cexpr: str) -> str:
+    """Sequential squared-L2 fold over PQ_D dims (same IEEE op order as
+    the Spark/driver folds)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_D} + 1), "
+        f"i -> ({vexpr}[i] - {cexpr}[i]) * ({vexpr}[i] - {cexpr}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_oracle() -> str:
+    d = _pq_dist_sql("s.sv", "c.cv")
+    dq = _pq_dist_sql("q.qv", "c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, mm.m AS m, list_slice(v, mm.m * {PQ_D} + 1, mm.m * {PQ_D} + {PQ_D}) AS sv
+  FROM e CROSS JOIN UNNEST(range(0, {PQ_M})) AS mm(m)
+),
+c0 AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c0 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+c1f AS (
+  SELECT m, cid, dd.i AS dim,
+         ROUND(CAST(SUM(CAST(ROUND(sv[dd.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+  FROM a1 CROSS JOIN UNNEST(range(1, {PQ_D} + 1)) AS dd(i)
+  GROUP BY m, cid, dd.i
+),
+c1 AS (SELECT m, cid, list(cval ORDER BY dim) AS cv FROM c1f GROUP BY m, cid),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c1 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < {PQ_NQ}),
+lut AS (
+  SELECT q.query_id, c.m, c.cid, ROUND({dq}, 6) AS pd
+  FROM q JOIN c1 c ON c.m = q.m
+),
+adc AS (
+  SELECT l.query_id, x.vec_id,
+         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+  FROM codes x JOIN lut l ON l.m = x.m AND l.cid = x.cid
+  WHERE x.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {PQ_TOPK}
+ORDER BY query_id, vec_id
+"""
+
+
+def _pq_fold(sv, cent: list) -> "F.Column":
+    """Sequential squared-L2 between a sub-vector column and a constant
+    centroid, same op order as the oracle fold."""
+    clit = F.expr("array(" + ",".join(f"{v!r}D" for v in cent) + ")")
+    return F.aggregate(
+        F.zip_with(sv, clit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign_cols(v, books: dict) -> list:
+    """One argmin column per subspace from plan-constant codebooks.
+    books: {m: [(cid, [PQ_D floats]), ...] sorted by cid}."""
+    cols = []
+    for m in range(PQ_M):
+        sv = F.slice(v, m * PQ_D + 1, PQ_D)
+        dists = F.array(*[_pq_fold(sv, cent) for _, cent in books[m]])
+        cid_lit = F.expr("array(" + ",".join(f"{cid}L" for cid, _ in books[m]) + ")")
+        idx = F.array_position(dists, F.array_min(dists)).cast("int")
+        cols.append(F.element_at(cid_lit, idx).alias(f"cid{m}"))
+    return cols
+
+
+@register(
+    "ann_pq",
+    oracle=_pq_oracle(),
+    doc=(
+        "Product quantization ANN with asymmetric distance (Jegou et "
+        f"al. 2011, public): {PQ_M} subspaces x {PQ_D} dims, per-"
+        f"subspace {PQ_K}-centroid codebooks trained by one Lloyd "
+        "round from the first-K sub-vectors (kmeans_codebook "
+        "convention: broadcast-constant assignment map pass, only the "
+        f"{PQ_M}x{PQ_K}x{PQ_D} codebook crosses the driver). Encoding "
+        f"compresses each vector to {PQ_M} byte codes (32x smaller "
+        "than float32 at 100 TB); query scoring is a pure projection — "
+        "per-query lookup tables are plan constants, the ADC sum folds "
+        "8 pre-rounded DECIMAL(18,6) terms in fixed order, and top-k "
+        "is a per-query window. Corpus rows never leave executors; no "
+        "join touches the raw vectors after encoding (SURVEY §2.F)."
+    ),
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # seeds: first PQ_K vectors, split into sub-vectors driver-side
+    seeds = (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    books0 = {
+        m: [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]][m * PQ_D : (m + 1) * PQ_D])
+            for r in seeds
+        ]
+        for m in range(PQ_M)
+    }
+    # one Lloyd update: assign to seeds, then per-(m, cid, dim) rounded means
+    a1 = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.array(*[c for c in _pq_assign_cols(F.col("v"), books0)]).alias("cids")
+    )
+    upd = (
+        a1.select("cids", F.posexplode("v").alias("pos0", "x"))
+        .select(
+            (F.col("pos0") / PQ_D).cast("int").alias("m"),
+            (F.col("pos0") % PQ_D + 1).alias("dim"),
+            F.expr(f"cids[CAST(pos0 / {PQ_D} AS INT)]").alias("cid"),
+            "x",
+        )
+        .groupBy("m", "cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cval")
+        )
+        .collect()
+    )
+    by_mc: dict = {}
+    for r in upd:
+        by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[int(r["dim"])] = float(r["cval"])
+    books1 = {
+        m: sorted(
+            [
+                (cid, [dims[p] for p in sorted(dims)])
+                for (mm, cid), dims in by_mc.items()
+                if mm == m
+            ]
+        )
+        for m in range(PQ_M)
+    }
+    # encode: final assignment, PQ_M small codes per vector
+    codes = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", *_pq_assign_cols(F.col("v"), books1)
+    )
+    # queries: first PQ_NQ vectors as plan constants -> LUT literals
+    qrows = (
+        emb.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    per_q = []
+    for qr in qrows:
+        qid = int(qr["vec_id"])
+        qv = [float(x) for x in qr["embedding"]]
+        # ADC = fixed-order fold of 8 pre-rounded decimal LUT terms
+        adc = None
+        for m in range(PQ_M):
+            qsub = qv[m * PQ_D : (m + 1) * PQ_D]
+            lut = {}
+            for cid, cent in books1[m]:
+                s = 0.0
+                for i in range(PQ_D):
+                    d = qsub[i] - cent[i]
+                    s = s + d * d
+                lut[cid] = s
+            cid_col = F.col(f"cid{m}")
+            pd_col = F.lit(None).cast("double")
+            for cid, val in sorted(lut.items(), reverse=True):
+                pd_col = F.when(cid_col == cid, F.lit(val)).otherwise(pd_col)
+            term = F.round(pd_col, 6).cast("decimal(18,6)")
+            adc = term if adc is None else adc + term
+        per_q.append(
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                adc.cast("double").alias("adc_dist"),
+            )
+        )
+    scored = codes.select(
+        "vec_id", F.explode(F.array(*per_q)).alias("qa")
+    ).select(
+        F.col("qa.query_id").alias("query_id"), "vec_id", F.col("qa.adc_dist").alias("adc_dist")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("query_id", "vec_id")
+    )
