@@ -1232,3 +1232,76 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM tok CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS DECIMAL(18,6)) AS lp
+  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) AS DOUBLE) AS logprob,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=(
+        "Bigram language-model surprise per document: MLE conditional "
+        "p(w2|w1) = c(w1 w2) / c(w1 .) over the corpus bigram stream "
+        "(never zero for observed bigrams, so no smoothing knife-edge). "
+        "The sharper perplexity-flavored quality filter next to "
+        "unigram_logprob — word-salad docs score low even when their "
+        "unigrams are common. Same exactness discipline: per-bigram ln "
+        "rounded to DECIMAL(18,6) BEFORE the distributed per-doc sum. "
+        "Bigram count tables broadcast (vocab^eff ≪ corpus; degrade to "
+        "shuffle join + AQE at extreme vocab). Three shuffles: two "
+        "count tables, one per-doc rollup (SURVEY §2.L)."
+    ),
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bt = docs.select("doc_id", F.explode(bgs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = bt.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bt.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = (
+        F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    scored = (
+        bt.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", lp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("logprob"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
