@@ -2107,11 +2107,21 @@ a1 AS (
     FROM sub s JOIN c0 c ON c.m = s.m
   ) WHERE rn = 1
 ),
-c1f AS (
+c1s AS (
   SELECT m, cid, dd.i AS dim,
-         ROUND(CAST(SUM(CAST(ROUND(sv[dd.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+         CAST(SUM(CAST(ROUND(sv[dd.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
   FROM a1 CROSS JOIN UNNEST(range(1, {PQ_D} + 1)) AS dd(i)
   GROUP BY m, cid, dd.i
+),
+c1f AS (
+  -- 6dp mean rounded half-away-from-zero ENTIRELY in integer
+  -- micro-units: sum/count hits exact decimal halves at ~1/count
+  -- probability, where double ROUND implementations disagree
+  SELECT m, cid, dim,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM c1s
 ),
 c1 AS (SELECT m, cid, list(cval ORDER BY dim) AS cv FROM c1f GROUP BY m, cid),
 codes AS (
@@ -2166,6 +2176,110 @@ def _pq_assign_cols(v, books: dict) -> list:
     return cols
 
 
+def _pq_train_books(emb: DataFrame) -> dict:
+    """Train the per-subspace PQ codebooks: deterministic first-K
+    sub-vector seeds, one Lloyd update. Only the PQ_M x PQ_K x PQ_D
+    codebook crosses the driver (kmeans_codebook convention)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    seeds = (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    books0 = {
+        m: [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]][m * PQ_D : (m + 1) * PQ_D])
+            for r in seeds
+        ]
+        for m in range(PQ_M)
+    }
+    # one Lloyd update: assign to seeds, then per-(m, cid, dim) means.
+    # The mean is rounded to 6dp ENTIRELY in integer micro-units
+    # (half-away-from-zero): sum-of-6dp-decimals / count hits exact
+    # decimal halves at ~1/count probability, where Spark's HALF_UP
+    # BigDecimal round and DuckDB's scaled-double round disagree — a
+    # double ROUND here is a genuine knife-edge, not a theoretical one.
+    a1 = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.array(*[c for c in _pq_assign_cols(F.col("v"), books0)]).alias("cids")
+    )
+    s_int = (F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")) * 1000000).cast("bigint")
+    n = F.count("*")
+    upd = (
+        a1.select("cids", F.posexplode("v").alias("pos0", "x"))
+        .select(
+            (F.col("pos0") / PQ_D).cast("int").alias("m"),
+            (F.col("pos0") % PQ_D + 1).alias("dim"),
+            F.expr(f"cids[CAST(pos0 / {PQ_D} AS INT)]").alias("cid"),
+            "x",
+        )
+        .groupBy("m", "cid", "dim")
+        .agg(s_int.alias("s"), n.alias("n"))
+        .select(
+            "m",
+            "cid",
+            "dim",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) "
+                "ELSE -((2 * (-s) + n) div (2 * n)) END"
+            ).alias("microv"),
+        )
+        .collect()
+    )
+    by_mc: dict = {}
+    for r in upd:
+        by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[int(r["dim"])] = (
+            int(r["microv"]) / 1000000.0
+        )
+    return {
+        m: sorted(
+            [
+                (cid, [dims[p] for p in sorted(dims)])
+                for (mm, cid), dims in by_mc.items()
+                if mm == m
+            ]
+        )
+        for m in range(PQ_M)
+    }
+
+
+def _pq_encode(emb: DataFrame, books: dict) -> DataFrame:
+    """Encode the corpus: PQ_M small codes per vector, one map pass."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select("vec_id", v.alias("v")).select(
+        "vec_id", *_pq_assign_cols(F.col("v"), books)
+    )
+
+
+def _pq_adc_struct(qrow, books1: dict):
+    """Per-query (query_id, adc_dist) struct column over code columns:
+    ADC = fixed-order fold of PQ_M pre-rounded decimal LUT terms. The
+    LUT is a plan constant computed driver-side with the same IEEE op
+    order as the oracle's list_reduce fold."""
+    qid = int(qrow["vec_id"])
+    qv = [float(x) for x in qrow["embedding"]]
+    adc = None
+    for m in range(PQ_M):
+        qsub = qv[m * PQ_D : (m + 1) * PQ_D]
+        lut = {}
+        for cid, cent in books1[m]:
+            s = 0.0
+            for i in range(PQ_D):
+                d = qsub[i] - cent[i]
+                s = s + d * d
+            lut[cid] = s
+        cid_col = F.col(f"cid{m}")
+        pd_col = F.lit(None).cast("double")
+        for cid, val in sorted(lut.items(), reverse=True):
+            pd_col = F.when(cid_col == cid, F.lit(val)).otherwise(pd_col)
+        term = F.round(pd_col, 6).cast("decimal(18,6)")
+        adc = term if adc is None else adc + term
+    return F.struct(
+        F.lit(qid).cast("bigint").alias("query_id"),
+        adc.cast("double").alias("adc_dist"),
+    )
+
+
 @register(
     "ann_pq",
     oracle=_pq_oracle(),
@@ -2188,99 +2302,190 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # seeds: first PQ_K vectors, split into sub-vectors driver-side
-    seeds = (
-        emb.where(F.col("vec_id") < PQ_K)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    books0 = {
-        m: [
-            (int(r["vec_id"]), [float(x) for x in r["embedding"]][m * PQ_D : (m + 1) * PQ_D])
-            for r in seeds
-        ]
-        for m in range(PQ_M)
-    }
-    # one Lloyd update: assign to seeds, then per-(m, cid, dim) rounded means
-    a1 = emb.select("vec_id", v.alias("v")).select(
-        "vec_id", "v", F.array(*[c for c in _pq_assign_cols(F.col("v"), books0)]).alias("cids")
-    )
-    upd = (
-        a1.select("cids", F.posexplode("v").alias("pos0", "x"))
-        .select(
-            (F.col("pos0") / PQ_D).cast("int").alias("m"),
-            (F.col("pos0") % PQ_D + 1).alias("dim"),
-            F.expr(f"cids[CAST(pos0 / {PQ_D} AS INT)]").alias("cid"),
-            "x",
-        )
-        .groupBy("m", "cid", "dim")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("cval")
-        )
-        .collect()
-    )
-    by_mc: dict = {}
-    for r in upd:
-        by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[int(r["dim"])] = float(r["cval"])
-    books1 = {
-        m: sorted(
-            [
-                (cid, [dims[p] for p in sorted(dims)])
-                for (mm, cid), dims in by_mc.items()
-                if mm == m
-            ]
-        )
-        for m in range(PQ_M)
-    }
-    # encode: final assignment, PQ_M small codes per vector
-    codes = emb.select("vec_id", v.alias("v")).select(
-        "vec_id", *_pq_assign_cols(F.col("v"), books1)
-    )
-    # queries: first PQ_NQ vectors as plan constants -> LUT literals
+    books1 = _pq_train_books(emb)
+    codes = _pq_encode(emb, books1)
     qrows = (
         emb.where(F.col("vec_id") < PQ_NQ)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
     )
-    per_q = []
-    for qr in qrows:
-        qid = int(qr["vec_id"])
-        qv = [float(x) for x in qr["embedding"]]
-        # ADC = fixed-order fold of 8 pre-rounded decimal LUT terms
-        adc = None
-        for m in range(PQ_M):
-            qsub = qv[m * PQ_D : (m + 1) * PQ_D]
-            lut = {}
-            for cid, cent in books1[m]:
-                s = 0.0
-                for i in range(PQ_D):
-                    d = qsub[i] - cent[i]
-                    s = s + d * d
-                lut[cid] = s
-            cid_col = F.col(f"cid{m}")
-            pd_col = F.lit(None).cast("double")
-            for cid, val in sorted(lut.items(), reverse=True):
-                pd_col = F.when(cid_col == cid, F.lit(val)).otherwise(pd_col)
-            term = F.round(pd_col, 6).cast("decimal(18,6)")
-            adc = term if adc is None else adc + term
-        per_q.append(
-            F.struct(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                adc.cast("double").alias("adc_dist"),
-            )
-        )
+    per_q = [_pq_adc_struct(qr, books1) for qr in qrows]
     scored = codes.select(
         "vec_id", F.explode(F.array(*per_q)).alias("qa")
     ).select(
         F.col("qa.query_id").alias("query_id"), "vec_id", F.col("qa.adc_dist").alias("adc_dist")
     ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("query_id", "vec_id")
+    )
+
+
+# --- ann_ivfpq: IVF coarse pruning + PQ asymmetric re-scoring --------------
+
+IVFPQ_NPROBE = 4
+
+
+def _ivfpq_oracle() -> str:
+    d = _pq_dist_sql("s.sv", "c.cv")
+    dq = _pq_dist_sql("q.qv", "c.cv")
+    cos_cv = _COS.format(a="v.embedding", b="cc.cvec")
+    cos_qc = _COS.format(a="qe.embedding", b="cc.cvec")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, mm.m AS m, list_slice(v, mm.m * {PQ_D} + 1, mm.m * {PQ_D} + {PQ_D}) AS sv
+  FROM e CROSS JOIN UNNEST(range(0, {PQ_M})) AS mm(m)
+),
+c0 AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c0 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+c1s AS (
+  SELECT m, cid, dd.i AS dim,
+         CAST(SUM(CAST(ROUND(sv[dd.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a1 CROSS JOIN UNNEST(range(1, {PQ_D} + 1)) AS dd(i)
+  GROUP BY m, cid, dd.i
+),
+c1f AS (
+  -- 6dp mean rounded half-away-from-zero ENTIRELY in integer
+  -- micro-units: sum/count hits exact decimal halves at ~1/count
+  -- probability, where double ROUND implementations disagree
+  SELECT m, cid, dim,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM c1s
+),
+c1 AS (SELECT m, cid, list(cval ORDER BY dim) AS cv FROM c1f GROUP BY m, cid),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c1 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+cc AS (SELECT vec_id AS ccid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_K}),
+assign AS (
+  SELECT vec_id, ccid FROM (
+    SELECT v.vec_id, cc.ccid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos_cv} DESC, cc.ccid) AS rn
+    FROM embeddings v CROSS JOIN cc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, ccid FROM (
+    SELECT qe.vec_id AS query_id, cc.ccid,
+           ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY {cos_qc} DESC, cc.ccid) AS rn
+    FROM embeddings qe CROSS JOIN cc
+    WHERE qe.vec_id < {PQ_NQ}
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.ccid = p.ccid
+  WHERE a.vec_id <> p.query_id
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < {PQ_NQ}),
+lut AS (
+  SELECT q.query_id, c.m, c.cid, ROUND({dq}, 6) AS pd
+  FROM q JOIN c1 c ON c.m = q.m
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id,
+         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+  FROM cand
+  JOIN codes x ON x.vec_id = cand.vec_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.m = x.m AND l.cid = x.cid
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {PQ_TOPK}
+ORDER BY query_id, vec_id
+"""
+
+
+@register(
+    "ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc=(
+        "IVF+PQ ANN — the FAISS-style 100 TB serving architecture "
+        "(Jegou et al. 2011): the IVF coarse quantizer (argmax-cosine "
+        f"to {IVF_K} centroid seeds) prunes the corpus to "
+        f"{IVFPQ_NPROBE}/{IVF_K} probed lists per query, then PQ "
+        "asymmetric distance re-scores ONLY the probed candidates "
+        "from their 8-byte codes. Both codebooks are plan constants; "
+        "candidate discovery is an equality join on the list id "
+        "(partition-pruned reads when the code table is stored "
+        "list-partitioned); scoring touches codes, never raw vectors. "
+        "Scan cost per query: nprobe/K of the corpus at 1/32 the "
+        "bytes — the multiplicative compound of IVF pruning and PQ "
+        "compression (SURVEY §2.F)."
+    ),
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    books1 = _pq_train_books(emb)
+    codes = _pq_encode(emb, books1)
+    # IVF coarse assignment (ann_ivf structure): broadcast centroids,
+    # argmax cosine per vector
+    cents = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cvec")
+    )
+    cscore = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", cosine_rounded(F.col("embedding"), F.col("cvec")).alias("c_sim")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "ccid")
+    assign = (
+        cscore.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ccid")
+    )
+    # probes: each query's IVFPQ_NPROBE nearest lists (tiny, broadcast)
+    qe = emb.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pscore = qe.crossJoin(F.broadcast(cents)).select(
+        "query_id", "ccid", cosine_rounded(F.col("qvec"), F.col("cvec")).alias("q_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("q_sim"), "ccid")
+    probes = (
+        pscore.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", "ccid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "ccid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    # ADC re-score only the candidates: join codes, per-query LUT CASE
+    qrows = (
+        emb.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    per_q = [_pq_adc_struct(qr, books1) for qr in qrows]
+    scored = (
+        cand.join(codes, "vec_id")
+        .select("query_id", "vec_id", F.explode(F.array(*per_q)).alias("qa"))
+        .where(F.col("qa.query_id") == F.col("query_id"))
+        .select("query_id", "vec_id", F.col("qa.adc_dist").alias("adc_dist"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
