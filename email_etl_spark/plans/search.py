@@ -1214,11 +1214,21 @@ a1 AS (
     FROM e CROSS JOIN c0 c
   ) WHERE rn = 1
 ),
-c1f AS (
+c1s AS (
   SELECT cid, d.i AS dim,
-         ROUND(CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+         CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
   FROM a1 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
   GROUP BY cid, d.i
+),
+c1f AS (
+  -- 6dp mean rounded half-away-from-zero in integer micro-units:
+  -- sum/count hits exact decimal halves at ~1/count probability,
+  -- where double ROUND implementations disagree cross-engine
+  SELECT cid, dim,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM c1s
 ),
 c1 AS (SELECT cid, list(cval ORDER BY dim) AS v FROM c1f GROUP BY cid),
 a2 AS (
@@ -1228,12 +1238,29 @@ a2 AS (
     FROM e CROSS JOIN c1 c
   ) WHERE rn = 1
 )
-SELECT cid AS cluster_id,
-       COUNT(*) AS n_vectors,
-       MIN(vec_id) AS min_vec_id,
-       ROUND(CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_dist
-FROM a2 GROUP BY cid ORDER BY cid
+SELECT cluster_id, n_vectors, min_vec_id,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n * 100) // (2 * n * 100)
+                 ELSE -((2 * (-s) + n * 100) // (2 * n * 100)) END AS DOUBLE) / 10000.0 AS avg_dist
+FROM (
+  SELECT cid AS cluster_id,
+         COUNT(*) AS n_vectors,
+         MIN(vec_id) AS min_vec_id,
+         CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a2 GROUP BY cid
+) ORDER BY cluster_id
 """
+
+
+def _micro_mean_expr(p: int) -> str:
+    """SQL CASE rounding an exact micro-unit sum `s` (bigint, 1e-6
+    units) over count `n` to p decimal places, half-away-from-zero,
+    entirely in integer arithmetic (no double ROUND knife-edge)."""
+    d = f"(n * {10 ** (6 - p)})" if p < 6 else "n"
+    return (
+        f"CASE WHEN s >= 0 THEN (2 * s + {d}) div (2 * {d}) "
+        f"ELSE -((2 * (-s) + {d}) div (2 * {d})) END"
+    )
 
 
 def _km_assign(df: DataFrame, cents: list) -> DataFrame:
@@ -1301,18 +1328,17 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
-                F.round(
-                    F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
-                    .cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("cval")
+                (F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")) * 1000000)
+                .cast("bigint")
+                .alias("s"),
+                F.count("*").alias("n"),
             )
+            .select("cid", "pos", F.expr(_micro_mean_expr(6)).alias("microv"))
             .collect()
         )
         by_cid: dict = {}
         for r in upd:
-            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cval"])
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["microv"]) / 1000000.0
         cents = [
             (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
@@ -1322,17 +1348,16 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vectors"),
             F.min("vec_id").alias("min_vec_id"),
-            F.round(
-                F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                4,
-            ).alias("avg_dist"),
+            (F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").alias("n"),
         )
         .select(
             F.col("cid").cast("bigint").alias("cluster_id"),
             "n_vectors",
             "min_vec_id",
-            "avg_dist",
+            (F.expr(_micro_mean_expr(4)).cast("double") / 10000.0).alias("avg_dist"),
         )
         .orderBy("cluster_id")
     )
@@ -1345,11 +1370,18 @@ def _outlier_oracle() -> str:
     dist = _km_dist_sql("e.v", "c.v")
     return f"""
 WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-cf AS (
+cs AS (
   SELECT label, d.i AS dim,
-         ROUND(CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cval
+         CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
   FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
   GROUP BY label, d.i
+),
+cf AS (
+  SELECT label, dim,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM cs
 ),
 c AS (SELECT label, list(cval ORDER BY dim) AS v FROM cf GROUP BY label),
 scored AS (
@@ -1383,18 +1415,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
-                .cast("double")
-                / F.count("*"),
-                6,
-            ).alias("cval")
+            (F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").alias("n"),
         )
+        .select("label", "pos", F.expr(_micro_mean_expr(6)).alias("microv"))
         .collect()
     )
     by_label: dict = {}
     for r in cf:
-        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cval"])
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = int(r["microv"]) / 1000000.0
     cents = [
         (lbl, [dims[p] for p in sorted(dims)]) for lbl, dims in sorted(by_label.items())
     ]
