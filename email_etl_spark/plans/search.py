@@ -1202,10 +1202,12 @@ def _km_dist_sql(vexpr: str, cexpr: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _km_ctes() -> str:
+    """The unrolled 2-round Lloyd CTE chain (e .. a2): shared by
+    kmeans_codebook and every query that consumes the learned
+    assignment."""
     d0 = _km_dist_sql("e.v", "c.v")
-    return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
 a1 AS (
   SELECT vec_id, v, cid FROM (
@@ -1237,7 +1239,12 @@ a2 AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d0} ASC, c.cid) AS rn
     FROM e CROSS JOIN c1 c
   ) WHERE rn = 1
-)
+)"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+WITH {_km_ctes()}
 SELECT cluster_id, n_vectors, min_vec_id,
        CAST(CASE WHEN s >= 0 THEN (2 * s + n * 100) // (2 * n * 100)
                  ELSE -((2 * (-s) + n * 100) // (2 * n * 100)) END AS DOUBLE) / 10000.0 AS avg_dist
@@ -1296,25 +1303,10 @@ def _km_assign(df: DataFrame, cents: list) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_codebook",
-    oracle=_kmeans_oracle(),
-    doc=(
-        "Distributed Lloyd k-means (2 assignment rounds, K=8, seeded "
-        "from the first K vectors): trains the IVF coarse-quantizer "
-        "codebook. Assignment = broadcast-codebook map pass (squared-L2 "
-        "as one JVM fold per centroid, argmin + lowest-cid tiebreak); "
-        "update = posexplode -> (cid, dim) partial-aggregated sum with "
-        "the repo's round-to-DECIMAL(18,6)-before-sum convention, then "
-        "collect of the K x 64 codebook ONLY (plan constants, the MLlib "
-        "shape — corpus rows never reach the driver). Empty clusters "
-        "drop (both engines). Oracle = the same two rounds unrolled as "
-        "CTEs with an identical sequential fold, so distances are "
-        "bit-identical and the final rollup hash-matches exactly."
-    ),
-)
-def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+def _km_train(emb: DataFrame) -> list:
+    """KM_ITERS-round Lloyd training; returns the final centroid list
+    (plan constants — only the K x EMB_DIM codebook crosses the
+    driver)."""
     init = (
         emb.where(F.col("vec_id") < KM_K)
         .select("vec_id", "embedding")
@@ -1342,7 +1334,29 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
-    final = _km_assign(emb, cents)
+    return cents
+
+
+@register(
+    "kmeans_codebook",
+    oracle=_kmeans_oracle(),
+    doc=(
+        "Distributed Lloyd k-means (2 assignment rounds, K=8, seeded "
+        "from the first K vectors): trains the IVF coarse-quantizer "
+        "codebook. Assignment = broadcast-codebook map pass (squared-L2 "
+        "as one JVM fold per centroid, argmin + lowest-cid tiebreak); "
+        "update = posexplode -> (cid, dim) partial-aggregated sum with "
+        "the repo's round-to-DECIMAL(18,6)-before-sum convention, then "
+        "collect of the K x 64 codebook ONLY (plan constants, the MLlib "
+        "shape — corpus rows never reach the driver). Empty clusters "
+        "drop (both engines). Oracle = the same two rounds unrolled as "
+        "CTEs with an identical sequential fold, so distances are "
+        "bit-identical and the final rollup hash-matches exactly."
+    ),
+)
+def kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    final = _km_assign(emb, _km_train(emb))
     return (
         final.groupBy("cid")
         .agg(
@@ -2523,4 +2537,102 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= PQ_TOPK)
         .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
         .orderBy("query_id", "vec_id")
+    )
+
+
+# --- cluster_top_terms: label the LEARNED clusters -------------------------
+
+CLUSTER_LIFT_MIN = 5
+CLUSTER_LIFT_TOP = 5
+
+
+def _cluster_terms_oracle() -> str:
+    toks = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH {_km_ctes()},
+d AS (
+  SELECT a2.cid, UNNEST({toks}) AS tok
+  FROM documents JOIN a2 ON doc_id = a2.vec_id
+),
+c AS (SELECT cid, tok, COUNT(*) AS n FROM d GROUP BY 1, 2),
+l AS (SELECT cid, SUM(n) AS cid_toks FROM c GROUP BY cid),
+t AS (SELECT tok, SUM(n) AS tok_total FROM c GROUP BY tok),
+scored AS (
+  SELECT c.cid, c.tok, c.n,
+         ROUND(CAST(c.n * (SELECT SUM(n) FROM c) AS DOUBLE)
+               / (l.cid_toks * t.tok_total), 4) AS lift
+  FROM c JOIN l USING (cid) JOIN t USING (tok)
+  WHERE c.n >= {CLUSTER_LIFT_MIN}
+),
+r AS (SELECT cid, tok, n, lift,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY lift DESC, n DESC, tok) AS rank
+      FROM scored)
+SELECT CAST(cid AS BIGINT) AS cluster_id, tok, n, lift, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {CLUSTER_LIFT_TOP} ORDER BY cluster_id, rank
+"""
+
+
+@register(
+    "cluster_top_terms",
+    oracle=_cluster_terms_oracle(),
+    doc=(
+        "Distinctive terms per LEARNED k-means cluster — the "
+        "clustering -> labeling composition a topic-discovery pipeline "
+        "runs (label_top_terms names the given labels; this names the "
+        "clusters the engine itself just trained). The assignment is "
+        "the kmeans_codebook broadcast-constant map pass (shared "
+        "trainer, same 2 Lloyd rounds, bit-identical folds), joined to "
+        "documents on doc_id = vec_id; lift = exact integer products "
+        "folded into one double division (label_top_terms convention). "
+        "Shuffles: the id join + map-side-combined (cid, tok) counts; "
+        "lift joins touch vocab-sized tables only (SURVEY §2.L)."
+    ),
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    assign = _km_assign(emb, _km_train(emb)).select("vec_id", "cid")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .join(assign, F.col("doc_id") == F.col("vec_id"))
+        .select("cid", "tok")
+    )
+    c = d.groupBy("cid", "tok").agg(F.count("*").alias("n"))
+    l = c.groupBy("cid").agg(F.sum("n").alias("cid_toks"))
+    t = c.groupBy("tok").agg(F.sum("n").alias("tok_total"))
+    tot = c.agg(F.sum("n").alias("all_toks"))
+    scored = (
+        c.join(F.broadcast(l), "cid")
+        .join(F.broadcast(t), "tok")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= CLUSTER_LIFT_MIN)
+        .select(
+            "cid",
+            "tok",
+            "n",
+            F.round(
+                (F.col("n") * F.col("all_toks")).cast("double")
+                / (F.col("cid_toks") * F.col("tok_total")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(F.desc("lift"), F.desc("n"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CLUSTER_LIFT_TOP)
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "tok",
+            "n",
+            "lift",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("cluster_id", "rank")
     )
