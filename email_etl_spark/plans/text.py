@@ -1305,3 +1305,141 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "char_entropy",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> substr(text, i, 1)) AS chars
+  FROM documents
+),
+t AS (
+  SELECT doc_id, len(chars) AS n,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list_distinct(chars)),
+               d -> CAST(len(list_filter(chars, ch -> ch = d)) AS DOUBLE)
+                    * LN(len(list_filter(chars, ch -> ch = d))))),
+           (acc, x) -> acc + x) AS s
+  FROM c
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       ROUND(LN(n) - s / n, 4) AS char_entropy
+FROM t ORDER BY doc_id
+""",
+    doc=(
+        "Character-level Shannon entropy per document (gibberish / "
+        "base64-blob / repeated-padding detection — the classic "
+        "cheap quality gate next to the word-level heuristics): "
+        "H = ln(N) - (sum n_c ln n_c) / N. ZERO-shuffle shape: the "
+        "char histogram, the entropy fold, everything is doc-local "
+        "array arithmetic inside one projection — the distinct-char "
+        "alphabet is sorted before the fold so the double sum has a "
+        "fixed order on both engines (bit-identical without decimal "
+        "scaffolding). Embarrassingly parallel at any scale "
+        "(SURVEY §2.D)."
+    ),
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+    t = docs.select(
+        "doc_id",
+        F.size(chars).alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.array_distinct(chars)),
+                lambda d: F.size(F.filter(chars, lambda ch: ch == d)).cast("double")
+                * F.log(F.size(F.filter(chars, lambda ch: ch == d)).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.round(F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), 4).alias(
+            "char_entropy"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "zipf_fit",
+    oracle=f"""
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+cnt AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM cnt
+),
+terms AS (
+  SELECT lang,
+         CAST(ROUND(LN(rank), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(LN(n), 6) AS DECIMAL(18,6)) AS y,
+         CAST(ROUND(LN(rank) * LN(rank), 6) AS DECIMAL(18,6)) AS xx,
+         CAST(ROUND(LN(rank) * LN(n), 6) AS DECIMAL(18,6)) AS xy
+  FROM ranked
+),
+s AS (
+  SELECT lang, COUNT(*) AS m,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(xy) AS DOUBLE) AS sxy
+  FROM terms GROUP BY lang
+)
+SELECT lang, CAST(m AS BIGINT) AS n_types,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 4) AS zipf_intercept
+FROM s ORDER BY lang
+""",
+    doc=(
+        "Zipf-law fit per language: least-squares slope of ln(freq) "
+        "vs ln(rank) over the vocabulary (natural corpora fit slope "
+        "~ -1; synthetic/templated/spammy corpora bend away — a "
+        "corpus-health diagnostic for curation). Rank ties break on "
+        "token so both engines rank identically; every per-type term "
+        "is pre-rounded to DECIMAL(18,6) before the distributed sums "
+        "(order-insensitive, quality_length_corr convention), and the "
+        "closed-form slope/intercept is fixed-order scalar arithmetic "
+        "over per-group scalars. The window runs over the vocab-sized "
+        "count table, never corpus rows (SURVEY §2.D)."
+    ),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = cnt.withColumn("rank", F.row_number().over(w))
+    lr = F.log(F.col("rank").cast("double"))
+    ln = F.log(F.col("n").cast("double"))
+    terms = ranked.select(
+        "lang",
+        F.round(lr, 6).cast("decimal(18,6)").alias("x"),
+        F.round(ln, 6).cast("decimal(18,6)").alias("y"),
+        F.round(lr * lr, 6).cast("decimal(18,6)").alias("xx"),
+        F.round(lr * ln, 6).cast("decimal(18,6)").alias("xy"),
+    )
+    s = terms.groupBy("lang").agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        F.col("m").cast("bigint").alias("n_types"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 4).alias("zipf_intercept"),
+    ).orderBy("lang")
