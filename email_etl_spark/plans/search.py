@@ -2636,3 +2636,151 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "rank")
     )
+
+
+# --- persisted IVF+PQ index: the build-once serving layout -----------------
+
+PQ_INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "ann_pq_index")
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """Materialize the IVF+PQ serving index ONCE per corpus (the
+    reference's build-once HNSW discipline, scripts/init_db.sql:53):
+    - codes/   (ccid, vec_id, cid0..cid7) partitioned by ccid — each
+      IVF list is a directory, so probing reads only nprobe/K of the
+      index, and each row is 8 codes instead of 64 floats (32x);
+    - codebook/ the PQ_M x PQ_K x PQ_D trained codebook (tiny).
+    Idempotent per corpus dir. Queries never retrain or re-encode."""
+    import os as _os
+
+    from email_etl_spark.sinks.parquet import write_partitioned
+
+    index_dir = index_dir or _os.path.join(
+        PQ_INDEX_ROOT, _os.path.basename(sf_dir.rstrip("/"))
+    )
+    codes_dir = _os.path.join(index_dir, "codes")
+    book_dir = _os.path.join(index_dir, "codebook")
+    if not _os.path.exists(_os.path.join(book_dir, "_SUCCESS")):
+        emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+        books1 = _pq_train_books(emb)
+        codes = _pq_encode(emb, books1)
+        cents = emb.where(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("ccid"), F.col("embedding").alias("cvec")
+        )
+        cscore = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "ccid", cosine_rounded(F.col("embedding"), F.col("cvec")).alias("c_sim")
+        )
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "ccid")
+        assign = (
+            cscore.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "ccid")
+        )
+        write_partitioned(codes.join(assign, "vec_id"), codes_dir, ["ccid"], sort_col="vec_id")
+        rows = [
+            (m, int(cid), [float(x) for x in cv])
+            for m, entries in books1.items()
+            for cid, cv in entries
+        ]
+        spark.createDataFrame(
+            rows, "m int, cid bigint, cv array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(book_dir)
+    return index_dir
+
+
+@register(
+    "ann_ivfpq_indexed",
+    oracle=_ivfpq_oracle(),
+    doc=(
+        "IVF+PQ ANN served from the PERSISTED index: build_pq_index "
+        "writes the code table partitioned by IVF list (ccid) plus the "
+        "trained codebook; a query collects its nprobe list ids from "
+        "the tiny centroid table, reads ONLY those list directories "
+        "(PartitionFilters — proven pruned in tests/test_pq_index.py), "
+        "and ADC-scores the 8-byte codes against plan-constant lookup "
+        "tables. Same results contract as ann_ivfpq, with training, "
+        "encoding and list assignment amortized to build time — per-"
+        "query work is nprobe/K of the index at 1/32 the bytes, the "
+        "genuine 100 TB serving shape (SURVEY §2.F)."
+    ),
+)
+def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_pq_index(spark, sf_dir)
+    import os as _os
+
+    # codebook: 64 tiny rows, memoized plan constants
+    books1 = _LIT_CACHE.get(("pq_books", index_dir))
+    if books1 is None:
+        brows = spark.read.parquet(_os.path.join(index_dir, "codebook")).collect()
+        books1 = {m: [] for m in range(PQ_M)}
+        for r in brows:
+            books1[int(r["m"])].append((int(r["cid"]), [float(x) for x in r["cv"]]))
+        books1 = {m: sorted(v) for m, v in books1.items()}
+        _LIT_CACHE[("pq_books", index_dir)] = books1
+    emb = load_table(spark, sf_dir, "embeddings")
+    # probes: per-query nprobe nearest lists over the 16-row centroid
+    # table — a bounded collect (the serving layer's routing step)
+    cents = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cvec")
+    )
+    qe = emb.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("q_sim"), "ccid")
+    probe_rows = (
+        qe.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "ccid", cosine_rounded(F.col("qvec"), F.col("cvec")).alias("q_sim")
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", "ccid")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in probe_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["ccid"]))
+    all_lists = sorted({c for lists in by_q.values() for c in lists})
+    # partition-pruned read of the probed list directories only
+    idx = _LIT_CACHE.get(("pq_idx", index_dir))
+    if idx is None:
+        idx = spark.read.parquet(_os.path.join(index_dir, "codes"))
+        _LIT_CACHE[("pq_idx", index_dir)] = idx
+    pruned = idx.where(F.col("ccid").cast("int").isin(all_lists))
+    qrows = (
+        emb.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    per_q = [_pq_adc_struct(qr, books1) for qr in qrows]
+    probe_map = F.expr(
+        "map("
+        + ",".join(
+            f"{qid}, array({','.join(str(c) for c in sorted(ccids))})"
+            for qid, ccids in sorted(by_q.items())
+        )
+        + ")"
+    )
+    scored = (
+        pruned.select("ccid", "vec_id", F.explode(F.array(*per_q)).alias("qa"))
+        .where(
+            F.array_contains(
+                F.element_at(probe_map, F.col("qa.query_id").cast("int")),
+                F.col("ccid").cast("int"),
+            )
+        )
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "vec_id",
+            F.col("qa.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("query_id", "vec_id")
+    )
