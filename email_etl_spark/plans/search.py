@@ -2784,3 +2784,64 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
         .orderBy("query_id", "vec_id")
     )
+
+
+# --- cluster_exemplars: nearest docs to each learned centroid --------------
+
+EXEMPLAR_TOP = 3
+EXEMPLAR_SNIPPET = 80
+
+
+def _exemplar_oracle() -> str:
+    return f"""
+WITH {_km_ctes()},
+r AS (
+  SELECT cid, vec_id, ROUND(dist, 4) AS center_dist,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist ASC, vec_id) AS rank
+  FROM a2
+)
+SELECT CAST(r.cid AS BIGINT) AS cluster_id,
+       CAST(r.rank AS BIGINT) AS rank,
+       r.vec_id, r.center_dist,
+       substr(d.text, 1, {EXEMPLAR_SNIPPET}) AS snippet
+FROM r JOIN documents d ON d.doc_id = r.vec_id
+WHERE r.rank <= {EXEMPLAR_TOP}
+ORDER BY cluster_id, rank
+"""
+
+
+@register(
+    "cluster_exemplars",
+    oracle=_exemplar_oracle(),
+    doc=(
+        "Cluster exemplars: the top-3 documents nearest each LEARNED "
+        "k-means centroid (the human-inspection companion to "
+        "cluster_top_terms — what a curation reviewer actually reads "
+        "to name a cluster). Shared Lloyd trainer; the per-cluster "
+        "nearest-member cut is one window over the assignment (each "
+        "task emits <= K x top rows), then an id join pulls snippets "
+        "for the <= K x top winners only — never full documents for "
+        "the corpus (SURVEY §2.L)."
+    ),
+)
+def cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    assign = _km_assign(emb, _km_train(emb)).select("vec_id", "cid", "dist")
+    w = Window.partitionBy("cid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    r = (
+        assign.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= EXEMPLAR_TOP)
+        .select("cid", "rank", "vec_id", F.round("dist", 4).alias("center_dist"))
+    )
+    return (
+        r.join(docs.select("doc_id", "text"), F.col("doc_id") == F.col("vec_id"))
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "center_dist",
+            F.substring("text", 1, EXEMPLAR_SNIPPET).alias("snippet"),
+        )
+        .orderBy("cluster_id", "rank")
+    )

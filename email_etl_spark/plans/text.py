@@ -1443,3 +1443,100 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 4).alias("zipf_intercept"),
     ).orderBy("lang")
+
+
+CHARGRAM_K = 3
+CHARGRAM_TOP = 20
+
+
+@register(
+    "langid_chargram",
+    oracle=f"""
+WITH tg_doc AS (
+  SELECT doc_id, lang AS lang_declared,
+         list_distinct(list_transform(range(1, length(text) - {CHARGRAM_K} + 2),
+                                      i -> substr(text, i, {CHARGRAM_K}))) AS tgs
+  FROM documents
+),
+tgx AS (SELECT doc_id, lang_declared, unnest(tgs) AS tg FROM tg_doc),
+cnt AS (SELECT lang_declared AS lang, tg, COUNT(*) AS n FROM tgx GROUP BY 1, 2),
+prof AS (
+  SELECT lang, tg FROM (
+    SELECT lang, tg,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rn
+    FROM cnt
+  ) WHERE rn <= {CHARGRAM_TOP}
+),
+hits AS (
+  SELECT t.doc_id, p.lang, COUNT(*) AS n_hits
+  FROM tgx t JOIN prof p ON t.tg = p.tg
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.lang_declared, COALESCE(p.lang_pred, 'und') AS lang_pred,
+       COUNT(*) AS n_docs
+FROM tg_doc d LEFT JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc=(
+        "Char-trigram language ID confusion matrix — the n-gram "
+        "profile method (Cavnar/Trenkle 1994, public) next to the "
+        "stopword heuristic lang_id: per-language top-20 trigram "
+        "profiles are TRAINED from the declared labels (distinct "
+        "trigram presence, count-ranked with trigram tiebreak), then "
+        "every doc is classified by profile-hit count (argmax, lang "
+        "tiebreak; no hits -> 'und') and cross-tabbed against its "
+        "declared label. Scale shape: profiles are a vocab-sized "
+        "top-k window broadcast into the hit join; doc trigram sets "
+        "are doc-local arrays; the per-doc argmax is one keyed "
+        "window. Self-training on its own gate keeps the oracle "
+        "closed over the same corpus (SURVEY §2.D)."
+    ),
+)
+def langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgs = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {CHARGRAM_K - 1}, 1)),"
+            f" i -> substr(text, i, {CHARGRAM_K}))"
+        )
+    )
+    tg_doc = docs.select(
+        "doc_id", F.col("lang").alias("lang_declared"), tgs.alias("tgs")
+    )
+    tgx = tg_doc.select("doc_id", "lang_declared", F.explode("tgs").alias("tg"))
+    cnt = tgx.groupBy(F.col("lang_declared").alias("lang"), "tg").agg(
+        F.count("*").alias("n")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
+    prof = (
+        cnt.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") <= CHARGRAM_TOP)
+        .select("lang", "tg")
+    )
+    hits = (
+        tgx.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    pred = (
+        hits.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        tg_doc.select("doc_id", "lang_declared")
+        .join(pred, "doc_id", "left")
+        .groupBy("lang_declared", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_declared", "lang_pred")
+    )
