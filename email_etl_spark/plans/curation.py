@@ -482,3 +482,108 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard_id")
     )
+
+
+# --- DSIR importance weights (Xie et al. 2023, public method) --------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET = "lang = 'en' AND source IN ('src0', 'src1')"
+
+
+@register(
+    "dsir_weights",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(toks[u.i] || ' ' || toks[u.i + 1]), 1, 4)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM tok CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+tcnt AS (SELECT b, COUNT(*) AS nt FROM bg WHERE {DSIR_TARGET} GROUP BY b),
+rcnt AS (SELECT b, COUNT(*) AS nr FROM bg GROUP BY b),
+tn AS (SELECT COUNT(*) AS n_t FROM bg WHERE {DSIR_TARGET}),
+rn AS (SELECT COUNT(*) AS n_r FROM bg),
+ratio AS (
+  SELECT r.b,
+         CAST(ROUND(
+           LN(CAST((COALESCE(t.nt, 0) + 1) * (rn.n_r + {DSIR_BUCKETS}) AS DOUBLE)
+              / ((r.nr + 1) * (tn.n_t + {DSIR_BUCKETS}))), 6) AS DECIMAL(18,6)) AS lr
+  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tn CROSS JOIN rn
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_feats,
+       CAST(SUM(ratio.lr) AS DOUBLE) AS log_weight,
+       ROUND(CAST(SUM(ratio.lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+FROM bg JOIN ratio USING (b)
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+""",
+    doc=(
+        "DSIR-style importance weights for data selection (Data "
+        "Selection via Importance Resampling, Xie et al. 2023, public "
+        "method): hashed word-bigram features into "
+        f"{DSIR_BUCKETS} md5 buckets, per-bucket add-one-smoothed "
+        "probabilities under a TARGET distribution (here the "
+        "en/src0+src1 slice as the high-quality proxy) and the RAW "
+        "corpus, and per-doc log importance = sum of per-feature "
+        "ln(p_target/p_raw). The numerator/denominator fold to ONE "
+        "integer-product double ln per bucket; per-feature terms are "
+        "pre-rounded to DECIMAL(18,6) before the distributed per-doc "
+        "sum (order-insensitive). The 256-row ratio table broadcasts; "
+        "shuffles: two bucket counts + the per-doc rollup "
+        "(SURVEY §2.L)."
+    ),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_target = (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
+    bg = docs.select(
+        "doc_id",
+        is_target.alias("tgt"),
+        F.explode(bgs).alias("g"),
+    ).select(
+        "doc_id",
+        "tgt",
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("bigint")
+         % DSIR_BUCKETS).alias("b"),
+    )
+    rcnt = bg.groupBy("b").agg(
+        F.count("*").alias("nr"),
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("nt"),
+    )
+    tot = bg.agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("n_t"),
+    )
+    ratio = rcnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("nt") + 1) * (F.col("n_r") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("nr") + 1) * (F.col("n_t") + DSIR_BUCKETS))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        bg.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("lr").cast("double").alias("log_weight"),
+            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias("avg_log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
