@@ -548,3 +548,58 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delta_s", F.lit(0.9)), 1).alias("p90_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS n_from FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       CAST(t.n * 10000 // tot.n_from AS BIGINT) AS p_bps
+FROM t JOIN tot USING (prev_type)
+ORDER BY prev_type, next_type
+""",
+    doc=(
+        "Event-type Markov transition matrix per user journey: "
+        "consecutive (prev, next) event pairs from one lag window per "
+        "user (ts order, event_id tiebreak), transition probabilities "
+        "as exact-integer bps. The user-journey structure view behind "
+        "funnel/retention analyses (conversion_funnel's generalization "
+        "to ALL transitions). One keyed window + two map-side-combined "
+        "aggregations; state per row is O(1) — the sessionize scale "
+        "shape (SURVEY §2.H)."
+    ),
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 10000L div n_from").cast("bigint").alias("p_bps"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

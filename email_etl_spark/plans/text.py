@@ -1540,3 +1540,83 @@ def langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_declared", "lang_pred")
     )
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM tok),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(ROUND(LN(CAST(c.c AS DOUBLE) / n.n_total), 6) AS DECIMAL(18,6)) AS lp
+  FROM tok t JOIN cnt c USING (tok) CROSS JOIN n
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_lp
+  FROM scored GROUP BY doc_id, lang
+),
+tiled AS (
+  SELECT lang, avg_lp,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS tile
+  FROM per_doc
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(avg_lp) AS lo, MAX(avg_lp) AS hi
+FROM tiled GROUP BY lang, tile ORDER BY lang, MIN(tile)
+""",
+    doc=(
+        "CCNet-style perplexity bucketing (Wenzek et al. 2020, public "
+        "recipe): per-language head/middle/tail terciles by unigram-LM "
+        "average log-prob (head = least surprising; CCNet trains on "
+        "head+middle, drops tail). Deterministic NTILE with doc_id "
+        "tiebreak makes band cuts engine-identical (length_deciles "
+        "convention); the LM scoring reuses the pre-rounded decimal "
+        "sum discipline of unigram_logprob. The tercile window runs "
+        "per language — at 100 TB swap NTILE for approx-quantile cut "
+        "points broadcast back (plan shape otherwise unchanged) "
+        "(SURVEY §2.D)."
+    ),
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    lp = (
+        F.round(F.log(F.col("c").cast("double") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    per_doc = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", lp)
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_lp"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_lp"), F.asc("doc_id"))
+    tiled = per_doc.withColumn("tile", F.ntile(3).over(w))
+    return (
+        tiled.groupBy("lang", "tile")
+        .agg(F.count("*").alias("n_docs"), F.min("avg_lp").alias("lo"), F.max("avg_lp").alias("hi"))
+        .select(
+            "lang",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "lo",
+            "hi",
+            "tile",
+        )
+        .orderBy("lang", "tile")
+        .drop("tile")
+    )
