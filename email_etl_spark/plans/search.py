@@ -2845,3 +2845,176 @@ def cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "rank")
     )
+
+
+# --- pq_recall_eval: the PQ deployment gate --------------------------------
+
+
+def _pq_recall_oracle() -> str:
+    d = _pq_dist_sql("s.sv", "c.cv")
+    dq = _pq_dist_sql("q.qv", "c.cv")
+    dfull = _km_dist_sql("v.v", "qf.v")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, mm.m AS m, list_slice(v, mm.m * {PQ_D} + 1, mm.m * {PQ_D} + {PQ_D}) AS sv
+  FROM e CROSS JOIN UNNEST(range(0, {PQ_M})) AS mm(m)
+),
+c0 AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+a1 AS (
+  SELECT vec_id, m, sv, cid FROM (
+    SELECT s.vec_id, s.m, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c0 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+c1s AS (
+  SELECT m, cid, dd.i AS dim,
+         CAST(SUM(CAST(ROUND(sv[dd.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a1 CROSS JOIN UNNEST(range(1, {PQ_D} + 1)) AS dd(i)
+  GROUP BY m, cid, dd.i
+),
+c1f AS (
+  SELECT m, cid, dim,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM c1s
+),
+c1 AS (SELECT m, cid, list(cval ORDER BY dim) AS cv FROM c1f GROUP BY m, cid),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d} ASC, c.cid) AS rn
+    FROM sub s JOIN c1 c ON c.m = s.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < {PQ_NQ}),
+lut AS (
+  SELECT q.query_id, c.m, c.cid, ROUND({dq}, 6) AS pd
+  FROM q JOIN c1 c ON c.m = q.m
+),
+adc AS (
+  SELECT l.query_id, x.vec_id,
+         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+  FROM codes x JOIN lut l ON l.m = x.m AND l.cid = x.cid
+  WHERE x.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+pq_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_TOPK}
+),
+qf AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {PQ_NQ}),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qf.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qf.query_id ORDER BY {dfull} ASC, v.vec_id) AS rn
+    FROM e v CROSS JOIN qf
+    WHERE v.vec_id <> qf.query_id
+  ) WHERE rn <= {PQ_TOPK}
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(p.vec_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bps
+FROM truth t LEFT JOIN pq_top p USING (query_id, vec_id)
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+@register(
+    "pq_recall_eval",
+    oracle=_pq_recall_oracle(),
+    doc=(
+        "Recall@5 of PQ asymmetric-distance top-5 vs EXACT squared-L2 "
+        "top-5 per query — the pre-deployment quality gate for the PQ "
+        "code path (the ann_recall_eval discipline applied to "
+        "ann_pq/ann_ivfpq: an approximate index ships only with its "
+        "recall measured). Ground truth is a broadcast-query window "
+        "over the exact fold (bit-identical both engines); the PQ side "
+        "is the shared trainer/encoder; recall is exact-integer bps. "
+        "Eval-scale: truth computation is the brute-force baseline — "
+        "at 100 TB run it on a deterministic md5 query sample, the "
+        "minhash_recall_eval convention (SURVEY §2.F)."
+    ),
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    books1 = _pq_train_books(emb)
+    codes = _pq_encode(emb, books1)
+    qrows = (
+        emb.where(F.col("vec_id") < PQ_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    per_q = [_pq_adc_struct(qr, books1) for qr in qrows]
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    pq_top = (
+        codes.select("vec_id", F.explode(F.array(*per_q)).alias("qa"))
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "vec_id",
+            F.col("qa.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    # exact squared-L2 ground truth: per-query plan-constant fold
+    truth_q = []
+    for qr in qrows:
+        qid = int(qr["vec_id"])
+        qlit = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in qr["embedding"]) + ")"
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                qlit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        truth_q.append(
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"), dist.alias("full_dist")
+            )
+        )
+    truth = (
+        emb.select("vec_id", F.explode(F.array(*truth_q)).alias("qd"))
+        .select(
+            F.col("qd.query_id").alias("query_id"),
+            "vec_id",
+            F.col("qd.full_dist").alias("full_dist"),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("full_dist"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    return (
+        truth.join(pq_top.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            F.expr("n_hit * 10000L div n_truth").cast("bigint").alias("recall_bps"),
+        )
+        .orderBy("query_id")
+    )
