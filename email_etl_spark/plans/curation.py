@@ -536,7 +536,13 @@ GROUP BY bg.doc_id ORDER BY bg.doc_id
 )
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    # materialize the token array FIRST (the O(rows x positions)
+    # re-tokenization pitfall, functions/hashing.py header note)
+    is_target = (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
+    tokd = docs.select(
+        "doc_id", is_target.alias("tgt"), T.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     bgs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -546,10 +552,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    is_target = (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
-    bg = docs.select(
+    bg = tokd.select(
         "doc_id",
-        is_target.alias("tgt"),
+        "tgt",
         F.explode(bgs).alias("g"),
     ).select(
         "doc_id",

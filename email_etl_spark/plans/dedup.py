@@ -1273,13 +1273,17 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    toks = T.tokens(F.col("text"))
+    # materialize the token array FIRST: slicing the raw tokenizer
+    # expression inside the per-position lambda re-tokenizes per
+    # element (the O(rows x positions) pitfall, functions/hashing.py)
+    tokd = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     m = F.greatest(F.size(toks) - F.lit(WINNOW_K - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(WINNOW_K))),
     )
-    g = docs.select(
+    g = tokd.select(
         "doc_id", F.posexplode(grams).alias("pos0", "gram")
     ).select(
         "doc_id",

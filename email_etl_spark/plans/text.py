@@ -1185,8 +1185,11 @@ FROM r GROUP BY source ORDER BY source
 )
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    t = docs.select(
+    # materialized token array: the four rule columns below would
+    # otherwise each re-run the tokenizer per row
+    tokd = docs.select("source", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    t = tokd.select(
         "source",
         F.size(toks).cast("bigint").alias("n"),
         F.coalesce(
@@ -1270,29 +1273,45 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    # materialize the token array FIRST: referencing the tokenizer
+    # expression inside the per-position lambda re-tokenizes per
+    # element (the O(rows x positions) pitfall functions/hashing.py
+    # documents) — 20x slower at sf0.1
+    tokd = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     bgs = F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bt = docs.select("doc_id", F.explode(bgs).alias("bg")).select(
-        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).otherwise(F.array().cast("array<string>"))
+    # flat string grams ("w1 w2"; tokens never contain spaces, so the
+    # mapping is bijective and w1 recovers via substring_index) keep
+    # the explode and both count joins on ONE key column — the
+    # struct-array form measured 4x slower at sf0.1
+    bt = tokd.select("doc_id", F.explode(bgs).alias("bg")).select(
+        "doc_id", "bg", F.substring_index(F.col("bg"), " ", 1).alias("w1")
     )
-    c2 = bt.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bt.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bt.groupBy("bg").agg(F.count("*").alias("c2"))
+    # context counts derive from the bigram counts (sum over the
+    # vocab-sized c2, NOT a third pass over the corpus bigram stream):
+    # the lazy stream is recomputed per consumer, so every extra
+    # consumer is a full scan+tokenize pass
+    c1 = (
+        c2.select(F.substring_index(F.col("bg"), " ", 1).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
     lp = (
         F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
         .cast("decimal(18,6)")
         .alias("lp")
     )
     scored = (
-        bt.join(F.broadcast(c2), ["w1", "w2"])
+        bt.join(F.broadcast(c2), "bg")
         .join(F.broadcast(c1), "w1")
         .select("doc_id", lp)
     )
