@@ -1639,3 +1639,63 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "tile")
         .drop("tile")
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+cnt AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM cnt
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN rank <= 10 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT) AS cov10_bps,
+       CAST(SUM(CASE WHEN rank <= 25 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT) AS cov25_bps,
+       CAST(SUM(CASE WHEN rank <= 50 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT) AS cov50_bps
+FROM ranked GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Vocabulary coverage curve per language: the share of corpus "
+        "tokens covered by the top-10/25/50 most frequent types "
+        "(count-ranked, token tiebreak) — the vocab-size-planning "
+        "input for tokenizer training (where does coverage saturate?). "
+        "Exact-integer bps from conditional sums over the vocab-sized "
+        "ranked table; the rank window never touches corpus rows "
+        "(SURVEY §2.D)."
+    ),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = cnt.withColumn("rank", F.row_number().over(w))
+    cov = lambda k: (  # noqa: E731
+        F.sum(F.when(F.col("rank") <= k, F.col("n")).otherwise(0)) * 10000
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            cov(10).alias("c10"),
+            cov(25).alias("c25"),
+            cov(50).alias("c50"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            F.expr("c10 div n_tokens").cast("bigint").alias("cov10_bps"),
+            F.expr("c25 div n_tokens").cast("bigint").alias("cov25_bps"),
+            F.expr("c50 div n_tokens").cast("bigint").alias("cov50_bps"),
+        )
+        .orderBy("lang")
+    )
