@@ -48,3 +48,37 @@ def test_headline_plans_stay_clean(spark):
         elif n_bnl and q.name not in _BNL_ALLOWED:
             offenders[q.name] = f"BroadcastNestedLoopJoin x{n_bnl} (not allowed)"
     assert not offenders, offenders
+
+
+def test_no_tokenizer_inside_lambda_bodies(spark):
+    """The O(rows x positions) re-tokenization pitfall (documented in
+    functions/hashing.py): referencing the tokenizer expression inside
+    a per-element lambda re-runs the split per array element —
+    measured 9x on dsir_weights at sf0.1. Token arrays must be
+    materialized in a projection BEFORE any transform/filter lambda
+    dereferences them, so no optimized plan may contain the tokenizer
+    split inside a lambdafunction body."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    offenders = {}
+    for name in (
+        "bigram_logprob",
+        "dsir_weights",
+        "winnowing_dedup",
+        "gopher_quality",
+        "token_count",
+        "unigram_logprob",
+        "zipf_fit",
+        "vocab_coverage",
+        "perplexity_buckets",
+    ):
+        plan = (
+            REGISTRY[name]
+            .builder(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        if re.search(r"lambdafunction\([^\n]*split\(", plan):
+            offenders[name] = "tokenizer split inside lambda body"
+    assert not offenders, offenders
