@@ -1311,26 +1311,57 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
     )
-    eligible = (
+    # pair generation WITHOUT a sketch self-join: group doc ids per
+    # fingerprint (bounded: the df cap bounds every list at
+    # WINNOW_DF_CAP, so the pairwise explode is <= cap^2/2 per
+    # fingerprint) and explode ordered pairs list-locally. One
+    # derivation of the sketch pipeline instead of the self-join's
+    # two probe-side rebuilds — the dup_graph_degrees lesson.
+    ds = F.array_sort(F.collect_list("doc_id"))
+    grp = (
         sk.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
-        .select("fp")
+        .agg(ds.alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_DF_CAP))
     )
-    sk2 = sk.join(eligible, "fp", "left_semi")
-    sz = sk.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sk2.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = sk2.select(F.col("doc_id").alias("doc_b"), "fp")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     p = (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        grp.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= WINNOW_MIN_SHARED)
     )
+    sz = sk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # attach both sketch sizes with ONE derivation of sz (the
+    # dup_graph_degrees single-build lesson): explode the tiny pair
+    # stream into (endpoint, side) rows, broadcast it into one probe
+    # of sz, then fold the two sides back per pair
+    long = p.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.lit("b").alias("side")),
+            )
+        ).alias("ep"),
+    ).select("doc_a", "doc_b", "shared", F.col("ep.doc_id").alias("doc_id"), F.col("ep.side").alias("side"))
+    j = sz.join(F.broadcast(long), "doc_id")
     return (
-        p.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sketch_a")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sketch_b")), "doc_b")
+        j.groupBy("doc_a", "doc_b", "shared")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("sz"))).alias("sketch_a"),
+            F.max(F.when(F.col("side") == "b", F.col("sz"))).alias("sketch_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
