@@ -2602,13 +2602,24 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "tok")
     )
     c = d.groupBy("cid", "tok").agg(F.count("*").alias("n"))
-    l = c.groupBy("cid").agg(F.sum("n").alias("cid_toks"))
-    t = c.groupBy("tok").agg(F.sum("n").alias("tok_total"))
-    tot = c.agg(F.sum("n").alias("all_toks"))
+    from pyspark.sql import Window
+
+    # marginals as WINDOWS over the vocab-sized count table — the
+    # join form derives the corpus explode+join pipeline once per
+    # marginal (4 corpus passes); windows reuse ONE derivation and
+    # only shuffle vocab-sized rows
+    cid_toks = F.sum("n").over(Window.partitionBy("cid"))
+    tok_total = F.sum("n").over(Window.partitionBy("tok"))
+    all_toks = F.sum("n").over(Window.partitionBy())
     scored = (
-        c.join(F.broadcast(l), "cid")
-        .join(F.broadcast(t), "tok")
-        .crossJoin(F.broadcast(tot))
+        c.select(
+            "cid",
+            "tok",
+            "n",
+            cid_toks.alias("cid_toks"),
+            tok_total.alias("tok_total"),
+            all_toks.alias("all_toks"),
+        )
         .where(F.col("n") >= CLUSTER_LIFT_MIN)
         .select(
             "cid",
@@ -2621,7 +2632,6 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("cid").orderBy(F.desc("lift"), F.desc("n"), F.asc("tok"))
     return (

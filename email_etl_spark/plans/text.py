@@ -715,14 +715,23 @@ def label_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = docs.join(emb, "doc_id").select("label", F.explode(T.tokens(F.col("text"))).alias("tok"))
     c = d.groupBy("label", "tok").agg(F.count("*").alias("n"))
-    l = c.groupBy("label").agg(F.sum("n").alias("label_toks"))
-    t = c.groupBy("tok").agg(F.sum("n").alias("tok_total"))
-    n_all = c.agg(F.sum("n").alias("n_all"))
+    # marginals as WINDOWS over the vocab-sized count table: the join
+    # form re-derived the corpus explode+join pipeline once per
+    # marginal (4 corpus passes); windows reuse ONE derivation and
+    # shuffle only vocab-sized rows (cluster_top_terms convention)
+    label_toks = F.sum("n").over(Window.partitionBy("label"))
+    tok_total = F.sum("n").over(Window.partitionBy("tok"))
+    n_all = F.sum("n").over(Window.partitionBy())
     scored = (
-        c.where(F.col("n") >= LIFT_MIN_COUNT)
-        .join(F.broadcast(l), "label")
-        .join(t, "tok")
-        .crossJoin(F.broadcast(n_all))
+        c.select(
+            "label",
+            "tok",
+            "n",
+            label_toks.alias("label_toks"),
+            tok_total.alias("tok_total"),
+            n_all.alias("n_all"),
+        )
+        .where(F.col("n") >= LIFT_MIN_COUNT)
         .select(
             "label",
             "tok",
