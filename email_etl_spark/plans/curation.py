@@ -138,9 +138,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1)
         == "0"
     )
+    # cache = the materialization BARRIER: without it CollapseProject
+    # inlines the tokenizer back into the shingle lambda and the scan
+    # re-tokenizes per element (measured 26s -> 5s at sf0.1; the
+    # _lsh_verified_pairs convention, enforced by test_plan_guard)
     sh = toks.select(
         "doc_id", H.shingles(F.col("toks"), k=5).alias("sh"), is_bench.alias("is_bench")
-    )
+    ).cache()
     bench_sh = (
         sh.where("is_bench").select(F.explode("sh").alias("s")).distinct()
     )
@@ -591,4 +595,80 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias("avg_log_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "contamination_by_benchmark",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              ELSE [array_to_string(toks, ' ')] END AS sh,
+         substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+  FROM tok
+),
+bench AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh WHERE is_bench),
+tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT is_bench),
+hits AS (
+  SELECT b.bench_id,
+         COUNT(DISTINCT t.doc_id) AS n_contaminating_docs,
+         COUNT(DISTINCT b.s) AS n_leaked_shingles
+  FROM bench b JOIN tr t USING (s)
+  GROUP BY b.bench_id
+),
+all_bench AS (SELECT DISTINCT doc_id AS bench_id FROM sh WHERE is_bench)
+SELECT a.bench_id,
+       CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+       CAST(COALESCE(h.n_leaked_shingles, 0) AS BIGINT) AS n_leaked_shingles
+FROM all_bench a LEFT JOIN hits h USING (bench_id)
+ORDER BY bench_id
+""",
+    doc=(
+        "Per-benchmark-item contamination report — the REVERSE view of "
+        "decontaminate (which flags corpus docs; eval owners ask the "
+        "other direction: WHICH benchmark items leak, through how many "
+        "corpus docs, via how many distinct 5-grams). Same shingle kit "
+        "and hash-derived benchmark split; the join keys on the shared "
+        "shingle (benchmark side tiny and broadcast), the rollup is "
+        "map-side combined per bench item; zero-hit items kept via the "
+        "left join so the report is total (SURVEY §2.L)."
+    ),
+)
+def contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = tokd.select(
+        "doc_id",
+        H.shingles(F.col("toks"), k=5).alias("sh"),
+        (F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1)
+         == "0").alias("is_bench"),
+    ).cache()  # materialization barrier — see decontaminate
+    bench = sh.where(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
+    )
+    tr = sh.where(~F.col("is_bench")).select("doc_id", F.explode("sh").alias("s"))
+    hits = (
+        tr.join(F.broadcast(bench), "s")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminating_docs"),
+            F.countDistinct("s").alias("n_leaked_shingles"),
+        )
+    )
+    all_bench = sh.where(F.col("is_bench")).select(F.col("doc_id").alias("bench_id")).distinct()
+    return (
+        all_bench.join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_contaminating_docs", F.lit(0)).cast("bigint").alias("n_contaminating_docs"),
+            F.coalesce("n_leaked_shingles", F.lit(0)).cast("bigint").alias("n_leaked_shingles"),
+        )
+        .orderBy("bench_id")
     )

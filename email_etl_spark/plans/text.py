@@ -227,7 +227,11 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    # materialized token array (bigram_logprob convention: the raw
+    # tokenizer expression inside the per-position lambda re-tokenizes
+    # per element; enforced by test_plan_guard)
+    tokd = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     # sequence(1, 0) is DESCENDING in Spark, not empty — gate short docs
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
         F.array().cast("array<int>")
@@ -237,7 +241,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     counts = (
-        docs.select("lang", F.explode(grams).alias("gram"))
+        tokd.select("lang", F.explode(grams).alias("gram"))
         .groupBy("lang", "gram")
         .agg(F.count("*").alias("n"))
     )
@@ -794,7 +798,9 @@ FROM scored ORDER BY pmi DESC, gram LIMIT {PMI_TOP}
 )
 def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    # materialized token array — see ngram_topk / test_plan_guard
+    tokd = docs.select(T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -804,10 +810,10 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
         ),
     )
-    bi = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bi = tokd.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
     cu = (
-        docs.select(F.explode(toks).alias("w"))
+        tokd.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n_w"))
     )

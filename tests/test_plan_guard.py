@@ -50,14 +50,36 @@ def test_headline_plans_stay_clean(spark):
     assert not offenders, offenders
 
 
+def _lambda_tokenizes(plan: str) -> bool:
+    """True iff any lambdafunction(...) BODY (balanced-paren argument
+    span) contains the tokenizer split — i.e. the plan re-tokenizes
+    per array element at runtime. A plain same-line regex is not
+    enough: Catalyst prints a whole Project on one line, so split()
+    appearing in a SIBLING expression would false-positive."""
+    for m in re.finditer(r"lambdafunction\(", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if "split(" in plan[m.end() : i]:
+            return True
+    return False
+
+
 def test_no_tokenizer_inside_lambda_bodies(spark):
     """The O(rows x positions) re-tokenization pitfall (documented in
     functions/hashing.py): referencing the tokenizer expression inside
-    a per-element lambda re-runs the split per array element —
-    measured 9x on dsir_weights at sf0.1. Token arrays must be
-    materialized in a projection BEFORE any transform/filter lambda
-    dereferences them, so no optimized plan may contain the tokenizer
-    split inside a lambdafunction body."""
+    a per-element lambda re-runs the split per array element — and
+    Catalyst's CollapseProject can UNDO a source-level materialization
+    by inlining the alias back into the lambda (decontaminate shipped
+    three rounds with a hidden 26s-at-sf0.1 cost this way; the cache()
+    barrier is the fix). Token arrays must reach lambdas as real
+    attributes, so no optimized plan may contain the tokenizer split
+    inside a lambdafunction body."""
     from email_etl_spark.plans.registry import REGISTRY
 
     offenders = {}
@@ -67,10 +89,19 @@ def test_no_tokenizer_inside_lambda_bodies(spark):
         "winnowing_dedup",
         "gopher_quality",
         "token_count",
+        "contamination_by_benchmark",
+        "decontaminate",
+        "dedup_minhash",
         "unigram_logprob",
         "zipf_fit",
         "vocab_coverage",
         "perplexity_buckets",
+        "ngram_topk",
+        "cooccurrence_pmi",
+        "fuzzy_decontaminate",
+        "dedup_substring",
+        "vocab_stats",
+        "langid_chargram",
     ):
         plan = (
             REGISTRY[name]
@@ -79,6 +110,6 @@ def test_no_tokenizer_inside_lambda_bodies(spark):
             .optimizedPlan()
             .toString()
         )
-        if re.search(r"lambdafunction\([^\n]*split\(", plan):
+        if _lambda_tokenizes(plan):
             offenders[name] = "tokenizer split inside lambda body"
     assert not offenders, offenders
