@@ -1379,8 +1379,17 @@ FROM t ORDER BY doc_id
 )
 def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
-    t = docs.select(
+    # materialize the char array once (same discipline as the token
+    # arrays): the lambda below would otherwise rebuild it per
+    # distinct character
+    cd = docs.select(
+        "doc_id",
+        F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))").alias(
+            "chars"
+        ),
+    )
+    chars = F.col("chars")
+    t = cd.select(
         "doc_id",
         F.size(chars).alias("n"),
         F.aggregate(
