@@ -603,3 +603,67 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+BURST_WINDOW_S = 300
+BURST_MIN = 3
+
+
+@register(
+    "error_bursts",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000000000 AS tse
+  FROM events WHERE event_type = 'error'
+),
+w AS (
+  SELECT user_id, event_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY tse
+                        RANGE BETWEEN {BURST_WINDOW_S} PRECEDING AND CURRENT ROW) AS n_trailing
+  FROM e
+),
+b AS (SELECT user_id, event_id, n_trailing FROM w WHERE n_trailing >= {BURST_MIN})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_burst_events,
+       CAST(MAX(n_trailing) AS BIGINT) AS max_burst_size,
+       MIN(event_id) AS first_burst_event
+FROM b GROUP BY user_id ORDER BY user_id
+""",
+    doc=(
+        "Error-burst detection per user: error events with >= "
+        f"{BURST_MIN} errors from the same user in the trailing "
+        f"{BURST_WINDOW_S}s, via a RANGE window over epoch seconds "
+        "(the time-based frame sessionize's row-based lag cannot "
+        "express; alerting's batch twin). One keyed range window over "
+        "the error-filtered scan (the event_type predicate pushes into "
+        "the parquet read); trailing-window state is O(window span) "
+        "per user — the same bound the streaming watermark version "
+        "carries. Epoch seconds via unix_timestamp are NTZ-safe "
+        "(sessionize convention) (SURVEY §2.H)."
+    ),
+)
+def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("tse")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse")
+        .rangeBetween(-BURST_WINDOW_S, Window.currentRow)
+    )
+    b = e.select(
+        "user_id", "event_id", F.count("*").over(w).alias("n_trailing")
+    ).where(F.col("n_trailing") >= BURST_MIN)
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_burst_events"),
+            F.max("n_trailing").cast("bigint").alias("max_burst_size"),
+            F.min("event_id").alias("first_burst_event"),
+        )
+        .orderBy("user_id")
+    )
