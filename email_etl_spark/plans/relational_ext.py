@@ -355,3 +355,68 @@ def archive_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m")
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+SELECT 'doc_id' AS col, CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS min_len,
+       CAST(MAX(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS max_len
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT), CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(MIN(length(lang)) AS BIGINT), CAST(MAX(length(lang)) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT), CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(length(CAST(n_chars AS VARCHAR))) AS BIGINT), CAST(MAX(length(CAST(n_chars AS VARCHAR))) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT), CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(MIN(length(source)) AS BIGINT), CAST(MAX(length(source)) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'text', CAST(COUNT(*) - COUNT(text) AS BIGINT), CAST(COUNT(DISTINCT text) AS BIGINT),
+       CAST(MIN(length(text)) AS BIGINT), CAST(MAX(length(text)) AS BIGINT) FROM documents
+ORDER BY col
+""",
+    doc=(
+        "ANALYZE-style table profile of the documents corpus: per "
+        "column, null count, EXACT distinct count, and min/max "
+        "rendered length — the data-profiling pass a warehouse runs "
+        "before planning (the stats behind CBO / skew decisions; "
+        "approx_user_counts is the HLL scale path for the distinct "
+        "column at 100 TB). ONE scan: all per-column aggregates in a "
+        "single groupBy-less aggregation, stacked to long form by an "
+        "explode of plan-constant structs (SURVEY §2.L)."
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.length(s)).alias(f"{c}__minl"),
+            F.max(F.length(s)).alias(f"{c}__maxl"),
+        ]
+    one = docs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__minl").cast("bigint").alias("min_len"),
+                F.col(f"{c}__maxl").cast("bigint").alias("max_len"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_len", "r.max_len")
+        .orderBy("col")
+    )
