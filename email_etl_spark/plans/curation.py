@@ -672,3 +672,109 @@ def contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bench_id")
     )
+
+
+MIN_TOKENS = 30
+
+
+@register(
+    "filter_ablation",
+    oracle=None,  # late-bound below (reuses plans.text SQL fragments)
+    doc="",
+)
+def filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-filter ablation of the curation stack: for each filter,
+    how many docs it rejects SOLO (failing it, regardless of others)
+    and MARGINALLY (failing ONLY it — the docs this filter uniquely
+    removes). The planning view that says which filter is doing the
+    work and which is redundant. One scan + one fingerprint window
+    (the dup flag); everything else is conditional aggregation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("f_lang"),
+        (T.quality_score(F.col("text")) >= QUALITY_CUT).alias("f_q"),
+        (T.token_count(F.col("text")) >= MIN_TOKENS).alias("f_len"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = flags.withColumn("f_uniq", F.row_number().over(w) == 1)
+    names = ["f_lang", "f_q", "f_len", "f_uniq"]
+    aggs = []
+    for f in names:
+        others = [F.col(o) for o in names if o != f]
+        all_others = others[0] & others[1] & others[2]
+        aggs += [
+            F.sum((~F.col(f)).cast("bigint")).alias(f"{f}__solo"),
+            F.sum(((~F.col(f)) & all_others).cast("bigint")).alias(f"{f}__marginal"),
+        ]
+    one = d.agg(*aggs)
+    label = {"f_lang": "lang", "f_q": "quality", "f_len": "min_tokens", "f_uniq": "exact_dup"}
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(label[f]).alias("filter"),
+                F.col(f"{f}__solo").cast("bigint").alias("n_reject_solo"),
+                F.col(f"{f}__marginal").cast("bigint").alias("n_reject_marginal"),
+            )
+            for f in names
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.filter", "r.n_reject_solo", "r.n_reject_marginal")
+        .orderBy("filter")
+    )
+
+
+def _ablation_oracle() -> str:
+    from email_etl_spark.plans.text import _PUNCT, _stop_sql, _TOKS  # noqa: F401
+
+    qsql = (
+        f"ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)), 4)"
+    )
+    sel = []
+    names = {"lang": "f_lang", "quality": "f_q", "min_tokens": "f_len", "exact_dup": "f_uniq"}
+    for lbl, f in names.items():
+        others = " AND ".join(o for o in names.values() if o != f)
+        sel.append(
+            f"SELECT '{lbl}' AS filter, "
+            f"CAST(SUM(CASE WHEN NOT {f} THEN 1 ELSE 0 END) AS BIGINT) AS n_reject_solo, "
+            f"CAST(SUM(CASE WHEN NOT {f} AND {others} THEN 1 ELSE 0 END) AS BIGINT) AS n_reject_marginal "
+            f"FROM d"
+        )
+    union = " UNION ALL ".join(sel)
+    return f"""
+WITH f0 AS (
+  SELECT doc_id,
+         lang = 'en' AS f_lang,
+         {qsql} >= {QUALITY_CUT} AS f_q,
+         len({_TOKS}) >= {MIN_TOKENS} AS f_len,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS f_uniq
+  FROM f0
+)
+{union}
+ORDER BY filter
+"""
+
+
+_R["filter_ablation"] = _dc.replace(
+    _R["filter_ablation"],
+    oracle=_ablation_oracle(),
+    doc=(
+        "Per-filter curation ablation: solo and marginal reject counts "
+        "for lang / quality / min-tokens / exact-dup — which filter "
+        "does the work, which is redundant (the ablation view next to "
+        "curation_funnel's sequential view). One scan + one "
+        "fingerprint window; conditional aggregation only "
+        "(SURVEY §2.L)."
+    ),
+)
