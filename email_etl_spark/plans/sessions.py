@@ -667,3 +667,49 @@ def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dau_wau",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+w AS (
+  SELECT d.day, u.user_id
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+)
+SELECT d.day,
+       CAST((SELECT COUNT(*) FROM ud WHERE ud.day = d.day) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS wau
+FROM days d JOIN w ON w.day = d.day
+GROUP BY d.day ORDER BY d.day
+""",
+    doc=(
+        "DAU / trailing-7-day WAU per day: distinct (user, day) "
+        "activity grid, then the rolling-distinct trick — a rolling "
+        "COUNT(DISTINCT) is not window-expressible, so each day joins "
+        "its trailing 7-day slice of the user-day grid (grid is "
+        "users x active-days, orders of magnitude below the event "
+        "stream; the days side is tiny and broadcast). The classic "
+        "activity dashboard pair over the audit stream "
+        "(SURVEY §2.H)."
+    ),
+)
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    w = days.select(F.col("day").alias("d")).join(
+        ud, F.col("day").between(F.date_sub(F.col("d"), 6), F.col("d"))
+    )
+    wau = w.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["d"])
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+        .orderBy("day")
+    )
