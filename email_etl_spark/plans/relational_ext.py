@@ -420,3 +420,76 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_len", "r.max_len")
         .orderBy("col")
     )
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS key_col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top1_bps,
+       CAST(SUM(CASE WHEN rd <= 20 THEN c ELSE 0 END) * 10000 // SUM(c) AS BIGINT) AS top20_bps,
+       CAST(SUM(c * (2 * ra - nk - 1)) * 10000 // (MAX(nk) * SUM(c)) AS BIGINT) AS gini_bps
+FROM (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c ASC, k) AS ra,
+         ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rd,
+         COUNT(*) OVER () AS nk
+  FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY {key})
+)
+GROUP BY ALL
+"""
+
+
+@register(
+    "join_skew_report",
+    oracle=(
+        _skew_sql("orders", "o_custkey")
+        + " UNION ALL "
+        + _skew_sql("lineitem", "l_orderkey")
+        + " ORDER BY key_col"
+    ),
+    doc=(
+        "Join-key skew diagnostic for the two fact join keys: key "
+        "cardinality, top-1 and top-20 key volume shares, and the "
+        "Gini concentration coefficient — the measurement that decides "
+        "whether a key needs operators/skew.py salting or AQE skew "
+        "handling BEFORE the join runs at 100 TB. Gini is computed "
+        "entirely in integer arithmetic over the rank-ordered key "
+        "counts (sum of c*(2i-n-1), exact-integer bps), so both "
+        "engines agree bit-for-bit; the rank window runs over the "
+        "key-cardinality count table, never fact rows (SURVEY §2.L)."
+    ),
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    def skew(table: str, key: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        c = t.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        wa = Window.orderBy(F.asc("c"), F.asc("k"))
+        wd = Window.orderBy(F.desc("c"), F.asc("k"))
+        r = c.select(
+            "c",
+            F.row_number().over(wa).alias("ra"),
+            F.row_number().over(wd).alias("rd"),
+            F.count("*").over(Window.partitionBy()).alias("nk"),
+        )
+        return r.agg(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.expr("max(c) * 10000L div sum(c)").cast("bigint").alias("top1_bps"),
+            F.expr("sum(CASE WHEN rd <= 20 THEN c ELSE 0 END) * 10000L div sum(c)")
+            .cast("bigint")
+            .alias("top20_bps"),
+            F.expr("sum(c * (2 * ra - nk - 1)) * 10000L div (max(nk) * sum(c))")
+            .cast("bigint")
+            .alias("gini_bps"),
+        )
+
+    return (
+        skew("orders", "o_custkey")
+        .unionAll(skew("lineitem", "l_orderkey"))
+        .orderBy("key_col")
+    )
