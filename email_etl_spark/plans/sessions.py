@@ -713,3 +713,95 @@ def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "ordered_funnel",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, MIN(ROW(epoch_ns(ts), event_id)) AS k
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(ROW(epoch_ns(e.ts), e.event_id)) AS k
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND ROW(epoch_ns(e.ts), e.event_id) > s1.k
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(ROW(epoch_ns(e.ts), e.event_id)) AS k
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND ROW(epoch_ns(e.ts), e.event_id) > s2.k
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(ROW(epoch_ns(e.ts), e.event_id)) AS k
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND ROW(epoch_ns(e.ts), e.event_id) > s3.k
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'signup' AS event_type,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users,
+         CAST((SELECT COUNT(*) FROM s1) * 10000 // (SELECT COUNT(*) FROM u) AS BIGINT) AS conv_bps
+  UNION ALL
+  SELECT 2, 'view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM s2) * 10000 // (SELECT COUNT(*) FROM s1) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'click', CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM s3) * 10000 // (SELECT COUNT(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 4, 'purchase', CAST((SELECT COUNT(*) FROM s4) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM s4) * 10000 // (SELECT COUNT(*) FROM s3) AS BIGINT)
+) ORDER BY step
+""",
+    doc=(
+        "Four-step ORDERED funnel (signup -> view -> click -> "
+        "purchase): each step counts users whose step-k event occurs "
+        "STRICTLY AFTER their step-(k-1) event — the product-analytics "
+        "semantics conversion_funnel's unordered pair check cannot "
+        "express. Event order compares (epoch, event_id) tuples, so "
+        "same-timestamp ties break identically on both engines. Each "
+        "step is one keyed aggregation joined to the shrinking "
+        "previous-step table (users-not-events sized, broadcast); at "
+        "100 TB this is k passes over a date-pruned event scan with "
+        "map-side-combined mins (SURVEY §2.H)."
+    ),
+)
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.struct(
+            # NTZ-safe: unix_micros rejects TIMESTAMP_NTZ; the cast is
+            # deterministic because load_table pins the session to UTC
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.col("event_id").alias("i"),
+        ).alias("k"),
+    )
+    n_users = e.select("user_id").distinct().count()
+    prev = None
+    counts = []
+    for step, et in enumerate(FUNNEL_STEPS, start=1):
+        cur = e.where(F.col("event_type") == et)
+        if prev is not None:
+            cur = cur.join(F.broadcast(prev), "user_id").where(
+                (F.col("k.t") > F.col("pk.t"))
+                | ((F.col("k.t") == F.col("pk.t")) & (F.col("k.i") > F.col("pk.i")))
+            )
+        cur = cur.groupBy("user_id").agg(F.min("k").alias("pk"))
+        counts.append((step, et, cur.count()))
+        prev = cur.select("user_id", "pk")
+    rows = []
+    denom = n_users
+    for step, et, n in counts:
+        rows.append((step, et, n, n * 10000 // denom if denom else 0))
+        denom = n if n else 1
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users bigint, conv_bps bigint"
+    ).orderBy("step")
