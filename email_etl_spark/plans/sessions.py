@@ -805,3 +805,78 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, event_type string, n_users bigint, conv_bps bigint"
     ).orderBy("step")
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), (SELECT maxd FROM mx)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m
+  FROM per_user
+)
+SELECT r, f, m,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       MIN(user_id) AS min_user_id
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+""",
+    doc=(
+        "RFM segmentation over purchase events: per-user recency "
+        "(days since last purchase vs corpus max date), frequency, "
+        "monetary (DECIMAL-exact sum of 2dp-rounded values), scored "
+        "into 1-5 quintiles by deterministic NTILE (user_id tiebreak "
+        "— band cuts engine-identical, the length_deciles convention) "
+        "and rolled up per (r,f,m) cell. The classic customer-"
+        "segmentation view over the activity stream. NTILE runs over "
+        "the per-user table (users ≪ events); at extreme user counts "
+        "swap for broadcast approx-quantile cuts (SURVEY §2.H)."
+    ),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    maxd = p.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("lastd"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff(F.col("maxd"), F.col("lastd")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("user_id").alias("min_user_id"),
+        )
+        .orderBy("r", "f", "m")
+    )
