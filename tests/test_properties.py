@@ -311,3 +311,29 @@ def test_approx_value_quantiles_rank_bounded(spark):
                 et, target, v, lo, hi, n,
             )
         assert p50 <= p95
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """DSIR sanity: by construction the hashed-ngram importance model
+    must score the TARGET slice (en/src0+src1) above the rest on
+    average — positive mean log-ratio on target, negative off it. A
+    weights table failing this is feature hashing gone wrong, even if
+    the oracle hash still matches."""
+    from pyspark.sql import functions as F
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    w = REGISTRY["dsir_weights"].builder(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        ((F.col("lang") == "en") & F.col("source").isin("src0", "src1")).alias("tgt"),
+    )
+    m = {
+        r["tgt"]: r["m"]
+        for r in w.join(docs, "doc_id")
+        .groupBy("tgt")
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    assert m[True] > 0 > m[False], m
