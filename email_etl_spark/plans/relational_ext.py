@@ -493,3 +493,53 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(skew("lineitem", "l_orderkey"))
         .orderBy("key_col")
     )
+
+
+@register(
+    "ship_delay_profile",
+    oracle="""
+WITH d AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(delay_days) AS BIGINT) AS min_delay,
+       CAST(MAX(delay_days) AS BIGINT) AS max_delay,
+       CAST(SUM(delay_days) * 100 // COUNT(*) AS BIGINT) AS avg_delay_centidays,
+       CAST(SUM(CASE WHEN delay_days > 60 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS late_bps
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc=(
+        "Order-to-ship delay profile per order priority (the SLA view "
+        "behind q12's urgent-vs-normal split): integer day deltas from "
+        "the orderkey join, mean as exact-integer centidays and "
+        ">60-day late rate as exact-integer bps — no float anywhere. "
+        "One fact-fact shuffle join on orderkey (co-located when both "
+        "tables are bucketed by orderkey, sinks/parquet.py) + one "
+        "map-side-combined rollup (SURVEY §2.G)."
+    ),
+)
+def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("delay_days").cast("bigint").alias("min_delay"),
+            F.max("delay_days").cast("bigint").alias("max_delay"),
+            F.expr("sum(delay_days) * 100L div count(*)")
+            .cast("bigint")
+            .alias("avg_delay_centidays"),
+            F.expr("sum(CASE WHEN delay_days > 60 THEN 1 ELSE 0 END) * 10000L div count(*)")
+            .cast("bigint")
+            .alias("late_bps"),
+        )
+        .orderBy("o_orderpriority")
+    )
