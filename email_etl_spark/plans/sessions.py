@@ -880,3 +880,89 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+PATH_TOP = 10
+
+
+@register(
+    "session_paths",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+),
+p AS (
+  SELECT user_id, sess_id,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+""",
+    doc=(
+        "Top-10 most common session paths (ordered event-type "
+        "sequences within 30-min-gap sessions): the path-mining view "
+        "product analytics builds on top of sessionization — which "
+        "journeys actually happen, not just which transitions "
+        "(markov_transitions) or which steps (ordered_funnel). The "
+        "session assembly reuses the sessionize lag+cumsum shape; the "
+        "per-session sequence is one ordered list aggregation "
+        "(epoch+event_id order, engine-identical); path counts are "
+        "map-side combined and the final cut is "
+        "TakeOrderedAndProject. Paths are session-bounded so rows "
+        "stay small at any scale (SURVEY §2.H)."
+    ),
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    gap = F.col("tse") - F.lag(F.col("tse")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    s = e.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    p = (
+        s.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("tse").alias("t"),
+                                F.col("event_id").alias("i"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
