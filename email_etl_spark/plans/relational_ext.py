@@ -543,3 +543,251 @@ def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+]
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(28,6)) * CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(28,6)) * CAST({b} AS DECIMAL(28,6))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"(SQRT(n * ss_{a} - s_{a} * s_{a}) * SQRT(n * ss_{b} - s_{b} * s_{b})), 6) AS pearson_r "
+            f"FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle=_corr_oracle(),
+    doc=(
+        "Pairwise Pearson correlation matrix over the lineitem "
+        "numeric columns (quantity, extendedprice, discount, tax) — "
+        "the single-scan column-relationship profile a feature-"
+        "engineering pass runs before model training (reference "
+        "pattern-analytics axis, SURVEY §2.L). All sufficient "
+        "statistics (sums, squares, cross-products) accumulate as "
+        "exact DECIMAL in ONE map-side-combined aggregate over one "
+        "scan — order-insensitive, so the distributed sums match the "
+        "single-threaded oracle bit-for-bit; the 6 correlations are "
+        "then closed-form arithmetic on that one 15-number row "
+        "(identical double expression both engines). At 100 TB this "
+        "is the optimal shape: no shuffle of fact rows at all, just "
+        "partial aggregates of 15 decimals per partition."
+    ),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        d = F.col(c).cast("decimal(18,6)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        da = F.col(a).cast("decimal(18,6)")
+        db = F.col(b).cast("decimal(18,6)")
+        aggs.append(F.sum(da * db).cast("double").alias(f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+    pair_rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(
+                (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                / (
+                    F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                    * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+                ),
+                6,
+            ).alias("pearson_r"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    return (
+        s.select(F.explode(F.array(*pair_rows)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+# Benford expected first-digit frequencies in integer basis points:
+# round(log10(1 + 1/d) * 10000) for d = 1..9, precomputed as literals
+# so both engines compare against the same exact integers (no libm).
+_BENFORD_BPS = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+_BENFORD_CASE = " ".join(f"WHEN d = {k} THEN {v}" for k, v in _BENFORD_BPS.items())
+
+
+@register(
+    "benford_fit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+),
+c AS (
+  SELECT d, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total FROM d GROUP BY d
+)
+SELECT d AS digit,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(n * 10000 // total AS BIGINT) AS observed_bps,
+       CAST(CASE {_BENFORD_CASE} END AS BIGINT) AS benford_bps,
+       CAST(ABS(n * 10000 // total - CASE {_BENFORD_CASE} END) AS BIGINT) AS abs_dev_bps
+FROM c ORDER BY digit
+""",
+    doc=(
+        "Benford's-law first-digit audit of order totals — the "
+        "classic anomaly/fraud screen a finance pipeline runs over "
+        "monetary facts (reference audit axis, src/database.py "
+        "get_audit_stats; SURVEY §2.L). Leading digit is extracted "
+        "by exact integer/string steps (floor → bigint → first "
+        "char), never log10, so there is no float edge at powers of "
+        "ten; expected frequencies are precomputed integer-bps "
+        "literals shared by both engines and deviations are exact "
+        "integer arithmetic. One scan, 9-row output, map-side "
+        "combined — scale-free."
+    ),
+)
+def benford_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = orders.select(digit.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    c = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    bcase = F.expr(f"CASE {_BENFORD_CASE} END").cast("bigint")
+    obs = F.expr("n * 10000L div total").cast("bigint")
+    return c.select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        obs.alias("observed_bps"),
+        bcase.alias("benford_bps"),
+        F.abs(obs - bcase).cast("bigint").alias("abs_dev_bps"),
+    ).orderBy("digit")
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    doc=(
+        "Full CUBE over (status, priority) with count + exact-decimal "
+        "revenue — the grouping-sets companion to rollup_source_lang "
+        "covering every marginal at once (reference get_statistics "
+        "dashboard axis, SURVEY §2.G). Spark expands the cube into "
+        "grouping sets inside ONE partial/final hash aggregate (each "
+        "input row feeds 4 cells map-side) — one scan, one shuffle of "
+        "(status, priority, grouping-id) cells, never a re-scan per "
+        "marginal. Decimal sums keep the distributed total "
+        "order-insensitive."
+    ),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "revenue_mom",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT month, rev_cents, n_orders,
+         LAG(rev_cents) OVER (ORDER BY month) AS prev_cents
+  FROM m
+)
+SELECT CAST(month AS DATE) AS month, rev_cents, n_orders,
+       CAST(CASE WHEN prev_cents IS NULL THEN NULL
+                 WHEN rev_cents >= prev_cents
+                   THEN (rev_cents - prev_cents) * 10000 // prev_cents
+                 ELSE -((prev_cents - rev_cents) * 10000 // prev_cents)
+            END AS BIGINT) AS mom_bps
+FROM l ORDER BY month
+""",
+    doc=(
+        "Month-over-month revenue growth in exact integer basis "
+        "points — the trend view of the reference's monthly rollups "
+        "(get_email_patterns group_by=month; SURVEY §2.G). Revenue "
+        "accumulates as exact integer cents (order-insensitive "
+        "distributed sum); growth uses sign-split non-negative "
+        "integer division so Spark `div` and DuckDB `//` agree on "
+        "negative months. The lag window runs over the ~month-"
+        "cardinality rollup (tiny), never fact rows; the one fact "
+        "scan is map-side combined. Scale-free."
+    ),
+)
+def revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    l = m.withColumn("prev_cents", F.lag("rev_cents").over(Window.orderBy("month")))
+    mom = (
+        F.when(F.col("prev_cents").isNull(), F.lit(None).cast("bigint"))
+        .when(
+            F.col("rev_cents") >= F.col("prev_cents"),
+            F.expr("(rev_cents - prev_cents) * 10000L div prev_cents"),
+        )
+        .otherwise(-F.expr("(prev_cents - rev_cents) * 10000L div prev_cents"))
+        .cast("bigint")
+    )
+    return l.select(
+        F.col("month").cast("date").alias("month"),
+        "rev_cents",
+        "n_orders",
+        mom.alias("mom_bps"),
+    ).orderBy("month")
