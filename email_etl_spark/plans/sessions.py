@@ -966,3 +966,146 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOP)
     )
+
+
+ATTRIB_WINDOW_S = 7 * 86400  # 7-day lookback
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+t AS (
+  SELECT user_id, event_type, tse,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(tse := tse, et := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tse, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM e
+)
+SELECT CASE WHEN touch IS NULL OR tse - touch.tse > {ATTRIB_WINDOW_S}
+            THEN 'direct' ELSE touch.et END AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+    doc=(
+        "Last-touch conversion attribution: each purchase credits the "
+        "most recent non-purchase event by the same user within a "
+        "7-day lookback, else 'direct' — the marketing-analytics view "
+        "on top of the event stream (reference patterns axis, SURVEY "
+        "§2.H). One per-user ordered window carrying a (epoch, type) "
+        "struct via last(ignorenulls) over preceding rows — no "
+        "self-join of the event stream against itself, so cost is one "
+        "user-partitioned sort, the same shuffle sessionize already "
+        "pays; the rollup output is touch-type-cardinality rows."
+    ),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("tse").alias("tse"), F.col("event_type").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    t = e.withColumn("touch", touch).where(F.col("event_type") == "purchase")
+    touch_type = F.when(
+        F.col("touch").isNull() | (F.col("tse") - F.col("touch.tse") > ATTRIB_WINDOW_S),
+        "direct",
+    ).otherwise(F.col("touch.et"))
+    return (
+        t.select(touch_type.alias("touch_type"))
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "seasonal_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(d) AS mxd FROM daily),
+train AS (
+  SELECT isodow(d) AS dow, dayname(d) AS day_name,
+         COUNT(*) AS n_train_days, SUM(n) AS sum_events
+  FROM daily, mx WHERE d <= mxd - INTERVAL 7 DAY GROUP BY 1, 2
+),
+test AS (
+  SELECT isodow(d) AS dow, SUM(n) AS actual
+  FROM daily, mx WHERE d > mxd - INTERVAL 7 DAY GROUP BY 1
+)
+SELECT t.dow, t.day_name,
+       CAST(t.n_train_days AS BIGINT) AS n_train_days,
+       CAST(t.sum_events * 100 // t.n_train_days AS BIGINT) AS forecast_centi,
+       CAST(COALESCE(s.actual, 0) AS BIGINT) AS actual_events,
+       CAST(ABS(t.sum_events * 100 // t.n_train_days - COALESCE(s.actual, 0) * 100) AS BIGINT) AS abs_err_centi
+FROM train t LEFT JOIN test s ON t.dow = s.dow
+ORDER BY t.dow
+""",
+    doc=(
+        "Seasonal-naive forecast backtest: per ISO weekday, mean daily "
+        "event count over the training span (all observed days up to "
+        "the final week) vs the held-out last 7 days — the capacity-"
+        "planning / monitoring baseline every event pipeline runs "
+        "(SURVEY §2.H). Means are exact integer centi-events (no "
+        "float); the train/test boundary derives from the data's own "
+        "max date (broadcast 1-row join); all windows/rollups run over "
+        "the date-cardinality daily table, so the single fact scan is "
+        "map-side combined and everything downstream is scale-free."
+    ),
+)
+def seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    mx = daily.agg(F.max("d").alias("mxd"))
+    dd = daily.crossJoin(F.broadcast(mx))
+    dow = F.weekday(F.col("d")) + 1
+    train = (
+        dd.where(F.col("d") <= F.date_sub(F.col("mxd"), 7))
+        .groupBy(dow.alias("dow"), F.date_format("d", "EEEE").alias("day_name"))
+        .agg(F.count("*").alias("n_train_days"), F.sum("n").alias("sum_events"))
+    )
+    test = (
+        dd.where(F.col("d") > F.date_sub(F.col("mxd"), 7))
+        .groupBy(dow.alias("dow"))
+        .agg(F.sum("n").alias("actual"))
+    )
+    fc = F.expr("sum_events * 100L div n_train_days").cast("bigint")
+    actual = F.coalesce(F.col("actual"), F.lit(0)).cast("bigint")
+    return (
+        train.join(test, "dow", "left")
+        .select(
+            "dow",
+            "day_name",
+            F.col("n_train_days").cast("bigint").alias("n_train_days"),
+            fc.alias("forecast_centi"),
+            actual.alias("actual_events"),
+            F.abs(fc - actual * 100).cast("bigint").alias("abs_err_centi"),
+        )
+        .orderBy("dow")
+    )
