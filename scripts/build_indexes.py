@@ -8,6 +8,7 @@ Builds, idempotently per corpus dir:
 - sign-LSH ANN bucket index      (plans/search.py::build_ann_index)
 - MinHash band-bucket dedup index (plans/dedup.py::build_minhash_index)
 - IVF+PQ code index + codebook    (plans/search.py::build_pq_index)
+- full-text postings index        (plans/search.py::build_text_index)
 
 Usage: python scripts/build_indexes.py [sf_dir ...]
        (default: /root/testdata/sf0.001 /root/testdata/sf0.01)
@@ -29,7 +30,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from email_etl_spark.plans.dedup import build_minhash_index
-    from email_etl_spark.plans.search import build_ann_index, build_pq_index
+    from email_etl_spark.plans.search import build_ann_index, build_pq_index, build_text_index
 
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -37,6 +38,7 @@ def main() -> int:
             ("ann_lsh", build_ann_index),
             ("minhash", build_minhash_index),
             ("ivf_pq", build_pq_index),
+            ("text", build_text_index),
         ):
             t0 = time.time()
             out = build(spark, sf_dir)
