@@ -778,3 +778,53 @@ _R["filter_ablation"] = _dc.replace(
         "(SURVEY §2.L)."
     ),
 )
+
+
+WS_TOP = 50  # weighted-sample size
+_WS_DENOM = 4294967296.0  # 2^32: md5 32-bit lane -> uniform (0, 1]
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+            / {_WS_DENOM}) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(k * 1000000, 2) AS es_key_micro
+FROM t ORDER BY k DESC, doc_id LIMIT {WS_TOP}
+""",
+    doc=(
+        "Deterministic weighted sampling without replacement "
+        "(Efraimidis–Spirakis A-Res): each doc draws u in (0,1] from "
+        "an md5 lane of its id and keeps key ln(u)/w with w = n_chars; "
+        "the global top-50 keys ARE the weighted sample — longer docs "
+        "proportionally likelier, yet exactly reproducible across "
+        "engines and re-runs (no RNG state). The length-weighted "
+        "sampling step of corpus mixing (SURVEY §2.L). One scan + "
+        "TakeOrderedAndProject; keys are independent per row so the "
+        "selection distributes with no shuffle beyond the top-k "
+        "merge."
+    ),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    k = F.log((lane + 1) / F.lit(_WS_DENOM)) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(WS_TOP)
+        .sortWithinPartitions(F.desc("k"), "doc_id")
+        .select("doc_id", "n_chars", F.round(F.col("k") * 1000000, 2).alias("es_key_micro"))
+    )

@@ -791,3 +791,77 @@ def revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         mom.alias("mom_bps"),
     ).orderBy("month")
+
+
+_PARETO_BUCKETS = 32
+
+
+@register(
+    "pareto_customers",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, spend_cents, n_orders
+FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
+)
+ORDER BY spend_cents DESC, o_custkey
+""",
+    doc=(
+        "Pareto frontier (skyline) of customers maximizing (total "
+        "spend, order count) — the multi-criteria 'best customers' "
+        "view a dominance query answers where top-k can't (SURVEY "
+        "§2.L). Two-pass distributed sweep: bucket-local skyline "
+        "first (hash-bucketed window: survivors per bucket ~O(log n) "
+        "for random data), then the global sweep runs only over the "
+        "bucket survivors — the full aggregate table never feeds a "
+        "single-partition sort. Each sweep is one DESC range-frame "
+        "window over exact integer cents (prev-max over strictly "
+        "richer customers + peer-max over spend ties); the oracle "
+        "cross-checks with an independent NOT-EXISTS dominance "
+        "formulation."
+    ),
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("spend_cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+    def skyline(df: DataFrame, part_col: str | None) -> DataFrame:
+        base = (
+            Window.partitionBy(part_col) if part_col is not None else Window.partitionBy()
+        )
+        w_prev = base.orderBy(F.desc("spend_cents")).rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_peer = base.orderBy(F.desc("spend_cents")).rangeBetween(0, 0)
+        prev_max = F.max("n_orders").over(w_prev)
+        peer_max = F.max("n_orders").over(w_peer)
+        return df.withColumn("_pm", prev_max).withColumn("_qm", peer_max).where(
+            (F.col("_pm").isNull() | (F.col("n_orders") > F.col("_pm")))
+            & (F.col("n_orders") == F.col("_qm"))
+        ).drop("_pm", "_qm")
+
+    local = skyline(
+        c.withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % _PARETO_BUCKETS,
+        ),
+        "b",
+    ).drop("b")
+    return skyline(local, None).select(
+        "o_custkey", "spend_cents", "n_orders"
+    ).orderBy(F.desc("spend_cents"), "o_custkey")
