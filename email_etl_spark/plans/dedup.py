@@ -1374,3 +1374,57 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_PFX_TOKS = 16  # C4-style leading-token prefix
+
+
+@register(
+    "prefix_dup_rate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(
+           list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           1, {_PFX_TOKS}), ' ')) AS pfx
+  FROM documents
+),
+g AS (SELECT pfx, COUNT(*) AS c FROM t GROUP BY pfx)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup,
+       CAST(SUM(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bps
+FROM t JOIN g USING (pfx)
+GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Leading-prefix duplication rate per source: docs whose first "
+        f"{_PFX_TOKS} tokens are shared with at least one other doc — "
+        "the C4-style cheap near-dup signal (templated boilerplate "
+        "openings) that catches what exact-hash dedup misses and costs "
+        "none of MinHash's shingling (SURVEY §2.E). One tokenize pass "
+        "projects a single md5 per doc; the prefix-count table "
+        "aggregates map-side and joins back on the hash key — both "
+        "shuffles carry 16-byte keys, never text. Exact-integer bps."
+    ),
+)
+def prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.text import tokens as _tokens
+    from email_etl_spark.io import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    pfx = F.md5(F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, _PFX_TOKS)))
+    t = docs.select("doc_id", "source", pfx.alias("pfx"))
+    g = t.groupBy("pfx").agg(F.count("*").alias("c"))
+    return (
+        t.join(g, "pfx")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_prefix_dup"),
+            F.expr("sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 10000L div count(*)")
+            .cast("bigint")
+            .alias("dup_bps"),
+        )
+        .orderBy("source")
+    )

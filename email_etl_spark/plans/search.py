@@ -3161,3 +3161,66 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+_HN_K = 5  # hard negatives per query
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         {_COS.format(a="e.embedding", b="q.qvec")} AS similarity,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS.format(a="e.embedding", b="q.qvec")} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, qlabel, vec_id, label, similarity, CAST(rn AS BIGINT) AS rank
+FROM scored WHERE rn <= {_HN_K}
+ORDER BY query_id, rank
+""",
+    doc=(
+        "Hard-negative mining for contrastive training: per query "
+        f"vector, the top-{_HN_K} most similar vectors whose label "
+        "DIFFERS from the query's — maximally confusing negatives, "
+        "the standard batch-construction step for embedding-model "
+        "fine-tuning (SURVEY §2.F). Same scale shape as "
+        "ann_bruteforce: broadcast the bounded query batch, one "
+        "corpus scan with the label filter applied BEFORE scoring "
+        "(cheap predicate ahead of the cosine fold), per-query "
+        "window top-k over candidate rows only. At 100 TB the "
+        "retrieval leg swaps to the LSH/IVF index; the mining logic "
+        "is unchanged."
+    ),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _HN_K)
+        .select("query_id", "qlabel", "vec_id", "label", "similarity", "rank")
+        .orderBy("query_id", "rank")
+    )

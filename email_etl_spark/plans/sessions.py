@@ -1109,3 +1109,68 @@ def seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+SLO_THRESHOLD = 300.0  # value units
+
+
+@register(
+    "latency_slo_report",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99,
+       CAST(SUM(CASE WHEN value > {SLO_THRESHOLD} THEN 1 ELSE 0 END) * 10000 // MAX(n) AS BIGINT) AS breach_bps
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Per-event-type SLO report: exact rank-selected p50/p95/p99 "
+        "of the value distribution plus threshold-breach rate — the "
+        "ops dashboard over the audit stream (reference status/audit "
+        "axis, SURVEY §2.H). Percentiles are SELECTED, not "
+        "interpolated: rank ceil(q·n) computed in pure integer "
+        "arithmetic picks an actual stored double (bit-identical in "
+        "both engines — no interpolation float path at all), with "
+        "(value, event_id) total order for ties. One per-type sort "
+        "shuffle — the same partition-and-order shape every exact "
+        "distributed percentile pays; approx_value_quantiles is the "
+        "sketch fast path when selection exactness isn't required."
+    ),
+)
+def latency_slo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("value", "event_id")
+    e = ev.select("event_type", "event_id", "value").select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    def at(k: int):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {k} + 99) div 100"), F.col("value"))
+        )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            at(50).alias("p50"),
+            at(95).alias("p95"),
+            at(99).alias("p99"),
+            F.expr(
+                f"sum(CASE WHEN value > {SLO_THRESHOLD} THEN 1 ELSE 0 END) * 10000L div max(n)"
+            )
+            .cast("bigint")
+            .alias("breach_bps"),
+        )
+        .orderBy("event_type")
+    )
