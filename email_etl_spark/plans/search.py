@@ -3095,6 +3095,7 @@ def build_text_index(spark: SparkSession, sf_dir: str, index_dir: str | None = N
 
 @register(
     "bm25_indexed",
+    headline=True,
     oracle=_bm25_oracle(),
     doc=(
         "BM25 search served from the PERSISTED postings index (ref: "
@@ -3224,3 +3225,128 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qlabel", "vec_id", "label", "similarity", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_IVF_CURVE = (1, 2, 4, 8)
+_IVF_CURVE_K = 5  # exact ground-truth depth
+
+
+def _ivf_curve_oracle() -> str:
+    cos_cv = _COS.format(a="v.embedding", b="c.embedding")
+    cos_qc = _COS.format(a="q.embedding", b="c.embedding")
+    cos_qv = _COS.format(a="v.embedding", b="q.embedding")
+    probes = ", ".join(str(p) for p in _IVF_CURVE)
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {IVF_K}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {cos_cv} DESC, c.cid) AS rn
+    FROM embeddings v CROSS JOIN c
+  ) WHERE rn = 1
+),
+prank AS (
+  SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {cos_qc} DESC, c.cid) AS prank
+  FROM c CROSS JOIN q
+),
+cand AS (
+  SELECT a.vec_id, p.prank FROM assign a JOIN prank p ON a.cid = p.cid
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+),
+top5 AS (
+  SELECT vec_id FROM (
+    SELECT v.vec_id, ROW_NUMBER() OVER (ORDER BY {cos_qv} DESC, v.vec_id) AS rn
+    FROM embeddings v CROSS JOIN q WHERE v.vec_id <> {QUERY_VEC_ID}
+  ) WHERE rn <= {_IVF_CURVE_K}
+),
+np AS (SELECT UNNEST([{probes}]) AS nprobe)
+SELECT np.nprobe,
+       CAST((SELECT COUNT(*) FROM cand WHERE prank <= np.nprobe) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM top5 t JOIN cand c ON t.vec_id = c.vec_id
+             WHERE c.prank <= np.nprobe) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM top5 t JOIN cand c ON t.vec_id = c.vec_id
+             WHERE c.prank <= np.nprobe) * 10000 // {_IVF_CURVE_K} AS BIGINT) AS recall_bps
+FROM np ORDER BY np.nprobe
+"""
+
+
+@register(
+    "ivf_recall_curve",
+    oracle=_ivf_curve_oracle(),
+    doc=(
+        "IVF tuning curve: recall@5 and candidate count at nprobe ∈ "
+        "{1,2,4,8} — the measurement that picks the recall/cost "
+        "operating point BEFORE a deployment commits to an nprobe "
+        "(the ann_recall_eval discipline applied to the IVF axis, "
+        "SURVEY §2.F). The corpus is touched exactly twice (one "
+        "broadcast-centroid assignment pass, one exact ground-truth "
+        "top-5 pass); the whole curve then derives from cumulative "
+        "counts over the 16-row centroid-rank table — adding curve "
+        "points costs nothing more at any scale."
+    ),
+)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    # assignment: argmax cosine to the K centroid seeds
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine_rounded(F.col("embedding"), F.col("cvec")).alias("c_sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # centroid probe rank for the query (16-row table)
+    prank = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine_rounded(F.col("cvec"), F.col("qvec")).alias("q_sim"))
+        .withColumn("prank", F.row_number().over(Window.orderBy(F.desc("q_sim"), "cid")))
+        .select("cid", "prank")
+    )
+    cand = (
+        assign.join(F.broadcast(prank), "cid")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "prank")
+    )
+    # exact ground truth top-5
+    top5 = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cosine_rounded(F.col("embedding"), F.col("qvec")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(_IVF_CURVE_K)
+        .select("vec_id")
+    )
+    # cumulative counts over the 16-value prank axis (tiny windows)
+    cand_by_rank = cand.groupBy("prank").agg(F.count("*").alias("nc"))
+    hit_by_rank = (
+        F.broadcast(top5).join(cand, "vec_id").groupBy("prank").agg(F.count("*").alias("nh"))
+    )
+    ranks = spark.range(1, IVF_K + 1).select(F.col("id").cast("int").alias("prank"))
+    wcum = Window.orderBy("prank").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ranks.join(cand_by_rank, "prank", "left")
+        .join(hit_by_rank, "prank", "left")
+        .select(
+            "prank",
+            F.sum(F.coalesce(F.col("nc"), F.lit(0))).over(wcum).alias("cum_c"),
+            F.sum(F.coalesce(F.col("nh"), F.lit(0))).over(wcum).alias("cum_h"),
+        )
+        .where(F.col("prank").isin(list(_IVF_CURVE)))
+    )
+    return curve.select(
+        F.col("prank").cast("int").alias("nprobe"),
+        F.col("cum_c").cast("bigint").alias("n_candidates"),
+        F.col("cum_h").cast("bigint").alias("n_hits"),
+        F.expr(f"cum_h * 10000L div {_IVF_CURVE_K}").cast("bigint").alias("recall_bps"),
+    ).orderBy("nprobe")
