@@ -1723,3 +1723,57 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "charclass_profile",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         length(text) AS nc,
+         len(regexp_extract_all(text, '[a-zA-Z]')) AS nl,
+         len(regexp_extract_all(text, '[0-9]')) AS nd,
+         len(regexp_extract_all(text, '\\s')) AS nw
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nl) * 10000 // SUM(nc) AS BIGINT) AS letter_bps,
+       CAST(SUM(nd) * 10000 // SUM(nc) AS BIGINT) AS digit_bps,
+       CAST(SUM(nw) * 10000 // SUM(nc) AS BIGINT) AS space_bps,
+       CAST((SUM(nc) - SUM(nl) - SUM(nd) - SUM(nw)) * 10000 // SUM(nc) AS BIGINT) AS other_bps
+FROM d GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Character-class composition per language: letters / digits / "
+        "whitespace / other as exact-integer bps of total characters — "
+        "the cheap corpus-health screen that flags binary junk, "
+        "markup-heavy or digit-spam shards before tokenization "
+        "(complements char_entropy's distributional view, SURVEY "
+        "§2.D). One scan, four JVM regex counters per row, map-side "
+        "combined integer sums; nothing downstream of the rollup "
+        "touches text."
+    ),
+)
+def charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").alias("nc"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")).alias("nl"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("nd"),
+        F.regexp_count(F.col("text"), F.lit("\\s")).alias("nw"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("nc").cast("bigint").alias("total_chars"),
+            F.expr("sum(nl) * 10000L div sum(nc)").cast("bigint").alias("letter_bps"),
+            F.expr("sum(nd) * 10000L div sum(nc)").cast("bigint").alias("digit_bps"),
+            F.expr("sum(nw) * 10000L div sum(nc)").cast("bigint").alias("space_bps"),
+            F.expr("(sum(nc) - sum(nl) - sum(nd) - sum(nw)) * 10000L div sum(nc)")
+            .cast("bigint")
+            .alias("other_bps"),
+        )
+        .orderBy("lang")
+    )
