@@ -1428,3 +1428,54 @@ def prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS {{_pairs}},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(reachable) AS cluster_id
+  FROM reach GROUP BY node
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+""".replace("{_pairs}", "(" + _pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "") + ")"),
+    doc=(
+        "Duplicate-cluster size histogram: how much of the near-dup "
+        "mass sits in pairs vs. mega-clusters — the shape that decides "
+        "keep-one-per-cluster savings and flags boilerplate blowups "
+        "(a 10k-doc cluster means a template, not content; SURVEY "
+        "§2.E). Derives from the same min-label-propagation closure "
+        "as dedup_clusters, then two map-side-combined rollups over "
+        "the (doc, cluster) table — cluster ids never leave the "
+        "executors."
+    ),
+)
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = dedup_clusters(spark, sf_dir)
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
