@@ -865,3 +865,65 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(local, None).select(
         "o_custkey", "spend_cents", "n_orders"
     ).orderBy(F.desc("spend_cents"), "o_custkey")
+
+
+@register(
+    "segment_share_trend",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         c.c_mktsegment AS segment,
+         CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT month, segment, rev_cents,
+         CAST(rev_cents * 10000 // SUM(rev_cents) OVER (PARTITION BY month) AS BIGINT) AS share_bps
+  FROM m
+)
+SELECT month, segment, rev_cents, share_bps,
+       CAST(share_bps - LAG(share_bps) OVER (PARTITION BY segment ORDER BY month) AS BIGINT) AS share_delta_bps
+FROM s ORDER BY month, segment
+""",
+    doc=(
+        "Monthly revenue share per market segment with month-over-"
+        "month share drift — the mix-shift view behind q3's segment "
+        "filter (is BUILDING growing or is the whole market?; SURVEY "
+        "§2.G). One orders→customer join (customer broadcastable as "
+        "the dimension side) feeding a map-side-combined month×segment "
+        "rollup; the normalizing sum and the lag run over that "
+        "~(months×5)-row table. Exact integer cents and bps "
+        "throughout — no float shares."
+    ),
+)
+def segment_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    wm = Window.partitionBy("month")
+    s = m.withColumn(
+        "share_bps",
+        F.expr("rev_cents * 10000L div sum(rev_cents) over (partition by month)").cast(
+            "bigint"
+        ),
+    )
+    ws = Window.partitionBy("segment").orderBy("month")
+    return s.select(
+        "month",
+        "segment",
+        "rev_cents",
+        "share_bps",
+        (F.col("share_bps") - F.lag("share_bps").over(ws)).cast("bigint").alias("share_delta_bps"),
+    ).orderBy("month", "segment")

@@ -1174,3 +1174,62 @@ def latency_slo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MOVERS_TOP = 20
+
+
+@register(
+    "topk_movers",
+    oracle=f"""
+WITH w AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT week, event_type, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM w
+)
+SELECT week, event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(prev_n AS BIGINT) AS prev_week,
+       CAST(n - prev_n AS BIGINT) AS delta
+FROM d WHERE prev_n IS NOT NULL
+ORDER BY ABS(n - prev_n) DESC, week, event_type
+LIMIT {MOVERS_TOP}
+""",
+    doc=(
+        "Top week-over-week movers: the (week, event_type) cells with "
+        "the largest absolute count swings — the anomaly triage view "
+        "monitoring teams scan first (complements anomaly_zscore's "
+        "per-day z-test with a ranked what-changed list; SURVEY "
+        "§2.H). One map-side-combined weekly rollup; the lag window "
+        "and the top-k both run over (weeks × types) cells, so "
+        "everything after the single fact scan is scale-free. "
+        "Exact-integer deltas, deterministic (|delta|, week, type) "
+        "total order."
+    ),
+)
+def topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    lw = Window.partitionBy("event_type").orderBy("week")
+    d = w.withColumn("prev_n", F.lag("n").over(lw)).where(F.col("prev_n").isNotNull())
+    return (
+        d.select(
+            "week",
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("prev_n").cast("bigint").alias("prev_week"),
+            (F.col("n") - F.col("prev_n")).cast("bigint").alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "week", "event_type")
+        .limit(MOVERS_TOP)
+    )
