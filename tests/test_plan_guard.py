@@ -23,6 +23,7 @@ _BNL_ALLOWED = {
     "rag_context",
     "tfidf_search",
     "bm25_search",
+    "bm25_indexed",  # 1-row persisted stats + 1-row df table broadcasts
     "incremental_sync",
     "unigram_logprob",
     "fuzzy_decontaminate",
