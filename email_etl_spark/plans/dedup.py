@@ -1479,3 +1479,95 @@ def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _dup_quality_gap_oracle() -> str:
+    from email_etl_spark.plans.text import _PUNCT, _TOKS, _stop_sql
+
+    from email_etl_spark.functions import text as T
+
+    quality = (
+        "0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0))"
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  )
+),
+q AS (
+  SELECT d.doc_id, d.source,
+         CAST(CAST(ROUND({quality}, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qm,
+         CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM documents d LEFT JOIN dup u ON d.doc_id = u.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       CAST(CASE WHEN SUM(is_dup) > 0
+                 THEN SUM(CASE WHEN is_dup = 1 THEN qm ELSE 0 END) * 100 // SUM(is_dup)
+            END AS BIGINT) AS dup_mean_q_micro,
+       CAST(CASE WHEN COUNT(*) - SUM(is_dup) > 0
+                 THEN SUM(CASE WHEN is_dup = 0 THEN qm ELSE 0 END) * 100 // (COUNT(*) - SUM(is_dup))
+            END AS BIGINT) AS nondup_mean_q_micro
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "dup_quality_gap",
+    oracle=_dup_quality_gap_oracle(),
+    doc=(
+        "Quality gap between near-duplicated and unique docs per "
+        "source: joins the LSH-verified pair stream's endpoint set "
+        "back onto the quality heuristic — the curation question "
+        "('is our duplication concentrated in low-quality "
+        "boilerplate?') that decides whether dedup alone fixes a "
+        "shard or a quality filter must run too (SURVEY §2.E). "
+        "Endpoint ids explode from one pair-stream build (the "
+        "dup_graph_degrees discipline), quality means are exact "
+        "integer micro-units over pre-rounded decimals with "
+        "truncating div in BOTH engines — order-insensitive and "
+        "knife-edge-free."
+    ),
+)
+def dup_quality_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    dup_ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    qm = (T.quality_score(F.col("text")).cast("decimal(18,4)") * 10000).cast("bigint")
+    q = (
+        docs.select("doc_id", "source", qm.alias("qm"))
+        .join(dup_ids, "doc_id", "left")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(0)))
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup"),
+            F.expr(
+                "CASE WHEN sum(is_dup) > 0 THEN "
+                "sum(CASE WHEN is_dup = 1 THEN qm ELSE 0L END) * 100L div sum(is_dup) END"
+            )
+            .cast("bigint")
+            .alias("dup_mean_q_micro"),
+            F.expr(
+                "CASE WHEN count(*) - sum(is_dup) > 0 THEN "
+                "sum(CASE WHEN is_dup = 0 THEN qm ELSE 0L END) * 100L div (count(*) - sum(is_dup)) END"
+            )
+            .cast("bigint")
+            .alias("nondup_mean_q_micro"),
+        )
+        .orderBy("source")
+    )
