@@ -927,3 +927,69 @@ def segment_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_bps",
         (F.col("share_bps") - F.lag("share_bps").over(ws)).cast("bigint").alias("share_delta_bps"),
     ).orderBy("month", "segment")
+
+
+@register(
+    "supplier_hhi",
+    oracle="""
+WITH r AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT nationkey, l_suppkey, rev_cents,
+         CAST(rev_cents * 10000 // SUM(rev_cents) OVER (PARTITION BY nationkey) AS BIGINT) AS share_bps
+  FROM r
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(sh.rev_cents) AS BIGINT) AS rev_cents,
+       CAST(MAX(sh.share_bps) AS BIGINT) AS top_share_bps,
+       CAST(SUM(sh.share_bps * sh.share_bps) AS BIGINT) AS hhi
+FROM sh JOIN nation n ON sh.nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+""",
+    doc=(
+        "Herfindahl–Hirschman supplier-concentration index per "
+        "nation: squared integer-bps revenue shares summed — the "
+        "supply-risk view on top of q9/q15's per-supplier revenue "
+        "(one dominant supplier → hhi near 10^8; atomized → near 0; "
+        "SURVEY §2.G). One fact scan with a broadcastable supplier "
+        "dimension join, partial-aggregated (nation, supplier) "
+        "rollup; shares and HHI are pure integer arithmetic over the "
+        "supplier-cardinality table (truncating div both engines — "
+        "no float shares, no knife edges)."
+    ),
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    sh = r.withColumn(
+        "share_bps",
+        F.expr("rev_cents * 10000L div sum(rev_cents) over (partition by nationkey)").cast(
+            "bigint"
+        ),
+    )
+    return (
+        sh.join(F.broadcast(nat), sh["nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            F.max("share_bps").cast("bigint").alias("top_share_bps"),
+            F.sum(F.col("share_bps") * F.col("share_bps")).cast("bigint").alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -1233,3 +1233,64 @@ def topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "week", "event_type")
         .limit(MOVERS_TOP)
     )
+
+
+@register(
+    "user_affinity_jaccard",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(sa.n_users AS BIGINT) AS n_a,
+       CAST(sb.n_users AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(i.n_both * 10000 // (sa.n_users + sb.n_users - i.n_both) AS BIGINT) AS jaccard_bps
+FROM inter i
+JOIN sz sa ON i.type_a = sa.event_type
+JOIN sz sb ON i.type_b = sb.event_type
+ORDER BY type_a, type_b
+""",
+    doc=(
+        "User-set Jaccard affinity between event types: which "
+        "behaviors share audiences — the co-usage matrix behind "
+        "funnel design and feature bundling (the source_overlap "
+        "shape applied to the behavioral axis; SURVEY §2.H). One "
+        "distinct (user, type) projection (map-side combined), "
+        "self-joined on user_id — with ~5 types each user "
+        "contributes ≤10 pairs, so the join output is bounded by "
+        "rows×types, not rows²; set sizes broadcast back over the "
+        "type-pair table. Exact-integer bps."
+    ),
+)
+def user_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr("n_both * 10000L div (n_a + n_b - n_both)").cast("bigint").alias("jaccard_bps"),
+        )
+        .orderBy("type_a", "type_b")
+    )
