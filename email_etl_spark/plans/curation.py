@@ -828,3 +828,85 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions(F.desc("k"), "doc_id")
         .select("doc_id", "n_chars", F.round(F.col("k") * 1000000, 2).alias("es_key_micro"))
     )
+
+
+def _dataset_card_oracle() -> str:
+    from email_etl_spark.plans.text import _PUNCT, _TOKS, _stop_sql
+
+    quality = (
+        "0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0))"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         length(text) AS nc,
+         len({_TOKS}) AS nt,
+         CAST(CAST(ROUND({quality}, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qm,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS en_bps,
+       CAST(SUM(qm) * 100 // COUNT(*) AS BIGINT) AS mean_quality_micro,
+       CAST((COUNT(*) - COUNT(DISTINCT fp)) * 10000 // COUNT(*) AS BIGINT) AS exact_dup_bps
+FROM t
+"""
+
+
+@register(
+    "dataset_card",
+    oracle=_dataset_card_oracle(),
+    doc=(
+        "One-row dataset card: docs / chars / tokens / language and "
+        "source cardinalities / English share / mean quality / exact-"
+        "duplicate rate — the release-notes summary every corpus drop "
+        "ships with, composed from the engine's own per-doc "
+        "expressions in ONE scan (SURVEY §2.L). Tokenize, quality and "
+        "fingerprint project once per row; the distinct counts ride "
+        "Spark's multi-distinct expand (one shuffle), everything else "
+        "is map-side combined; quality mean is exact integer "
+        "micro-units with truncating div in both engines."
+    ),
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.io import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    qm = (T.quality_score(F.col("text")).cast("decimal(18,4)") * 10000).cast("bigint")
+    t = docs.select(
+        "lang",
+        "source",
+        F.length("text").alias("nc"),
+        T.token_count(F.col("text")).alias("nt"),
+        qm.alias("qm"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("total_chars"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.expr("sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000L div count(*)")
+        .cast("bigint")
+        .alias("en_bps"),
+        F.expr("sum(qm) * 100L div count(*)").cast("bigint").alias("mean_quality_micro"),
+        (
+            (F.count("*") - F.countDistinct("fp")) * 10000
+        ).cast("bigint").alias("_dup_tmp"),
+    ).select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "en_bps",
+        "mean_quality_micro",
+        F.expr("_dup_tmp div n_docs").cast("bigint").alias("exact_dup_bps"),
+    )
