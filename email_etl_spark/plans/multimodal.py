@@ -191,3 +191,72 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_frames")
     )
+
+
+RESIZE_TARGET = 224
+
+
+@register(
+    "image_resize_plan",
+    oracle=f"""
+WITH b AS (SELECT text, sha256(text) AS sha FROM documents),
+wh AS (
+  SELECT 16 + ({_byte_sql('sha', 0)} % 240) AS width,
+         16 + ({_byte_sql('sha', 1)} % 240) AS height
+  FROM b
+),
+p AS (
+  SELECT width, height,
+         CASE WHEN width > height THEN 'landscape'
+              WHEN width < height THEN 'portrait'
+              ELSE 'square' END AS orientation,
+         width * {RESIZE_TARGET} // GREATEST(width, height) AS out_w,
+         height * {RESIZE_TARGET} // GREATEST(width, height) AS out_h,
+         CASE WHEN GREATEST(width, height) < {RESIZE_TARGET} THEN 1 ELSE 0 END AS upscaled
+  FROM wh
+)
+SELECT orientation,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(upscaled) AS BIGINT) AS n_upscaled,
+       CAST(SUM(out_w) * 100 // COUNT(*) AS BIGINT) AS mean_out_w_centi,
+       CAST(SUM(out_h) * 100 // COUNT(*) AS BIGINT) AS mean_out_h_centi,
+       CAST(SUM(out_w * out_h) AS BIGINT) AS total_out_pixels
+FROM p GROUP BY orientation ORDER BY orientation
+""",
+    doc=(
+        "Aspect-preserving resize plan to a 224-box over the decoded "
+        "image metadata: per orientation, output dimensions (pure "
+        "integer fit arithmetic — w·224 div max(w,h), truncating in "
+        "BOTH engines), upscale counts and total output pixels — the "
+        "preprocessing budget a vision-training pipeline computes "
+        "before launching the actual resize pass (SURVEY §2.J). Runs "
+        "the REAL mapInPandas decode seam (operators/multimodal.py) "
+        "for width/height; the resize math itself is JVM column "
+        "arithmetic — blobs are decoded once and never re-read."
+    ),
+)
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(F.encode(F.col("text"), "UTF-8").alias("content"))
+    feats = image_features(blobs)
+    m = F.greatest(F.col("width"), F.col("height"))
+    p = feats.select(
+        F.when(F.col("width") > F.col("height"), "landscape")
+        .when(F.col("width") < F.col("height"), "portrait")
+        .otherwise("square")
+        .alias("orientation"),
+        F.expr(f"width * {RESIZE_TARGET} div greatest(width, height)").alias("out_w"),
+        F.expr(f"height * {RESIZE_TARGET} div greatest(width, height)").alias("out_h"),
+        F.when(m < RESIZE_TARGET, 1).otherwise(0).alias("upscaled"),
+    )
+    return (
+        p.groupBy("orientation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum("upscaled").cast("bigint").alias("n_upscaled"),
+            F.expr("sum(out_w) * 100L div count(*)").cast("bigint").alias("mean_out_w_centi"),
+            F.expr("sum(out_h) * 100L div count(*)").cast("bigint").alias("mean_out_h_centi"),
+            F.sum(F.col("out_w") * F.col("out_h")).cast("bigint").alias("total_out_pixels"),
+        )
+        .orderBy("orientation")
+    )

@@ -829,6 +829,46 @@ ORDER BY spend_cents DESC, o_custkey
         "formulation."
     ),
 )
+def _skyline_sweep(df: DataFrame, x: str, y: str, part_col: str | None) -> DataFrame:
+    """One DESC range-frame sweep: keep rows not dominated within the
+    (optional) partition — prev-max over strictly-greater x, peer-max
+    over x ties. Exact for integer x."""
+    base = (
+        Window.partitionBy(part_col) if part_col is not None else Window.partitionBy()
+    )
+    w_prev = base.orderBy(F.desc(x)).rangeBetween(Window.unboundedPreceding, -1)
+    w_peer = base.orderBy(F.desc(x)).rangeBetween(0, 0)
+    return (
+        df.withColumn("_pm", F.max(y).over(w_prev))
+        .withColumn("_qm", F.max(y).over(w_peer))
+        .where(
+            (F.col("_pm").isNull() | (F.col(y) > F.col("_pm")))
+            & (F.col(y) == F.col("_qm"))
+        )
+        .drop("_pm", "_qm")
+    )
+
+
+def two_pass_skyline(df: DataFrame, id_col: str, x: str, y: str) -> DataFrame:
+    """Distributed 2D skyline (maximize x and y): bucket-local sweep
+    prunes to ~O(log n) survivors per bucket, then a global sweep over
+    survivors only — no single-partition sort of the full input.
+    Property-tested against brute-force dominance in
+    tests/test_properties.py."""
+    local = _skyline_sweep(
+        df.withColumn(
+            "_b",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % _PARETO_BUCKETS,
+        ),
+        x,
+        y,
+        "_b",
+    ).drop("_b")
+    return _skyline_sweep(local, x, y, None)
+
+
 def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
@@ -837,32 +877,7 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_cents"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
-
-    def skyline(df: DataFrame, part_col: str | None) -> DataFrame:
-        base = (
-            Window.partitionBy(part_col) if part_col is not None else Window.partitionBy()
-        )
-        w_prev = base.orderBy(F.desc("spend_cents")).rangeBetween(
-            Window.unboundedPreceding, -1
-        )
-        w_peer = base.orderBy(F.desc("spend_cents")).rangeBetween(0, 0)
-        prev_max = F.max("n_orders").over(w_prev)
-        peer_max = F.max("n_orders").over(w_peer)
-        return df.withColumn("_pm", prev_max).withColumn("_qm", peer_max).where(
-            (F.col("_pm").isNull() | (F.col("n_orders") > F.col("_pm")))
-            & (F.col("n_orders") == F.col("_qm"))
-        ).drop("_pm", "_qm")
-
-    local = skyline(
-        c.withColumn(
-            "b",
-            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2), 16, 10)
-            .cast("int")
-            % _PARETO_BUCKETS,
-        ),
-        "b",
-    ).drop("b")
-    return skyline(local, None).select(
+    return two_pass_skyline(c, "o_custkey", "spend_cents", "n_orders").select(
         "o_custkey", "spend_cents", "n_orders"
     ).orderBy(F.desc("spend_cents"), "o_custkey")
 

@@ -337,3 +337,35 @@ def test_dsir_weights_separate_target_from_rest(spark):
         .collect()
     }
     assert m[True] > 0 > m[False], m
+
+
+def test_two_pass_skyline_equals_bruteforce(spark):
+    """The bucket-local pre-prune must never change the skyline:
+    crafted data with x ties, y ties, full duplicates, dominated
+    chains and cross-bucket dominators, checked against brute-force
+    dominance."""
+    import itertools
+
+    from email_etl_spark.plans.relational_ext import two_pass_skyline
+
+    rows = [
+        # (id, x, y): duplicates of a frontier point, ties both axes,
+        # a dominated diagonal chain, and isolated extremes
+        (1, 100, 1), (2, 100, 5), (3, 100, 5), (4, 90, 5), (5, 90, 7),
+        (6, 80, 7), (7, 80, 6), (8, 70, 9), (9, 60, 9), (10, 50, 20),
+        (11, 40, 19), (12, 30, 21), (13, 100, 4), (14, 1, 100),
+        (15, 1, 100), (16, 2, 99), (17, 0, 0),
+    ] + [(100 + i, i, i) for i in range(30)]  # diagonal: only max survives vs (30,30)?
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        (r.id, r.x, r.y) for r in two_pass_skyline(df, "id", "x", "y").collect()
+    }
+
+    def dominated(a, b):  # b dominates a
+        return b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+
+    expect = {
+        a for a in rows if not any(dominated(a, b) for b in rows if b[0] != a[0])
+    }
+    # identical-coordinate duplicates: neither dominates the other, both stay
+    assert got == expect
