@@ -796,39 +796,6 @@ def revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARETO_BUCKETS = 32
 
 
-@register(
-    "pareto_customers",
-    oracle="""
-WITH c AS (
-  SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS spend_cents,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY 1
-)
-SELECT o_custkey, spend_cents, n_orders
-FROM c a
-WHERE NOT EXISTS (
-  SELECT 1 FROM c b
-  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
-    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
-)
-ORDER BY spend_cents DESC, o_custkey
-""",
-    doc=(
-        "Pareto frontier (skyline) of customers maximizing (total "
-        "spend, order count) — the multi-criteria 'best customers' "
-        "view a dominance query answers where top-k can't (SURVEY "
-        "§2.L). Two-pass distributed sweep: bucket-local skyline "
-        "first (hash-bucketed window: survivors per bucket ~O(log n) "
-        "for random data), then the global sweep runs only over the "
-        "bucket survivors — the full aggregate table never feeds a "
-        "single-partition sort. Each sweep is one DESC range-frame "
-        "window over exact integer cents (prev-max over strictly "
-        "richer customers + peer-max over spend ties); the oracle "
-        "cross-checks with an independent NOT-EXISTS dominance "
-        "formulation."
-    ),
-)
 def _skyline_sweep(df: DataFrame, x: str, y: str, part_col: str | None) -> DataFrame:
     """One DESC range-frame sweep: keep rows not dominated within the
     (optional) partition — prev-max over strictly-greater x, peer-max
@@ -869,6 +836,40 @@ def two_pass_skyline(df: DataFrame, id_col: str, x: str, y: str) -> DataFrame:
     return _skyline_sweep(local, x, y, None)
 
 
+
+@register(
+    "pareto_customers",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, spend_cents, n_orders
+FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders)
+)
+ORDER BY spend_cents DESC, o_custkey
+""",
+    doc=(
+        "Pareto frontier (skyline) of customers maximizing (total "
+        "spend, order count) — the multi-criteria 'best customers' "
+        "view a dominance query answers where top-k can't (SURVEY "
+        "§2.L). Two-pass distributed sweep: bucket-local skyline "
+        "first (hash-bucketed window: survivors per bucket ~O(log n) "
+        "for random data), then the global sweep runs only over the "
+        "bucket survivors — the full aggregate table never feeds a "
+        "single-partition sort. Each sweep is one DESC range-frame "
+        "window over exact integer cents (prev-max over strictly "
+        "richer customers + peer-max over spend ties); the oracle "
+        "cross-checks with an independent NOT-EXISTS dominance "
+        "formulation."
+    ),
+)
 def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
