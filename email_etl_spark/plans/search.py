@@ -3350,3 +3350,74 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_h").cast("bigint").alias("n_hits"),
         F.expr(f"cum_h * 10000L div {_IVF_CURVE_K}").cast("bigint").alias("recall_bps"),
     ).orderBy("nprobe")
+
+
+def _ann_index_stats_oracle() -> str:
+    sig_cols = ", ".join(f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {t} AS t, sig{t} AS key FROM sigs" for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH sigs AS (SELECT vec_id, {sig_cols} FROM embeddings),
+buckets AS ({unions}),
+bc AS (SELECT t, key, COUNT(*) AS c FROM buckets GROUP BY t, key),
+r AS (
+  SELECT t, c,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY c DESC, key) AS rd
+  FROM bc
+)
+SELECT t,
+       CAST(SUM(c) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top1_bps,
+       CAST(SUM(CASE WHEN rd <= 10 THEN c ELSE 0 END) * 10000 // SUM(c) AS BIGINT) AS top10_bps
+FROM r GROUP BY t ORDER BY t
+"""
+
+
+@register(
+    "ann_index_stats",
+    oracle=_ann_index_stats_oracle(),
+    doc=(
+        "Bucket-balance health check of the persisted sign-LSH index: "
+        "per hash table, bucket count, largest bucket and top-1/top-10 "
+        "occupancy shares in exact integer bps — the index diagnostic "
+        "that predicts worst-case probe cost (a 5000-bps bucket means "
+        "half the corpus collides into one key and queries hitting it "
+        "degrade to brute force; the join_skew_report discipline "
+        "applied to the index layout; SURVEY §2.F). Reads the "
+        "build-once index table, never the vectors; the rank window "
+        "runs over bucket-cardinality counts only."
+    ),
+)
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_ann_index(spark, sf_dir)
+    idx = _LIT_CACHE.get(("ann_idx", index_dir))
+    if idx is None:
+        idx = spark.read.parquet(index_dir)
+        _LIT_CACHE[("ann_idx", index_dir)] = idx
+    bc = idx.groupBy("t", "key").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("t").orderBy(F.desc("c"), "key")
+    r = bc.withColumn("rd", F.row_number().over(wd))
+    return (
+        r.groupBy("t")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.expr("max(c) * 10000L div sum(c)").cast("bigint").alias("top1_bps"),
+            F.expr("sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) * 10000L div sum(c)")
+            .cast("bigint")
+            .alias("top10_bps"),
+        )
+        .select(
+            F.col("t").cast("int").alias("t"),
+            "n_vecs",
+            "n_buckets",
+            "max_bucket",
+            "top1_bps",
+            "top10_bps",
+        )
+        .orderBy("t")
+    )

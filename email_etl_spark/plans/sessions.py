@@ -1294,3 +1294,71 @@ def user_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# Exact-integer exponential decay: weight(d) = round(0.9^d * 1e6),
+# precomputed as literals so BOTH engines sum identical integers (no
+# runtime pow). Horizon 90 days; older events contribute 0.
+_DECAY_HORIZON = 90
+_DECAY_MICRO = {}
+_w = 1.0
+for _d in range(_DECAY_HORIZON + 1):
+    _DECAY_MICRO[_d] = int(round(_w * 1_000_000))
+    _w *= 0.9
+_DECAY_CASE = (
+    "CASE "
+    + " ".join(f"WHEN age_d = {d} THEN {w}" for d, w in _DECAY_MICRO.items())
+    + " ELSE 0 END"
+)
+ENGAGE_TOP = 20
+
+
+@register(
+    "engagement_scores",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS mxd FROM events),
+e AS (
+  SELECT user_id,
+         date_diff('day', CAST(date_trunc('day', ts) AS DATE), mx.mxd) AS age_d
+  FROM events, mx
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         SUM({_DECAY_CASE}) AS score_micro
+  FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM s ORDER BY score_micro DESC, user_id LIMIT {ENGAGE_TOP}
+""",
+    doc=(
+        "Recency-weighted engagement scores: each event contributes "
+        "0.9^age_days, summed per user, top-20 — the decayed-activity "
+        "ranking behind 'most engaged users' dashboards (reference "
+        "patterns axis, SURVEY §2.H). The decay table is precomputed "
+        "integer micro-weights shared by both engines as literals — "
+        "no runtime pow, so the distributed sum is exact integer "
+        "arithmetic, order-insensitive at any parallelism. One scan "
+        "(age from the corpus max date, broadcast 1-row), map-side-"
+        "combined per-user sums, TakeOrderedAndProject cut."
+    ),
+)
+def engagement_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("mxd"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(F.col("mxd"), F.date_trunc("day", F.col("ts")).cast("date")).alias(
+            "age_d"
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(f"sum({_DECAY_CASE})").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "user_id")
+        .limit(ENGAGE_TOP)
+    )
