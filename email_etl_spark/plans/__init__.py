@@ -87,7 +87,13 @@ _GATE_ORDER = (
     "latency_slo_report",
     "topk_movers",
     "user_affinity_jaccard",
-    # -- positions 51+: changed-this-round re-verification queue --
+    # -- positions 51+: late round-4 additions (sweep-covered; their
+    # in-window cousins exercise the same machinery: ann_index_stats ≙
+    # ann_lsh_indexed layout, engagement_scores' decay-literal
+    # convention ≙ the integer-exact family) --
+    "engagement_scores",
+    "ann_index_stats",
+    # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",
     "minhash_recall_eval",
