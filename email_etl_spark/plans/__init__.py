@@ -93,6 +93,7 @@ _GATE_ORDER = (
     # convention ≙ the integer-exact family) --
     "engagement_scores",
     "ann_index_stats",
+    "maxsim_search",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -3421,3 +3421,69 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+_MAXSIM_QT = (0, 1, 2)  # pseudo query-term vector ids
+MAXSIM_TOP = 10
+
+
+def _maxsim_oracle() -> str:
+    qsel = ", ".join(str(q) for q in _MAXSIM_QT)
+    return f"""
+WITH qt AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            WHERE vec_id IN ({qsel})),
+s AS (
+  SELECT e.vec_id, e.label, qt.qid,
+         {_COS.format(a="e.embedding", b="qt.qvec")} AS c
+  FROM embeddings e CROSS JOIN qt
+  WHERE e.vec_id NOT IN ({qsel})
+),
+m AS (
+  SELECT vec_id, label, qid, MAX(c) AS mc
+  FROM s GROUP BY vec_id, label, qid
+),
+sc AS (
+  SELECT vec_id, label, ROUND(SUM(mc), 4) AS maxsim
+  FROM m GROUP BY vec_id, label
+)
+SELECT vec_id, label, maxsim
+FROM sc ORDER BY maxsim DESC, vec_id LIMIT {MAXSIM_TOP}
+"""
+
+
+@register(
+    "maxsim_search",
+    oracle=_maxsim_oracle(),
+    doc=(
+        "Late-interaction (ColBERT-style) multi-vector retrieval: the "
+        "query is a BAG of term vectors and a doc scores "
+        "sum_over_terms(max cosine) — the modern ranker between "
+        "single-vector ANN and full cross-encoders (SURVEY §2.C/F). "
+        "Scale shape identical to ann_bruteforce: the bounded "
+        "query-term batch broadcasts, ONE corpus scan scores "
+        "|terms|·n pairs, per-(doc, term) max and per-doc sum are "
+        "map-side-combined aggregates, top-10 via "
+        "TakeOrderedAndProject. Per-term cosines round before the "
+        "max/sum (engine-identical); at 100 TB the per-term "
+        "candidate retrieval swaps to the LSH index and the maxsim "
+        "re-score touches candidates only."
+    ),
+)
+def maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    qt = emb.where(F.col("vec_id").isin(list(_MAXSIM_QT))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    s = (
+        emb.where(~F.col("vec_id").isin(list(_MAXSIM_QT)))
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "vec_id",
+            "label",
+            "qid",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("c"),
+        )
+    )
+    m = s.groupBy("vec_id", "label", "qid").agg(F.max("c").alias("mc"))
+    sc = m.groupBy("vec_id", "label").agg(F.round(F.sum("mc"), 4).alias("maxsim"))
+    return sc.orderBy(F.desc("maxsim"), "vec_id").limit(MAXSIM_TOP)
