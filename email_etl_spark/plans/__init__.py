@@ -94,6 +94,7 @@ _GATE_ORDER = (
     "engagement_scores",
     "ann_index_stats",
     "maxsim_search",
+    "kwic_contexts",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1777,3 +1777,62 @@ def charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+KWIC_TERM = "spark"
+KWIC_TOP = 20
+
+
+@register(
+    "kwic_contexts",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+u AS (
+  SELECT doc_id, toks, u.i
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[u.i] = '{KWIC_TERM}'
+),
+c AS (
+  SELECT CASE WHEN i > 1 THEN toks[i - 1] ELSE '_' END AS prev_tok,
+         CASE WHEN i < len(toks) THEN toks[i + 1] ELSE '_' END AS next_tok
+  FROM u
+)
+SELECT prev_tok, next_tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM c GROUP BY prev_tok, next_tok
+ORDER BY n_occurrences DESC, prev_tok, next_tok
+LIMIT {KWIC_TOP}
+""",
+    doc=(
+        "Keyword-in-context mining: the top (prev, next) token "
+        "contexts around every occurrence of the focal term — the "
+        "concordance view corpus linguists and prompt-leak hunters "
+        "run (complements cooccurrence_pmi's doc-level collocation "
+        "with position-level adjacency; SURVEY §2.D). Lambda-free "
+        "shape: posexplode the token stream once, per-doc lag/lead "
+        "window for neighbors (the sessionize shuffle, keyed by doc), "
+        "filter to the focal term AFTER the window so contexts at "
+        "doc edges keep their '_' sentinel; context counts map-side "
+        "combine and the cut is TakeOrderedAndProject. No per-element "
+        "re-tokenization anywhere (the test_plan_guard discipline)."
+    ),
+)
+def kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = tok.select(
+        "tok",
+        F.coalesce(F.lag("tok").over(w), F.lit("_")).alias("prev_tok"),
+        F.coalesce(F.lead("tok").over(w), F.lit("_")).alias("next_tok"),
+    )
+    return (
+        ctx.where(F.col("tok") == KWIC_TERM)
+        .groupBy("prev_tok", "next_tok")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "prev_tok", "next_tok")
+        .limit(KWIC_TOP)
+    )
