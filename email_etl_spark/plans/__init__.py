@@ -95,6 +95,8 @@ _GATE_ORDER = (
     "ann_index_stats",
     "maxsim_search",
     "kwic_contexts",
+    "bootstrap_mean_ci",
+    "ab_test_lift",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1362,3 +1362,224 @@ def engagement_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "user_id")
         .limit(ENGAGE_TOP)
     )
+
+
+# Poisson(1) bootstrap: per (row, replica) the resample weight is
+# drawn by inverting the Poisson CDF on an md5-derived 32-bit uniform.
+# Thresholds are precomputed integer literals (floor(cdf_k * 2^32)),
+# so weight assignment is pure integer comparison in BOTH engines.
+_BOOT_REPLICAS = 32
+_BOOT_MAX_W = 8
+
+
+def _poisson_thresholds() -> list[int]:
+    import math
+
+    cdf, p, ts = 0.0, math.exp(-1.0), []
+    for k in range(_BOOT_MAX_W):
+        cdf += p
+        ts.append(int(cdf * 4294967296.0))
+        p /= k + 1
+    return ts
+
+
+_BOOT_TS = _poisson_thresholds()
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lane < {t} THEN {k}" for k, t in enumerate(_BOOT_TS))
+    + f" ELSE {_BOOT_MAX_W} END"
+)
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(CAST(value * 100 AS DECIMAL(18,0)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT b.b, e.cents,
+         CAST(('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS lane
+  FROM e CROSS JOIN (SELECT UNNEST(range({_BOOT_REPLICAS})) AS b) b
+),
+m AS (
+  SELECT b, SUM(({_BOOT_W_SQL}) * cents) * 100 // SUM({_BOOT_W_SQL}) AS mean_centicents
+  FROM r GROUP BY b
+),
+rk AS (
+  SELECT mean_centicents,
+         ROW_NUMBER() OVER (ORDER BY mean_centicents, b) AS rn
+  FROM m
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_purchases,
+       CAST((SELECT SUM(cents) * 100 // COUNT(*) FROM e) AS BIGINT) AS point_mean_centicents,
+       CAST(MAX(CASE WHEN rn = 2 THEN mean_centicents END) AS BIGINT) AS ci_lo_centicents,
+       CAST(MAX(CASE WHEN rn = {_BOOT_REPLICAS - 1} THEN mean_centicents END) AS BIGINT) AS ci_hi_centicents
+FROM rk
+""",
+    doc=(
+        "Poisson-bootstrap confidence interval for the mean purchase "
+        "value: 32 resample replicas whose per-row weights invert the "
+        "Poisson(1) CDF on an md5 lane keyed by (replica, event) — "
+        "the production-A/B-system bootstrap that never materializes "
+        "a resample (each row carries its replica weights through one "
+        "scan; SURVEY §2.H/L). CDF thresholds are precomputed integer "
+        "2^32-scale literals shared by both engines, replica means "
+        "are exact integer centi-cents with truncating div, and the "
+        "CI endpoints are rank-SELECTED replica means (2nd and 31st "
+        "of 32) — no float anywhere, bit-stable at any parallelism. "
+        "Replica sums are map-side combined; the 32-row rank window "
+        "is scale-free."
+    ),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", (F.col("value") * 100).cast("decimal(18,0)").cast("bigint").alias("cents")
+    )
+    r = e.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))).alias("b"),
+    ).withColumn(
+        "lane",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    m = r.groupBy("b").agg(
+        F.expr(f"sum(({_BOOT_W_SQL}) * cents) * 100L div sum({_BOOT_W_SQL})").alias(
+            "mean_centicents"
+        )
+    )
+    rk = m.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_centicents", "b"))
+    )
+    stats = e.agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.expr("sum(cents) * 100L div count(*)").cast("bigint").alias("point_mean_centicents"),
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_centicents")))
+        .cast("bigint")
+        .alias("ci_lo_centicents"),
+        F.max(F.when(F.col("rn") == _BOOT_REPLICAS - 1, F.col("mean_centicents")))
+        .cast("bigint")
+        .alias("ci_hi_centicents"),
+    )
+    return stats.crossJoin(F.broadcast(ci))
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm_a THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bps,
+       CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bps,
+       CAST(CASE WHEN conv_b * n_a >= conv_a * n_b
+                 THEN (conv_b * n_a - conv_a * n_b) * 10000 // (n_a * n_b)
+                 ELSE -((conv_a * n_b - conv_b * n_a) * 10000 // (n_a * n_b)) END AS BIGINT) AS lift_bps,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+            ELSE ROUND((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score
+FROM s
+""",
+    doc=(
+        "A/B conversion-lift report with a two-proportion z-test: "
+        "users deterministically hash-assigned to arms (the "
+        "train_val_split convention — reproducible assignment, no "
+        "RNG), per-arm user-level conversion from one distinct-user "
+        "rollup, lift in sign-split exact integer bps, and the pooled "
+        "z-score as ONE double expression over exact integers "
+        "(identical op tree both engines, rounded once; SURVEY "
+        "§2.H/L). One scan, one user-keyed partial aggregate, 1-row "
+        "output — the experimentation primitive at any scale."
+    ),
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).withColumn(
+        "arm_a",
+        F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1)
+        < "8",
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (conv_t == 0) | (conv_t == n_t), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (
+                F.col("conv_b").cast("double") / F.col("n_b")
+                - F.col("conv_a").cast("double") / F.col("n_a")
+            )
+            / F.sqrt(
+                p_pool
+                * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        )
+    )
+    lift = (
+        F.when(
+            F.col("conv_b") * F.col("n_a") >= F.col("conv_a") * F.col("n_b"),
+            F.expr("(conv_b * n_a - conv_a * n_b) * 10000L div (n_a * n_b)"),
+        )
+        .otherwise(-F.expr("(conv_a * n_b - conv_b * n_a) * 10000L div (n_a * n_b)"))
+        .cast("bigint")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("conv_a * 10000L div n_a").cast("bigint").alias("rate_a_bps"),
+        F.expr("conv_b * 10000L div n_b").cast("bigint").alias("rate_b_bps"),
+        lift.alias("lift_bps"),
+        z.alias("z_score"),
+    )
