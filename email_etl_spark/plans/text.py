@@ -1836,3 +1836,107 @@ def kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "prev_tok", "next_tok")
         .limit(KWIC_TOP)
     )
+
+
+def _code_switch_oracle() -> str:
+    langs = list(T.LANG_PROFILES)
+    scores = {lang: _stop_sql(words) for lang, words in T.LANG_PROFILES.items()}
+    cols = ", ".join(f"{scores[lg]} AS s_{lg}" for lg in langs)
+    names = [f"s_{lg}" for lg in langs]
+    s1 = "GREATEST(" + ", ".join(names) + ")"
+    pair_mins = ", ".join(
+        f"LEAST({names[i]}, {names[j]})"
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    )
+    s2 = f"GREATEST({pair_mins})"  # max of pairwise minimums = 2nd max
+    return f"""
+WITH sc AS (SELECT lang, {cols} FROM documents),
+m AS (
+  SELECT lang,
+         CASE WHEN {s2} > 0 AND 2 * {s2} >= {s1} THEN 1 ELSE 0 END AS mixed
+  FROM sc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+       CAST(SUM(mixed) * 10000 // COUNT(*) AS BIGINT) AS mixed_bps
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "code_switch_report",
+    oracle=_code_switch_oracle(),
+    doc=(
+        "Code-switching / mixed-language QA: docs whose SECOND-best "
+        "stopword-profile score is at least half the best — the "
+        "screen that catches interleaved-language documents a hard "
+        "argmax langid silently misfiles (they degrade both the "
+        "declared shard and token statistics; SURVEY §2.D). The "
+        "second-max over the 5 per-language integer scores is the "
+        "max-of-pairwise-minimums identity — pure integer GREATEST/"
+        "LEAST, engine-identical. One scan, one projection of the "
+        "score vector, map-side-combined per-declared-lang rollup."
+    ),
+)
+def code_switch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    langs = list(scores)
+    sc = docs.select("lang", *[scores[lg].alias(f"s_{lg}") for lg in langs])
+    names = [F.col(f"s_{lg}") for lg in langs]
+    s1 = F.greatest(*names)
+    pair_mins = [
+        F.least(names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+    s2 = F.greatest(*pair_mins)
+    mixed = F.when((s2 > 0) & (2 * s2 >= s1), 1).otherwise(0)
+    return (
+        sc.select("lang", mixed.alias("mixed"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("mixed").cast("bigint").alias("n_mixed"),
+            F.expr("sum(mixed) * 10000L div count(*)").cast("bigint").alias("mixed_bps"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "activity_punchcard",
+    oracle="""
+SELECT isodow(ts) AS dow, dayname(ts) AS day_name,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2, 3 ORDER BY dow, hour
+""",
+    doc=(
+        "Weekday×hour activity punchcard (counts + distinct users "
+        "per cell) — the classic 168-cell rhythm view behind "
+        "staffing/maintenance-window decisions (reference "
+        "hourly/daily patterns axis, SURVEY §2.H). One scan, "
+        "map-side-combined counts; the distinct-user count shuffles "
+        "(cell, user) pairs once — bounded by active users per cell, "
+        "never raw events."
+    ),
+)
+def activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday(F.col("ts")) + 1).alias("dow"),
+            F.date_format("ts", "EEEE").alias("day_name"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
