@@ -97,6 +97,8 @@ _GATE_ORDER = (
     "kwic_contexts",
     "bootstrap_mean_ci",
     "ab_test_lift",
+    "code_switch_report",
+    "activity_punchcard",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",
