@@ -99,6 +99,7 @@ _GATE_ORDER = (
     "ab_test_lift",
     "code_switch_report",
     "activity_punchcard",
+    "emb_dim_variance",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

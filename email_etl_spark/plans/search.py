@@ -3487,3 +3487,58 @@ def maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = s.groupBy("vec_id", "label", "qid").agg(F.max("c").alias("mc"))
     sc = m.groupBy("vec_id", "label").agg(F.round(F.sum("mc"), 4).alias("maxsim"))
     return sc.orderBy(F.desc("maxsim"), "vec_id").limit(MAXSIM_TOP)
+
+
+@register(
+    "emb_dim_variance",
+    oracle=f"""
+WITH d AS (
+  SELECT u.i - 1 AS dim,
+         CAST(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+g AS (
+  SELECT dim, COUNT(*) AS n, SUM(vm) AS sm, SUM(vm * vm) AS ssq
+  FROM d GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       CAST(sm AS BIGINT) AS sum_micro,
+       CAST((n * ssq - sm * sm) // (n * n) AS BIGINT) AS variance_pico
+FROM g ORDER BY dim
+""",
+    doc=(
+        "Per-dimension variance of the embedding cloud — the feature-"
+        "health screen that catches dead dimensions (variance ≈ 0 "
+        "means the encoder ignores the axis) and dominant ones before "
+        "PQ/IVF training commits a codebook to them (complements "
+        "pca_power_top1's single dominant direction with the full "
+        "per-axis profile; SURVEY §2.F). One posexplode pass; values "
+        "quantize once to integer micro-units, sums/squares are exact "
+        "integer aggregates (order-insensitive), and the variance is "
+        "the closed form in pure integer pico-units with truncating "
+        "div in BOTH engines — no double arithmetic anywhere, so no "
+        "ulp or rounding-rule edge exists. (At extreme row counts the "
+        "three products upgrade to DECIMAL(38,0); bounds here fit "
+        "int64 with 10^3 headroom.)"
+    ),
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    vm = (
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", vm.alias("vm")
+    )
+    g = d.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("sm"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("ssq"),
+    )
+    return g.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        F.col("sm").alias("sum_micro"),
+        F.expr("(n * ssq - sm * sm) div (n * n)").cast("bigint").alias("variance_pico"),
+    ).orderBy("dim")
