@@ -100,6 +100,8 @@ _GATE_ORDER = (
     "code_switch_report",
     "activity_punchcard",
     "emb_dim_variance",
+    "dup_source_matrix",
+    "graph_triangles",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1571,3 +1571,130 @@ def dup_quality_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dup_source_matrix",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+m AS (
+  SELECT LEAST(a.source, b.source) AS source_x,
+         GREATEST(a.source, b.source) AS source_y
+  FROM pairs p
+  JOIN documents a ON p.doc_a = a.doc_id
+  JOIN documents b ON p.doc_b = b.doc_id
+)
+SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM m GROUP BY source_x, source_y
+ORDER BY n_pairs DESC, source_x, source_y
+""",
+    doc=(
+        "Cross-source duplication matrix: near-dup pair counts per "
+        "unordered source pair — who mirrors whom (diagonal = "
+        "within-source boilerplate, off-diagonal = scraped/syndicated "
+        "content), the provenance view that decides which source to "
+        "keep when dedup_keep_best breaks ties (SURVEY §2.E). The "
+        "verified pair stream builds ONCE; two id→source joins "
+        "(source lookup is broadcast-size after column pruning) and "
+        "an unordered-pair canonicalization via LEAST/GREATEST; the "
+        "matrix is sources² rows at most."
+    ),
+)
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    m = (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_x"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_y"),
+        )
+    )
+    return (
+        m.groupBy("source_x", "source_y")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM deg) AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                 THEN (SELECT COUNT(*) FROM tri) * 3 * 10000
+                      // (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                 ELSE 0 END AS BIGINT) AS closure_bps
+""",
+    doc=(
+        "Triangle census of the near-dup graph: triangle and wedge "
+        "counts plus the global closure rate — high closure means "
+        "duplicate families are tight template clusters (safe to "
+        "keep-one), low closure means chains of partial overlaps "
+        "where transitive dedup over-merges (SURVEY §2.E). Canonical "
+        "a<b ordered edges make each triangle count exactly once via "
+        "the two-join wedge-close pattern (the standard distributed "
+        "triangle algorithm — join on shared middle vertex, then "
+        "semi-join the closing edge); wedges derive from the degree "
+        "table. The pair stream builds once; all joins key on doc "
+        "ids, never text."
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).cache()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedge = e1.join(e2, "y")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedge.join(closing, ["x", "z"], "leftsemi")
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    counts = e.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.coalesce(F.sum(F.expr("d * (d - 1) / 2")), F.lit(0))
+            .cast("bigint")
+            .alias("n_wedges"),
+        ))
+    ).crossJoin(F.broadcast(tri.agg(F.count("*").cast("bigint").alias("n_triangles"))))
+    return counts.select(
+        "n_edges",
+        "n_nodes",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("n_triangles * 3 * 10000L div n_wedges"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("closure_bps"),
+    )
