@@ -102,6 +102,7 @@ _GATE_ORDER = (
     "emb_dim_variance",
     "dup_source_matrix",
     "graph_triangles",
+    "minhash_calibration",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

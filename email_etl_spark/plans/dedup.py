@@ -1698,3 +1698,99 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("closure_bps"),
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    lane_cols = ", ".join(
+        f"MIN(substr(md5('{g}:' || s), {1 + 8 * j}, 8)) AS mh{g * H.LANES_PER_GROUP + j}"
+        for g in range(H.N_GROUPS)
+        for j in range(H.LANES_PER_GROUP)
+    )
+    matches = " + ".join(
+        f"CASE WHEN la.mh{i} = lb.mh{i} THEN 1 ELSE 0 END" for i in range(H.N_LANES)
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+lanes AS (
+  SELECT doc_id, {lane_cols}
+  FROM (SELECT doc_id, UNNEST(sh) AS s FROM sh) GROUP BY doc_id
+),
+e AS (
+  SELECT p.doc_a, p.doc_b,
+         ({matches}) * 10000 // {H.N_LANES} AS est_bps,
+         CAST(CAST(p.jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) AS exact_bps
+  FROM pairs p
+  JOIN lanes la ON p.doc_a = la.doc_id
+  JOIN lanes lb ON p.doc_b = lb.doc_id
+),
+b AS (
+  SELECT (est_bps - exact_bps + 10000) // 250 AS err_bucket,
+         est_bps - exact_bps AS err
+  FROM e
+)
+SELECT CAST(err_bucket AS BIGINT) AS err_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(err) AS BIGINT) AS min_err_bps,
+       CAST(MAX(err) AS BIGINT) AS max_err_bps
+FROM b GROUP BY err_bucket ORDER BY err_bucket
+"""
+
+
+@register(
+    "minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc=(
+        "MinHash estimator calibration: per verified near-dup pair, "
+        "the 32-lane signature estimate (matching lanes / 32, integer "
+        "bps) against the exact shingle Jaccard, binned into a "
+        "250-bps error histogram — the measurement that justifies the "
+        "lane count before a corpus trusts signature-only screening "
+        "(online near-dup, streaming/neardup.py) where exact "
+        "verification is skipped (SURVEY §2.E). Signatures come from "
+        "the same shuffle-free array-local lane minima as production; "
+        "the error arithmetic is pure integer (shifted-bucket trick "
+        "keeps truncating division non-negative in both engines)."
+    ),
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    la = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.N_LANES)]
+    )
+    lb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(H.N_LANES)]
+    )
+    matches = None
+    for i in range(H.N_LANES):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    e = (
+        F.broadcast(pairs).join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            (matches * 10000).cast("bigint").alias("m4"),
+            (F.col("jaccard").cast("decimal(18,4)") * 10000).cast("bigint").alias("exact_bps"),
+        )
+        .select(
+            F.expr(f"m4 div {H.N_LANES}").cast("bigint").alias("est_bps"),
+            "exact_bps",
+        )
+    )
+    b = e.select(
+        F.expr("(est_bps - exact_bps + 10000) div 250").cast("bigint").alias("err_bucket"),
+        (F.col("est_bps") - F.col("exact_bps")).alias("err"),
+    )
+    return (
+        b.groupBy("err_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("err").cast("bigint").alias("min_err_bps"),
+            F.max("err").cast("bigint").alias("max_err_bps"),
+        )
+        .orderBy("err_bucket")
+    )
