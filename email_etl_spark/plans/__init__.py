@@ -103,6 +103,7 @@ _GATE_ORDER = (
     "dup_source_matrix",
     "graph_triangles",
     "minhash_calibration",
+    "length_filter_curve",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -910,3 +910,62 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_quality_micro",
         F.expr("_dup_tmp div n_docs").cast("bigint").alias("exact_dup_bps"),
     )
+
+
+_LEN_CUTS = (50, 100, 200, 400)
+
+
+@register(
+    "length_filter_curve",
+    oracle=f"""
+WITH t AS (SELECT len({_TOKS}) AS n FROM documents),
+tot AS (SELECT COUNT(*) AS nd, SUM(n) AS nt FROM t),
+c AS (SELECT UNNEST([{", ".join(str(c) for c in _LEN_CUTS)}]) AS cut)
+SELECT c.cut AS min_tokens,
+       CAST(SUM(CASE WHEN t.n >= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN t.n >= c.cut THEN t.n ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN t.n >= c.cut THEN 1 ELSE 0 END) * 10000 // MAX(tot.nd) AS BIGINT) AS docs_kept_bps,
+       CAST(SUM(CASE WHEN t.n >= c.cut THEN t.n ELSE 0 END) * 10000 // MAX(tot.nt) AS BIGINT) AS tokens_kept_bps
+FROM t CROSS JOIN c CROSS JOIN tot
+GROUP BY c.cut ORDER BY c.cut
+""",
+    doc=(
+        "Minimum-length filter tuning curve: docs and tokens retained "
+        "at cutoffs {50,100,200,400} tokens — the survivors-vs-"
+        "threshold sweep run before committing a Gopher-style length "
+        "rule (the near_dup_rate_curve discipline applied to the "
+        "length axis; SURVEY §2.L). ONE tokenize pass; each row "
+        "feeds all 4 cutoff cells map-side (conditional sums, no "
+        "re-scan per threshold), totals broadcast from a 1-row "
+        "aggregate; exact-integer bps."
+    ),
+)
+def length_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(T.token_count(F.col("text")).alias("n"))
+    tot = t.agg(
+        F.count("*").cast("bigint").alias("nd"), F.sum("n").cast("bigint").alias("nt")
+    )
+    cuts = F.explode(F.array(*[F.lit(c) for c in _LEN_CUTS])).alias("cut")
+    e = t.crossJoin(F.broadcast(tot)).select("n", "nd", "nt").select(
+        "n", "nd", "nt", cuts
+    )
+    return (
+        e.groupBy("cut")
+        .agg(
+            F.sum(F.when(F.col("n") >= F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(F.col("n") >= F.col("cut"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.expr("sum(CASE WHEN n >= cut THEN 1 ELSE 0 END) * 10000L div max(nd)")
+            .cast("bigint")
+            .alias("docs_kept_bps"),
+            F.expr("sum(CASE WHEN n >= cut THEN n ELSE 0L END) * 10000L div max(nt)")
+            .cast("bigint")
+            .alias("tokens_kept_bps"),
+        )
+        .select(F.col("cut").cast("int").alias("min_tokens"), "n_docs_kept", "tokens_kept", "docs_kept_bps", "tokens_kept_bps")
+        .orderBy("min_tokens")
+    )
