@@ -104,6 +104,8 @@ _GATE_ORDER = (
     "graph_triangles",
     "minhash_calibration",
     "length_filter_curve",
+    "dedup_savings",
+    "churn_risk",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

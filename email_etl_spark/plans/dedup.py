@@ -1794,3 +1794,84 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_bucket")
     )
+
+
+def _dedup_savings_oracle() -> str:
+    toks_sql = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+),
+clusters AS (SELECT node AS doc_id, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+tk AS (SELECT doc_id, len({toks_sql}) AS n_tok FROM documents),
+j AS (SELECT c.cluster_id, c.doc_id, tk.n_tok FROM clusters c JOIN tk USING (doc_id)),
+per AS (
+  SELECT cluster_id, COUNT(*) AS sz, SUM(n_tok) AS tok_all, MIN(doc_id) AS keeper
+  FROM j GROUP BY cluster_id
+),
+keep AS (
+  SELECT p.cluster_id, p.sz, p.tok_all, tk.n_tok AS tok_keep
+  FROM per p JOIN tk ON p.keeper = tk.doc_id
+),
+tot AS (SELECT SUM(n_tok) AS corpus_tokens FROM tk)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs_in_clusters,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_docs_removable,
+       CAST(SUM(tok_all - tok_keep) AS BIGINT) AS tokens_removable,
+       CAST(SUM(tok_all - tok_keep) * 10000 // MAX(tot.corpus_tokens) AS BIGINT) AS corpus_tokens_bps
+FROM keep CROSS JOIN tot
+"""
+
+
+@register(
+    "dedup_savings",
+    oracle=_dedup_savings_oracle(),
+    doc=(
+        "Dedup savings projection: exact token count reclaimed by "
+        "keeping one representative (min doc_id) per near-dup cluster "
+        "— the number that justifies the dedup pass's cost in a "
+        "100 TB budget review (SURVEY §2.E). Clusters come from the "
+        "shared min-label-propagation closure; token counts join on "
+        "doc_id (hash join on ids, never text); savings and the "
+        "corpus share are exact integers from one token pass + one "
+        "cluster rollup."
+    ),
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    tk = parallelize_scan(docs).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    j = clusters.join(tk, "doc_id")
+    per = j.groupBy("cluster_id").agg(
+        F.count("*").alias("sz"),
+        F.sum("n_tok").alias("tok_all"),
+        F.min("doc_id").alias("keeper"),
+    )
+    keep = per.join(
+        tk.select(F.col("doc_id").alias("keeper"), F.col("n_tok").alias("tok_keep")),
+        "keeper",
+    )
+    tot = tk.agg(F.sum("n_tok").cast("bigint").alias("corpus_tokens"))
+    return (
+        keep.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs_in_clusters"),
+            (F.sum("sz") - F.count("*")).cast("bigint").alias("n_docs_removable"),
+            F.sum(F.col("tok_all") - F.col("tok_keep")).cast("bigint").alias("tokens_removable"),
+            F.expr("sum(tok_all - tok_keep) * 10000L div max(corpus_tokens)")
+            .cast("bigint")
+            .alias("corpus_tokens_bps"),
+        )
+    )

@@ -1009,3 +1009,93 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+CHURN_TOP = 20
+
+
+@register(
+    "churn_risk",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, gap,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap, d) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS ng
+  FROM o WHERE gap IS NOT NULL
+),
+med AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN rn = (ng + 1) // 2 THEN gap END) AS med_gap,
+         MAX(ng) AS n_gaps
+  FROM g GROUP BY o_custkey
+),
+last_o AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d FROM orders GROUP BY o_custkey)
+SELECT l.o_custkey,
+       CAST(m.n_gaps + 1 AS BIGINT) AS n_orders,
+       CAST(m.med_gap AS BIGINT) AS median_gap_days,
+       CAST(date_diff('day', l.last_d, mx.mxd) AS BIGINT) AS days_silent,
+       CAST(date_diff('day', l.last_d, mx.mxd) * 100 // m.med_gap AS BIGINT) AS silence_ratio_centi
+FROM last_o l JOIN med m USING (o_custkey) CROSS JOIN mx
+WHERE m.med_gap > 0 AND date_diff('day', l.last_d, mx.mxd) > 2 * m.med_gap
+ORDER BY silence_ratio_centi DESC, o_custkey
+LIMIT {CHURN_TOP}
+""",
+    doc=(
+        "Churn-risk ranking: customers silent for more than twice "
+        "their OWN median inter-order gap — the personalized-baseline "
+        "alternative to a global inactivity cutoff (a weekly buyer "
+        "gone 3 weeks outranks a quarterly buyer gone 2 months; "
+        "SURVEY §2.G). Median gap is rank-SELECTED per customer "
+        "(integer rank (n+1) div 2 over the lag-gap window — no "
+        "interpolation), silence ratio is exact integer centi-units, "
+        "and the per-customer windows ride ONE custkey-partitioned "
+        "sort. Corpus max date broadcasts from a 1-row aggregate."
+    ),
+)
+def churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    mx = orders.agg(F.max(d).alias("mxd"))
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        d.alias("d"),
+        F.datediff(d, F.lag(d).over(wo)).alias("gap"),
+    )
+    g = o.where(F.col("gap").isNotNull()).select(
+        "o_custkey",
+        "gap",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("gap", "d"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("ng"),
+    )
+    med = g.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("rn") == F.expr("(ng + 1) div 2"), F.col("gap"))).alias("med_gap"),
+        F.max("ng").alias("n_gaps"),
+    )
+    last_o = orders.groupBy("o_custkey").agg(F.max(d).alias("last_d"))
+    j = last_o.join(med, "o_custkey").crossJoin(F.broadcast(mx))
+    silent = F.datediff(F.col("mxd"), F.col("last_d"))
+    return (
+        j.where((F.col("med_gap") > 0) & (silent > 2 * F.col("med_gap")))
+        .select(
+            "o_custkey",
+            (F.col("n_gaps") + 1).cast("bigint").alias("n_orders"),
+            F.col("med_gap").cast("bigint").alias("median_gap_days"),
+            silent.cast("bigint").alias("days_silent"),
+            F.expr(
+                "datediff(mxd, last_d) * 100L div med_gap"
+            ).cast("bigint").alias("silence_ratio_centi"),
+        )
+        .orderBy(F.desc("silence_ratio_centi"), "o_custkey")
+        .limit(CHURN_TOP)
+    )
