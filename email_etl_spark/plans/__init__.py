@@ -106,6 +106,8 @@ _GATE_ORDER = (
     "length_filter_curve",
     "dedup_savings",
     "churn_risk",
+    "copurchase_types",
+    "returns_by_delay",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1099,3 +1099,133 @@ def churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("silence_ratio_centi"), "o_custkey")
         .limit(CHURN_TOP)
     )
+
+
+COPURCHASE_TOP = 25
+
+
+@register(
+    "copurchase_types",
+    oracle=f"""
+WITH ot AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS ptype
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sz AS (SELECT ptype, COUNT(*) AS n_orders FROM ot GROUP BY ptype),
+tot AS (SELECT COUNT(DISTINCT okey) AS n_total FROM ot),
+pairs AS (
+  SELECT a.ptype AS type_a, b.ptype AS type_b, COUNT(*) AS n_both
+  FROM ot a JOIN ot b ON a.okey = b.okey AND a.ptype < b.ptype
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(sa.n_orders AS BIGINT) AS n_a,
+       CAST(sb.n_orders AS BIGINT) AS n_b,
+       CAST(p.n_both * tot.n_total * 100 // (sa.n_orders * sb.n_orders) AS BIGINT) AS lift_centi
+FROM pairs p
+JOIN sz sa ON p.type_a = sa.ptype
+JOIN sz sb ON p.type_b = sb.ptype
+CROSS JOIN tot
+ORDER BY n_both DESC, type_a, type_b
+LIMIT {COPURCHASE_TOP}
+""",
+    doc=(
+        "Market-basket affinity between part types: top co-occurring "
+        "unordered type pairs within orders, with exact integer "
+        "centi-lift (observed / expected-under-independence) — the "
+        "co-purchase view behind recommendations and assortment "
+        "planning (SURVEY §2.G). One distinct (order, type) "
+        "projection; the self-join is keyed on orderkey so each "
+        "order contributes only its own type-pair cross — bounded by "
+        "types-per-order squared, never corpus squared; type "
+        "marginals broadcast back over the pair table."
+    ),
+)
+def copurchase_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ot = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("ptype"))
+        .distinct()
+    )
+    sz = ot.groupBy("ptype").agg(F.count("*").alias("n_orders"))
+    tot = ot.agg(F.countDistinct("okey").alias("n_total"))
+    a = ot.select("okey", F.col("ptype").alias("type_a"))
+    b = ot.select("okey", F.col("ptype").alias("type_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("ptype").alias("type_a"), F.col("n_orders").alias("n_a"))
+    sb = sz.select(F.col("ptype").alias("type_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("n_both * n_total * 100L div (n_a * n_b)").cast("bigint").alias("lift_centi"),
+        )
+        .orderBy(F.desc("n_both"), "type_a", "type_b")
+        .limit(COPURCHASE_TOP)
+    )
+
+
+@register(
+    "returns_by_delay",
+    oracle="""
+WITH d AS (
+  SELECT CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         LEAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 15, 6) AS delay_bucket
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(delay_bucket AS BIGINT) AS delay_bucket,
+       CAST(delay_bucket * 15 AS BIGINT) AS bucket_start_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       CAST(SUM(ret) * 10000 // COUNT(*) AS BIGINT) AS return_bps
+FROM d GROUP BY delay_bucket ORDER BY delay_bucket
+""",
+    doc=(
+        "Return rate by ship-delay bucket (15-day bins, capped) — "
+        "does slow fulfilment drive returns? The operational "
+        "diagnostic layered on q10's returned-item revenue and "
+        "ship_delay_profile's SLA view (SURVEY §2.G). One "
+        "orderkey-keyed fact-fact join (co-located under the bucketed "
+        "layout), integer bucket arithmetic, map-side-combined "
+        "exact-bps rollup over 7 cells."
+    ),
+)
+def returns_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.least(
+            F.expr("datediff(l_shipdate, o_orderdate) div 15"), F.lit(6)
+        ).alias("delay_bucket"),
+    )
+    return (
+        d.groupBy("delay_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.expr("sum(ret) * 10000L div count(*)").cast("bigint").alias("return_bps"),
+        )
+        .select(
+            F.col("delay_bucket").cast("bigint").alias("delay_bucket"),
+            (F.col("delay_bucket") * 15).cast("bigint").alias("bucket_start_days"),
+            "n_lines",
+            "n_returned",
+            "return_bps",
+        )
+        .orderBy("delay_bucket")
+    )
