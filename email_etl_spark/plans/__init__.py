@@ -108,6 +108,7 @@ _GATE_ORDER = (
     "churn_risk",
     "copurchase_types",
     "returns_by_delay",
+    "attribution_linear",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1583,3 +1583,103 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lift.alias("lift_bps"),
         z.alias("z_score"),
     )
+
+
+_TOUCH_TYPES = ("click", "error", "signup", "view")
+
+
+@register(
+    "attribution_linear",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, event_type, tse,
+         {", ".join(
+             f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER "
+             f"(PARTITION BY user_id ORDER BY tse RANGE BETWEEN {ATTRIB_WINDOW_S} PRECEDING AND 1 PRECEDING) AS c_{t}"
+             for t in _TOUCH_TYPES
+         )}
+  FROM e
+),
+p AS (
+  SELECT {" + ".join(f"c_{t}" for t in _TOUCH_TYPES)} AS n_touch,
+         {", ".join(f"c_{t}" for t in _TOUCH_TYPES)}
+  FROM w WHERE event_type = 'purchase'
+),
+credits AS (
+  {" UNION ALL ".join(
+      f"SELECT '{t}' AS touch_type, "
+      f"SUM(CASE WHEN n_touch > 0 THEN c_{t} * 1000000 // n_touch ELSE 0 END) AS credit_micro, "
+      f"SUM(CASE WHEN n_touch > 0 AND c_{t} > 0 THEN 1 ELSE 0 END) AS n_purchases_touched FROM p"
+      for t in _TOUCH_TYPES
+  )}
+)
+SELECT touch_type, CAST(credit_micro AS BIGINT) AS credit_micro,
+       CAST(n_purchases_touched AS BIGINT) AS n_purchases_touched
+FROM credits ORDER BY touch_type
+""",
+    doc=(
+        "Linear multi-touch attribution: each purchase splits one "
+        "unit of credit equally across ALL its 7-day-lookback touches "
+        "(vs attribution_last_touch's winner-take-all) — the pair of "
+        "models every marketing-mix review compares (SURVEY §2.H). "
+        "Per-type touch counts come from RANGE-frame windows over the "
+        "event epoch (one user-partitioned sort serves all four "
+        "types), credits are exact integer micro-units with "
+        "truncating division, and the rollup is touch-type "
+        "cardinality. No event-stream self-join."
+    ),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.unix_timestamp(F.col("ts")).alias("tse")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("tse")
+        .rangeBetween(-ATTRIB_WINDOW_S, -1)
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .over(wr)
+        .alias(f"c_{t}")
+        for t in _TOUCH_TYPES
+    ]
+    w = e.select("event_type", *cnt_cols)
+    total = None
+    for t in _TOUCH_TYPES:
+        c = F.coalesce(F.col(f"c_{t}"), F.lit(0))
+        total = c if total is None else total + c
+    p = w.where(F.col("event_type") == "purchase").select(
+        total.alias("n_touch"), *[F.col(f"c_{t}") for t in _TOUCH_TYPES]
+    )
+    rows = [
+        F.struct(
+            F.lit(t).alias("touch_type"),
+            F.sum(
+                F.when(
+                    F.col("n_touch") > 0,
+                    F.expr(f"c_{t} * 1000000L div n_touch"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("credit_micro"),
+            F.sum(
+                F.when((F.col("n_touch") > 0) & (F.col(f"c_{t}") > 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchases_touched"),
+        )
+        for t in _TOUCH_TYPES
+    ]
+    agg = p.agg(F.array(*rows).alias("a"))
+    return (
+        agg.select(F.explode("a").alias("r"))
+        .select("r.touch_type", "r.credit_micro", "r.n_purchases_touched")
+        .orderBy("touch_type")
+    )
