@@ -109,6 +109,8 @@ _GATE_ORDER = (
     "copurchase_types",
     "returns_by_delay",
     "attribution_linear",
+    "revenue_concentration",
+    "first_order_ltv",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1229,3 +1229,137 @@ def returns_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_bucket")
     )
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         SUM(cents) OVER () AS total,
+         COUNT(*) OVER () AS n_cust
+  FROM c
+)
+SELECT CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(MAX(total) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rk <= 1 THEN cents ELSE 0 END) * 10000 // MAX(total) AS BIGINT) AS top1_bps,
+       CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 10000 // MAX(total) AS BIGINT) AS top10_bps,
+       CAST(SUM(CASE WHEN rk <= 100 THEN cents ELSE 0 END) * 10000 // MAX(total) AS BIGINT) AS top100_bps,
+       CAST(SUM(CASE WHEN 10 * rk <= n_cust THEN cents ELSE 0 END) * 10000 // MAX(total) AS BIGINT) AS top_decile_bps
+FROM r
+""",
+    doc=(
+        "Revenue concentration curve: share of total revenue held by "
+        "the top-1/10/100 customers and the top decile, in exact "
+        "integer bps — the whale-dependence read (pairs with "
+        "join_skew_report: same skew, business lens; SURVEY §2.G). "
+        "One fact rollup to customer cardinality, ONE rank window "
+        "over that rollup serving every threshold via conditional "
+        "sums — adding thresholds costs nothing."
+    ),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = c.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("rk"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+    )
+    return r.agg(
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        F.max("total").cast("bigint").alias("total_cents"),
+        F.expr("sum(CASE WHEN rk <= 1 THEN cents ELSE 0L END) * 10000L div max(total)")
+        .cast("bigint")
+        .alias("top1_bps"),
+        F.expr("sum(CASE WHEN rk <= 10 THEN cents ELSE 0L END) * 10000L div max(total)")
+        .cast("bigint")
+        .alias("top10_bps"),
+        F.expr("sum(CASE WHEN rk <= 100 THEN cents ELSE 0L END) * 10000L div max(total)")
+        .cast("bigint")
+        .alias("top100_bps"),
+        F.expr("sum(CASE WHEN 10 * rk <= n_cust THEN cents ELSE 0L END) * 10000L div max(total)")
+        .cast("bigint")
+        .alias("top_decile_bps"),
+    )
+
+
+@register(
+    "first_order_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+c AS (
+  SELECT o_custkey,
+         CAST(SUM(cents) AS BIGINT) AS ltv_cents,
+         CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS first_cents,
+         COUNT(*) AS n_orders
+  FROM o GROUP BY o_custkey
+),
+q AS (
+  SELECT ltv_cents, first_cents, n_orders,
+         NTILE(4) OVER (ORDER BY first_cents, o_custkey) AS fq
+  FROM c
+)
+SELECT CAST(fq AS BIGINT) AS first_order_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(first_cents) AS BIGINT) AS min_first_cents,
+       CAST(MAX(first_cents) AS BIGINT) AS max_first_cents,
+       CAST(SUM(ltv_cents) // COUNT(*) AS BIGINT) AS mean_ltv_cents,
+       CAST(SUM(n_orders) * 100 // COUNT(*) AS BIGINT) AS mean_orders_centi
+FROM q GROUP BY fq ORDER BY fq
+""",
+    doc=(
+        "Does the first order predict lifetime value? Customers "
+        "bucketed into quartiles of FIRST-order size (ntile over the "
+        "customer rollup with a deterministic tiebreak), reporting "
+        "mean total spend and order count per quartile in exact "
+        "integer cents/centi-units — the acquisition-quality read "
+        "behind rfm_segments (SURVEY §2.G). First order comes from "
+        "the same custkey-partitioned sort the rollup needs; every "
+        "mean is truncating integer division in both engines."
+    ),
+)
+def first_order_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        (F.col("o_totalprice") * 100).cast("decimal(18,0)").alias("cents"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("ltv_cents"),
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).cast("bigint").alias("first_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    q = c.withColumn(
+        "fq", F.ntile(4).over(Window.orderBy("first_cents", "o_custkey"))
+    )
+    return (
+        q.groupBy("fq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("first_cents").cast("bigint").alias("min_first_cents"),
+            F.max("first_cents").cast("bigint").alias("max_first_cents"),
+            F.expr("sum(ltv_cents) div count(*)").cast("bigint").alias("mean_ltv_cents"),
+            F.expr("sum(n_orders) * 100L div count(*)").cast("bigint").alias("mean_orders_centi"),
+        )
+        .select(F.col("fq").cast("bigint").alias("first_order_quartile"), "n_customers", "min_first_cents", "max_first_cents", "mean_ltv_cents", "mean_orders_centi")
+        .orderBy("first_order_quartile")
+    )
