@@ -111,6 +111,7 @@ _GATE_ORDER = (
     "attribution_linear",
     "revenue_concentration",
     "first_order_ltv",
+    "expanded_search",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

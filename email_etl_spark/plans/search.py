@@ -3542,3 +3542,91 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sm").alias("sum_micro"),
         F.expr("(n * ssq - sm * sm) div (n * n)").cast("bigint").alias("variance_pico"),
     ).orderBy("dim")
+
+
+EXPAND_TOP = 20
+
+
+def _expanded_search_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents
+),
+qp AS (SELECT doc_id, tok AS qt FROM pres WHERE tok IN ({terms})),
+co AS (
+  SELECT q.qt, p.tok, COUNT(*) AS n_co
+  FROM qp q JOIN pres p ON q.doc_id = p.doc_id
+  WHERE p.tok <> q.qt AND p.tok NOT IN ({terms})
+  GROUP BY q.qt, p.tok
+),
+partner AS (
+  SELECT qt, tok FROM (
+    SELECT qt, tok, ROW_NUMBER() OVER (PARTITION BY qt ORDER BY n_co DESC, tok) AS rn
+    FROM co
+  ) WHERE rn = 1
+),
+exp AS (
+  SELECT UNNEST([{terms}]) AS tok, 2 AS w
+  UNION ALL
+  SELECT tok, 1 AS w FROM partner
+),
+sc AS (
+  SELECT p.doc_id, SUM(e.w) AS score
+  FROM pres p JOIN exp e ON p.tok = e.tok
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT {EXPAND_TOP}
+"""
+
+
+@register(
+    "expanded_search",
+    oracle=_expanded_search_oracle(),
+    doc=(
+        "PMI-style query expansion feeding lexical retrieval: each "
+        "base query term recruits its strongest doc-co-occurrence "
+        "partner (deterministic count-desc/lexicographic argmax), "
+        "then docs score by weighted term presence (base=2, "
+        "expansion=1) — the pseudo-relevance-feedback loop a search "
+        "deployment layers over bm25 when recall matters (SURVEY "
+        "§2.C). One distinct (doc, token) presence projection serves "
+        "BOTH the partner mining (semi-joined to the 3 query terms "
+        "before the co-count, so the join is query-term-bounded) and "
+        "the scoring pass (expansion table broadcast); integer "
+        "scores, TakeOrderedAndProject cut."
+    ),
+)
+def expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    pres = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    terms = list(QUERY_TERMS)
+    qp = pres.where(F.col("tok").isin(terms)).select(
+        "doc_id", F.col("tok").alias("qt")
+    )
+    co = (
+        qp.join(pres, "doc_id")
+        .where((F.col("tok") != F.col("qt")) & ~F.col("tok").isin(terms))
+        .groupBy("qt", "tok")
+        .agg(F.count("*").alias("n_co"))
+    )
+    wq = Window.partitionBy("qt").orderBy(F.desc("n_co"), "tok")
+    partner = (
+        co.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select("tok", F.lit(1).alias("w"))
+    )
+    base = (
+        docs.sparkSession.createDataFrame([(t,) for t in terms], "tok string")
+        .select("tok", F.lit(2).alias("w"))
+    )
+    exp = base.unionByName(partner)
+    sc = (
+        pres.join(F.broadcast(exp), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    return sc.orderBy(F.desc("score"), "doc_id").limit(EXPAND_TOP)
