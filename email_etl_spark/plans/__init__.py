@@ -112,6 +112,7 @@ _GATE_ORDER = (
     "revenue_concentration",
     "first_order_ltv",
     "expanded_search",
+    "activity_streaks",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1683,3 +1683,57 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.touch_type", "r.credit_micro", "r.n_purchases_touched")
         .orderBy("touch_type")
     )
+
+
+STREAK_TOP = 20
+
+
+@register(
+    "activity_streaks",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+g AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end, COUNT(*) AS streak_days
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id, streak_start, streak_end, CAST(streak_days AS BIGINT) AS streak_days
+FROM s
+ORDER BY streak_days DESC, user_id, streak_start
+LIMIT {STREAK_TOP}
+""",
+    doc=(
+        "Longest consecutive-day activity streaks — the classic "
+        "gaps-and-islands shape (date minus dense rank collapses each "
+        "run to one island key) that powers habit/engagement metrics "
+        "(SURVEY §2.H). One distinct (user, day) projection (map-side "
+        "combined), one user-partitioned sort shared by the island "
+        "window and rollup, integer day arithmetic only, "
+        "TakeOrderedAndProject with a full tiebreak."
+    ),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = d.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "island").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count("*").cast("bigint").alias("streak_days"),
+    )
+    return (
+        s.select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy(F.desc("streak_days"), "user_id", "streak_start")
+        .limit(STREAK_TOP)
+    )
