@@ -369,3 +369,57 @@ def test_two_pass_skyline_equals_bruteforce(spark):
     }
     # identical-coordinate duplicates: neither dominates the other, both stay
     assert got == expect
+
+
+def test_weighted_sample_matches_independent_python(spark):
+    """The E-S selection must equal an independent hashlib/math
+    reimplementation: same md5 lanes, same keys, same top-50."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from email_etl_spark.plans.curation import WS_TOP, weighted_sample
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in rows:
+        lane = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (lane + 1) / 4294967296.0
+        keyed.append((math.log(u) / n_chars, doc_id, n_chars))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = [(doc_id, n_chars) for _, doc_id, n_chars in keyed[:WS_TOP]]
+
+    got = [(r.doc_id, r.n_chars) for r in weighted_sample(spark, SF_SMOKE).collect()]
+    assert got == expect
+
+
+def test_poisson_bootstrap_thresholds_are_cdf():
+    """The integer thresholds must be floor(CDF_k * 2^32) of a true
+    Poisson(1), monotone, and cover ~all mass by k=7."""
+    import math
+
+    from email_etl_spark.plans.sessions import _BOOT_MAX_W, _BOOT_TS
+
+    cdf, p = 0.0, math.exp(-1.0)
+    for k in range(_BOOT_MAX_W):
+        cdf += p
+        assert _BOOT_TS[k] == int(cdf * 4294967296.0)
+        p /= k + 1
+    assert all(a < b for a, b in zip(_BOOT_TS, _BOOT_TS[1:]))
+    # by k=7 the CDF leaves ~1e-5 of mass uncovered (P(X>7) = 1.02e-5)
+    assert _BOOT_TS[-1] > int((1 - 1e-4) * 4294967296.0)
+
+
+def test_engagement_decay_table_is_exact_powers():
+    from email_etl_spark.plans.sessions import _DECAY_HORIZON, _DECAY_MICRO
+
+    w = 1.0
+    for d in range(_DECAY_HORIZON + 1):
+        assert _DECAY_MICRO[d] == int(round(w * 1_000_000))
+        w *= 0.9
+    assert _DECAY_MICRO[0] == 1_000_000
+    assert _DECAY_MICRO[_DECAY_HORIZON] >= 0
