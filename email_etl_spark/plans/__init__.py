@@ -113,6 +113,7 @@ _GATE_ORDER = (
     "first_order_ltv",
     "expanded_search",
     "activity_streaks",
+    "peak_load_report",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1737,3 +1737,47 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), "user_id", "streak_start")
         .limit(STREAK_TOP)
     )
+
+
+@register(
+    "peak_load_report",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+       CAST(SUM(n) * 100 // COUNT(*) AS BIGINT) AS mean_hour_centi,
+       CAST(MAX(n) * 10000 // GREATEST(SUM(n) // COUNT(*), 1) AS BIGINT) AS peak_to_mean_bps
+FROM h GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Peak-to-mean hourly load per event type — the capacity "
+        "headroom number (a 3x peak factor sizes streaming executor "
+        "counts and rate limits; pairs with activity_punchcard's "
+        "rhythm map; SURVEY §2.H). One map-side-combined hourly "
+        "rollup; ratios are exact integer centi/bps with truncating "
+        "division and a GREATEST(.,1) guard shared by both engines."
+    ),
+)
+def peak_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("peak_hour_events"),
+            F.expr("sum(n) * 100L div count(*)").cast("bigint").alias("mean_hour_centi"),
+            F.expr("max(n) * 10000L div greatest(sum(n) div count(*), 1L)")
+            .cast("bigint")
+            .alias("peak_to_mean_bps"),
+        )
+        .orderBy("event_type")
+    )
