@@ -114,6 +114,7 @@ _GATE_ORDER = (
     "expanded_search",
     "activity_streaks",
     "peak_load_report",
+    "props_k_liftcurve",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -292,3 +292,47 @@ def provider_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "props_k_liftcurve",
+    oracle="""
+WITH e AS (
+  SELECT LEAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10, 9) AS k_bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+)
+SELECT CAST(k_bucket AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_purchase) AS BIGINT) AS n_purchases,
+       CAST(SUM(is_purchase) * 10000 // COUNT(*) AS BIGINT) AS purchase_bps
+FROM e GROUP BY k_bucket ORDER BY k_bucket
+""",
+    doc=(
+        "Purchase-rate lift curve over the JSON metadata field k "
+        "(decile-bucketed): does the propensity-like attribute in the "
+        "semi-structured column actually predict conversion? — the "
+        "segmentation readout a JSONB-backed store answers with "
+        "expression indexes (ref: metadata JSONB, "
+        "scripts/init_db.sql:32; SURVEY §2.I). JSON extraction is one "
+        "JVM json_tuple-class expression per row feeding an integer "
+        "bucket; the rollup is 10 cells, map-side combined, exact "
+        "bps."
+    ),
+)
+def props_k_liftcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.least(F.expr("cast(get_json_object(props, '$.k') as int) div 10"), F.lit(9)).alias("k_bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    return (
+        e.groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_purchase").cast("bigint").alias("n_purchases"),
+            F.expr("sum(is_purchase) * 10000L div count(*)").cast("bigint").alias("purchase_bps"),
+        )
+        .select(F.col("k_bucket").cast("bigint").alias("k_bucket"), "n_events", "n_purchases", "purchase_bps")
+        .orderBy("k_bucket")
+    )
