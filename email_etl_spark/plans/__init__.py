@@ -115,6 +115,7 @@ _GATE_ORDER = (
     "activity_streaks",
     "peak_load_report",
     "props_k_liftcurve",
+    "supplier_delay_variance",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

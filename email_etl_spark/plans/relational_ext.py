@@ -1363,3 +1363,70 @@ def first_order_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("fq").cast("bigint").alias("first_order_quartile"), "n_customers", "min_first_cents", "max_first_cents", "mean_ltv_cents", "mean_orders_centi")
         .orderBy("first_order_quartile")
     )
+
+
+VAR_TOP = 20
+
+
+@register(
+    "supplier_delay_variance",
+    oracle=f"""
+WITH d AS (
+  SELECT l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+g AS (
+  SELECT l_suppkey, COUNT(*) AS n, SUM(delay) AS sd, SUM(delay * delay) AS ssq
+  FROM d GROUP BY l_suppkey HAVING COUNT(*) >= 10
+)
+SELECT s.s_name AS supplier,
+       CAST(g.n AS BIGINT) AS n_lines,
+       CAST(g.sd * 100 // g.n AS BIGINT) AS mean_delay_centi,
+       CAST((g.n * g.ssq - g.sd * g.sd) * 100 // (g.n * g.n) AS BIGINT) AS var_delay_centi
+FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+ORDER BY var_delay_centi DESC, supplier
+LIMIT {VAR_TOP}
+""",
+    doc=(
+        "Least-consistent suppliers by ship-delay variance — "
+        "predictability matters more than mean speed for promise "
+        "dates (the ops ranking behind ship_delay_profile's rollup; "
+        "SURVEY §2.G). Delay is an integer day delta, so mean and "
+        "variance are EXACT integer centi-units via the "
+        "emb_dim_variance closed form ((n·Σx² − (Σx)²) with "
+        "truncating div in both engines) — no float path; one "
+        "orderkey fact-fact join + supplier-cardinality rollup, "
+        "min-support HAVING, TakeOrderedAndProject."
+    ),
+)
+def supplier_delay_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    d = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay"),
+    )
+    g = (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("delay").alias("sd"),
+            F.sum(F.col("delay") * F.col("delay")).alias("ssq"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    return (
+        g.join(F.broadcast(sup), g["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.expr("sd * 100L div n").cast("bigint").alias("mean_delay_centi"),
+            F.expr("(n * ssq - sd * sd) * 100L div (n * n)")
+            .cast("bigint")
+            .alias("var_delay_centi"),
+        )
+        .orderBy(F.desc("var_delay_centi"), "supplier")
+        .limit(VAR_TOP)
+    )
