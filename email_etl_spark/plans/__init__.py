@@ -116,6 +116,7 @@ _GATE_ORDER = (
     "peak_load_report",
     "props_k_liftcurve",
     "supplier_delay_variance",
+    "purchase_hazard",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

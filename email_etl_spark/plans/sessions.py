@@ -1781,3 +1781,68 @@ def peak_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "purchase_hazard",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         date_diff('day',
+                   LAG(CAST(date_trunc('day', ts) AS DATE))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   CAST(date_trunc('day', ts) AS DATE)) AS gap_days
+  FROM events WHERE event_type = 'purchase'
+),
+h AS (
+  SELECT LEAST(gap_days, 14) AS g, COUNT(*) AS n
+  FROM p WHERE gap_days IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT g, n,
+         SUM(n) OVER (ORDER BY g DESC ROWS UNBOUNDED PRECEDING) AS at_risk
+  FROM h
+)
+SELECT CAST(g AS BIGINT) AS gap_days,
+       CAST(n AS BIGINT) AS n_intervals,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CAST(n * 10000 // at_risk AS BIGINT) AS hazard_bps
+FROM c ORDER BY gap_days
+""",
+    doc=(
+        "Discrete hazard function of inter-purchase times: for each "
+        "gap length g (capped at 14 days), the share of intervals "
+        "that end exactly at g among those lasting at least g — the "
+        "survival-analysis primitive behind 'send the nudge on day "
+        "3' lifecycle campaigns (complements churn_risk's per-"
+        "customer alerting with the population-level timing curve; "
+        "SURVEY §2.H). One user-partitioned ordered pass for gaps, "
+        "a 15-row histogram, and the at-risk denominator from a "
+        "single reverse-cumulative window over that histogram — "
+        "exact integer bps everywhere."
+    ),
+)
+def purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.date_trunc("day", F.col("ts")).cast("date")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.datediff(d, F.lag(d).over(w)).alias("gap_days")
+    )
+    h = (
+        p.where(F.col("gap_days").isNotNull())
+        .groupBy(F.least(F.col("gap_days"), F.lit(14)).alias("g"))
+        .agg(F.count("*").alias("n"))
+    )
+    c = h.withColumn(
+        "at_risk",
+        F.sum("n").over(
+            Window.orderBy(F.desc("g")).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return c.select(
+        F.col("g").cast("bigint").alias("gap_days"),
+        F.col("n").cast("bigint").alias("n_intervals"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.expr("n * 10000L div at_risk").cast("bigint").alias("hazard_bps"),
+    ).orderBy("gap_days")
