@@ -117,6 +117,7 @@ _GATE_ORDER = (
     "props_k_liftcurve",
     "supplier_delay_variance",
     "purchase_hazard",
+    "lsh_band_curve",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

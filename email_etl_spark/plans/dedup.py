@@ -1875,3 +1875,141 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("corpus_tokens_bps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_curve — banding-configuration tuning sweep
+# ---------------------------------------------------------------------------
+
+_BAND_CURVE_ROWS = (1, 2, 4, 8)  # rows-per-band configs over the 32 lanes
+
+
+def _band_curve_oracle() -> str:
+    lane_cols = ", ".join(
+        f"MIN(substr(md5('{g}:' || s), {1 + 8 * j}, 8)) AS mh{g * H.LANES_PER_GROUP + j}"
+        for g in range(H.N_GROUPS)
+        for j in range(H.LANES_PER_GROUP)
+    )
+    bk_selects = []
+    for r in _BAND_CURVE_ROWS:
+        for b in range(H.N_LANES // r):
+            key = " || ':' || ".join(f"mh{b * r + i}" for i in range(r))
+            bk_selects.append(f"SELECT {r} AS r, {b} AS band, {key} AS key, doc_id FROM lanes")
+    bk = " UNION ALL ".join(bk_selects)
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+lanes AS (
+  SELECT doc_id, {lane_cols}
+  FROM (SELECT doc_id, UNNEST(sh) AS s FROM sh) GROUP BY doc_id
+),
+bk AS ({bk}),
+cand AS (
+  SELECT DISTINCT x.r, x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bk x JOIN bk y
+    ON x.r = y.r AND x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+ver AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+vj AS (
+  SELECT v.doc_a, v.doc_b,
+         CASE WHEN {jac} >= {MINHASH_THRESHOLD} THEN 1 ELSE 0 END AS is_true
+  FROM ver v JOIN sh a ON v.doc_a = a.doc_id JOIN sh b ON v.doc_b = b.doc_id
+)
+SELECT CAST(c.r AS BIGINT) AS rows_per_band,
+       CAST({H.N_LANES} // c.r AS BIGINT) AS n_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(j.is_true) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(j.is_true) * 10000 // COUNT(*) AS BIGINT) AS precision_bps
+FROM cand c JOIN vj j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+GROUP BY c.r ORDER BY rows_per_band
+"""
+
+
+@register(
+    "lsh_band_curve",
+    oracle=_band_curve_oracle(),
+    doc=(
+        "LSH banding-configuration sweep: candidate-pair volume and "
+        "precision (share of candidates that verify at the J>=0.6 "
+        "threshold, integer bps) for rows-per-band in {1,2,4,8} over "
+        "the same 32 minhash lanes — the S-curve measurement that "
+        "picks the band/row split before a corpus commits to a "
+        "banding (companion to minhash_recall_eval, which gates ONE "
+        "config's recall; SURVEY §2.E). One signature pass feeds all "
+        "configs through a single (cfg, band, key) equality self-join; "
+        "exact verification runs once over the union of candidates "
+        "(the 1-row config's set is a superset of every other's by "
+        "construction) and per-config counts join back on the pair "
+        "key. Precision arithmetic is pure integer with non-negative "
+        "truncating div in both engines. The 1-row config is "
+        "candidate-heaviest by design — it is the curve's left "
+        "endpoint, priced at tuning time on a sample, never the "
+        "production banding."
+    ),
+)
+def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+
+    cfg_structs = []
+    for r in _BAND_CURVE_ROWS:
+        for b in range(H.N_LANES // r):
+            key = F.concat_ws(":", *[F.col(f"mh{b * r + i}") for i in range(r)])
+            cfg_structs.append(
+                F.struct(F.lit(r).alias("r"), F.lit(b).alias("band"), key.alias("key"))
+            )
+    bk = sig.select("doc_id", F.explode(F.array(*cfg_structs)).alias("c")).select(
+        "doc_id", F.col("c.r").alias("r"), F.col("c.band").alias("band"), F.col("c.key").alias("key")
+    )
+    x, y = bk.alias("x"), bk.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.r") == F.col("y.r"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.r").alias("r"), F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification once over the union of candidate pairs (== the
+    # 1-row config's set); per-config counts rejoin on the pair key
+    ver = cand.select("doc_a", "doc_b").distinct()
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        F.broadcast(ver)
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
+            F.size("sh_a").cast("double").alias("na"),
+            F.size("sh_b").cast("double").alias("nb"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    vj = sized.select(
+        "doc_a", "doc_b", F.when(jac >= MINHASH_THRESHOLD, 1).otherwise(0).alias("is_true")
+    )
+    return (
+        cand.join(F.broadcast(vj), ["doc_a", "doc_b"])
+        .groupBy("r")
+        .agg(F.count("*").alias("n_cand"), F.sum("is_true").alias("n_true"))
+        .select(
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            F.expr(f"{H.N_LANES} div r").cast("bigint").alias("n_bands"),
+            F.col("n_cand").cast("bigint").alias("n_candidate_pairs"),
+            F.col("n_true").cast("bigint").alias("n_true_pairs"),
+            F.expr("n_true * 10000L div n_cand").cast("bigint").alias("precision_bps"),
+        )
+        .orderBy("rows_per_band")
+    )
