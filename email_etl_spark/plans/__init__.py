@@ -118,6 +118,7 @@ _GATE_ORDER = (
     "supplier_delay_variance",
     "purchase_hazard",
     "lsh_band_curve",
+    "int8_quant_report",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -3630,3 +3630,80 @@ def expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("bigint").alias("score"))
     )
     return sc.orderBy(F.desc("score"), "doc_id").limit(EXPAND_TOP)
+
+
+@register(
+    "int8_quant_report",
+    oracle=f"""
+WITH d AS (
+  SELECT u.i - 1 AS dim,
+         ABS(CAST(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS am
+  FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+mx AS (SELECT dim, MAX(am) AS absmax FROM d GROUP BY dim),
+e AS (
+  SELECT d.dim, mx.absmax,
+         d.am - ((d.am * 127 // mx.absmax) * mx.absmax // 127) AS err
+  FROM d JOIN mx ON d.dim = mx.dim
+  WHERE mx.absmax > 0
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(MAX(absmax) AS BIGINT) AS absmax_micro,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(err) AS BIGINT) AS sum_abs_err_micro,
+       CAST(MAX(err) AS BIGINT) AS max_abs_err_micro,
+       CAST(SUM(err) * 1000 // (MAX(absmax) * COUNT(*)) AS BIGINT) AS rel_err_permille
+FROM e GROUP BY dim ORDER BY dim
+""",
+    doc=(
+        "Int8 scalar-quantization planning report per embedding "
+        "dimension: the per-dim absmax scale an int8 code table would "
+        "use (4x compression for serving, the cheap alternative to "
+        "PQ's 32x; SURVEY §2.F), plus the exact reconstruction-error "
+        "profile of the truncating 127-level quantizer — sum/max "
+        "absolute error and scale-relative error per mille. The whole "
+        "computation is pure integer on micro-unit magnitudes "
+        "(code = am*127 div absmax, recon = code*absmax div 127, both "
+        "non-negative so truncating div agrees across engines): no "
+        "double arithmetic, no rounding-rule edge. Two map-side-"
+        "combined aggregates over one posexplode stream with the "
+        "64-row absmax table broadcast back — the same shape at any "
+        "corpus size."
+    ),
+)
+def int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    am = F.abs(
+        (F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)") * 1000000).cast("bigint")
+    )
+    d = emb.select(F.posexplode("embedding").alias("dim", "x")).select("dim", am.alias("am"))
+    mx = d.groupBy("dim").agg(F.max("am").alias("absmax"))
+    e = (
+        d.join(F.broadcast(mx.where(F.col("absmax") > 0)), "dim")
+        .select(
+            "dim",
+            "absmax",
+            (
+                F.col("am")
+                - F.expr("(am * 127 div absmax) * absmax div 127")
+            ).alias("err"),
+        )
+    )
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.max("absmax").alias("absmax"),
+            F.count("*").alias("n"),
+            F.sum("err").alias("serr"),
+            F.max("err").alias("merr"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("absmax").cast("bigint").alias("absmax_micro"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("serr").cast("bigint").alias("sum_abs_err_micro"),
+            F.col("merr").cast("bigint").alias("max_abs_err_micro"),
+            F.expr("serr * 1000 div (absmax * n)").cast("bigint").alias("rel_err_permille"),
+        )
+        .orderBy("dim")
+    )
