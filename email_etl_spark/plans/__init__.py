@@ -119,6 +119,7 @@ _GATE_ORDER = (
     "purchase_hazard",
     "lsh_band_curve",
     "int8_quant_report",
+    "hub_vectors",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

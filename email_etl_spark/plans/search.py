@@ -3707,3 +3707,63 @@ def int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_HUB_TOP = 10
+
+
+@register(
+    "hub_vectors",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS q, b.vec_id AS n,
+         {duckdb_cosine('a.embedding', 'b.embedding')} AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT q, n, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+  FROM pairs
+),
+deg AS (
+  SELECT n AS vec_id, COUNT(*) AS in_degree,
+         SUM(CAST(c AS DECIMAL(18,4))) AS sc
+  FROM ranked WHERE rk <= {_KNN_K}
+  GROUP BY n
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(in_degree AS BIGINT) AS in_degree,
+       ROUND(CAST(sc AS DOUBLE) / in_degree, 4) AS avg_in_cos
+FROM deg ORDER BY in_degree DESC, vec_id LIMIT {_HUB_TOP}
+""",
+    doc=(
+        "Hubness diagnostic of the embedding space: the top-10 "
+        f"vectors by in-degree in the exact top-{_KNN_K} cosine kNN "
+        "graph (how many other vectors count them among their nearest "
+        "neighbors), with the mean similarity of those incoming edges. "
+        "High-hubness vectors are the known high-dimensional ANN "
+        "pathology — they dominate result lists, distort recall "
+        "measurements, and mark near-duplicate/centroid-like content "
+        "(SURVEY §2.F; the vector-space twin of dup_graph_degrees). "
+        "Rides the block-tiled exact kNN join (knn_join — O(P·k) "
+        "shuffle rows per vector, no corpus broadcast); the degree "
+        "rollup is one map-side-combined aggregate over k·n edge rows "
+        "and the cut is a TakeOrderedAndProject. Edge similarities "
+        "sum as exact DECIMAL(18,4) (order-insensitive) with one "
+        "double division at the end."
+    ),
+)
+def hub_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = knn_join(spark, sf_dir)
+    deg = knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count("*").alias("in_degree"),
+        F.sum(F.col("cos_sim").cast("decimal(18,4)")).alias("sc"),
+    )
+    return (
+        deg.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            F.round(F.col("sc").cast("double") / F.col("in_degree"), 4).alias("avg_in_cos"),
+        )
+        .orderBy(F.desc("in_degree"), "vec_id")
+        .limit(_HUB_TOP)
+    )
