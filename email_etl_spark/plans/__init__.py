@@ -120,6 +120,7 @@ _GATE_ORDER = (
     "lsh_band_curve",
     "int8_quant_report",
     "hub_vectors",
+    "asof_join_forward",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

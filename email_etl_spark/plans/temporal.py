@@ -161,3 +161,100 @@ def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("b_event_id").alias("n_prior_30m"))
         .orderBy("error_id")
     )
+
+
+ASOF_FWD_TOL_S = 3600  # forward-match tolerance (1 hour)
+
+
+@register(
+    "asof_join_forward",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+a AS (SELECT * FROM e WHERE event_type = 'error'),
+b AS (SELECT * FROM e WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.event_id AS error_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts,
+         b.event_id AS next_purchase_id, b.tse - a.tse AS wait_s
+  FROM a LEFT JOIN b
+    ON a.user_id = b.user_id AND b.tse >= a.tse
+   AND b.tse - a.tse <= {ASOF_FWD_TOL_S}
+  QUALIFY b.event_id IS NULL
+       OR ROW_NUMBER() OVER (PARTITION BY a.event_id
+                             ORDER BY b.tse, b.event_id) = 1
+)
+SELECT error_id, user_id, ts,
+       CAST(next_purchase_id AS BIGINT) AS next_purchase_id,
+       CAST(wait_s AS BIGINT) AS wait_s
+FROM j ORDER BY error_id
+""",
+    doc=(
+        "Forward as-of join with tolerance: each error event matched "
+        "to the same user's NEXT purchase within 1 hour (recovery-"
+        "after-failure measurement; the directional + tolerance "
+        "variant completing asof_join's backward match — together "
+        "they cover the pandas merge_asof direction/tolerance "
+        "surface; SURVEY §2.L). Same union-sort-window shape as "
+        "asof_join run forward: one shuffle on user_id, the next "
+        "build row reaches each probe row through first(ignorenulls) "
+        "over the FOLLOWING frame — O(1) state, no inequality-join "
+        "pair space; the tolerance is a post-window null-out, so "
+        "match semantics live entirely on integer epoch seconds "
+        "(NTZ-safe, identical in both engines)."
+    ),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "tse",
+        "event_id",
+        F.lit(1).alias("src"),
+        F.struct(F.col("event_id").alias("pid"), F.col("tse").alias("ptse")).alias("bs"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("a_ts"),
+    )
+    a = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "tse",
+        "event_id",
+        F.lit(0).alias("src"),
+        F.lit(None).cast("struct<pid:bigint,ptse:bigint>").alias("bs"),
+        F.col("ts").alias("a_ts"),
+    )
+    # probe src=0 sorts BEFORE an equal-second build row, so tse_b >=
+    # tse_a ties are inside the FOLLOWING frame; event_id asc breaks
+    # build ties exactly like the oracle's ORDER BY b.tse, b.event_id.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse", "src", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = a.unionByName(b).select(
+        "user_id",
+        "tse",
+        "event_id",
+        "src",
+        "a_ts",
+        F.first("bs", ignorenulls=True).over(w).alias("nxt"),
+    )
+    got = F.col("nxt").isNotNull() & (
+        (F.col("nxt.ptse") - F.col("tse")) <= ASOF_FWD_TOL_S
+    )
+    return (
+        merged.where(F.col("src") == 0)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("a_ts").alias("ts"),
+            F.when(got, F.col("nxt.pid")).cast("bigint").alias("next_purchase_id"),
+            F.when(got, F.col("nxt.ptse") - F.col("tse")).cast("bigint").alias("wait_s"),
+        )
+        .orderBy("error_id")
+    )
