@@ -121,6 +121,7 @@ _GATE_ORDER = (
     "int8_quant_report",
     "hub_vectors",
     "asof_join_forward",
+    "text_drift",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1940,3 +1940,123 @@ def activity_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def _text_drift_sql() -> str:
+    ca = "CAST(na AS DOUBLE) / na_tot * ln(CAST(2 * na * nb_tot AS DOUBLE) / (na * nb_tot + nb * na_tot))"
+    cb = "CAST(nb AS DOUBLE) / nb_tot * ln(CAST(2 * nb * na_tot AS DOUBLE) / (nb * na_tot + na * nb_tot))"
+    return f"""
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+c AS (
+  SELECT source,
+         CASE WHEN doc_id <= mid.mid THEN 0 ELSE 1 END AS half,
+         UNNEST({_TOKS}) AS tok
+  FROM documents, mid
+),
+cnt AS (SELECT source, half, tok, COUNT(*) AS n FROM c GROUP BY 1, 2, 3),
+tot AS (SELECT source, half, SUM(n) AS n_tot FROM cnt GROUP BY 1, 2),
+shared AS (
+  SELECT a.source, a.n AS na, b.n AS nb, ta.n_tot AS na_tot, tb.n_tot AS nb_tot
+  FROM cnt a
+  JOIN cnt b ON a.source = b.source AND a.tok = b.tok AND a.half = 0 AND b.half = 1
+  JOIN tot ta ON a.source = ta.source AND ta.half = 0
+  JOIN tot tb ON b.source = tb.source AND tb.half = 1
+),
+agg AS (
+  SELECT source, na_tot, nb_tot,
+         SUM(CAST(ROUND({ca}, 9) AS DECIMAL(18,9))) AS sum_a,
+         SUM(CAST(ROUND({cb}, 9) AS DECIMAL(18,9))) AS sum_b,
+         SUM(na) AS sa, SUM(nb) AS sb
+  FROM shared GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(na_tot AS BIGINT) AS n_tok_first,
+       CAST(nb_tot AS BIGINT) AS n_tok_second,
+       ROUND(0.5 * CAST(sum_a + sum_b AS DOUBLE)
+             + 0.5 * ln(2.0) * (CAST(na_tot - sa AS DOUBLE) / na_tot
+                                + CAST(nb_tot - sb AS DOUBLE) / nb_tot), 4) AS jsd
+FROM agg ORDER BY source
+"""
+
+
+@register(
+    "text_drift",
+    oracle=_text_drift_sql(),
+    doc=(
+        "Per-source ingest drift: Jensen-Shannon divergence between "
+        "each source's unigram distribution over the FIRST and SECOND "
+        "half of its documents (id-midpoint split — the monotone "
+        "ingest-order mapping embedding_drift uses for vectors, "
+        "applied to text; SURVEY §2.D). A rising jsd flags a source "
+        "whose content is changing under the pipeline — template "
+        "rollouts, crawler drift, topic shifts — before it skews "
+        "training mixtures tuned on old profiles. Same exact-"
+        "arithmetic shape as js_divergence: integer-product "
+        "probability folds, per-token terms rounded to DECIMAL(18,9) "
+        "before the distributed sum, absent-token ln(2) mass from "
+        "integer remainders; the half-pair join is token-key bounded "
+        "and the midpoint is a 1-row broadcast."
+    ),
+)
+def text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.expr("(min(doc_id) + max(doc_id)) div 2").alias("mid")
+    )
+    c = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            "source",
+            F.when(F.col("doc_id") <= F.col("mid"), 0).otherwise(1).alias("half"),
+            F.explode(T.tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    cnt = c.groupBy("source", "half", "tok").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source", "half").agg(F.sum("n").alias("n_tot"))
+    a = cnt.where(F.col("half") == 0).select("source", "tok", F.col("n").alias("na"))
+    b = cnt.where(F.col("half") == 1).select("source", "tok", F.col("n").alias("nb"))
+    ta = tot.where(F.col("half") == 0).select("source", F.col("n_tot").alias("na_tot"))
+    tb = tot.where(F.col("half") == 1).select("source", F.col("n_tot").alias("nb_tot"))
+    shared = (
+        a.join(b, ["source", "tok"])
+        .join(F.broadcast(ta), "source")
+        .join(F.broadcast(tb), "source")
+    )
+    ca = (
+        F.col("na").cast("double")
+        / F.col("na_tot")
+        * F.log(
+            (2 * F.col("na") * F.col("nb_tot")).cast("double")
+            / (F.col("na") * F.col("nb_tot") + F.col("nb") * F.col("na_tot"))
+        )
+    )
+    cb = (
+        F.col("nb").cast("double")
+        / F.col("nb_tot")
+        * F.log(
+            (2 * F.col("nb") * F.col("na_tot")).cast("double")
+            / (F.col("nb") * F.col("na_tot") + F.col("na") * F.col("nb_tot"))
+        )
+    )
+    agg = shared.groupBy("source", "na_tot", "nb_tot").agg(
+        F.sum(F.round(ca, 9).cast("decimal(18,9)")).alias("sum_a"),
+        F.sum(F.round(cb, 9).cast("decimal(18,9)")).alias("sum_b"),
+        F.sum("na").alias("sa"),
+        F.sum("nb").alias("sb"),
+    )
+    jsd = F.round(
+        F.lit(0.5) * (F.col("sum_a") + F.col("sum_b")).cast("double")
+        + F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (
+            (F.col("na_tot") - F.col("sa")).cast("double") / F.col("na_tot")
+            + (F.col("nb_tot") - F.col("sb")).cast("double") / F.col("nb_tot")
+        ),
+        4,
+    )
+    return agg.select(
+        "source",
+        F.col("na_tot").cast("bigint").alias("n_tok_first"),
+        F.col("nb_tot").cast("bigint").alias("n_tok_second"),
+        jsd.alias("jsd"),
+    ).orderBy("source")
