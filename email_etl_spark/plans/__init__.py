@@ -122,6 +122,7 @@ _GATE_ORDER = (
     "hub_vectors",
     "asof_join_forward",
     "text_drift",
+    "dedup_tiers",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

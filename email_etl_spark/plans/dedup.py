@@ -2013,3 +2013,145 @@ def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_tiers — marginal removal per dedup tier
+# ---------------------------------------------------------------------------
+
+
+def _dedup_tiers_oracle() -> str:
+    from email_etl_spark.plans.search import KM_K, _km_dist_sql
+
+    d0 = _km_dist_sql("e.v", "c.v")
+    cos = duckdb_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+),
+clusters AS (SELECT node AS doc_id, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_exact
+  FROM f
+),
+e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
+a1 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d0} ASC, c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+sem AS (
+  SELECT DISTINCT b.vec_id
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST({cos} AS DECIMAL(6,4)) >= {SEMDEDUP_THRESHOLD}
+),
+flags AS (
+  SELECT ex.doc_id, ex.is_exact,
+         CASE WHEN cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END AS is_near,
+         CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_sem
+  FROM ex
+  LEFT JOIN clusters cl ON ex.doc_id = cl.doc_id
+  LEFT JOIN sem s ON ex.doc_id = s.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_exact) AS BIGINT) AS n_exact_removed,
+       CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_extra,
+       CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 0 AND is_sem = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_extra,
+       CAST(COUNT(*) - SUM(CASE WHEN is_exact = 1 OR is_near = 1 OR is_sem = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM flags
+"""
+
+
+@register(
+    "dedup_tiers",
+    oracle=_dedup_tiers_oracle(),
+    doc=(
+        "Marginal-removal funnel across the three dedup tiers a "
+        "training pipeline stacks: exact fingerprint (cheapest), "
+        "MinHash near-dup clusters at J>=0.6, and SemDeDup semantic "
+        "pruning at cosine>=0.45 — each doc attributed to the FIRST "
+        "tier that would remove it, so every count is the tier's "
+        "MARGINAL contribution on top of the cheaper ones (the "
+        "which-pass-pays-for-itself view; curation_funnel sees only "
+        "the exact tier, dedup_savings only the near tier; SURVEY "
+        "§2.E). Composes the three production paths unchanged: "
+        "fingerprint window, LSH bucket-verify closure (min-label "
+        "propagation), cluster-bounded semantic pairs — removal "
+        "flags join on ids only, one final 1-row conditional "
+        "aggregate."
+    ),
+)
+def dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy("fp")
+    ex = docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") > F.min("doc_id").over(w_fp), 1).otherwise(0).alias("is_exact"),
+    )
+    clus = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0).alias("is_near")
+    )
+    sem = (
+        semdedup_prune(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("is_sem"))
+        .distinct()
+    )
+    flags = (
+        ex.join(clus, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "is_exact",
+            F.coalesce(F.col("is_near"), F.lit(0)).alias("is_near"),
+            F.coalesce(F.col("is_sem"), F.lit(0)).alias("is_sem"),
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_exact").cast("bigint").alias("n_exact_removed"),
+        F.sum(F.when((F.col("is_exact") == 0) & (F.col("is_near") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_extra"),
+        F.sum(
+            F.when(
+                (F.col("is_exact") == 0) & (F.col("is_near") == 0) & (F.col("is_sem") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sem_extra"),
+        (
+            F.count("*")
+            - F.sum(
+                F.when(
+                    (F.col("is_exact") == 1) | (F.col("is_near") == 1) | (F.col("is_sem") == 1), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_survivors"),
+    )
