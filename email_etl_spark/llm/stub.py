@@ -177,3 +177,24 @@ def extract_action_items(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(*docs.columns, F.explode("actions").alias("action"))
         .select(*docs.columns, "action.description", "action.priority")
     )
+
+
+def crossencoder_udf(query: str):
+    """Deterministic cross-encoder relevance stub: 16-bit integer score
+    from sha256 of 'query:doc' (ref: the rerank step a real search
+    stack runs between retrieval and answer composition — the
+    reference scores candidates inside answer_question,
+    src/llm_integration.py:200-260).
+    <-- SEAM: replace with a real cross-encoder client; the Arrow
+    batching, argument closure and LongType schema do not change."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def score(texts):
+        return texts.map(
+            lambda t: int.from_bytes(
+                hashlib.sha256(f"{query}:{t or ''}".encode()).digest()[:2], "big"
+            )
+        )
+
+    return score

@@ -123,6 +123,7 @@ _GATE_ORDER = (
     "asof_join_forward",
     "text_drift",
     "dedup_tiers",
+    "crossencoder_rerank",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -187,3 +187,95 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "dim")
     )
+
+
+_RERANK_POOL = 20
+_RERANK_TOP = 10
+
+
+def _rerank_oracle() -> str:
+    from email_etl_spark.functions.vectors import duckdb_cosine
+    from email_etl_spark.plans.search import QUERY_TERMS, QUERY_VEC_ID
+
+    q = " ".join(QUERY_TERMS)
+    prefixed = f"'{q}:' || d.text"
+    hi0 = f"(strpos('{_HEX}', substr(sha256({prefixed}), 1, 1)) - 1)"
+    lo0 = f"(strpos('{_HEX}', substr(sha256({prefixed}), 2, 1)) - 1)"
+    hi1 = f"(strpos('{_HEX}', substr(sha256({prefixed}), 3, 1)) - 1)"
+    lo1 = f"(strpos('{_HEX}', substr(sha256({prefixed}), 4, 1)) - 1)"
+    byte0 = f"({hi0} * 16 + {lo0})"
+    byte1 = f"({hi1} * 16 + {lo1})"
+    cos = duckdb_cosine("e.embedding", "q.embedding")
+    return f"""
+WITH cand AS (
+  SELECT e.vec_id, {cos} AS retrieval_sim
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY retrieval_sim DESC, e.vec_id
+  LIMIT {_RERANK_POOL}
+),
+s AS (
+  SELECT c.vec_id AS doc_id, c.retrieval_sim,
+         {byte0} * 256 + {byte1} AS ce_score
+  FROM cand c JOIN documents d ON c.vec_id = d.doc_id
+)
+SELECT doc_id, retrieval_sim, CAST(ce_score AS BIGINT) AS ce_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT) AS rank
+FROM s ORDER BY rank LIMIT {_RERANK_TOP}
+"""
+
+
+@register(
+    "crossencoder_rerank",
+    oracle=_rerank_oracle(),
+    doc=(
+        "Two-stage retrieve-then-rerank: the semantic top-20 candidate "
+        "pool (broadcast query vector + TakeOrderedAndProject, the "
+        "semantic_topk shape) re-scored by a cross-encoder through the "
+        "Arrow pandas_udf enrichment seam and cut to the top-10 by the "
+        "new score — the serving pattern every production search stack "
+        "runs between cheap retrieval and expensive reading (SURVEY "
+        "§2.K). The stub scores sha256('query:doc') so DuckDB "
+        "reproduces the seam byte-for-byte; candidate texts join on "
+        "ids with the 20-row pool broadcast, so the expensive scorer "
+        "only ever sees pool-sized batches — at 100 TB the corpus "
+        "never reaches the cross-encoder."
+    ),
+)
+def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from email_etl_spark.functions.vectors import cosine_rounded
+    from email_etl_spark.io import parallelize_scan
+    from email_etl_spark.llm.stub import crossencoder_udf
+    from email_etl_spark.plans.search import QUERY_TERMS, QUERY_VEC_ID
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    cand = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("retrieval_sim"),
+        )
+        .orderBy(F.desc("retrieval_sim"), "doc_id")
+        .limit(_RERANK_POOL)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .select(
+            "doc_id",
+            "retrieval_sim",
+            crossencoder_udf(" ".join(QUERY_TERMS))(F.col("text")).alias("ce_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("ce_score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _RERANK_TOP)
+        .select("doc_id", "retrieval_sim", F.col("ce_score").cast("bigint").alias("ce_score"), "rank")
+        .orderBy("rank")
+    )
