@@ -124,6 +124,7 @@ _GATE_ORDER = (
     "text_drift",
     "dedup_tiers",
     "crossencoder_rerank",
+    "incremental_neardup",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -2155,3 +2155,91 @@ def dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_survivors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_neardup — batch-admission twin of streaming/neardup.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_neardup",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+mx AS (SELECT MAX(doc_id) * 9 // 10 AS cut FROM documents),
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+               (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))), 4) AS jaccard
+  FROM sh n JOIN sh o ON n.doc_id > o.doc_id, mx
+  WHERE n.doc_id > mx.cut AND o.doc_id <= mx.cut
+)
+SELECT new_id, old_id, jaccard
+FROM pairs WHERE jaccard >= {MINHASH_THRESHOLD}
+ORDER BY new_id, old_id
+""",
+    doc=(
+        "Incremental near-dup admission: the newest decile of documents "
+        "(ingest batch, ids above the 90% id cut) screened against the "
+        "standing corpus for J>=0.6 matches — the BATCH twin of the "
+        "streaming admission-control path (streaming/neardup.py), here "
+        "oracle-checked end to end where the stream variant is "
+        "rows-only (SURVEY §2.E). Cross-set MinHash+LSH, the "
+        "fuzzy_decontaminate shape: both sides signed by the same "
+        "32-lane signature pass, candidates from a (band, key) "
+        "equality join between the batch side and the corpus side, "
+        "exact-Jaccard verify on candidates only. The batch side is "
+        "never broadcast and the corpus is never re-shingled per "
+        "query at scale (the persisted band-bucket index serves the "
+        "corpus side: dedup_minhash_indexed); work scales with the "
+        "batch and its collisions, not the corpus."
+    ),
+)
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.expr("max(doc_id) * 9 div 10").alias("cut"))
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = (
+        toks.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            H.shingles(F.col("toks"), k=3).alias("sh"),
+            (F.col("doc_id") > F.col("cut")).alias("is_new"),
+        )
+        .cache()
+    )
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            for b in range(H.N_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", "is_new", F.explode(bands).alias("bk")).select(
+        "doc_id", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    new_b = buckets.where(F.col("is_new")).select(F.col("doc_id").alias("new_id"), "band", "key")
+    old_b = buckets.where(~F.col("is_new")).select(F.col("doc_id").alias("old_id"), "band", "key")
+    cand = new_b.join(old_b, ["band", "key"]).select("new_id", "old_id").distinct()
+
+    shn = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    sho = sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_o"))
+    sized = (
+        F.broadcast(cand)
+        .join(shn, "new_id")
+        .join(sho, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect("sh_n", "sh_o")).cast("double").alias("n_inter"),
+            F.size("sh_n").cast("double").alias("nn"),
+            F.size("sh_o").cast("double").alias("no"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / (F.col("nn") + F.col("no") - F.col("n_inter")), 4)
+    return (
+        sized.select("new_id", "old_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .orderBy("new_id", "old_id")
+    )
