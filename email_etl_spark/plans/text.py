@@ -2011,7 +2011,11 @@ def text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(T.tokens(F.col("text"))).alias("tok"),
         )
     )
-    cnt = c.groupBy("source", "half", "tok").agg(F.count("*").alias("n"))
+    # cache the vocab-sized (source, half, tok) count table: it feeds
+    # four branches (half-a counts, half-b counts, two totals) and
+    # caching stops the corpus tokenize + midpoint broadcast from
+    # re-evaluating per branch (the dedup-family sh.cache() convention)
+    cnt = c.groupBy("source", "half", "tok").agg(F.count("*").alias("n")).cache()
     tot = cnt.groupBy("source", "half").agg(F.sum("n").alias("n_tot"))
     a = cnt.where(F.col("half") == 0).select("source", "tok", F.col("n").alias("na"))
     b = cnt.where(F.col("half") == 1).select("source", "tok", F.col("n").alias("nb"))
