@@ -125,6 +125,7 @@ _GATE_ORDER = (
     "dedup_tiers",
     "crossencoder_rerank",
     "incremental_neardup",
+    "ndcg_eval",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

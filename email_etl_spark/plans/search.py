@@ -3767,3 +3767,117 @@ def hub_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("in_degree"), "vec_id")
         .limit(_HUB_TOP)
     )
+
+
+_NDCG_K = 10
+# graded relevance from the rounded cosine: >=0.5 -> 3, >=0.3 -> 2,
+# >=0.15 -> 1, else 0 (thresholds compare the SAME 4-digit-rounded
+# value both engines, so no knife edge)
+_NDCG_CUTS = ((0.5, 3), (0.3, 2), (0.15, 1))
+
+
+def _ndcg_oracle() -> str:
+    cos = duckdb_cosine("e.embedding", "q.embedding")
+    grade = "CASE " + " ".join(
+        f"WHEN {cos} >= {c} THEN {g}" for c, g in _NDCG_CUTS
+    ) + " ELSE 0 END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+r AS (
+  SELECT doc_id, {_TERM_RANK_SQL} AS rank FROM t
+  WHERE {_TERM_RANK_SQL} > 0
+  ORDER BY rank DESC, doc_id LIMIT {_NDCG_K}
+),
+sys AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rank DESC, doc_id) AS pos FROM r),
+g AS (
+  SELECT e.vec_id AS doc_id, {grade} AS grade
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+dg AS (
+  SELECT SUM(CAST(ROUND((POW(2, COALESCE(g.grade, 0)) - 1) / log2(s.pos + 1), 9)
+             AS DECIMAL(18,9))) AS dcg
+  FROM sys s LEFT JOIN g ON s.doc_id = g.doc_id
+),
+ideal AS (
+  SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC) AS pos
+  FROM g ORDER BY grade DESC LIMIT {_NDCG_K}
+),
+ig AS (
+  SELECT SUM(CAST(ROUND((POW(2, grade) - 1) / log2(pos + 1), 9)
+             AS DECIMAL(18,9))) AS idcg
+  FROM ideal
+)
+SELECT ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg
+FROM dg CROSS JOIN ig
+"""
+
+
+@register(
+    "ndcg_eval",
+    oracle=_ndcg_oracle(),
+    doc=(
+        "Graded ranking-quality gate: NDCG@10 of the lexical term-rank "
+        "retriever against cosine-graded relevance labels (grades 0-3 "
+        "cut on the 4-digit-rounded similarity to the query vector) — "
+        "the metric that sees ORDER quality where the recall@k gates "
+        "(ann_recall_eval, pq_recall_eval) only see set membership "
+        "(SURVEY §2.F). Distributed shape: the system top-10 is a "
+        "TakeOrderedAndProject, grades come from one broadcast-query "
+        "map pass, the ideal ordering is a top-10 over the grade "
+        "table; every DCG term is rounded to DECIMAL(18,9) BEFORE the "
+        "10-row sums (order-insensitive), and the final ratio is one "
+        "double division of exact decimals."
+    ),
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    rank = _term_rank(F.col("text"))
+    r = (
+        docs.select("doc_id", rank.alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(_NDCG_K)
+    )
+    w_sys = Window.orderBy(F.desc("rank"), "doc_id")
+    sys = r.select("doc_id", F.row_number().over(w_sys).alias("pos"))
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    c = cosine_rounded(F.col("embedding"), F.col("qvec"))
+    grade = F.lit(0)
+    for cut, g in reversed(_NDCG_CUTS):
+        grade = F.when(c >= cut, g).otherwise(grade)
+    gt = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), grade.alias("grade"))
+    )
+
+    term = lambda gcol, pcol: F.round(
+        (F.pow(F.lit(2.0), gcol) - 1) / F.log2(pcol + F.lit(1.0)), 9
+    ).cast("decimal(18,9)")
+    dcg = (
+        F.broadcast(sys)
+        .join(gt, "doc_id", "left")
+        .select(term(F.coalesce(F.col("grade"), F.lit(0)), F.col("pos")).alias("t"))
+        .agg(F.sum("t").alias("dcg"))
+    )
+    ideal = (
+        gt.orderBy(F.desc("grade"), "doc_id")
+        .limit(_NDCG_K)
+        .select("grade", F.row_number().over(Window.orderBy(F.desc("grade"), "doc_id")).alias("pos"))
+        .select(term(F.col("grade"), F.col("pos")).alias("t"))
+        .agg(F.sum("t").alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            F.round(F.col("dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
+            F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 4).alias("ndcg"),
+        )
+    )
