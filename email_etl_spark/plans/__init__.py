@@ -126,6 +126,7 @@ _GATE_ORDER = (
     "crossencoder_rerank",
     "incremental_neardup",
     "ndcg_eval",
+    "reciprocal_best_match",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -3881,3 +3881,134 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 4).alias("ndcg"),
         )
     )
+
+
+@register(
+    "reciprocal_best_match",
+    oracle=f"""
+WITH g AS (SELECT vec_id, embedding, label % 2 AS grp FROM embeddings),
+p AS (
+  SELECT a.vec_id AS q, b.vec_id AS n,
+         {duckdb_cosine('a.embedding', 'b.embedding')} AS c
+  FROM g a JOIN g b ON a.grp <> b.grp
+),
+best AS (
+  SELECT q, n, c FROM (
+    SELECT q, n, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rn
+    FROM p
+  ) WHERE rn = 1
+)
+SELECT x.q AS vec_a, x.n AS vec_b, x.c AS cos_sim
+FROM best x JOIN best y ON x.n = y.q AND y.n = x.q
+WHERE x.q < x.n
+ORDER BY vec_a, vec_b
+""",
+    doc=(
+        "Reciprocal best match across the two label-parity groups: "
+        "pairs (a, b) from opposite groups that are EACH OTHER's "
+        "nearest cross-group neighbor — the mutual-NN mining pattern "
+        "behind parallel-corpus alignment and cross-dataset bridging "
+        "(a one-directional best is often asymmetric noise; mutuality "
+        "is the standard precision filter). Scale shape: the "
+        "dedup_embedding/knn_join block tiling — P mod-blocks, each "
+        "(i,j) tile one bounded NumPy matmul that emits only local "
+        "top-(1+slack) cross-group candidates per row, exact-fold "
+        "verify on survivors, per-query window top-1, then the "
+        "mutuality self-join runs on the n-row best table (SURVEY "
+        "§2.F). No driver collect, no corpus broadcast; shuffle "
+        "carries O(P·k) candidate rows per vector."
+    ),
+)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = 8
+    slack = 8  # local-rank cushion >> any matmul-vs-fold fp divergence
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
+    base = emb.select("vec_id", "embedding", (F.col("label") % 2).alias("grp"), blk.alias("blk"))
+    left = base.select(
+        "vec_id",
+        "embedding",
+        "grp",
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(P - 1))).alias("pb"),
+        F.lit(0).alias("role"),
+    )
+    right = base.select(
+        "vec_id",
+        "embedding",
+        "grp",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit(1).alias("role"),
+    )
+
+    def tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["role"] == 0]
+        b = pdf[pdf["role"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"q": [], "n": []}).astype("int64")
+
+        def unit(rows):
+            m = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        sims = unit(a) @ unit(b).T
+        # only cross-group pairs compete; same-group cells drop out
+        same = a["grp"].to_numpy()[:, None] == b["grp"].to_numpy()[None, :]
+        sims[same] = -np.inf
+        sims[a_ids[:, None] == b_ids[None, :]] = -np.inf
+        kk = 1 + slack
+        out_q, out_n = [], []
+        # the diagonal tile holds the same rows in both roles, so one
+        # direction covers it; off-diagonal tiles emit both directions
+        for ids_q, ids_n, s in (
+            (a_ids, b_ids, sims),
+            (b_ids, a_ids, sims.T) if a.iloc[0]["pa"] != a.iloc[0]["pb"] else (None, None, None),
+        ):
+            if ids_q is None:
+                continue
+            top = np.argsort(-s, axis=1)[:, :kk]
+            for row, cols in enumerate(top):
+                cols = cols[np.isfinite(s[row, cols])]
+                out_q.extend([ids_q[row]] * len(cols))
+                out_n.extend(ids_n[cols])
+        return pd.DataFrame(
+            {"q": np.asarray(out_q, dtype="int64"), "n": np.asarray(out_n, dtype="int64")}
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pa", "pb")
+        .applyInPandas(tile, schema="q long, n long")
+        .distinct()
+    )
+
+    eq = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("eq"))
+    en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
+    scored = (
+        F.broadcast(cand)
+        .join(eq, "q")
+        .join(en, "n")
+        .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("q", "n", "c")
+    )
+    back = best.select(F.col("q").alias("n"), F.col("n").alias("q"))
+    return (
+        best.join(back, ["q", "n"])
+        .where(F.col("q") < F.col("n"))
+        .select(F.col("q").alias("vec_a"), F.col("n").alias("vec_b"), F.col("c").alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
