@@ -127,6 +127,7 @@ _GATE_ORDER = (
     "incremental_neardup",
     "ndcg_eval",
     "reciprocal_best_match",
+    "ngram_novelty",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

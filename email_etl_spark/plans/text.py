@@ -2064,3 +2064,98 @@ def text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb_tot").cast("bigint").alias("n_tok_second"),
         jsd.alias("jsd"),
     ).orderBy("source")
+
+
+_NOVELTY_K = 4  # word n-gram width for the novelty screen
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+tok AS (
+  SELECT doc_id, lang, CASE WHEN doc_id <= mid.mid THEN 0 ELSE 1 END AS half,
+         {_TOKS} AS toks
+  FROM documents, mid
+),
+g AS (
+  SELECT lang, half, UNNEST(
+    CASE WHEN len(toks) >= {_NOVELTY_K}
+         THEN list_transform(range(1, len(toks) - {_NOVELTY_K - 2}),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         ELSE [] END) AS ng
+  FROM tok
+),
+seen AS (SELECT DISTINCT lang, ng FROM g WHERE half = 0),
+test AS (
+  SELECT g.lang, COUNT(*) AS n_test_ngrams,
+         SUM(CASE WHEN s.ng IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM g LEFT JOIN seen s ON g.lang = s.lang AND g.ng = s.ng
+  WHERE g.half = 1
+  GROUP BY g.lang
+)
+SELECT lang,
+       CAST(n_test_ngrams AS BIGINT) AS n_test_ngrams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel * 10000 // n_test_ngrams AS BIGINT) AS novelty_bps
+FROM test ORDER BY lang
+""",
+    doc=(
+        f"N-gram novelty screen: share of the corpus's SECOND id-half "
+        f"{_NOVELTY_K}-grams never seen in the first half, per language "
+        "(integer bps) — the memorization/novelty measurement "
+        "generative-model evals run against training data (low novelty "
+        "= the new data re-treads old text; pairs with vocab_growth's "
+        "unigram saturation curve at the phrase level; SURVEY §2.D). "
+        "One tokenize pass feeds both halves; the first-half distinct "
+        "n-gram set joins the second-half stream on the (lang, ngram) "
+        "key — vocabulary-bounded shuffle, never docs x positions; "
+        "counts and rates are pure integers with non-negative "
+        "truncating div in both engines."
+    ),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("(min(doc_id) + max(doc_id)) div 2").alias("mid"))
+    toks = (
+        parallelize_scan(docs)
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "lang",
+            F.when(F.col("doc_id") <= F.col("mid"), 0).otherwise(1).alias("half"),
+            T.tokens(F.col("text")).alias("toks"),
+        )
+    )
+    # materialize the token array before the per-position transform
+    # (the O(rows x positions) re-tokenization pitfall — see
+    # c63730c/bad7b7a); filter >= k first so transform bounds are valid
+    k = _NOVELTY_K
+    grams = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            "lang",
+            "half",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}), "
+                    f"i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+                )
+            ).alias("ng"),
+        )
+    )
+    seen = grams.where(F.col("half") == 0).select("lang", "ng").distinct()
+    test = (
+        grams.where(F.col("half") == 1)
+        .join(seen.withColumn("hit", F.lit(1)), ["lang", "ng"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_ngrams"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("bigint").alias("n_novel"),
+        )
+    )
+    return test.select(
+        "lang",
+        "n_test_ngrams",
+        "n_novel",
+        F.expr("n_novel * 10000 div n_test_ngrams").cast("bigint").alias("novelty_bps"),
+    ).orderBy("lang")
