@@ -128,6 +128,7 @@ _GATE_ORDER = (
     "ndcg_eval",
     "reciprocal_best_match",
     "ngram_novelty",
+    "burstiness",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

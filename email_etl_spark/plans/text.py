@@ -2159,3 +2159,55 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("n_novel * 10000 div n_test_ngrams").cast("bigint").alias("novelty_bps"),
     ).orderBy("lang")
+
+
+_BURST_MIN_DF = 5
+_BURST_TOP = 20
+
+
+@register(
+    "burstiness",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+d AS (SELECT tok, doc_id, COUNT(*) AS n FROM tok GROUP BY tok, doc_id),
+s AS (
+  SELECT tok, CAST(SUM(n) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df
+  FROM d GROUP BY tok
+)
+SELECT tok AS term, cf, df,
+       CAST(cf * 100 // df AS BIGINT) AS burstiness_centi
+FROM s WHERE df >= {_BURST_MIN_DF}
+ORDER BY burstiness_centi DESC, term LIMIT {_BURST_TOP}
+""",
+    doc=(
+        "Term burstiness (Church/Gale): mean occurrences per "
+        "CONTAINING document (collection frequency over document "
+        "frequency, exact integer centi-units) for terms above a "
+        f"df>={_BURST_MIN_DF} floor, top-{_BURST_TOP} burstiest — "
+        "separates topical terms (bursty: many hits in few docs) from "
+        "function words (spread: ~1 hit everywhere), the signal that "
+        "tunes BM25-style saturation and stopword lists beyond raw "
+        "frequency (SURVEY §2.D). Two map-side-combined aggregates "
+        "over one exploded token stream, TakeOrderedAndProject cut; "
+        "pure integer arithmetic end to end."
+    ),
+)
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    d = tok.groupBy("tok", "doc_id").agg(F.count("*").alias("n"))
+    s = d.groupBy("tok").agg(
+        F.sum("n").cast("bigint").alias("cf"),
+        F.count("*").cast("bigint").alias("df"),
+    )
+    return (
+        s.where(F.col("df") >= _BURST_MIN_DF)
+        .select(
+            F.col("tok").alias("term"),
+            "cf",
+            "df",
+            F.expr("cf * 100 div df").cast("bigint").alias("burstiness_centi"),
+        )
+        .orderBy(F.desc("burstiness_centi"), "term")
+        .limit(_BURST_TOP)
+    )
