@@ -129,6 +129,7 @@ _GATE_ORDER = (
     "reciprocal_best_match",
     "ngram_novelty",
     "burstiness",
+    "topic_coherence",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -4012,3 +4012,130 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q").alias("vec_a"), F.col("n").alias("vec_b"), F.col("c").alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _topic_coherence_oracle() -> str:
+    toks = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    npmi = (
+        "CASE WHEN co.dfj = 0 THEN -1.0 "
+        "WHEN co.dfj = nn.n_docs THEN 1.0 "
+        "ELSE ln(CAST(co.dfj * nn.n_docs AS DOUBLE) / (fa.df * fb.df)) "
+        "     / ln(CAST(nn.n_docs AS DOUBLE) / co.dfj) END"
+    )
+    return f"""
+WITH top AS ({_cluster_terms_oracle()}),
+tp AS (
+  SELECT a.cluster_id, a.tok AS ta, b.tok AS tb
+  FROM top a JOIN top b ON a.cluster_id = b.cluster_id AND a.tok < b.tok
+),
+terms AS (SELECT DISTINCT tok FROM (SELECT ta AS tok FROM tp UNION SELECT tb FROM tp)),
+pres AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents)
+  WHERE tok IN (SELECT tok FROM terms)
+),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+dft AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok),
+dp AS (SELECT DISTINCT ta, tb FROM tp),
+co AS (
+  SELECT dp.ta, dp.tb, COUNT(y.doc_id) AS dfj
+  FROM dp
+  LEFT JOIN pres x ON x.tok = dp.ta
+  LEFT JOIN pres y ON y.tok = dp.tb AND y.doc_id = x.doc_id
+  GROUP BY dp.ta, dp.tb
+),
+scored AS (
+  SELECT tp.cluster_id,
+         CAST(ROUND({npmi}, 9) AS DECIMAL(18,9)) AS npmi
+  FROM tp
+  JOIN co ON tp.ta = co.ta AND tp.tb = co.tb
+  JOIN dft fa ON tp.ta = fa.tok
+  JOIN dft fb ON tp.tb = fb.tok
+  CROSS JOIN nn
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(npmi) AS DOUBLE) / COUNT(*), 4) AS coherence
+FROM scored GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@register(
+    "topic_coherence",
+    oracle=_topic_coherence_oracle(),
+    doc=(
+        "Topic-coherence eval (NPMI@5, the standard topic-model "
+        "quality metric): for each LEARNED k-means cluster's top-5 "
+        "lift terms (cluster_top_terms), the mean normalized pointwise "
+        "mutual information over the 10 within-cluster term pairs, "
+        "with doc-level co-occurrence probabilities from the whole "
+        "corpus — low coherence flags clusters whose label terms "
+        "don't actually co-occur, i.e. noise clusters the human-"
+        "inspection loop (cluster_exemplars) should visit first "
+        "(SURVEY §2.L). Scale shape: the pair list is cluster-bounded "
+        "(K*10 rows, broadcast); the presence stream is semi-join "
+        "filtered to the <=5K distinct label terms BEFORE the doc-"
+        "keyed co-occurrence join; NPMI is one double expression over "
+        "exact integer counts (exact-endpoint CASEs at dfj=0 and "
+        "dfj=n), each pair term pre-rounded to DECIMAL(18,9) before "
+        "the per-cluster mean."
+    ),
+)
+def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    top = cluster_top_terms(spark, sf_dir).select("cluster_id", "tok")
+    a = top.select("cluster_id", F.col("tok").alias("ta"))
+    b = top.select(F.col("cluster_id").alias("cid_b"), F.col("tok").alias("tb"))
+    tp = (
+        a.join(b, (F.col("cluster_id") == F.col("cid_b")) & (F.col("ta") < F.col("tb")))
+        .select("cluster_id", "ta", "tb")
+        .cache()
+    )
+    terms = tp.select(F.col("ta").alias("tok")).unionByName(
+        tp.select(F.col("tb").alias("tok"))
+    ).distinct()
+
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    pres = (
+        parallelize_scan(docs)
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .join(F.broadcast(terms), "tok")
+        .distinct()
+    )
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    dft = pres.groupBy("tok").agg(F.count("*").alias("df"))
+    dp = tp.select("ta", "tb").distinct()
+    px = pres.select(F.col("tok").alias("ta"), "doc_id")
+    py = pres.select(F.col("tok").alias("tb_y"), F.col("doc_id").alias("doc_y"))
+    co = (
+        F.broadcast(dp)
+        .join(px, "ta", "left")
+        .join(py, (F.col("tb") == F.col("tb_y")) & (F.col("doc_id") == F.col("doc_y")), "left")
+        .groupBy("ta", "tb")
+        .agg(F.count("doc_y").alias("dfj"))
+    )
+    fa = dft.select(F.col("tok").alias("ta"), F.col("df").alias("dfa"))
+    fb = dft.select(F.col("tok").alias("tb"), F.col("df").alias("dfb"))
+    npmi = (
+        F.when(F.col("dfj") == 0, F.lit(-1.0))
+        .when(F.col("dfj") == F.col("n_docs"), F.lit(1.0))
+        .otherwise(
+            F.log((F.col("dfj") * F.col("n_docs")).cast("double") / (F.col("dfa") * F.col("dfb")))
+            / F.log(F.col("n_docs").cast("double") / F.col("dfj"))
+        )
+    )
+    scored = (
+        tp.join(F.broadcast(co), ["ta", "tb"])
+        .join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .crossJoin(F.broadcast(nn))
+        .select("cluster_id", F.round(npmi, 9).cast("decimal(18,9)").alias("npmi"))
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.sum("npmi").cast("double") / F.count("*"), 4).alias("coherence"),
+        )
+        .orderBy("cluster_id")
+    )
