@@ -130,6 +130,7 @@ _GATE_ORDER = (
     "ngram_novelty",
     "burstiness",
     "topic_coherence",
+    "label_purity",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -4139,3 +4139,116 @@ def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def _label_purity_oracle() -> str:
+    # I(C;L), H(C), H(L) terms all pre-rounded to DECIMAL(18,9); one
+    # double division + sqrt at the end
+    mi_t = "CAST(ROUND(CAST(nij AS DOUBLE) / n * ln(CAST(nij * n AS DOUBLE) / (ni * nj)), 9) AS DECIMAL(18,9))"
+    hc_t = "CAST(ROUND(-CAST(ni AS DOUBLE) / n * ln(CAST(ni AS DOUBLE) / n), 9) AS DECIMAL(18,9))"
+    hl_t = "CAST(ROUND(-CAST(nj AS DOUBLE) / n * ln(CAST(nj AS DOUBLE) / n), 9) AS DECIMAL(18,9))"
+    return f"""
+WITH {_km_ctes()},
+ct AS (
+  SELECT a2.cid, emb.label, COUNT(*) AS nij
+  FROM a2 JOIN embeddings emb ON a2.vec_id = emb.vec_id
+  GROUP BY a2.cid, emb.label
+),
+tot AS (SELECT SUM(nij) AS n FROM ct),
+ci AS (SELECT cid, SUM(nij) AS ni FROM ct GROUP BY cid),
+lj AS (SELECT label, SUM(nij) AS nj FROM ct GROUP BY label),
+pur AS (SELECT SUM(mx) AS hits FROM (SELECT cid, MAX(nij) AS mx FROM ct GROUP BY cid)),
+mi AS (
+  SELECT SUM({mi_t}) AS i_cl
+  FROM ct JOIN ci USING (cid) JOIN lj USING (label) CROSS JOIN tot
+),
+hc AS (SELECT SUM({hc_t}) AS h_c FROM ci CROSS JOIN tot),
+hl AS (SELECT SUM({hl_t}) AS h_l FROM lj CROSS JOIN tot)
+SELECT CAST(tot.n AS BIGINT) AS n_points,
+       CAST((SELECT COUNT(*) FROM ci) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM lj) AS BIGINT) AS n_labels,
+       CAST(pur.hits * 10000 // tot.n AS BIGINT) AS purity_bps,
+       ROUND(CAST(mi.i_cl AS DOUBLE) / sqrt(CAST(hc.h_c AS DOUBLE) * CAST(hl.h_l AS DOUBLE)), 4) AS nmi
+FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+"""
+
+
+@register(
+    "label_purity",
+    oracle=_label_purity_oracle(),
+    doc=(
+        "External clustering eval: purity and normalized mutual "
+        "information of the LEARNED k-means clusters against the "
+        "given embedding labels — the companion to topic_coherence's "
+        "intrinsic eval (high coherence + low NMI = consistent but "
+        "wrong clusters; SURVEY §2.F). The contingency table is one "
+        "map-side-combined (cid, label) aggregate, K x |labels| rows; "
+        "every downstream marginal, entropy and MI term runs over "
+        "that tiny table with each ln term pre-rounded to "
+        "DECIMAL(18,9) before its sum (order-insensitive), purity in "
+        "exact integer bps, and ONE double division + sqrt at the "
+        "end."
+    ),
+)
+def label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    assign = _km_assign(emb, _km_train(emb)).select("vec_id", "cid")
+    ct = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("nij"))
+    )
+    # all marginals as windows over the K x |labels| contingency table
+    n = F.sum("nij").over(Window.partitionBy())
+    ni = F.sum("nij").over(Window.partitionBy("cid"))
+    nj = F.sum("nij").over(Window.partitionBy("label"))
+    mx = F.max("nij").over(Window.partitionBy("cid"))
+    t = ct.select(
+        "cid", "label", "nij",
+        n.alias("n"), ni.alias("ni"), nj.alias("nj"), mx.alias("mx"),
+    )
+    mi_t = F.round(
+        F.col("nij").cast("double") / F.col("n")
+        * F.log((F.col("nij") * F.col("n")).cast("double") / (F.col("ni") * F.col("nj"))),
+        9,
+    ).cast("decimal(18,9)")
+    # entropy terms fold once per cluster/label: take the first row of
+    # each partition so sums see each marginal exactly once
+    rn_c = F.row_number().over(Window.partitionBy("cid").orderBy("label"))
+    rn_l = F.row_number().over(Window.partitionBy("label").orderBy("cid"))
+    hc_t = F.round(
+        -F.col("ni").cast("double") / F.col("n")
+        * F.log(F.col("ni").cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(18,9)")
+    hl_t = F.round(
+        -F.col("nj").cast("double") / F.col("n")
+        * F.log(F.col("nj").cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(18,9)")
+    agg = (
+        t.withColumn("rn_c", rn_c)
+        .withColumn("rn_l", rn_l)
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("rn_c") == 1, 1).otherwise(0)).alias("n_clusters"),
+            F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0)).alias("n_labels"),
+            F.sum(F.when(F.col("rn_c") == 1, F.col("mx")).otherwise(0)).alias("hits"),
+            F.sum(mi_t).alias("i_cl"),
+            F.sum(F.when(F.col("rn_c") == 1, hc_t)).alias("h_c"),
+            F.sum(F.when(F.col("rn_l") == 1, hl_t)).alias("h_l"),
+        )
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_labels").cast("bigint").alias("n_labels"),
+        F.expr("hits * 10000 div n").cast("bigint").alias("purity_bps"),
+        F.round(
+            F.col("i_cl").cast("double")
+            / F.sqrt(F.col("h_c").cast("double") * F.col("h_l").cast("double")),
+            4,
+        ).alias("nmi"),
+    )
