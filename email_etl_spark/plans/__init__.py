@@ -131,6 +131,7 @@ _GATE_ORDER = (
     "burstiness",
     "topic_coherence",
     "label_purity",
+    "ann_int8",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -4252,3 +4252,169 @@ def label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("nmi"),
     )
+
+
+INT8_NQ = 5      # query batch (vec_id < INT8_NQ), the PQ_NQ convention
+INT8_CAND = 30   # int8-dot candidate depth before exact rescore
+INT8_TOPK = 10
+
+_VM_SQL = "CAST(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+def _ann_int8_oracle() -> str:
+    cos = duckdb_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH d AS (
+  SELECT vec_id, u.i - 1 AS dim, {_VM_SQL} AS vm
+  FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+mx AS (SELECT dim, MAX(ABS(vm)) AS am FROM d GROUP BY dim),
+codes AS (
+  SELECT vec_id, d.dim,
+         CASE WHEN mx.am = 0 THEN 0
+              ELSE (CASE WHEN vm >= 0 THEN 1 ELSE -1 END) * (ABS(vm) * 127 // mx.am)
+         END AS code
+  FROM d JOIN mx ON d.dim = mx.dim
+),
+qd AS (SELECT vec_id AS qid, dim, code AS qc FROM codes WHERE vec_id < {INT8_NQ}),
+dots AS (
+  SELECT q.qid, c.vec_id, SUM(c.code * q.qc) AS dot8
+  FROM codes c JOIN qd q ON c.dim = q.dim
+  WHERE c.vec_id <> q.qid
+  GROUP BY q.qid, c.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot8 DESC, vec_id) AS rn
+    FROM dots
+  ) WHERE rn <= {INT8_CAND}
+),
+res AS (
+  SELECT cand.qid AS query_id, cand.vec_id, {cos} AS cos_sim
+  FROM cand
+  JOIN embeddings a ON cand.qid = a.vec_id
+  JOIN embeddings b ON cand.vec_id = b.vec_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM res
+) WHERE rn <= {INT8_TOPK} ORDER BY query_id, vec_id
+""" 
+
+
+@register(
+    "ann_int8",
+    oracle=_ann_int8_oracle(),
+    doc=(
+        "Int8-quantized ANN: the corpus scored from symmetric per-dim "
+        "int8 codes (the int8_quant_report quantizer — absmax scale, "
+        "truncating 127-level, pure integer), top-30 candidates per "
+        "query by the EXACT-INTEGER code dot product, then exact "
+        "cosine rescore to the top-10 — the 4x-compression serving "
+        "path between full-precision brute force and PQ's 32x "
+        "(SURVEY §2.F). Per-dim scales and the 5-query code batch are "
+        "bounded plan constants (the kmeans_codebook collect "
+        "convention); corpus scoring is ONE JVM map pass "
+        "(zip_with/aggregate over the code array, no Python, no "
+        "shuffle), the candidate cut is a per-query window over the "
+        "5xN dot rows, and the rescore touches <=150 candidate "
+        "vectors. Integer dots are bit-identical across engines, so "
+        "the candidate set — not just the final ranking — is "
+        "oracle-pinned."
+    ),
+)
+def ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+
+    # per-dim absmax micro-units: 64 values, collected as plan
+    # constants (bounded, the codebook convention)
+    vm = (F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)") * 1000000).cast("bigint")
+    mx_rows = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.abs(vm).alias("am"))
+        .groupBy("dim")
+        .agg(F.max("am").alias("am"))
+        .orderBy("dim")
+        .collect()
+    )
+    am = [int(r["am"]) for r in mx_rows]
+
+    # corpus codes: one JVM element-wise pass, no shuffle
+    am_arr = "array(" + ", ".join(f"{v}L" for v in am) + ")"
+    code_expr = (
+        f"zip_with(embedding, {am_arr}, (x, am) -> CASE WHEN am = 0 THEN 0L "
+        "ELSE (CASE WHEN x >= 0 THEN 1L ELSE -1L END) * "
+        "(abs(CAST(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) "
+        "* 127 div am) END)"
+    )
+    coded = emb.select("vec_id", "embedding", F.expr(code_expr).alias("codes"))
+
+    # query codes driver-side from the collected query embeddings
+    # (5 rows — plan constants), same integer arithmetic
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qrows = (
+        emb.where(F.col("vec_id") < INT8_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def q_codes(vec):
+        out = []
+        for x, a in zip(vec, am):
+            v = int(
+                (Decimal(repr(round(float(x), 6))) * 1000000).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append(0 if a == 0 else (1 if v >= 0 else -1) * (abs(v) * 127 // a))
+        return out
+
+    per_q = []
+    for qr in qrows:
+        qc = q_codes(qr["embedding"])
+        qc_arr = "array(" + ", ".join(f"{c}L" for c in qc) + ")"
+        per_q.append(
+            F.struct(
+                F.lit(int(qr["vec_id"])).alias("qid"),
+                F.expr(
+                    f"aggregate(zip_with(codes, {qc_arr}, (c, qc) -> c * qc), 0L, (acc, x) -> acc + x)"
+                ).alias("dot8"),
+            )
+        )
+
+    dots = (
+        coded.select("vec_id", F.explode(F.array(*per_q)).alias("q"))
+        .select(F.col("q.qid").alias("qid"), "vec_id", F.col("q.dot8").alias("dot8"))
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("dot8"), "vec_id")
+    cand = (
+        dots.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= INT8_CAND)
+        .select("qid", "vec_id")
+    )
+
+    qe = emb.where(F.col("vec_id") < INT8_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = (
+        F.broadcast(cand)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        res.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= INT8_TOPK)
+        .select("query_id", "vec_id", "cos_sim")
+        .orderBy("query_id", "vec_id")
+    )
