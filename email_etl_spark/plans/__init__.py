@@ -132,6 +132,7 @@ _GATE_ORDER = (
     "topic_coherence",
     "label_purity",
     "ann_int8",
+    "user_entropy",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

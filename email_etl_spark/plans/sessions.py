@@ -1846,3 +1846,71 @@ def purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("bigint").alias("n_at_risk"),
         F.expr("n * 10000L div at_risk").cast("bigint").alias("hazard_bps"),
     ).orderBy("gap_days")
+
+
+_ENTROPY_TOP = 20
+
+
+@register(
+    "user_entropy",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, SUM(n) AS n_events, COUNT(*) AS n_types FROM c GROUP BY user_id),
+t AS (
+  SELECT c.user_id,
+         SUM(CAST(ROUND(-CAST(c.n AS DOUBLE) / u.n_events
+                        * ln(CAST(c.n AS DOUBLE) / u.n_events), 9)
+             AS DECIMAL(18,9))) AS h
+  FROM c JOIN u USING (user_id) GROUP BY c.user_id
+)
+SELECT u.user_id,
+       CAST(u.n_events AS BIGINT) AS n_events,
+       CAST(u.n_types AS BIGINT) AS n_types,
+       ROUND(CAST(t.h AS DOUBLE), 4) AS entropy
+FROM u JOIN t USING (user_id)
+ORDER BY entropy DESC, user_id LIMIT {_ENTROPY_TOP}
+""",
+    doc=(
+        "Behavioral-diversity ranking: Shannon entropy of each user's "
+        "event-type distribution, top-20 most-diverse users with "
+        "event/type counts — low entropy marks single-purpose or "
+        "bot-like accounts, high entropy marks engaged explorers; the "
+        "user-level twin of char_entropy's doc-level gibberish gate "
+        "(SURVEY §2.L). One map-side-combined (user, type) count, "
+        "per-user rollups joined back on the user key; each entropy "
+        "term is pre-rounded to DECIMAL(18,9) before its per-user sum "
+        "(order-insensitive), and the cut is a TakeOrderedAndProject."
+    ),
+)
+def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"), F.count("*").alias("n_types")
+    )
+    t = (
+        c.join(u.select("user_id", "n_events"), "user_id")
+        .select(
+            "user_id",
+            F.round(
+                -F.col("n").cast("double") / F.col("n_events")
+                * F.log(F.col("n").cast("double") / F.col("n_events")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("term").alias("h"))
+    )
+    return (
+        u.join(t, "user_id")
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.round(F.col("h").cast("double"), 4).alias("entropy"),
+        )
+        .orderBy(F.desc("entropy"), "user_id")
+        .limit(_ENTROPY_TOP)
+    )
