@@ -133,6 +133,7 @@ _GATE_ORDER = (
     "label_purity",
     "ann_int8",
     "user_entropy",
+    "dup_pagerank",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -2243,3 +2243,124 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= MINHASH_THRESHOLD)
         .orderBy("new_id", "old_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup_pagerank — damped power iteration over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_TOP = 20
+
+
+def _dup_pagerank_oracle() -> str:
+    return f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+s1 AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(1.0 / (nn.n * d.deg), 9) AS DECIMAL(18,9))) AS s
+  FROM edges e JOIN deg d ON e.src = d.node CROSS JOIN nn
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT s1.node,
+         CAST(ROUND({1 - _PR_D} / nn.n + {_PR_D} * CAST(s1.s AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS pr
+  FROM s1 CROSS JOIN nn
+),
+s2 AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) / d.deg, 9) AS DECIMAL(18,9))) AS s
+  FROM edges e
+  JOIN pr1 p ON e.src = p.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT s2.node,
+         ROUND({1 - _PR_D} / nn.n + {_PR_D} * CAST(s2.s AS DOUBLE), 6) AS pagerank
+  FROM s2 CROSS JOIN nn
+)
+SELECT p.node AS doc_id, CAST(d.deg AS BIGINT) AS degree, p.pagerank
+FROM pr2 p JOIN deg d ON p.node = d.node
+ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOP}
+"""
+
+
+@register(
+    "dup_pagerank",
+    oracle=_dup_pagerank_oracle(),
+    doc=(
+        "PageRank over the near-dup graph (damping 0.85, two unrolled "
+        "power-iteration rounds from the uniform start): ranks "
+        "template/boilerplate HUBS by the weight of their whole "
+        "neighborhood, not just edge count — a doc connected to other "
+        "well-connected dups outranks one with the same raw degree "
+        "(dup_graph_degrees sees only degree; SURVEY §2.E). Edges "
+        "ride the shared LSH bucket-verify pair stream; each round is "
+        "one node-keyed join + one map-side-combined aggregate over "
+        "the edge stream (the standard distributed PageRank shape — "
+        "rounds scale linearly, no driver state); every contribution "
+        "is pre-rounded to DECIMAL(18,9) before its sum so both "
+        "engines fold bit-identically at any parallelism."
+    ),
+)
+def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+
+    dsrc = deg.select(F.col("node").alias("src"), "deg")
+    c1 = F.round(F.lit(1.0) / (F.col("n") * F.col("deg")), 9).cast("decimal(18,9)")
+    s1 = (
+        edges.join(F.broadcast(dsrc), "src")
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("dst").alias("node"), c1.alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    pr1 = s1.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.round(F.lit(1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("pr"),
+    )
+    p_src = pr1.select(F.col("node").alias("src"), "pr")
+    c2 = F.round(F.col("pr").cast("double") / F.col("deg"), 9).cast("decimal(18,9)")
+    s2 = (
+        edges.join(F.broadcast(p_src), "src")
+        .join(F.broadcast(dsrc), "src")
+        .select(F.col("dst").alias("node"), c2.alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    pr2 = s2.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.round(F.lit(1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s").cast("double"), 6)
+        .alias("pagerank"),
+    )
+    return (
+        pr2.join(deg, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            "pagerank",
+        )
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(_PR_TOP)
+    )
