@@ -134,6 +134,7 @@ _GATE_ORDER = (
     "ann_int8",
     "user_entropy",
     "dup_pagerank",
+    "value_ks_drift",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

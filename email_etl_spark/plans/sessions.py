@@ -1914,3 +1914,99 @@ def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("entropy"), "user_id")
         .limit(_ENTROPY_TOP)
     )
+
+
+@register(
+    "value_ks_drift",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+mid AS (SELECT (MIN(tse) + MAX(tse)) // 2 AS m FROM e),
+h AS (
+  SELECT event_type, value,
+         CASE WHEN tse <= mid.m THEN 0 ELSE 1 END AS half
+  FROM e, mid
+),
+c AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+  FROM h GROUP BY event_type, value
+),
+n AS (
+  SELECT event_type, SUM(a) AS n1, SUM(b) AS n2 FROM c GROUP BY event_type
+),
+cum AS (
+  SELECT c.event_type,
+         SUM(a) OVER (PARTITION BY c.event_type ORDER BY value) AS ca,
+         SUM(b) OVER (PARTITION BY c.event_type ORDER BY value) AS cb,
+         n.n1, n.n2
+  FROM c JOIN n USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       CAST(MAX(ABS(ca * n2 - cb * n1)) * 10000 // (MAX(n1) * MAX(n2)) AS BIGINT) AS ks_bps
+FROM cum
+WHERE n1 > 0 AND n2 > 0
+GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Exact Kolmogorov-Smirnov drift test on the event value "
+        "distribution: per event type, the KS distance (max CDF gap, "
+        "integer bps) between the first and second time-half of the "
+        "stream — the distribution-shift alarm for a metric feed, "
+        "sharper than anomaly_zscore's volume-only view (SURVEY "
+        "§2.L). The entire statistic is INTEGER arithmetic: the CDF "
+        "gap at each support point is |c1*n2 - c2*n1| over cumulative "
+        "counts (no float CDFs, no rounding edge), maxed per type and "
+        "scaled by 10000 div (n1*n2). One (type, value) count "
+        "aggregate, one per-type sort window over DISTINCT values "
+        "(support-bounded, never row-bounded), midpoint is a 1-row "
+        "broadcast."
+    ),
+)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", "value", F.unix_timestamp(F.col("ts")).alias("tse"))
+    mid = e.agg(F.expr("(min(tse) + max(tse)) div 2").alias("m"))
+    h = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.col("tse") <= F.col("m"), 0).otherwise(1).alias("half"),
+    )
+    c = h.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    n = c.groupBy("event_type").agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        c.join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        cum.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_first"),
+            F.max("n2").cast("bigint").alias("n_second"),
+            F.expr(
+                "CAST(max(abs(ca * n2 - cb * n1)) * 10000 div (max(n1) * max(n2)) AS BIGINT)"
+            ).alias("ks_bps"),
+        )
+        .orderBy("event_type")
+    )
