@@ -423,3 +423,65 @@ def test_engagement_decay_table_is_exact_powers():
         w *= 0.9
     assert _DECAY_MICRO[0] == 1_000_000
     assert _DECAY_MICRO[_DECAY_HORIZON] >= 0
+
+
+# --- WARC framing round-trip ------------------------------------------------
+
+_warc_payload = st.binary(min_size=0, max_size=200)
+_warc_uri = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=":"),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_warc_uri, _warc_payload), min_size=1, max_size=8))
+def test_warc_roundtrip_survives_delimiters_in_payload(records):
+    """Content-Length framing must recover every record even when the
+    payload itself contains the \\r\\n\\r\\n record delimiter or fake
+    WARC/1.0 header lines — the property a split-on-delimiter reader
+    would fail."""
+    from email_etl_spark.sources.warc_source import parse_warc_bytes
+
+    blob = b""
+    for i, (uri, payload) in enumerate(records):
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:r" + str(i).encode() + b">\r\n"
+            b"WARC-Target-URI: http://x/" + uri.encode() + b"\r\n"
+            b"Content-Type: application/octet-stream\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        blob += hdr + payload + b"\r\n\r\n"
+
+    rows = parse_warc_bytes(blob, "prop.warc")
+    assert len(rows) == len(records)
+    for i, (uri, payload) in enumerate(records):
+        assert rows[i]["record_id"] == f"<urn:uuid:r{i}>"
+        assert rows[i]["target_uri"] == f"http://x/{uri}"
+        assert rows[i]["content_length"] == len(payload)
+        assert rows[i]["body"] == payload.decode("utf-8", errors="replace")
+
+
+# --- int8 quantizer error bound --------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),  # |value| micro-units
+    st.integers(min_value=1, max_value=10**6),  # dim absmax micro-units
+)
+def test_int8_quantizer_error_bound(am, mx):
+    """The truncating 127-level quantizer (plans/search.py::
+    int8_quant_report / ann_int8) loses at most one quantization step
+    plus one truncation unit: err <= absmax div 127 + 1. An HLL-style
+    'runs but garbage' regression in the integer arithmetic would
+    blow this bound immediately."""
+    if am > mx:
+        am = am % (mx + 1)  # |value| never exceeds the dim absmax
+    code = am * 127 // mx
+    recon = code * mx // 127
+    err = am - recon
+    assert 0 <= err <= mx // 127 + 1
