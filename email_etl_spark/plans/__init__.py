@@ -135,6 +135,7 @@ _GATE_ORDER = (
     "user_entropy",
     "dup_pagerank",
     "value_ks_drift",
+    "text_index_stats",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

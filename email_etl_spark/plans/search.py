@@ -4418,3 +4418,63 @@ def ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cos_sim")
         .orderBy("query_id", "vec_id")
     )
+
+
+_TIDX_TOP = 15
+
+
+@register(
+    "text_index_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+nn AS (SELECT COUNT(*) AS n_total FROM tok),
+p AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM tok)
+  GROUP BY doc_id, tok
+),
+s AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM p GROUP BY term
+)
+SELECT term, df, cf,
+       CAST(df * 10000 // nn.n_total AS BIGINT) AS doc_share_bps
+FROM s CROSS JOIN nn
+ORDER BY df DESC, term LIMIT {_TIDX_TOP}
+""",
+    doc=(
+        "Posting-list health check of the PERSISTED full-text index "
+        "(the GIN-index maintenance view, init_db.sql:59-67 — "
+        "ann_index_stats' lexical twin): the top-15 heaviest terms by "
+        "document frequency with collection frequency and corpus "
+        "share in exact bps, READ FROM the stored postings table "
+        "(build_text_index) and its 1-row stats table, while the "
+        "oracle derives the same numbers from the raw corpus — so "
+        "the gate verifies INDEX INTEGRITY end to end: a stale, "
+        "truncated, or double-written index diverges immediately "
+        "(SURVEY §2.C). Heavy posting lists are the stopword/bucket-"
+        "skew candidates that decide the df-cap and bucket count at "
+        "scale. One map-side-combined rollup over stored postings; "
+        "the corpus is never re-tokenized."
+    ),
+)
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_text_index(spark, sf_dir)
+    post = _LIT_CACHE.get(("text_idx", index_dir))
+    if post is None:
+        post = spark.read.parquet(os.path.join(index_dir, "postings"))
+        _LIT_CACHE[("text_idx", index_dir)] = post
+    stats1 = _LIT_CACHE.get(("text_idx_stats", index_dir))
+    if stats1 is None:
+        stats1 = spark.read.parquet(os.path.join(index_dir, "stats"))
+        _LIT_CACHE[("text_idx_stats", index_dir)] = stats1
+    s = post.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    return (
+        s.crossJoin(F.broadcast(stats1.select("n_total")))
+        .select("term", "df", "cf", F.expr("df * 10000 div n_total").cast("bigint").alias("doc_share_bps"))
+        .orderBy(F.desc("df"), "term")
+        .limit(_TIDX_TOP)
+    )
