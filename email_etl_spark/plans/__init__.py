@@ -136,6 +136,7 @@ _GATE_ORDER = (
     "dup_pagerank",
     "value_ks_drift",
     "text_index_stats",
+    "props_schema_profile",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -336,3 +336,52 @@ def props_k_liftcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k_bucket").cast("bigint").alias("k_bucket"), "n_events", "n_purchases", "purchase_bps")
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "props_schema_profile",
+    oracle="""
+WITH kv AS (
+  SELECT UNNEST(json_keys(props)) AS key, props FROM events
+  WHERE props IS NOT NULL
+),
+v AS (SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+       MIN(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN CAST(val AS BIGINT) END) AS min_int,
+       MAX(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN CAST(val AS BIGINT) END) AS max_int
+FROM v GROUP BY key ORDER BY key
+""",
+    doc=(
+        "Schema-on-read profile of the JSON metadata column: every key "
+        "observed across the corpus with presence count, distinct "
+        "cardinality, integer-typedness and numeric range — the "
+        "schema-drift monitor a JSONB column needs before anyone "
+        "writes an expression index against a key that half the rows "
+        "spell differently (ref: metadata JSONB, scripts/init_db.sql:"
+        "32; generalizes props_extract's fixed-key readout to the "
+        "whole keyspace; SURVEY §2.I). One from_json map parse + key "
+        "explode per row, then a map-side-combined per-key rollup — "
+        "keyspace-sized output at any corpus size."
+    ),
+)
+def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = (
+        ev.where(F.col("props").isNotNull())
+        .select(F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("key", "val"))
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_present"),
+            F.countDistinct("val").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(is_int, 1).otherwise(0)).cast("bigint").alias("n_integer"),
+            F.min(F.when(is_int, F.col("val").cast("bigint"))).alias("min_int"),
+            F.max(F.when(is_int, F.col("val").cast("bigint"))).alias("max_int"),
+        )
+        .orderBy("key")
+    )
