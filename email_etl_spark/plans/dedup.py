@@ -2317,10 +2317,16 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
         "doc_a", "doc_b"
     )
+    # localCheckpoint truncates the LSH-pipeline lineage (the
+    # connected_components convention, operators/graph.py): without it
+    # every downstream branch — deg, both rounds, the output join —
+    # re-nests the whole pair-stream plan and the static plan balloons
+    # to ~225 exchanges; with it each round roots at the materialized
+    # edge RDD.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     nn = deg.agg(F.count("*").alias("n"))

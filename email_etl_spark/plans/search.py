@@ -4086,21 +4086,29 @@ def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cluster_top_terms(spark, sf_dir).select("cluster_id", "tok")
     a = top.select("cluster_id", F.col("tok").alias("ta"))
     b = top.select(F.col("cluster_id").alias("cid_b"), F.col("tok").alias("tb"))
+    # localCheckpoint (the connected_components convention) truncates
+    # the kmeans+lift lineage behind the K*10-row pair list — without
+    # it every downstream branch re-nests the full clustering plan
+    # (~130 static exchanges)
     tp = (
         a.join(b, (F.col("cluster_id") == F.col("cid_b")) & (F.col("ta") < F.col("tb")))
         .select("cluster_id", "ta", "tb")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     terms = tp.select(F.col("ta").alias("tok")).unionByName(
         tp.select(F.col("tb").alias("tok"))
     ).distinct()
 
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    # the filtered presence table feeds four branches (two df marginals
+    # + both sides of the co-occurrence join); checkpoint so the
+    # corpus tokenize runs once and the static plan stays flat
     pres = (
         parallelize_scan(docs)
         .select("doc_id", F.explode(toks).alias("tok"))
         .join(F.broadcast(terms), "tok")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nn = docs.agg(F.count("*").alias("n_docs"))
     dft = pres.groupBy("tok").agg(F.count("*").alias("df"))
