@@ -137,6 +137,7 @@ _GATE_ORDER = (
     "value_ks_drift",
     "text_index_stats",
     "props_schema_profile",
+    "order_backlog_aging",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1430,3 +1430,58 @@ def supplier_delay_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("var_delay_centi"), "supplier")
         .limit(VAR_TOP)
     )
+
+
+@register(
+    "order_backlog_aging",
+    oracle="""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+o AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), mx.d) // 30 AS age_bucket,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+  FROM orders, mx
+  WHERE o_orderstatus <> 'F'
+)
+SELECT o_orderpriority AS priority,
+       CAST(age_bucket AS BIGINT) AS age_bucket_30d,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       CAST(SUM(cents) AS BIGINT) AS open_value_ten_thousandths
+FROM o GROUP BY 1, 2 ORDER BY priority, age_bucket_30d
+""",
+    doc=(
+        "Open-order backlog aging: non-finished orders ('O'/'P' "
+        "status) bucketed by 30-day age bands relative to the "
+        "corpus's own max order date, per priority, with exact "
+        "DECIMAL open value — the receivables-aging view an "
+        "operations dashboard runs next to pivot_status_priority's "
+        "static crosstab (SURVEY §2.G). Integer day arithmetic with "
+        "truncating div; money carried as exact integer "
+        "ten-thousandths (order-insensitive sums); the max-date "
+        "anchor is a 1-row broadcast; one pushed status filter + one "
+        "map-side-combined rollup."
+    ),
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d"))
+    o = (
+        orders.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.expr("datediff(d, CAST(o_orderdate AS DATE)) div 30").alias("age_bucket"),
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("age_bucket").cast("bigint").alias("age_bucket_30d"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_open"),
+            F.sum("cents").cast("bigint").alias("open_value_ten_thousandths"),
+        )
+        .orderBy("priority", "age_bucket_30d")
+    )
