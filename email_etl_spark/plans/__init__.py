@@ -138,6 +138,7 @@ _GATE_ORDER = (
     "text_index_stats",
     "props_schema_profile",
     "order_backlog_aging",
+    "segment_flow",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

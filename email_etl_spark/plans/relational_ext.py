@@ -1485,3 +1485,90 @@ def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "age_bucket_30d")
     )
+
+
+@register(
+    "segment_flow",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+  FROM orders
+),
+mid AS (SELECT MIN(d) + CAST((MAX(d) - MIN(d)) // 2 AS INTEGER) AS m FROM o),
+s AS (
+  SELECT custkey,
+         CASE WHEN d <= mid.m THEN 0 ELSE 1 END AS half,
+         SUM(cents) AS spend
+  FROM o, mid GROUP BY 1, 2
+),
+q AS (
+  SELECT custkey, half,
+         NTILE(5) OVER (PARTITION BY half ORDER BY spend DESC, custkey) AS quintile
+  FROM s
+),
+f AS (
+  SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+         COALESCE(a.quintile, 0) AS q_first,
+         COALESCE(b.quintile, 0) AS q_second
+  FROM (SELECT custkey, quintile FROM q WHERE half = 0) a
+  FULL OUTER JOIN (SELECT custkey, quintile FROM q WHERE half = 1) b
+    ON a.custkey = b.custkey
+)
+SELECT CAST(q_first AS BIGINT) AS q_first,
+       CAST(q_second AS BIGINT) AS q_second,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM f GROUP BY 1, 2 ORDER BY q_first, q_second
+""",
+    doc=(
+        "Customer segment-migration matrix: spend quintile in the "
+        "FIRST half of the order history vs the SECOND (date-midpoint "
+        "split), quintile 0 = absent from that half — the flow view "
+        "behind churn (Q1 -> 0), acquisition (0 -> Qx) and "
+        "upgrade/downgrade diagonals that rfm_segments' static "
+        "snapshot cannot show (SURVEY §2.G). Exact integer cents "
+        "rollup per (customer, half); deterministic NTILE with "
+        "custkey tiebreak (the rfm_segments convention) makes the "
+        "quintile cuts engine-identical; one full-outer join on the "
+        "customer key; 36-cell output at any scale."
+    ),
+)
+def segment_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("bigint").alias("cents"),
+    )
+    mid = o.agg(
+        F.expr("CAST(min(d) + CAST(datediff(max(d), min(d)) div 2 AS INT) AS DATE)").alias("m")
+    )
+    s = (
+        o.crossJoin(F.broadcast(mid))
+        .select(
+            "custkey",
+            F.when(F.col("d") <= F.col("m"), 0).otherwise(1).alias("half"),
+            "cents",
+        )
+        .groupBy("custkey", "half")
+        .agg(F.sum("cents").alias("spend"))
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("spend"), "custkey")
+    q = s.select("custkey", "half", F.ntile(5).over(w).alias("quintile"))
+    a = q.where(F.col("half") == 0).select("custkey", F.col("quintile").alias("qa"))
+    b = q.where(F.col("half") == 1).select("custkey", F.col("quintile").alias("qb"))
+    f = a.join(b, "custkey", "full_outer").select(
+        F.coalesce(F.col("qa"), F.lit(0)).alias("q_first"),
+        F.coalesce(F.col("qb"), F.lit(0)).alias("q_second"),
+    )
+    return (
+        f.groupBy(
+            F.col("q_first").cast("bigint").alias("q_first"),
+            F.col("q_second").cast("bigint").alias("q_second"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("q_first", "q_second")
+    )
