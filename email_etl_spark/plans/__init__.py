@@ -139,6 +139,7 @@ _GATE_ORDER = (
     "props_schema_profile",
     "order_backlog_aging",
     "segment_flow",
+    "weighted_length_quantiles",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -969,3 +969,70 @@ def length_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cut").cast("int").alias("min_tokens"), "n_docs_kept", "tokens_kept", "docs_kept_bps", "tokens_kept_bps")
         .orderBy("min_tokens")
     )
+
+
+@register(
+    "weighted_length_quantiles",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS cum,
+         SUM(n_tok) OVER (PARTITION BY lang) AS total
+  FROM t
+)
+SELECT lang,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN n_tok END) AS BIGINT) AS wp50_tokens,
+       CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN n_tok END) AS BIGINT) AS wp90_tokens
+FROM c GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Token-WEIGHTED length percentiles per language: the doc "
+        "length at which half (p50) and 90% of the corpus's TOKENS "
+        "sit at-or-below — the packing/budget question ('what length "
+        "holds half the token mass?') that unweighted doc-count "
+        "percentiles (value_percentiles, length_deciles) answer "
+        "wrongly because long docs carry disproportionate mass "
+        "(SURVEY §2.L). Pure integer rank selection: cumulative token "
+        "sums over one per-language sort window with a doc_id "
+        "tiebreak, thresholds as integer cross-multiplications "
+        "(cum*2 >= total), no interpolation float path; at 100 TB the "
+        "per-language window salts/splits like any keyed sort."
+    ),
+)
+def weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from email_etl_spark.io import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "lang", T.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("n_tok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    c = t.select(
+        "lang",
+        "n_tok",
+        F.sum("n_tok").over(wc).alias("cum"),
+        F.sum("n_tok").over(wt).alias("total"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.max("total").cast("bigint").alias("total_tokens"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("n_tok")))
+            .cast("bigint")
+            .alias("wp50_tokens"),
+            F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("n_tok")))
+            .cast("bigint")
+            .alias("wp90_tokens"),
+        )
+        .orderBy("lang")
+    )
