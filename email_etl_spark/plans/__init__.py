@@ -140,6 +140,7 @@ _GATE_ORDER = (
     "order_backlog_aging",
     "segment_flow",
     "weighted_length_quantiles",
+    "simhash_calibration",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

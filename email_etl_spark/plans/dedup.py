@@ -2370,3 +2370,90 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "doc_id")
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash_calibration — hamming-vs-Jaccard curve for the simhash cut
+# ---------------------------------------------------------------------------
+
+
+def _simhash_calibration_oracle() -> str:
+    ham = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(0.5).replace("ORDER BY doc_a, doc_b", "")}),
+tok2 AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+hsh AS (SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hs FROM tok2),
+sim AS (SELECT doc_id, {_simhash_sql()} AS bits FROM hsh),
+e AS (
+  SELECT CAST(CAST(p.jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) // 1000 AS jac_band,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM pairs p
+  JOIN sim sa ON p.doc_a = sa.doc_id
+  JOIN sim sb ON p.doc_b = sb.doc_id
+)
+SELECT CAST(jac_band AS BIGINT) AS jac_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+       CAST(MAX(hamming) AS BIGINT) AS max_hamming,
+       CAST(SUM(hamming) * 100 // COUNT(*) AS BIGINT) AS mean_hamming_centi,
+       CAST(SUM(CASE WHEN hamming <= {HAM_T} THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS within_cut_bps
+FROM e GROUP BY jac_band ORDER BY jac_band
+"""
+
+
+@register(
+    "simhash_calibration",
+    oracle=_simhash_calibration_oracle(),
+    doc=(
+        "SimHash threshold calibration: for every verified near-dup "
+        "pair at J>=0.5, the 64-bit simhash Hamming distance rolled "
+        "up per Jaccard decile band (min/max/mean centi-units + the "
+        f"share within the HAM_T={HAM_T} production cut, integer bps) "
+        "— the measurement that justifies, per corpus, where the "
+        "simhash cut sits on the Jaccard scale before anyone treats "
+        "the two dedup paths as interchangeable (minhash_calibration "
+        "does this for the signature estimate; SURVEY §2.E). Pairs "
+        "ride the shared LSH bucket-verify stream; signatures are the "
+        "production integer packing (one bit_count(xor) per pair); "
+        "banding and rates are pure integer arithmetic."
+    ),
+)
+def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=0.5)
+    toks = docs.select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
+    hashes = toks.select(
+        "doc_id",
+        F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)).alias("hs"),
+    )
+    sim = hashes.select("doc_id", *_simhash_ints_spark(F.col("hs"))).select("doc_id", "sig")
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    e = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("CAST(CAST(jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) div 1000").alias(
+                "jac_band"
+            ),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint").alias("hamming"),
+        )
+    )
+    return (
+        e.groupBy(F.col("jac_band").cast("bigint").alias("jac_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+            F.max("hamming").cast("bigint").alias("max_hamming"),
+            F.expr("sum(hamming) * 100 div count(*)").cast("bigint").alias("mean_hamming_centi"),
+            F.expr(f"sum(CASE WHEN hamming <= {HAM_T} THEN 1 ELSE 0 END) * 10000 div count(*)")
+            .cast("bigint")
+            .alias("within_cut_bps"),
+        )
+        .orderBy("jac_band")
+    )
