@@ -141,6 +141,7 @@ _GATE_ORDER = (
     "segment_flow",
     "weighted_length_quantiles",
     "simhash_calibration",
+    "range_partition_plan",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1572,3 +1572,79 @@ def segment_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("q_first", "q_second")
     )
+
+
+_RANGE_PARTS = 32
+
+
+@register(
+    "range_partition_plan",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 10000 AS coarse
+  FROM orders
+),
+b AS (SELECT coarse, COUNT(*) AS n FROM o GROUP BY coarse),
+nn AS (SELECT SUM(n) AS total FROM b),
+c AS (
+  SELECT coarse, n,
+         SUM(n) OVER (ORDER BY coarse) AS cum,
+         nn.total
+  FROM b CROSS JOIN nn
+),
+a AS (
+  SELECT coarse, n,
+         (cum - 1) * {_RANGE_PARTS} // total AS pid
+  FROM c
+)
+SELECT CAST(pid AS BIGINT) AS partition_id,
+       CAST(MIN(coarse) AS BIGINT) AS lo_bucket,
+       CAST(MAX(coarse) AS BIGINT) AS hi_bucket,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM a GROUP BY pid ORDER BY partition_id
+""",
+    doc=(
+        f"Equi-depth range-partition plan for writing orders as a "
+        f"{_RANGE_PARTS}-way range-partitioned warehouse table: "
+        "dollar-granular value buckets, cumulative counts, and each "
+        "bucket assigned to the partition its last row falls in "
+        "((cum-1)*P div total — the shard_plan prefix-sum trick) — "
+        "the write-side layout planner that sizes balanced range "
+        "partitions WITHOUT a global row sort (SURVEY §2.G; the "
+        "partitioner behind sinks/parquet.py layouts). Dollar "
+        "granularity is the honest contract: partition boundaries "
+        "need bucket resolution, not row resolution. One map-side-"
+        "combined bucket rollup + one cumulative window over the "
+        "bucket-cardinality table; pure integer arithmetic, "
+        "bit-stable at any parallelism."
+    ),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) div 10000"
+        ).alias("coarse")
+    )
+    b = o.groupBy("coarse").agg(F.count("*").alias("n"))
+    nn = b.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("coarse").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.crossJoin(F.broadcast(nn)).select(
+        "coarse", "n", F.sum("n").over(w).alias("cum"), "total"
+    )
+    a = c.select(
+        "coarse",
+        "n",
+        F.expr(f"(cum - 1) * {_RANGE_PARTS} div total").alias("pid"),
+    )
+    return (
+        a.groupBy(F.col("pid").cast("bigint").alias("partition_id"))
+        .agg(
+            F.min("coarse").cast("bigint").alias("lo_bucket"),
+            F.max("coarse").cast("bigint").alias("hi_bucket"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("partition_id")
+    )
