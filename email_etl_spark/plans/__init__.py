@@ -142,6 +142,7 @@ _GATE_ORDER = (
     "weighted_length_quantiles",
     "simhash_calibration",
     "range_partition_plan",
+    "pca_projection_hist",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -4486,3 +4486,71 @@ def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(_TIDX_TOP)
     )
+
+
+_PJH_SHIFT = 10_000_000  # micro-unit shift keeps bins non-negative
+_PJH_STEP = 100_000      # 0.1-unit histogram bins
+
+
+@register(
+    "pca_projection_hist",
+    oracle=f"""
+WITH l AS ({_pca_oracle()}),
+d AS (
+  SELECT vec_id, u.i AS dim, embedding[u.i] AS x
+  FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+p AS (
+  SELECT d.vec_id,
+         CAST(ROUND(CAST(d.x AS DOUBLE) * l.loading * 1000000, 0) AS BIGINT) AS pm
+  FROM d JOIN l ON d.dim = l.dim
+),
+t AS (SELECT vec_id, SUM(pm) AS tm FROM p GROUP BY vec_id),
+h AS (SELECT (tm + {_PJH_SHIFT}) // {_PJH_STEP} AS bin, tm FROM t)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(tm) AS BIGINT) AS min_proj_micro,
+       CAST(MAX(tm) AS BIGINT) AS max_proj_micro
+FROM h GROUP BY bin ORDER BY bin
+""",
+    doc=(
+        "Distribution of the embedding cloud along its LEARNED top "
+        "principal direction (pca_power_top1's loadings collected as "
+        "the bounded 64-value plan constant): 0.1-unit projection "
+        "histogram — a bimodal shape flags a dominant cluster split "
+        "the per-axis views (emb_dim_variance) cannot see, the "
+        "one-dimensional health check before trusting IVF/PQ training "
+        "on the cloud (SURVEY §2.F). Per-(vector, dim) products are "
+        "rounded to integer micro-units BEFORE the per-vector sum, so "
+        "the projection is an order-insensitive integer aggregate "
+        "(no float fold order anywhere); binning uses the shifted "
+        "non-negative div trick. One posexplode pass + one "
+        "map-side-combined rollup."
+    ),
+)
+def pca_projection_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    loads = pca_power_top1(spark, sf_dir).orderBy("dim").collect()
+    arr = F.array(*[F.lit(float(r["loading"])) for r in loads])
+    p = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        F.round(
+            F.col("x").cast("double") * F.element_at(arr, F.col("pos") + 1) * 1000000, 0
+        )
+        .cast("bigint")
+        .alias("pm"),
+    )
+    t = p.groupBy("vec_id").agg(F.sum("pm").alias("tm"))
+    h = t.select(F.expr(f"(tm + {_PJH_SHIFT}) div {_PJH_STEP}").alias("bin"), "tm")
+    return (
+        h.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("tm").cast("bigint").alias("min_proj_micro"),
+            F.max("tm").cast("bigint").alias("max_proj_micro"),
+        )
+        .orderBy("bin")
+    )
