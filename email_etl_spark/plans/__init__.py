@@ -143,6 +143,7 @@ _GATE_ORDER = (
     "simhash_calibration",
     "range_partition_plan",
     "pca_projection_hist",
+    "ooo_report",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

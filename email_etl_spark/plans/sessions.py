@@ -2010,3 +2010,87 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ooo_report",
+    oracle="""
+WITH e AS (
+  SELECT event_type, event_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+w AS (
+  SELECT event_type, tse,
+         MAX(tse) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM e
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN mx IS NOT NULL AND tse < mx THEN 1 ELSE 0 END AS is_late,
+         CASE WHEN mx IS NOT NULL AND tse < mx THEN mx - tse ELSE 0 END AS late_s
+  FROM w
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_late) AS BIGINT) AS n_late,
+       CAST(SUM(is_late) * 10000 // COUNT(*) AS BIGINT) AS late_bps,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+       CAST(CASE WHEN SUM(is_late) > 0
+                 THEN SUM(late_s) * 100 // SUM(is_late) END AS BIGINT) AS mean_late_centi_s
+FROM l GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Out-of-orderness audit for watermark sizing: per event type, "
+        "how many events arrive (by event_id ingest order) with a "
+        "timestamp BEHIND the running maximum, the worst and mean "
+        "lateness in integer (centi-)seconds, and the late share in "
+        "exact bps — THE measurement that decides the "
+        "withWatermark() delay before deploying the streaming "
+        "pipelines (streaming/pipeline.py): a watermark below "
+        "max_late_s silently drops data, one far above it bloats "
+        "state (SURVEY §2.H). One running-max window per type over "
+        "integer epoch seconds (NTZ-safe), one map-side-combined "
+        "rollup; all arithmetic integer with non-negative truncating "
+        "div."
+    ),
+)
+def ooo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", "event_id", F.unix_timestamp(F.col("ts")).alias("tse"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l = e.select(
+        "event_type",
+        F.col("tse"),
+        F.max("tse").over(w).alias("mx"),
+    ).select(
+        "event_type",
+        F.when(F.col("mx").isNotNull() & (F.col("tse") < F.col("mx")), 1)
+        .otherwise(0)
+        .alias("is_late"),
+        F.when(
+            F.col("mx").isNotNull() & (F.col("tse") < F.col("mx")), F.col("mx") - F.col("tse")
+        )
+        .otherwise(0)
+        .alias("late_s"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+            F.expr("sum(is_late) * 10000 div count(*)").cast("bigint").alias("late_bps"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+            F.expr(
+                "CASE WHEN sum(is_late) > 0 THEN sum(late_s) * 100 div sum(is_late) END"
+            )
+            .cast("bigint")
+            .alias("mean_late_centi_s"),
+        )
+        .orderBy("event_type")
+    )
