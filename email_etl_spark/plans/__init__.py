@@ -144,6 +144,9 @@ _GATE_ORDER = (
     "range_partition_plan",
     "pca_projection_hist",
     "ooo_report",
+    "bloom_semi_join",
+    "zorder_layout",
+    "linear_probe",
     # -- changed-this-round re-verification queue --
     "hybrid_search_rrf",
     "mmr_rerank",

@@ -1648,3 +1648,200 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter semi join — the distributed runtime-filter
+# pattern (Spark's own runtime row-filtering, and the reference's
+# selective-key lookups against indexed Postgres tables,
+# src/database.py): build a compact bloom filter over the BUILD side's
+# join keys, broadcast the filter (32 KB regardless of corpus size,
+# unlike a broadcast of the keys themselves), pre-filter the probe
+# side's scan, and only then run the exact semi join. At 100 TB the
+# probe side sheds ~(1 - selectivity) of its rows BEFORE the join
+# shuffle; the exact join after the filter removes bloom false
+# positives, so the result is exactly the semi join.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 4096  # 4096 x 64-bit words = 256 Kbit ≈ 32 KB filter
+_BLOOM_K = 3  # hash probes per key
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    """Bit position of hash probe j for a key column — xxhash64
+    seeded by the probe index via a leading literal lane."""
+    return f"pmod(xxhash64({j}, {key}), {_BLOOM_WORDS * 64}L)"
+
+
+@register(
+    "bloom_semi_join",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc=(
+        "Urgent-order lineitem revenue by return flag via a runtime "
+        "bloom pre-filter: the urgent orderkeys build a 256 Kbit bloom "
+        "filter (3 xxhash64 probes, per-word bit_or aggregate → one "
+        "map-from-entries row), the filter broadcasts at a constant "
+        "32 KB — a size independent of the build side's cardinality, "
+        "where broadcasting the keys themselves would not scale — and "
+        "the lineitem scan drops non-matching rows BEFORE the join "
+        "shuffle. The exact semi join then removes bloom false "
+        "positives, so the result is exactly the EXISTS semantics the "
+        "oracle states; the bloom is pure plumbing and needs no oracle "
+        "twin (SURVEY §2.G)."
+    ),
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    # build: one pass over the urgent keys — explode each key's K
+    # (word, bitmask) contributions, OR them per word, pack the sparse
+    # word table into a single map row
+    contribs = []
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql("o_orderkey", j)
+        contribs.append(
+            F.struct(
+                F.expr(f"{pos} div 64").alias("word"),
+                F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))").alias("m"),
+            )
+        )
+    entries = urgent.select(F.explode(F.array(*contribs)).alias("e")).select("e.word", "e.m")
+    words = entries.groupBy("word").agg(F.expr("bit_or(m)").alias("mask"))
+    bloom = words.agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("word", "mask")))).alias("bloom")
+    )
+
+    # probe: constant-size broadcast; 3 map lookups per row, pushed
+    # below the join — only bloom survivors reach the exact semi join
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pre = li.crossJoin(F.broadcast(bloom))
+    hit = None
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql("l_orderkey", j)
+        cond = F.expr(
+            f"coalesce((shiftrightunsigned(element_at(bloom, {pos} div 64), "
+            f"CAST({pos} % 64 AS INT)) & 1L) = 1L, false)"
+        )
+        hit = cond if hit is None else (hit & cond)
+    cand = pre.where(hit).drop("bloom")
+
+    disc_price = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return (
+        cand.join(urgent, cand.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) layout planner — the multi-dimensional
+# clustering behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits
+# of two dimension buckets so that files cover tight RECTANGLES in
+# (customer, order-date) space and a predicate on EITHER dimension
+# prunes most files; a 1-D range layout (range_partition_plan) can
+# cluster only one of the two. Pure integer arithmetic (div/mod bit
+# extraction), identical text in both engines.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 6  # 6 bits per dimension -> 4096 z-cells
+_Z_FILES = 16  # z div 256 -> 16 target files
+
+
+def _interleave_terms(bx: str, by: str, div: str) -> str:
+    """Morton interleave as div/mod bit extraction — `div` is the
+    engine's integer-division operator ('div' for Spark, '//' for
+    DuckDB); everything else is shared text."""
+    return " + ".join(
+        f"(({bx} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + (({by} {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(_Z_BITS)
+    )
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+WITH d AS (
+  SELECT o_custkey AS ck, datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+mm AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, MIN(dy) AS dy_lo, MAX(dy) AS dy_hi FROM d
+),
+b AS (
+  SELECT (ck - ck_lo) * {1 << _Z_BITS} // (ck_hi - ck_lo + 1) AS bx,
+         (dy - dy_lo) * {1 << _Z_BITS} // (dy_hi - dy_lo + 1) AS by
+  FROM d CROSS JOIN mm
+),
+z AS (SELECT bx, by, {_interleave_terms("bx", "by", "//")} AS zv FROM b)
+SELECT CAST(zv // {(1 << (2 * _Z_BITS)) // _Z_FILES} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(bx) AS BIGINT) AS cust_lo, CAST(MAX(bx) AS BIGINT) AS cust_hi,
+       CAST(MIN(by) AS BIGINT) AS date_lo, CAST(MAX(by) AS BIGINT) AS date_hi
+FROM z GROUP BY file_id ORDER BY file_id
+""",
+    doc=(
+        f"Z-order (Morton-curve) layout plan for writing orders "
+        f"clustered on (custkey, orderdate): equi-width {1 << _Z_BITS}-"
+        "way buckets per dimension (min/max from a 1-row broadcast), "
+        "bit-interleaved into a z-value, files = contiguous z-ranges. "
+        "Each output row proves the property that makes OPTIMIZE "
+        "ZORDER worth running at 100 TB: every file's (cust_lo..hi, "
+        "date_lo..hi) rectangle is narrow in BOTH dimensions, so "
+        "min/max file statistics prune on either predicate — a 1-D "
+        "range sort clusters only one (SURVEY §2.G; "
+        "range_partition_plan is the 1-D counterpart). Bit extraction "
+        "is div/mod integer arithmetic shared textually with the "
+        "oracle; one scan + one 1-row broadcast + one map-side-"
+        "combined rollup."
+    ),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("dy"),
+    )
+    mm = d.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    b = d.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"(ck - ck_lo) * {1 << _Z_BITS} div (ck_hi - ck_lo + 1)").alias("bx"),
+        F.expr(f"(dy - dy_lo) * {1 << _Z_BITS} div (dy_hi - dy_lo + 1)").alias("by"),
+    )
+    z = b.select("bx", "by", F.expr(_interleave_terms("bx", "by", "div")).alias("zv"))
+    return (
+        z.groupBy(
+            F.expr(f"zv div {(1 << (2 * _Z_BITS)) // _Z_FILES}").cast("bigint").alias("file_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("bx").cast("bigint").alias("cust_lo"),
+            F.max("bx").cast("bigint").alias("cust_hi"),
+            F.min("by").cast("bigint").alias("date_lo"),
+            F.max("by").cast("bigint").alias("date_hi"),
+        )
+        .orderBy("file_id")
+    )

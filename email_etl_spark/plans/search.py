@@ -4554,3 +4554,134 @@ def pca_projection_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _linear_probe_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT embedding, CASE WHEN label % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+),
+g1 AS (
+  SELECT d.i AS dim,
+         SUM(CAST(ROUND((0.5 - y) * CAST(embedding[d.i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS g
+  FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+w1 AS (SELECT list(CAST(g * -0.001 AS DOUBLE) ORDER BY dim) AS w FROM g1),
+w1b AS (
+  SELECT CAST(SUM(CAST(ROUND(0.5 - y, 6) AS DECIMAL(18,6))) * -0.001 AS DOUBLE) AS wb FROM e
+),
+m AS (
+  SELECT e.y, e.embedding,
+         ROUND(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, {EMB_DIM} + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * w1.w[i])),
+               (a, b) -> a + b) + w1b.wb, 6) AS margin
+  FROM e CROSS JOIN w1 CROSS JOIN w1b
+),
+pr AS (SELECT y, embedding, ROUND(1.0 / (1.0 + EXP(-margin)), 6) AS p FROM m),
+g2 AS (
+  SELECT d.i AS dim,
+         SUM(CAST(ROUND((p - y) * CAST(embedding[d.i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS g
+  FROM pr CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+g2b AS (SELECT SUM(CAST(ROUND(p - y, 6) AS DECIMAL(18,6))) AS g FROM pr)
+SELECT CAST(0 AS BIGINT) AS dim, ROUND(w1b.wb + CAST(g2b.g * -0.001 AS DOUBLE), 6) + 0.0 AS weight
+FROM w1b CROSS JOIN g2b
+UNION ALL
+SELECT CAST(g2.dim AS BIGINT) AS dim, ROUND(w1.w[g2.dim] + CAST(g2.g * -0.001 AS DOUBLE), 6) + 0.0 AS weight
+FROM g2 CROSS JOIN w1
+ORDER BY dim
+"""
+
+
+@register(
+    "linear_probe",
+    oracle=_linear_probe_oracle(),
+    doc=(
+        "Linear probe over the frozen embedding space: train a "
+        "logistic-regression head (is the label even?) with two "
+        "unrolled batch-gradient epochs and report the 65 learned "
+        "weights (bias + one per dimension) — the standard cheap test "
+        "of how linearly separable a label is in an embedding space "
+        "before paying for a finetune. Distribution shape is the "
+        "MLlib one (and pca_power_top1's): each epoch is one "
+        "broadcast-weights map pass + a per-dimension partial "
+        "aggregate; only the 65-value weight vector ever crosses the "
+        "driver between epochs. Epoch 1 starts at w=0 so sigmoid(0) "
+        "is exactly 0.5; every gradient term is rounded to "
+        "DECIMAL(18,6) before summation (order-insensitive at any "
+        "parallelism), weight updates are exact decimal multiplies "
+        "(g * -0.001), and epoch-2 margins round to 6 dp before the "
+        "sigmoid so both engines fold identical doubles in identical "
+        "order (SURVEY §2.F)."
+    ),
+)
+def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    y = F.when(F.col("label") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    # epoch 1: w = 0 -> p = 0.5 exactly; gradient in exact decimal
+    flat1 = emb.select(F.posexplode("embedding").alias("pos", "x"), y.alias("y"))
+    g1 = (
+        flat1.groupBy("pos")
+        .agg(
+            F.sum(
+                F.round((F.lit(0.5) - F.col("y")) * F.col("x").cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("g")
+        )
+        .select("pos", F.expr("CAST(g * -0.001 AS DOUBLE)").alias("w"))
+        .orderBy("pos")
+    )
+    # bounded collects: the 65-value weight vector is the only thing
+    # that crosses the driver between epochs (the pca/kmeans shape)
+    w1 = [float(r["w"]) for r in g1.collect()]
+    w1b = float(
+        emb.select(F.sum(F.round(F.lit(0.5) - y, 6).cast("decimal(18,6)")).alias("g"))
+        .select(F.expr("CAST(g * -0.001 AS DOUBLE)").alias("wb"))
+        .first()["wb"]
+    )
+
+    # epoch 2: broadcast weights as plan constants; sequential-fold
+    # margin (identical order to the oracle's list_reduce), 6-dp
+    # rounding before the sigmoid pins the transcendental's input
+    w1lit = F.expr("array(" + ",".join(f"{w!r}D" for w in w1) + ")")
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), w1lit, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    margin = F.round(dot + F.lit(w1b), 6)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    e2 = emb.select("embedding", y.alias("y"), p.alias("p"))
+    flat2 = e2.select(F.posexplode("embedding").alias("pos", "x"), "y", "p")
+    g2 = flat2.groupBy("pos").agg(
+        F.sum(
+            F.round((F.col("p") - F.col("y")) * F.col("x").cast("double"), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("g")
+    )
+    dims = g2.select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        (
+            F.round(
+                F.element_at(w1lit, (F.col("pos") + 1).cast("int"))
+                + F.expr("CAST(g * -0.001 AS DOUBLE)"),
+                6,
+            )
+            + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: pin the zero sign in both engines
+        ).alias("weight"),
+    )
+    bias = (
+        e2.select(F.sum(F.round(F.col("p") - F.col("y"), 6).cast("decimal(18,6)")).alias("g"))
+        .select(
+            F.lit(0).cast("bigint").alias("dim"),
+            (
+                F.round(F.lit(w1b) + F.expr("CAST(g * -0.001 AS DOUBLE)"), 6) + F.lit(0.0)
+            ).alias("weight"),
+        )
+    )
+    return bias.unionAll(dims).orderBy("dim")
