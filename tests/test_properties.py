@@ -485,3 +485,98 @@ def test_int8_quantizer_error_bound(am, mx):
     recon = code * mx // 127
     err = am - recon
     assert 0 <= err <= mx // 127 + 1
+
+
+def test_bloom_prefilter_superset_and_selective(spark):
+    """The bloom pre-filter admits every true semi-join match (no
+    false negatives, the bloom invariant) while rejecting most
+    non-matching probe rows — the property that makes shipping a
+    constant 32 KB filter worth it at 100 TB."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.relational_ext import (
+        _BLOOM_K,
+        _bloom_pos_sql,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+
+    entries = []
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql("o_orderkey", j)
+        entries.append(
+            F.struct(
+                F.expr(f"{pos} div 64").alias("word"),
+                F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))").alias("m"),
+            )
+        )
+    bloom = (
+        urgent.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.word", "e.m")
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word", "mask")))
+            ).alias("bloom")
+        )
+    )
+    hit = None
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql("l_orderkey", j)
+        cond = F.expr(
+            f"coalesce((shiftrightunsigned(element_at(bloom, {pos} div 64), "
+            f"CAST({pos} % 64 AS INT)) & 1L) = 1L, false)"
+        )
+        hit = cond if hit is None else (hit & cond)
+    pre = li.crossJoin(F.broadcast(bloom)).where(hit)
+
+    n_total = li.count()
+    n_pre = pre.count()
+    n_true = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi").count()
+    n_pre_true = (
+        pre.join(urgent, pre.l_orderkey == urgent.o_orderkey, "left_semi").count()
+    )
+    assert n_pre_true == n_true  # no false negatives
+    # urgent is ~20% of orders; a sized bloom keeps FPs rare, so the
+    # pre-filter must reject the clear majority of the other ~80%
+    assert n_pre < n_total * 0.35
+
+
+def test_zorder_files_are_tight_rectangles(spark):
+    """Every z-order file covers a rectangle spanning at most half of
+    each dimension's bucket range — the locality property that lets
+    min/max file stats prune on either predicate (a 1-D range sort
+    leaves the second dimension's span at 100%)."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["zorder_layout"].builder(spark, SF_SMOKE).collect()
+    assert rows, "no files planned"
+    from email_etl_spark.io import load_table
+
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    for r in rows:
+        assert r["cust_hi"] - r["cust_lo"] <= 32  # <= half of 64 buckets
+        assert r["date_hi"] - r["date_lo"] <= 32
+
+
+def test_linear_probe_deterministic_and_shaped(spark):
+    """The probe returns bias + one weight per dimension and is
+    bit-stable across runs (exact-decimal gradients make the result
+    independent of partitioning/accumulation order)."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    a = REGISTRY["linear_probe"].builder(spark, SF_SMOKE).collect()
+    b = (
+        REGISTRY["linear_probe"]
+        .builder(spark, SF_SMOKE)
+        .repartition(7)
+        .orderBy("dim")
+        .collect()
+    )
+    assert len(a) == 65
+    assert [r["dim"] for r in a] == list(range(65))
+    assert [(r["dim"], r["weight"]) for r in a] == [(r["dim"], r["weight"]) for r in b]
+    assert all(abs(r["weight"]) < 10 for r in a)
