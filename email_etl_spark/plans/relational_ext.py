@@ -1655,12 +1655,12 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern (Spark's own runtime row-filtering, and the reference's
 # selective-key lookups against indexed Postgres tables,
 # src/database.py): build a compact bloom filter over the BUILD side's
-# join keys, broadcast the filter (32 KB regardless of corpus size,
-# unlike a broadcast of the keys themselves), pre-filter the probe
-# side's scan, and only then run the exact semi join. At 100 TB the
-# probe side sheds ~(1 - selectivity) of its rows BEFORE the join
-# shuffle; the exact join after the filter removes bloom false
-# positives, so the result is exactly the semi join.
+# join keys, ship it to the probe as a 32 KB plan constant (bounded
+# regardless of corpus size, unlike the keys themselves), pre-filter
+# the probe side's scan, and only then run the exact semi join. At
+# 100 TB the probe side sheds ~(1 - selectivity) of its rows BEFORE
+# the join shuffle; the exact join after the filter removes bloom
+# false positives, so the result is exactly the semi join.
 # ---------------------------------------------------------------------------
 
 _BLOOM_WORDS = 4096  # 4096 x 64-bit words = 256 Kbit ≈ 32 KB filter
@@ -1671,6 +1671,50 @@ def _bloom_pos_sql(key: str, j: int) -> str:
     """Bit position of hash probe j for a key column — xxhash64
     seeded by the probe index via a leading literal lane."""
     return f"pmod(xxhash64({j}, {key}), {_BLOOM_WORDS * 64}L)"
+
+
+def _bloom_build(keys: DataFrame, key_col: str):
+    """Aggregate the build side's keys into a dense 64-bit-word bloom
+    array and return it as a LITERAL array column. The collect is
+    bounded at _BLOOM_WORDS rows (32 KB) no matter how many keys feed
+    it — the same bounded-plan-constant convention as the kmeans
+    codebook, and the same shape as Spark's injected runtime filters
+    (bloom via scalar subquery). A literal predicate is evaluated on
+    the probe SCAN and can never be join-reordered above it."""
+    contribs = []
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql(key_col, j)
+        contribs.append(
+            F.struct(
+                F.expr(f"{pos} div 64").alias("word"),
+                F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))").alias("m"),
+            )
+        )
+    words = (
+        keys.select(F.explode(F.array(*contribs)).alias("e"))
+        .select("e.word", "e.m")
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .collect()
+    )
+    dense = [0] * _BLOOM_WORDS
+    for r in words:
+        dense[r["word"]] = r["mask"]
+    return F.expr("array(" + ",".join(f"{m}L" for m in dense) + ")")
+
+
+def _bloom_hit(key_col: str, bloom_col: str):
+    """AND of the K membership tests against the literal bloom array
+    (1-indexed element_at)."""
+    hit = None
+    for j in range(_BLOOM_K):
+        pos = _bloom_pos_sql(key_col, j)
+        cond = F.expr(
+            f"(shiftrightunsigned(element_at({bloom_col}, CAST({pos} div 64 AS INT) + 1), "
+            f"CAST({pos} % 64 AS INT)) & 1L) = 1L"
+        )
+        hit = cond if hit is None else (hit & cond)
+    return hit
 
 
 @register(
@@ -1689,60 +1733,36 @@ GROUP BY l_returnflag ORDER BY l_returnflag
     doc=(
         "Urgent-order lineitem revenue by return flag via a runtime "
         "bloom pre-filter: the urgent orderkeys build a 256 Kbit bloom "
-        "filter (3 xxhash64 probes, per-word bit_or aggregate → one "
-        "map-from-entries row), the filter broadcasts at a constant "
-        "32 KB — a size independent of the build side's cardinality, "
-        "where broadcasting the keys themselves would not scale — and "
-        "the lineitem scan drops non-matching rows BEFORE the join "
-        "shuffle. The exact semi join then removes bloom false "
-        "positives, so the result is exactly the EXISTS semantics the "
-        "oracle states; the bloom is pure plumbing and needs no oracle "
-        "twin (SURVEY §2.G)."
+        "filter (3 xxhash64 probes, per-word bit_or aggregate) that "
+        "reaches the probe side as PLAN CONSTANTS — a bounded "
+        f"{_BLOOM_WORDS}-long collect (32 KB regardless of the build "
+        "side's cardinality, where collecting the keys themselves "
+        "would not scale), exactly how Spark's own runtime row filter "
+        "injects its bloom as a scalar-subquery result. As a literal "
+        "scan-side predicate the bloom test CANNOT be reordered above "
+        "the join (a broadcast-row formulation can — Catalyst join "
+        "reordering put the semi join first), so non-matching lineitem "
+        "rows drop BEFORE the join. The exact semi join then removes "
+        "bloom false positives: the result is exactly the EXISTS "
+        "semantics the oracle states; the bloom is pure plumbing and "
+        "needs no oracle twin (SURVEY §2.G)."
     ),
 )
 def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-
-    # build: one pass over the urgent keys — explode each key's K
-    # (word, bitmask) contributions, OR them per word, pack the sparse
-    # word table into a single map row
-    contribs = []
-    for j in range(_BLOOM_K):
-        pos = _bloom_pos_sql("o_orderkey", j)
-        contribs.append(
-            F.struct(
-                F.expr(f"{pos} div 64").alias("word"),
-                F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))").alias("m"),
-            )
-        )
-    entries = urgent.select(F.explode(F.array(*contribs)).alias("e")).select("e.word", "e.m")
-    words = entries.groupBy("word").agg(F.expr("bit_or(m)").alias("mask"))
-    bloom = words.agg(
-        F.map_from_entries(F.array_sort(F.collect_list(F.struct("word", "mask")))).alias("bloom")
-    )
-
-    # probe: constant-size broadcast; 3 map lookups per row, pushed
-    # below the join — only bloom survivors reach the exact semi join
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    pre = li.crossJoin(F.broadcast(bloom))
-    hit = None
-    for j in range(_BLOOM_K):
-        pos = _bloom_pos_sql("l_orderkey", j)
-        cond = F.expr(
-            f"coalesce((shiftrightunsigned(element_at(bloom, {pos} div 64), "
-            f"CAST({pos} % 64 AS INT)) & 1L) = 1L, false)"
-        )
-        hit = cond if hit is None else (hit & cond)
-    cand = pre.where(hit).drop("bloom")
-
+    cand = li.withColumn("_bf", _bloom_build(urgent, "o_orderkey"))
+    hit = _bloom_hit("l_orderkey", "_bf")
     disc_price = F.col("l_extendedprice").cast("decimal(12,4)") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(6,4)")
     return (
-        cand.join(urgent, cand.l_orderkey == urgent.o_orderkey, "left_semi")
+        cand.where(hit)
+        .drop("_bf")
+        .join(urgent, F.col("l_orderkey") == urgent.o_orderkey, "left_semi")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),

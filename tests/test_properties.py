@@ -493,44 +493,17 @@ def test_bloom_prefilter_superset_and_selective(spark):
     non-matching probe rows — the property that makes shipping a
     constant 32 KB filter worth it at 100 TB."""
     from email_etl_spark.io import load_table
-    from email_etl_spark.plans.relational_ext import (
-        _BLOOM_K,
-        _bloom_pos_sql,
-    )
+    from email_etl_spark.plans.relational_ext import _bloom_build, _bloom_hit
 
     orders = load_table(spark, SF_SMOKE, "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
 
-    entries = []
-    for j in range(_BLOOM_K):
-        pos = _bloom_pos_sql("o_orderkey", j)
-        entries.append(
-            F.struct(
-                F.expr(f"{pos} div 64").alias("word"),
-                F.expr(f"shiftleft(1L, CAST({pos} % 64 AS INT))").alias("m"),
-            )
-        )
-    bloom = (
-        urgent.select(F.explode(F.array(*entries)).alias("e"))
-        .select("e.word", "e.m")
-        .groupBy("word")
-        .agg(F.expr("bit_or(m)").alias("mask"))
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("word", "mask")))
-            ).alias("bloom")
-        )
+    pre = (
+        li.withColumn("_bf", _bloom_build(urgent, "o_orderkey"))
+        .where(_bloom_hit("l_orderkey", "_bf"))
+        .drop("_bf")
     )
-    hit = None
-    for j in range(_BLOOM_K):
-        pos = _bloom_pos_sql("l_orderkey", j)
-        cond = F.expr(
-            f"coalesce((shiftrightunsigned(element_at(bloom, {pos} div 64), "
-            f"CAST({pos} % 64 AS INT)) & 1L) = 1L, false)"
-        )
-        hit = cond if hit is None else (hit & cond)
-    pre = li.crossJoin(F.broadcast(bloom)).where(hit)
 
     n_total = li.count()
     n_pre = pre.count()
@@ -542,6 +515,23 @@ def test_bloom_prefilter_superset_and_selective(spark):
     # urgent is ~20% of orders; a sized bloom keeps FPs rare, so the
     # pre-filter must reject the clear majority of the other ~80%
     assert n_pre < n_total * 0.35
+
+
+def test_bloom_filter_stays_below_semi_join(spark):
+    """The bloom test must be a scan-side predicate UNDER the exact
+    semi join — Catalyst join reordering hoisted an earlier
+    broadcast-row formulation above it, running the expensive join
+    first. Literal plan constants pin the order; this keeps it pinned."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["bloom_semi_join"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    lines = plan.splitlines()
+    ji = next(i for i, ln in enumerate(lines) if "LeftSemi" in ln)
+    fi = next(i for i, ln in enumerate(lines) if "Filter" in ln and "xxhash64" in ln)
+    assert fi > ji, plan
 
 
 def test_zorder_files_are_tight_rectangles(spark):
