@@ -6,6 +6,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     core,
     curation,
     dedup,
+    governance,
     llm,
     multimodal,
     patterns,
@@ -37,6 +38,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "snapshot_diff",
+    "cdc_apply",
+    "expectations_report",
     "ann_lsh_indexed",
     "dedup_minhash_indexed",
     "semdedup_prune",
@@ -78,11 +82,8 @@ _GATE_ORDER = (
     "supplier_hhi",
     "markov_transitions",
     "error_bursts",
-    "dau_wau",
     "ordered_funnel",
     "rfm_segments",
-    "session_paths",
-    "attribution_last_touch",
     "seasonal_forecast",
     "latency_slo_report",
     "topk_movers",
@@ -90,7 +91,14 @@ _GATE_ORDER = (
     # -- positions 51+: late round-4 additions (sweep-covered; their
     # in-window cousins exercise the same machinery: ann_index_stats ≙
     # ann_lsh_indexed layout, engagement_scores' decay-literal
-    # convention ≙ the integer-exact family) --
+    # convention ≙ the integer-exact family; dau_wau ≙ daily_retention,
+    # session_paths ≙ markov_transitions, attribution_last_touch ≙
+    # attribution_linear — demoted to make window room for the new
+    # governance trio (snapshot_diff, cdc_apply, expectations_report),
+    # whose diff/tombstone/gate machinery has no in-window cousin) --
+    "dau_wau",
+    "session_paths",
+    "attribution_last_touch",
     "engagement_scores",
     "ann_index_stats",
     "maxsim_search",

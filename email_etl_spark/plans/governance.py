@@ -1,0 +1,359 @@
+"""Data-governance & pipeline-maintenance operators (SURVEY.md §2.L):
+the table-management surface a 100 TB training-data pipeline runs
+between ingest and training — snapshot-to-snapshot diffs (what changed
+since the last crawl), CDC change-log application with delete
+semantics (the general form of the reference's ON CONFLICT upsert,
+src/database.py:137-178), and a declarative data-quality expectations
+gate (the engine-side generalization of the reference's validation
+layer, src/security.py:20-118, which checks every attachment against
+a rule list before admission).
+
+All three are pure DataFrame compositions — full-outer diff joins,
+one-shuffle keyed windows, single-pass conditional aggregates — so
+Catalyst keeps scans pruned and aggregation map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — crawl-to-crawl corpus diff.
+#
+# Two snapshots are DERIVED deterministically from the documents table
+# (the corpus has only one physical snapshot): membership and edit
+# flags come from independent md5 lanes keyed by doc_id — the same
+# deterministic-hash-sampling idiom as train_val_split
+# (plans/curation.py) — so both engines construct bit-identical "old"
+# and "new" snapshots, every diff class is populated, and the oracle
+# can replay the construction textually.
+# ---------------------------------------------------------------------------
+
+# membership: ~15/16 of docs in each snapshot, independent lanes →
+# ~6% added, ~6% removed; edits hit 2/16 of the intersection
+_OLD_NOT = "f"  # doc in OLD snapshot iff first md5('old:'||id) digit != 'f'
+_NEW_NOT = "e"  # doc in NEW snapshot iff first md5('new:'||id) digit != 'e'
+_EDIT_IN = ("0", "1")  # doc edited between snapshots iff digit in {0,1}
+
+
+def _snapshot_diff_oracle() -> str:
+    edit_set = ", ".join(f"'{d}'" for d in _EDIT_IN)
+    return f"""
+WITH old_snap AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN substr(md5('edit:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ({edit_set})
+              THEN substr(text, 1, CAST(n_chars // 2 AS INT) + 1) ELSE text END AS old_text
+  FROM documents
+  WHERE substr(md5('old:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '{_OLD_NOT}'
+),
+new_snap AS (
+  SELECT doc_id, source, n_chars, text
+  FROM documents
+  WHERE substr(md5('new:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '{_NEW_NOT}'
+),
+d AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.old_text <> n.text THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(n.n_chars, 0) AS chars_n,
+         COALESCE(o.n_chars, 0) AS chars_o
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(CASE WHEN status = 'added' THEN chars_n ELSE 0 END) AS BIGINT) AS chars_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN chars_o ELSE 0 END) AS BIGINT) AS chars_removed
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "snapshot_diff",
+    oracle=_snapshot_diff_oracle(),
+    doc=(
+        "Snapshot-to-snapshot corpus diff — the crawl-refresh "
+        "primitive: classify every doc_id across two corpus snapshots "
+        "as added / removed / changed / unchanged via ONE full-outer "
+        "join on the key plus a text comparison on the intersection, "
+        "rolled up per source with churn byte counts. At 100 TB both "
+        "snapshots shuffle once on doc_id into a sort-merge full-outer "
+        "join (neither side is broadcastable and no other plan reads "
+        "less); the per-source rollup is map-side combined. Snapshots "
+        "here are derived from independent md5 membership/edit lanes "
+        "(deterministic-hash idiom of train_val_split) so both engines "
+        "build identical inputs and all four classes are non-empty; "
+        "in production the two sides are yesterday's and today's "
+        "parquet roots and the derivation filters drop out. A doc "
+        "counts as changed only if its text actually differs — edits "
+        "that truncate nothing (n_chars div 2 + 1 >= n_chars) stay "
+        "unchanged, same expression both engines (SURVEY §2.L)."
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    edit = F.substring(F.md5(F.concat(F.lit("edit:"), key)), 1, 1).isin(*_EDIT_IN)
+    old_snap = (
+        docs.where(F.substring(F.md5(F.concat(F.lit("old:"), key)), 1, 1) != _OLD_NOT)
+        .select(
+            F.col("doc_id").alias("doc_o"),
+            F.col("source").alias("src_o"),
+            F.col("n_chars").alias("chars_o"),
+            F.when(
+                edit, F.expr("substring(text, 1, CAST(n_chars div 2 AS INT) + 1)")
+            )
+            .otherwise(F.col("text"))
+            .alias("old_text"),
+        )
+    )
+    new_snap = docs.where(
+        F.substring(F.md5(F.concat(F.lit("new:"), key)), 1, 1) != _NEW_NOT
+    ).select(
+        F.col("doc_id").alias("doc_n"),
+        F.col("source").alias("src_n"),
+        F.col("n_chars").alias("chars_n"),
+        "text",
+    )
+    status = (
+        F.when(F.col("doc_o").isNull(), "added")
+        .when(F.col("doc_n").isNull(), "removed")
+        .when(F.col("old_text") != F.col("text"), "changed")
+        .otherwise("unchanged")
+    )
+    d = old_snap.join(
+        new_snap, old_snap.doc_o == new_snap.doc_n, "full_outer"
+    ).select(
+        F.coalesce("src_n", "src_o").alias("source"),
+        status.alias("status"),
+        F.coalesce("chars_n", F.lit(0)).alias("chars_n"),
+        F.coalesce("chars_o", F.lit(0)).alias("chars_o"),
+    )
+    n_of = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("bigint")
+    c_of = lambda s, c: F.sum(
+        F.when(F.col("status") == s, F.col(c)).otherwise(0)
+    ).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(
+            n_of("added").alias("n_added"),
+            n_of("removed").alias("n_removed"),
+            n_of("changed").alias("n_changed"),
+            n_of("unchanged").alias("n_unchanged"),
+            c_of("added", "chars_n").alias("chars_added"),
+            c_of("removed", "chars_o").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply — ordered change-log application with delete semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id) AS n_deletes
+  FROM events
+)
+SELECT user_id, value AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops,
+       CAST(n_deletes AS BIGINT) AS n_deletes,
+       ts AS last_ts
+FROM log WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+""",
+    doc=(
+        "CDC change-log apply — the general form of the reference's "
+        "ON CONFLICT keep-latest upsert (src/database.py:137-178) "
+        "extended with DELETE semantics: the events stream is read as "
+        "a change log (event_type 'error' → tombstone D, everything "
+        "else → upsert U), ordered per key by (ts, event_id), and the "
+        "final state keeps a key only if its LAST op is an upsert — "
+        "exactly MERGE INTO ... WHEN MATCHED DELETE applied in log "
+        "order. One shuffle on user_id feeds row_number + both "
+        "per-key counters from the SAME window partition (the "
+        "ordered and unordered windows land as two Window physical "
+        "ops over one Exchange — no second shuffle); at 100 TB this "
+        "is the standard log-compaction "
+        "shape — state size bounds the output, log size bounds the "
+        "scan, and the same plan runs incrementally per micro-batch "
+        "in streaming/pipeline.py's foreachBatch upsert (SURVEY §2.L)."
+    ),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    state = log.select(
+        "user_id",
+        "value",
+        "ts",
+        "op",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(w).cast("bigint").alias("n_deletes"),
+    )
+    return (
+        state.where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            "n_ops",
+            "n_deletes",
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# expectations_report — declarative data-quality gate (Deequ-style).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expectations_report",
+    oracle="""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ck,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS nonpos_price,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+         CAST(CASE WHEN MAX(o_orderdate) >= TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS BIGINT) AS stale
+  FROM orders
+),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+  FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+),
+report AS (
+  SELECT 'o_custkey_not_null' AS rule, n AS n_checked, null_ck AS n_violations FROM a
+  UNION ALL
+  SELECT 'o_orderstatus_in_set', n, bad_status FROM a
+  UNION ALL
+  SELECT 'o_totalprice_positive', n, nonpos_price FROM a
+  UNION ALL
+  SELECT 'o_orderkey_unique', n, dup_keys FROM a
+  UNION ALL
+  SELECT 'o_custkey_referential', n, (SELECT orphans FROM r) FROM a
+  UNION ALL
+  SELECT 'o_orderdate_fresh', n, stale FROM a
+)
+SELECT rule, n_checked, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM report ORDER BY rule
+""",
+    doc=(
+        "Declarative data-quality expectations gate — the engine-side "
+        "generalization of the reference's admission validation "
+        "(src/security.py:20-118 checks every attachment against a "
+        "rule list; here every BATCH is checked against a table-level "
+        "rule list before downstream stages consume it): completeness "
+        "(NOT NULL), accepted value set, range, key uniqueness, "
+        "referential integrity against the customer dim, and "
+        "watermark freshness. Five of the six rules fold into ONE "
+        "single-pass conditional aggregate over the fact scan "
+        "(uniqueness rides the same pass as COUNT DISTINCT's "
+        "two-level partial agg); referential integrity is a "
+        "left-anti join against the dim — broadcast at dim size, the "
+        "one rule that genuinely needs a second scan. The report "
+        "explodes from the two bounded aggregate rows, so the whole "
+        "gate costs one fact scan + one anti join at any corpus size "
+        "(SURVEY §2.L)."
+    ),
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    a = orders.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_ck"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("nonpos_price"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("dup_keys"),
+        F.when(F.max("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("stale"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+    )
+    rules = a.crossJoin(F.broadcast(orphans)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey_not_null").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("null_ck").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus_in_set").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("bad_status").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_positive").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("nonpos_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("o_orderkey_unique").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("dup_keys").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("o_custkey_referential").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("orphans").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate_fresh").alias("rule"),
+                    F.col("n").alias("n_checked"),
+                    F.col("stale").alias("n_violations"),
+                ),
+            )
+        ).alias("e")
+    )
+    return (
+        rules.select(
+            "e.rule",
+            "e.n_checked",
+            "e.n_violations",
+            F.when(F.col("e.n_violations") == 0, 1).otherwise(0).cast("bigint").alias("passed"),
+        )
+        .orderBy("rule")
+    )
