@@ -1663,9 +1663,15 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint truncates the LSH-pipeline lineage (the
+    # dup_pagerank convention, dedup.py:2320): the edge list feeds
+    # FIVE branches (e1, e2, closing, deg, the edge count) and each
+    # re-nests the whole band-join pair-stream plan without it (~88
+    # static exchanges); with it every branch roots at the
+    # materialized edge RDD.
     e = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).cache()
+    ).localCheckpoint(eager=True)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedge = e1.join(e2, "y")
