@@ -570,3 +570,91 @@ def test_linear_probe_deterministic_and_shaped(spark):
     assert [r["dim"] for r in a] == list(range(65))
     assert [(r["dim"], r["weight"]) for r in a] == [(r["dim"], r["weight"]) for r in b]
     assert all(abs(r["weight"]) < 10 for r in a)
+
+
+def test_snapshot_diff_classes_partition_the_union(spark):
+    """The four diff classes partition old ∪ new exactly, and the
+    intersection splits into changed + unchanged — recomputed here
+    from the membership lanes directly, independent of the join."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.governance import _EDIT_IN, _NEW_NOT, _OLD_NOT
+    from email_etl_spark.plans.registry import REGISTRY
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = F.col("doc_id").cast("string")
+    in_old = F.substring(F.md5(F.concat(F.lit("old:"), key)), 1, 1) != _OLD_NOT
+    in_new = F.substring(F.md5(F.concat(F.lit("new:"), key)), 1, 1) != _NEW_NOT
+    edited = F.substring(F.md5(F.concat(F.lit("edit:"), key)), 1, 1).isin(*_EDIT_IN)
+
+    n_union = docs.where(in_old | in_new).count()
+    n_both = docs.where(in_old & in_new).count()
+    n_added = docs.where(in_new & ~in_old).count()
+    n_removed = docs.where(in_old & ~in_new).count()
+    # edits only count as changed when truncation actually shortens
+    n_changed = docs.where(
+        in_old & in_new & edited & (F.expr("n_chars div 2 + 1") < F.col("n_chars"))
+    ).count()
+
+    rows = REGISTRY["snapshot_diff"].builder(spark, SF_SMOKE).collect()
+    tot = {c: sum(r[c] for r in rows) for c in ("n_added", "n_removed", "n_changed", "n_unchanged")}
+    assert sum(tot.values()) == n_union
+    assert tot["n_added"] == n_added
+    assert tot["n_removed"] == n_removed
+    assert tot["n_changed"] == n_changed
+    assert tot["n_changed"] + tot["n_unchanged"] == n_both
+    # every class is populated at this corpus size — the demo is live
+    assert min(tot.values()) > 0
+
+
+def test_cdc_apply_tombstone_semantics(spark):
+    """A key survives iff its LAST change-log op is an upsert —
+    checked against an independent max_by computation — and the
+    per-key op counters account for every log row of survivors."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    last_op = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.when(F.col("event_type") == "error", "D").otherwise("U"),
+            F.struct("ts", "event_id"),
+        ).alias("op"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    expected_alive = {r["user_id"] for r in last_op.where(F.col("op") == "U").collect()}
+    n_by_user = {r["user_id"]: r["n"] for r in last_op.collect()}
+
+    rows = REGISTRY["cdc_apply"].builder(spark, SF_SMOKE).collect()
+    assert {r["user_id"] for r in rows} == expected_alive
+    assert all(r["n_ops"] == n_by_user[r["user_id"]] for r in rows)
+    assert all(0 <= r["n_deletes"] < r["n_ops"] for r in rows)
+    # deletes genuinely remove keys on this corpus
+    assert len(rows) < len(n_by_user)
+
+
+def test_expectations_report_matches_direct_aggregates(spark):
+    """Each rule's violation count equals the independently computed
+    aggregate, and n_checked is the full fact count for every rule."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    n = orders.count()
+    direct = {
+        "o_custkey_not_null": orders.where(F.col("o_custkey").isNull()).count(),
+        "o_orderstatus_in_set": orders.where(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).count(),
+        "o_totalprice_positive": orders.where(~(F.col("o_totalprice") > 0)).count(),
+        "o_orderkey_unique": n - orders.select("o_orderkey").distinct().count(),
+        "o_custkey_referential": orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"
+        ).count(),
+    }
+    rows = {r["rule"]: r for r in REGISTRY["expectations_report"].builder(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    assert all(r["n_checked"] == n for r in rows.values())
+    for rule, viol in direct.items():
+        assert rows[rule]["n_violations"] == viol, rule
+        assert rows[rule]["passed"] == (1 if viol == 0 else 0)
