@@ -41,6 +41,7 @@ _GATE_ORDER = (
     "snapshot_diff",
     "cdc_apply",
     "expectations_report",
+    "winsorized_stats",
     "ann_lsh_indexed",
     "dedup_minhash_indexed",
     "semdedup_prune",
@@ -83,7 +84,6 @@ _GATE_ORDER = (
     "markov_transitions",
     "error_bursts",
     "ordered_funnel",
-    "rfm_segments",
     "seasonal_forecast",
     "latency_slo_report",
     "topk_movers",
@@ -95,10 +95,13 @@ _GATE_ORDER = (
     # session_paths ≙ markov_transitions, attribution_last_touch ≙
     # attribution_linear — demoted to make window room for the new
     # governance trio (snapshot_diff, cdc_apply, expectations_report),
-    # whose diff/tombstone/gate machinery has no in-window cousin) --
+    # whose diff/tombstone/gate machinery has no in-window cousin;
+    # rfm_segments ≙ length_deciles' ntile machinery, demoted for
+    # winsorized_stats) --
     "dau_wau",
     "session_paths",
     "attribution_last_touch",
+    "rfm_segments",
     "engagement_scores",
     "ann_index_stats",
     "maxsim_search",

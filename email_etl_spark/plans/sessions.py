@@ -2094,3 +2094,82 @@ def ooo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type,
+         CASE WHEN e.value < q.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN e.value > q.hi THEN 1 ELSE 0 END AS is_hi,
+         CAST(ROUND(CASE WHEN e.value < q.lo THEN q.lo
+                         WHEN e.value > q.hi THEN q.hi
+                         ELSE e.value END, 4) AS DECIMAL(18,4)) AS w,
+         q.lo, q.hi
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type,
+       ROUND(MIN(lo), 4) AS p05,
+       ROUND(MIN(hi), 4) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(is_hi) AS BIGINT) AS n_clipped_hi,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS mean_w
+FROM c GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Winsorized (clipped) robust statistics per event type — the "
+        "outlier-clamping pass feature pipelines run before training "
+        "so a handful of extreme values cannot dominate a mean: exact "
+        "p05/p95 fences (Spark percentile == SQL quantile_cont, the "
+        "value_percentiles convention), values clamped into the "
+        "fences, clip counts on both tails, and the winsorized mean. "
+        "Two passes over the fact scan: the fence aggregate produces "
+        "one row per type (broadcast back — the only cross-stage "
+        "traffic), then the clip aggregate is fully map-side "
+        "combined. Clamped values are pre-rounded into DECIMAL(18,4) "
+        "before summing so the distributed sum is order-insensitive "
+        "(the exact-decimal convention); the mean folds to one double "
+        "division of bit-identical operands. At cluster scale the "
+        "exact fences swap to approx_percentile and the oracle drops "
+        "to rows-only, same as value_percentiles (SURVEY §2.L)."
+    ),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    w = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    c = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+        F.round(w, 4).cast("decimal(18,4)").alias("w"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.round(F.min("lo"), 4).alias("p05"),
+            F.round(F.min("hi"), 4).alias("p95"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("is_lo").cast("bigint").alias("n_clipped_lo"),
+            F.sum("is_hi").cast("bigint").alias("n_clipped_hi"),
+            F.round(F.sum("w").cast("double") / F.count("*"), 4).alias("mean_w"),
+        )
+        .orderBy("event_type")
+    )
