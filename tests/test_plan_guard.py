@@ -114,3 +114,64 @@ def test_no_tokenizer_inside_lambda_bodies(spark):
         if _lambda_tokenizes(plan):
             offenders[name] = "tokenizer split inside lambda body"
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide review rule (parsed from the committed PLANS.md audit so
+# the check is free): a BroadcastNestedLoopJoin anywhere in the 250+
+# query surface must be on this reviewed list — every entry is a
+# broadcast of a bounded side (a 1-row aggregate, a ≤20-row query
+# batch, a K-row codebook, or a plan-constant literal table); a new
+# BNL query fails here until reviewed and added. CartesianProduct is
+# never allowed.
+# ---------------------------------------------------------------------------
+
+_BNL_JUSTIFIED = {
+    # broadcast query vector / query batch (≤20 rows)
+    "ann_bruteforce", "ann_ivf", "ann_ivfpq", "ann_recall_eval",
+    "crossencoder_rerank", "hard_negatives", "hybrid_search",
+    "hybrid_search_dated", "hybrid_search_rrf", "maxsim_search",
+    "semantic_topk", "semantic_topk_dated", "ivf_recall_curve",
+    "ndcg_eval", "incremental_neardup", "minhash_recall_eval",
+    # broadcast 1-row aggregate (corpus totals, thresholds, extrema)
+    "bm25_indexed", "bm25_search", "bootstrap_mean_ci", "churn_risk",
+    "cooccurrence_pmi", "copurchase_types", "dau_wau", "dedup_savings",
+    "dsir_weights", "dup_pagerank", "embedding_drift",
+    "engagement_scores", "expectations_report", "graph_triangles",
+    "incremental_sync", "length_filter_curve", "mixture_weights",
+    "ngram_novelty", "order_backlog_aging", "perplexity_buckets",
+    "provider_status", "q11_important_stock", "q22_idle_customers",
+    "range_partition_plan", "rfm_segments", "seasonal_forecast",
+    "segment_flow", "text_drift", "text_index_stats", "tfidf_search",
+    "topic_coherence", "unigram_logprob", "value_ks_drift",
+    "zorder_layout",
+}
+
+
+def _plans_rows() -> dict[str, str]:
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    rows = {}
+    with open(path) as fh:
+        for ln in fh:
+            parts = [p.strip() for p in ln.split("|")]
+            if len(parts) >= 4 and parts[1] and parts[1] not in ("query", "---"):
+                rows[parts[1]] = ln
+    return rows
+
+
+def test_registry_wide_bnl_allowlist():
+    rows = _plans_rows()
+    assert len(rows) > 200  # the audit really is registry-wide
+    offenders = {
+        name: ln
+        for name, ln in rows.items()
+        if "BNL" in ln and name not in _BNL_JUSTIFIED
+    }
+    assert not offenders, offenders
+
+
+def test_registry_wide_no_cartesian():
+    offenders = {n: ln for n, ln in _plans_rows().items() if "Cartesian" in ln}
+    assert not offenders, offenders
