@@ -42,6 +42,7 @@ _GATE_ORDER = (
     "cdc_apply",
     "expectations_report",
     "winsorized_stats",
+    "k_anonymity_profile",
     "ann_lsh_indexed",
     "dedup_minhash_indexed",
     "semdedup_prune",
@@ -83,7 +84,6 @@ _GATE_ORDER = (
     "supplier_hhi",
     "markov_transitions",
     "error_bursts",
-    "ordered_funnel",
     "seasonal_forecast",
     "latency_slo_report",
     "topk_movers",
@@ -97,7 +97,9 @@ _GATE_ORDER = (
     # governance trio (snapshot_diff, cdc_apply, expectations_report),
     # whose diff/tombstone/gate machinery has no in-window cousin;
     # rfm_segments ≙ length_deciles' ntile machinery, demoted for
-    # winsorized_stats) --
+    # winsorized_stats; ordered_funnel ≙ conversion_funnel, demoted
+    # for k_anonymity_profile) --
+    "ordered_funnel",
     "dau_wau",
     "session_paths",
     "attribution_last_touch",

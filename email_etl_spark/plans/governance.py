@@ -357,3 +357,76 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_profile — quasi-identifier re-identification risk.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_profile",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(FLOOR(value) AS BIGINT) AS vbin,
+         COUNT(*) AS s
+  FROM events GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN s = 1 THEN 'k=1'
+              WHEN s < 5 THEN 'k=2-4'
+              WHEN s < 10 THEN 'k=5-9'
+              ELSE 'k>=10' END AS risk_bucket,
+         s
+  FROM g
+)
+SELECT event_type, risk_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(s) AS BIGINT) AS n_rows
+FROM b GROUP BY event_type, risk_bucket
+ORDER BY event_type, risk_bucket
+""",
+    doc=(
+        "k-anonymity risk profile over the quasi-identifier "
+        "(event_type, hour-of-day, integer value bin) — the "
+        "aggregate-privacy counterpart of pii_scrub's direct-"
+        "identifier redaction: rows in equivalence classes of size "
+        "k=1 are re-identifiable on the QI alone, k<5 classes are "
+        "conventionally still risky, and a release gate reads this "
+        "table before exporting events for analysis. Two map-side-"
+        "combined aggregates: the QI rollup shuffles only distinct "
+        "combinations (bounded by the QI domain, not the row count), "
+        "the risk-bucket rollup is tiny. No windows, no joins, no "
+        "sort beyond the final 20-row ORDER BY — the profile costs "
+        "one scan at any corpus size (SURVEY §2.L)."
+    ),
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hh"),
+            F.floor("value").cast("bigint").alias("vbin"),
+        )
+        .groupBy("event_type", "hh", "vbin")
+        .agg(F.count("*").alias("s"))
+    )
+    bucket = (
+        F.when(F.col("s") == 1, "k=1")
+        .when(F.col("s") < 5, "k=2-4")
+        .when(F.col("s") < 10, "k=5-9")
+        .otherwise("k>=10")
+    )
+    return (
+        g.select("event_type", bucket.alias("risk_bucket"), "s")
+        .groupBy("event_type", "risk_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("s").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("event_type", "risk_bucket")
+    )
