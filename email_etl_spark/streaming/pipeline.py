@@ -241,3 +241,80 @@ def run_upsert_stream(
         .start()
     )
     q.awaitTermination(300)
+
+
+def run_cdc_stream(
+    events: DataFrame, store_dir: str, checkpoint_dir: str, key: str = "user_id"
+) -> None:
+    """Streaming CDC apply with DELETE semantics — the streaming twin
+    of the batch `cdc_apply` query (plans/governance.py) and the
+    tombstone extension of `run_upsert_stream`: event_type 'error' is
+    read as a DELETE op, everything else as an UPSERT, and a key's
+    state is the op with the highest (ts, event_id).
+
+    Tombstones are RETAINED as store rows (op='D') rather than
+    dropping the key: a later micro-batch can deliver an out-of-order
+    upsert OLDER than the delete, and only a persisted tombstone makes
+    the keep-latest merge reject it — dropping tombstones would
+    silently resurrect deleted keys. Readers go through
+    `read_cdc_state`, which filters op='D' (exactly how log-compacted
+    CDC stores and Delta MERGE handle deletes). Tombstone GC —
+    dropping op='D' rows older than the source's max replay horizon —
+    is a compaction policy decision left to the store owner; the same
+    stage-then-swap rename discipline as run_upsert_stream keeps every
+    batch idempotent and crash-safe."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    old_dir = store_dir.rstrip("/") + ".old"
+    tagged = events.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+
+    def restore_if_interrupted() -> None:
+        if not os.path.isdir(store_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, store_dir)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        restore_if_interrupted()
+        w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        )
+        if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)
+        ):
+            cur = spark.read.parquet(store_dir)
+            merged = (
+                cur.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        tmp_dir = store_dir.rstrip("/") + f".tmp-{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old_dir)
+        os.rename(tmp_dir, store_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    q = (
+        tagged.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def read_cdc_state(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Live CDC state: the store minus tombstones (op='D' rows are
+    retained for out-of-order protection, never served)."""
+    return spark.read.parquet(store_dir).where(F.col("op") != "D")

@@ -99,3 +99,63 @@ def test_upsert_stream_recovers_interrupted_swap(spark, tmp_path):
     # key 7 survived the simulated crash; key 9 merged on top
     assert got == {7: 1, 9: 2}
     assert not os.path.isdir(store + ".old")
+
+
+def test_cdc_stream_applies_deletes_and_blocks_resurrection(spark, tmp_path):
+    """The streaming CDC twin of the batch cdc_apply: a tombstone
+    removes the key from served state, and an out-of-order upsert
+    OLDER than the tombstone (arriving in a later micro-batch) must
+    NOT resurrect it — the persisted tombstone wins the keep-latest
+    merge."""
+    from email_etl_spark.streaming.pipeline import read_cdc_state, run_cdc_stream
+
+    src = str(tmp_path / "drops")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(s)
+    _write_drop(
+        spark,
+        src,
+        [
+            (1, t("2024-01-01T10:00:00"), 7, "login", 1.0, "{}"),
+            (2, t("2024-01-01T11:00:00"), 7, "error", 2.0, "{}"),  # tombstone for 7
+            (3, t("2024-01-01T09:00:00"), 8, "login", 3.0, "{}"),
+        ],
+        "d1",
+    )
+    run_cdc_stream(events_stream(spark, src), store, ck, key="user_id")
+    assert {r["user_id"] for r in read_cdc_state(spark, store).collect()} == {8}
+    # the tombstone row itself is retained in the physical store
+    assert {r["user_id"]: r["op"] for r in spark.read.parquet(store).collect()} == {7: "D", 8: "U"}
+
+    # late batch: upsert for 7 OLDER than its tombstone (stays dead),
+    # delete for 8, fresh insert for 9
+    _write_drop(
+        spark,
+        src,
+        [
+            (4, t("2024-01-01T10:30:00"), 7, "click", 4.0, "{}"),
+            (5, t("2024-01-01T12:00:00"), 8, "error", 5.0, "{}"),
+            (6, t("2024-01-01T10:00:00"), 9, "login", 6.0, "{}"),
+        ],
+        "d2",
+    )
+    run_cdc_stream(events_stream(spark, src), store, ck, key="user_id")
+    state = {r["user_id"]: r["event_id"] for r in read_cdc_state(spark, store).collect()}
+    assert state == {9: 6}  # 7 stays deleted, 8 now deleted, 9 live
+
+    # a genuinely NEWER upsert for 7 does resurrect it (delete is an
+    # op in the log, not a permanent ban)
+    _write_drop(
+        spark,
+        src,
+        [(7, t("2024-01-01T13:00:00"), 7, "login", 7.0, "{}")],
+        "d3",
+    )
+    run_cdc_stream(events_stream(spark, src), store, ck, key="user_id")
+    state = {r["user_id"]: r["event_id"] for r in read_cdc_state(spark, store).collect()}
+    assert state == {7: 7, 9: 6}
