@@ -514,13 +514,22 @@ ratio AS (
            LN(CAST((COALESCE(t.nt, 0) + 1) * (rn.n_r + {DSIR_BUCKETS}) AS DOUBLE)
               / ((r.nr + 1) * (tn.n_t + {DSIR_BUCKETS}))), 6) AS DECIMAL(18,6)) AS lr
   FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tn CROSS JOIN rn
+),
+per_doc AS (
+  SELECT bg.doc_id,
+         COUNT(*) AS n,
+         CAST(SUM(ratio.lr) AS DOUBLE) AS lw,
+         CAST(SUM(ratio.lr) * 1000000 AS BIGINT) AS s
+  FROM bg JOIN ratio USING (b)
+  GROUP BY bg.doc_id
 )
-SELECT bg.doc_id,
-       COUNT(*) AS n_feats,
-       CAST(SUM(ratio.lr) AS DOUBLE) AS log_weight,
-       ROUND(CAST(SUM(ratio.lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
-FROM bg JOIN ratio USING (b)
-GROUP BY bg.doc_id ORDER BY bg.doc_id
+SELECT doc_id,
+       n AS n_feats,
+       lw AS log_weight,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000
+         AS avg_log_ratio
+FROM per_doc ORDER BY doc_id
 """,
     doc=(
         "DSIR-style importance weights for data selection (Data "
@@ -586,16 +595,29 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lr"),
     )
-    return (
+    # avg in exact integer micro-units, half-away-from-zero (the
+    # kmeans_codebook _micro_mean_expr convention, plans/search.py):
+    # ROUND(sum/n, 6) on doubles splits engines when the quotient
+    # lands exactly on a half (first seen at sf0.1, doc 4599)
+    per_doc = (
         bg.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_feats"),
-            F.sum("lr").cast("double").alias("log_weight"),
-            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias("avg_log_ratio"),
+            F.count("*").alias("n"),
+            F.sum("lr").cast("double").alias("lw"),
+            (F.sum("lr") * 1000000).cast("bigint").alias("s"),
         )
-        .orderBy("doc_id")
     )
+    micro = (
+        "CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) "
+        "ELSE -((2 * (-s) + n) div (2 * n)) END"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_feats"),
+        F.col("lw").alias("log_weight"),
+        (F.expr(micro).cast("double") / 1000000).alias("avg_log_ratio"),
+    ).orderBy("doc_id")
 
 
 @register(
