@@ -2211,3 +2211,115 @@ def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness_centi"), "term")
         .limit(_BURST_TOP)
     )
+
+
+@register(
+    "readability_fk",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source,
+         CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(COALESCE(list_sum(list_transform({_TOKS},
+             x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT) AS y
+  FROM documents
+), f AS (
+  SELECT lang, source, w, s, y,
+         CASE WHEN 39 * w * w + 1180 * y * s <= 2359 * s * w
+              THEN 1 ELSE 0 END AS easy
+  FROM d WHERE w > 0
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_words,
+       CAST(SUM(s) AS BIGINT) AS sum_sentences,
+       CAST(SUM(y) AS BIGINT) AS sum_syllables,
+       CAST(SUM(w) * 100 // SUM(s) AS BIGINT) AS words_per_sentence_centi,
+       CAST(SUM(y) * 100 // SUM(w) AS BIGINT) AS syllables_per_word_centi,
+       CAST(390 * SUM(w) // SUM(s) + 11800 * SUM(y) // SUM(w) - 15590 AS BIGINT)
+           AS fk_grade_milli,
+       CAST(SUM(easy) * 10000 // COUNT(*) AS BIGINT) AS easy_share_bps
+FROM f GROUP BY lang, source ORDER BY lang, source
+""",
+    doc=(
+        "Flesch-Kincaid readability profile per (lang, source) — the "
+        "classic curation-grade accessibility signal (Kincaid et al. "
+        "1975, public formula: 0.39*words/sentence + 11.8*syllables/"
+        "word - 15.59). Sentences = '[.!?]+' runs (min 1), syllables = "
+        "vowel-group count per token (min 1, the standard heuristic). "
+        "All knife-edges eliminated: the grade is reported in exact "
+        "integer milli-units over BIGINT sums, and the per-doc 'easy' "
+        "band (grade <= 8) is the cross-multiplied integer predicate "
+        "39*w*w + 1180*y*s <= 2359*s*w — no float ever materializes. "
+        "One scan + one map-side-combined groupBy(lang, source): "
+        "embarrassingly parallel at 100 TB, shuffle is |lang x source| "
+        "partial-agg rows (SURVEY §2.D; complements gopher_quality and "
+        "quality_score as a third independent filter axis)."
+    ),
+)
+def readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "lang",
+        "source",
+        T.tokens(F.col("text")).alias("toks"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        ).cast("bigint").alias("s"),
+    )
+    d = tokd.select(
+        "lang",
+        "source",
+        "s",
+        F.size("toks").cast("bigint").alias("w"),
+        F.coalesce(
+            F.aggregate(
+                "toks",
+                F.lit(0).cast("bigint"),
+                lambda a, x: a
+                + F.greatest(F.lit(1), F.regexp_count(x, F.lit("[aeiouy]+"))),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("y"),
+    ).where(F.col("w") > 0)
+    f = d.withColumn(
+        "easy",
+        F.when(
+            39 * F.col("w") * F.col("w") + 1180 * F.col("y") * F.col("s")
+            <= 2359 * F.col("s") * F.col("w"),
+            1,
+        ).otherwise(0),
+    )
+    out = f.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("sum_words"),
+        F.sum("s").alias("sum_sentences"),
+        F.sum("y").alias("sum_syllables"),
+        F.sum("easy").alias("s_easy"),
+    )
+    return (
+        out.select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_words").cast("bigint").alias("sum_words"),
+            F.col("sum_sentences").cast("bigint").alias("sum_sentences"),
+            F.col("sum_syllables").cast("bigint").alias("sum_syllables"),
+            F.expr("sum_words * 100L div sum_sentences")
+            .cast("bigint")
+            .alias("words_per_sentence_centi"),
+            F.expr("sum_syllables * 100L div sum_words")
+            .cast("bigint")
+            .alias("syllables_per_word_centi"),
+            F.expr(
+                "390L * sum_words div sum_sentences"
+                " + 11800L * sum_syllables div sum_words - 15590L"
+            )
+            .cast("bigint")
+            .alias("fk_grade_milli"),
+            F.expr("s_easy * 10000L div n_docs")
+            .cast("bigint")
+            .alias("easy_share_bps"),
+        )
+        .orderBy("lang", "source")
+    )
