@@ -658,3 +658,41 @@ def test_expectations_report_matches_direct_aggregates(spark):
     for rule, viol in direct.items():
         assert rows[rule]["n_violations"] == viol, rule
         assert rows[rule]["passed"] == (1 if viol == 0 else 0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5000),   # words
+    st.integers(min_value=1, max_value=2000),   # sentence runs
+    st.integers(min_value=1, max_value=20000),  # syllables (>= words in real text)
+)
+def test_readability_easy_band_matches_float_formula(w, s, y):
+    """readability_fk's cross-multiplied integer easy-band predicate
+    (39*w*w + 1180*y*s <= 2359*s*w) must agree with the public float
+    Flesch-Kincaid grade formula except on exact knife-edge ties,
+    where the integer form is the defined behavior."""
+    integer_easy = 39 * w * w + 1180 * y * s <= 2359 * s * w
+    grade = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+    # strictly inside the band on either side, the two must agree
+    if abs(grade - 8.0) > 1e-9:
+        assert integer_easy == (grade <= 8.0)
+
+
+def test_readability_fk_aggregates_consistent(spark):
+    """Per-group grade milli-units must equal recomputation from the
+    reported BIGINT sums, and easy_share_bps must be a valid bps."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["readability_fk"].builder(spark, SF_SMOKE).collect()
+    assert rows, "readability_fk returned no groups"
+    for r in rows:
+        assert r.sum_words > 0 and r.sum_sentences > 0
+        assert r.sum_syllables >= r.sum_words  # >= 1 syllable per word
+        assert r.words_per_sentence_centi == r.sum_words * 100 // r.sum_sentences
+        assert r.syllables_per_word_centi == r.sum_syllables * 100 // r.sum_words
+        assert r.fk_grade_milli == (
+            390 * r.sum_words // r.sum_sentences
+            + 11800 * r.sum_syllables // r.sum_words
+            - 15590
+        )
+        assert 0 <= r.easy_share_bps <= 10000
