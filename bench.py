@@ -30,13 +30,15 @@ def main() -> None:
     # not classloading
     REGISTRY["doc_count"].builder(spark, sf_dir).collect()
 
-    # three measured runs per query, best-of reported: run 1 pays
+    # five measured runs per query, best-of reported: run 1 pays
     # plan-compilation and JIT; later runs are the steady-state an
-    # actual deployment sees. Machine-load noise shrinks with the min.
+    # actual deployment sees. Machine-load noise shrinks with the min,
+    # and five samples keep the recorded number stable even when the
+    # box is running a concurrent sweep.
     timings: dict[str, float] = {}
     for q in headline_queries():
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
