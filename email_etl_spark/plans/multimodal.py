@@ -15,7 +15,7 @@ the plan; only the oracle twin would then need the real library.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from email_etl_spark.io import load_table
@@ -259,4 +259,93 @@ def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("out_w") * F.col("out_h")).cast("bigint").alias("total_out_pixels"),
         )
         .orderBy("orientation")
+    )
+
+
+# shot-boundary detection: hamming distance >= SHOT_BOUND of 32 sig
+# bits between consecutive frames flags a cut (a random-signature
+# pair averages 16; >= 20 fires on ~11% of gaps)
+SHOT_BOUND = 20
+
+
+@register(
+    "shot_boundaries",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT text FROM documents),
+v AS (SELECT sha256(text) AS sha FROM b),
+m AS (SELECT sha,
+             LEAST(16, CAST(CEIL(CAST(500 + {_int3_sql('sha', 2)} % 600000 AS DOUBLE) / 1000.0) AS BIGINT)) AS n_frames
+      FROM v),
+f AS (SELECT m.sha, gs.i
+      FROM m CROSS JOIN (SELECT unnest(range(16)) AS i) gs
+      WHERE gs.i < m.n_frames),
+s AS (SELECT sha, i, ('0x' || substr(sha, 2 * (i % 28) + 1, 8))::BIGINT AS sig FROM f),
+g AS (SELECT sha, sig, LAG(sig) OVER (PARTITION BY sha ORDER BY i) AS prev FROM s),
+pv AS (SELECT sha,
+              CAST(COUNT(prev) AS BIGINT) AS n_gaps,
+              CAST(COALESCE(SUM(bit_count(xor(sig, prev))), 0) AS BIGINT) AS sum_ham,
+              CAST(SUM(CASE WHEN bit_count(xor(sig, prev)) >= {SHOT_BOUND} THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+              MAX(bit_count(xor(sig, prev))) AS max_ham
+       FROM g GROUP BY sha)
+SELECT n_boundaries,
+       CAST(COUNT(*) AS BIGINT) AS n_videos,
+       CAST(SUM(n_gaps) AS BIGINT) AS total_gaps,
+       CAST(CASE WHEN SUM(n_gaps) > 0 THEN SUM(sum_ham) * 100 // SUM(n_gaps) ELSE 0 END AS BIGINT) AS mean_hamming_centi,
+       CAST(COALESCE(MAX(max_ham), 0) AS BIGINT) AS max_hamming
+FROM pv GROUP BY n_boundaries ORDER BY n_boundaries
+""",
+    doc=(
+        "Shot-boundary detection over sampled video frames (SURVEY "
+        "§2.J — the PySceneDetect-style cut finder a video-training "
+        "pipeline runs before clip extraction). Payloads are deduped "
+        "BEFORE the one-to-many frame expansion — the scale-correct "
+        "order: at 100 TB you dedupe videos, then decode frames, "
+        "never the reverse. Runs the REAL mapInPandas frame-sample "
+        "seam (operators/multimodal.py::video_frame_sample); each "
+        "frame carries a stub 32-bit perceptual hash derived from the "
+        "video digest + frame index (a real pHash drops into the same "
+        "column), consecutive-frame hamming distance comes from ONE "
+        "user-video window sort reused by the per-video rollup, and a "
+        "cut fires at >= SHOT_BOUND differing bits. Output: the "
+        "per-video boundary-count distribution with integer centi "
+        "mean gap distances — exact in both engines (no floats)."
+    ),
+)
+def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.multimodal import video_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    # dedupe payloads first: duplicate videos must not double-count
+    # boundaries, and deduping before the 16x frame expansion is 16x
+    # cheaper than after
+    blobs = docs.select("text").distinct().select(F.encode(F.col("text"), "UTF-8").alias("content"))
+    frames = video_frame_sample(blobs)
+    # stub pHash: 4 digest bytes at a frame-dependent offset (conv is
+    # JVM-side; the frame blob itself is untouched after sampling)
+    s = frames.select(
+        "content_hash",
+        "frame_idx",
+        F.expr("cast(conv(substr(content_hash, 2 * (frame_idx % 28) + 1, 8), 16, 10) as bigint)").alias("sig"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("frame_idx")
+    g = s.withColumn("prev", F.lag("sig").over(w))
+    ham = F.bit_count(F.expr("sig ^ prev"))
+    per_video = g.groupBy("content_hash").agg(
+        F.count("prev").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum(ham), F.lit(0)).cast("bigint").alias("sum_ham"),
+        F.sum(F.when(ham >= SHOT_BOUND, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
+        F.max(ham).alias("max_ham"),
+    )
+    return (
+        per_video.groupBy("n_boundaries")
+        .agg(
+            F.count("*").cast("bigint").alias("n_videos"),
+            F.sum("n_gaps").cast("bigint").alias("total_gaps"),
+            F.when(F.sum("n_gaps") > 0, F.expr("sum(sum_ham) * 100 div sum(n_gaps)"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("mean_hamming_centi"),
+            F.coalesce(F.max("max_ham"), F.lit(0)).cast("bigint").alias("max_hamming"),
+        )
+        .orderBy("n_boundaries")
     )

@@ -696,3 +696,85 @@ def test_readability_fk_aggregates_consistent(spark):
             - 15590
         )
         assert 0 <= r.easy_share_bps <= 10000
+
+
+def test_shot_boundaries_accounting_identities(spark):
+    """Video and gap counts must reconcile with the frame stream:
+    sum(n_videos) == distinct payloads, sum(total_gaps) == frames -
+    videos, and every hamming stat respects the 32-bit signature."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.operators.multimodal import video_frame_sample
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["shot_boundaries"].builder(spark, SF_SMOKE).collect()
+    assert rows, "shot_boundaries returned no groups"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    uniq = docs.select("text").distinct()
+    n_videos = uniq.count()
+    frames = video_frame_sample(
+        uniq.select(F.encode(F.col("text"), "UTF-8").alias("content"))
+    )
+    n_frames = frames.count()
+
+    assert sum(r.n_videos for r in rows) == n_videos
+    assert sum(r.total_gaps for r in rows) == n_frames - n_videos
+    for r in rows:
+        assert r.n_boundaries >= 0 and r.n_videos > 0
+        assert 0 <= r.max_hamming <= 32
+        assert 0 <= r.mean_hamming_centi <= 3200
+        # a video with b boundaries has at least b gaps
+        assert r.total_gaps >= r.n_boundaries * r.n_videos
+
+
+def test_shot_boundaries_duplicate_payloads_collapse(spark):
+    """Duplicating every document must not change the result — the
+    dedupe-before-expansion contract (identical videos are ONE video;
+    at scale this is what makes the 16x frame pass affordable)."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans import multimodal as mm
+    from email_etl_spark.plans.registry import REGISTRY
+
+    base = [tuple(r) for r in REGISTRY["shot_boundaries"].builder(spark, SF_SMOKE).collect()]
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    doubled = docs.unionAll(docs)
+    # same plan body as the registry query, fed the doubled corpus
+    from pyspark.sql import Window
+
+    blobs = doubled.select("text").distinct().select(
+        F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    from email_etl_spark.operators.multimodal import video_frame_sample
+
+    frames = video_frame_sample(blobs)
+    s = frames.select(
+        "content_hash",
+        "frame_idx",
+        F.expr(
+            "cast(conv(substr(content_hash, 2 * (frame_idx % 28) + 1, 8), 16, 10) as bigint)"
+        ).alias("sig"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("frame_idx")
+    g = s.withColumn("prev", F.lag("sig").over(w))
+    ham = F.bit_count(F.expr("sig ^ prev"))
+    per_video = g.groupBy("content_hash").agg(
+        F.count("prev").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum(ham), F.lit(0)).cast("bigint").alias("sum_ham"),
+        F.sum(F.when(ham >= mm.SHOT_BOUND, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
+        F.max(ham).alias("max_ham"),
+    )
+    res = (
+        per_video.groupBy("n_boundaries")
+        .agg(
+            F.count("*").cast("bigint").alias("n_videos"),
+            F.sum("n_gaps").cast("bigint").alias("total_gaps"),
+            F.when(F.sum("n_gaps") > 0, F.expr("sum(sum_ham) * 100 div sum(n_gaps)"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("mean_hamming_centi"),
+            F.coalesce(F.max("max_ham"), F.lit(0)).cast("bigint").alias("max_hamming"),
+        )
+        .orderBy("n_boundaries")
+    )
+    assert [tuple(r) for r in res.collect()] == base
