@@ -4685,3 +4685,112 @@ def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bias.unionAll(dims).orderBy("dim")
+
+
+# Matryoshka-style dimension ablation: how much recall@10 survives
+# truncating embeddings to their first d dims (the MRL deployment
+# question: can the ANN index store 8/16/32 of 64 dims?)
+ABLATION_DIMS = (8, 16, 32, 64)
+ABLATION_K = 10
+ABLATION_QUERIES = 5  # vec_id < 5, the ann_recall_eval convention
+
+
+def _dim_ablation_oracle() -> str:
+    a, b = "(e.embedding[1:dd.d])", "(q.qvec[1:dd.d])"
+    values = ",".join(f"({d})" for d in ABLATION_DIMS)
+    denom = ABLATION_QUERIES * ABLATION_K
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {ABLATION_QUERIES}),
+dims AS (SELECT * FROM (VALUES {values}) dd(d)),
+scored AS (
+  SELECT dd.d AS dims, q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY dd.d, q.query_id
+           ORDER BY {duckdb_cosine(a, b)} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q CROSS JOIN dims dd
+  WHERE e.vec_id <> q.query_id
+),
+topk AS (SELECT dims, query_id, vec_id FROM scored WHERE rn <= {ABLATION_K}),
+truth AS (SELECT query_id, vec_id FROM topk WHERE dims = {max(ABLATION_DIMS)}),
+hits AS (
+  SELECT t.dims, COUNT(c.vec_id) AS n_hits
+  FROM topk t JOIN truth c ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+  GROUP BY t.dims
+)
+SELECT CAST(dims AS BIGINT) AS dims,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 10000 // {denom} AS BIGINT) AS recall_bps
+FROM hits ORDER BY dims
+"""
+
+
+@register(
+    "dim_ablation_recall",
+    oracle=_dim_ablation_oracle(),
+    doc=(
+        "Matryoshka-style dimension-ablation recall curve (SURVEY "
+        "§2.F): recall@10 of brute-force search using only the first "
+        "8/16/32/64 dims of each embedding, against the full-width "
+        "ground truth — the measurement that decides whether the ANN "
+        "index can store truncated vectors (MRL, Kusupati et al. "
+        "2022). Re-expresses the reference's pgvector full-width scan "
+        "(src/database.py:168-184) as a width-sweep eval. The 5 query "
+        "vectors and the 4 widths are broadcast (5- and 4-row "
+        "dimension tables); each candidate row is scanned ONCE and "
+        "scored at all widths via a prefix slice of the same array — "
+        "no per-width rescan. The full-width row anchors the gate at "
+        "recall_bps = 10000 by construction; eval harness shape "
+        "(bounded queries x corpus), sample queries at cluster scale."
+    ),
+)
+def dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < ABLATION_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in ABLATION_DIMS])).alias("dims")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+    )
+    scored = pairs.select(
+        "dims",
+        "query_id",
+        "vec_id",
+        cosine_rounded(
+            F.slice("embedding", F.lit(1), F.col("dims")),
+            F.slice("qvec", F.lit(1), F.col("dims")),
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ABLATION_K)
+        .select("dims", "query_id", "vec_id")
+        # truth is a filter of topk: checkpoint the <= |dims|*q*k rows
+        # so the scoring pipeline runs ONCE, not once per branch
+        # (kmeans_codebook convention)
+        .localCheckpoint(eager=True)
+    )
+    truth = topk.where(F.col("dims") == max(ABLATION_DIMS)).select(
+        F.col("query_id").alias("tq"), F.col("vec_id").alias("tv")
+    )
+    hits = (
+        topk.join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+        )
+        .groupBy("dims")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    denom = ABLATION_QUERIES * ABLATION_K
+    return hits.select(
+        F.col("dims").cast("bigint").alias("dims"),
+        "n_hits",
+        F.expr(f"n_hits * 10000 div {denom}").cast("bigint").alias("recall_bps"),
+    ).orderBy("dims")

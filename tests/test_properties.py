@@ -778,3 +778,20 @@ def test_shot_boundaries_duplicate_payloads_collapse(spark):
         .orderBy("n_boundaries")
     )
     assert [tuple(r) for r in res.collect()] == base
+
+
+def test_dim_ablation_full_width_anchor(spark):
+    """The full-width row must equal ground truth by construction
+    (recall_bps == 10000), and every row must satisfy the integer
+    recall identity against the q*k denominator."""
+    from email_etl_spark.plans import search as se
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = {r.dims: r for r in REGISTRY["dim_ablation_recall"].builder(spark, SF_SMOKE).collect()}
+    denom = se.ABLATION_QUERIES * se.ABLATION_K
+    full = max(se.ABLATION_DIMS)
+    assert rows[full].n_hits == denom and rows[full].recall_bps == 10000
+    for r in rows.values():
+        assert r.dims in se.ABLATION_DIMS
+        assert 0 <= r.n_hits <= denom
+        assert r.recall_bps == r.n_hits * 10000 // denom
