@@ -1058,3 +1058,119 @@ def weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LEAK_PFX_TOKS = 16  # same C4-style prefix key as prefix_dup_rate
+
+
+@register(
+    "split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT md5(array_to_string(list_slice(
+           list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           1, {_LEAK_PFX_TOKS}), ' ')) AS fp,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+  FROM documents
+),
+g AS (
+  SELECT fp,
+         SUM(CASE WHEN h < '{_TRAIN_HI}' THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN h >= '{_TRAIN_HI}' AND h < '{_VAL_HI}' THEN 1 ELSE 0 END) AS n_val,
+         SUM(CASE WHEN h >= '{_VAL_HI}' THEN 1 ELSE 0 END) AS n_test
+  FROM d GROUP BY fp
+),
+agg AS (
+  SELECT
+    SUM(n_val) AS val_docs,
+    SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS val_leaked,
+    SUM(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END) AS val_groups,
+    SUM(n_test) AS test_docs,
+    SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS test_leaked,
+    SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS test_groups
+  FROM g
+)
+SELECT * FROM (
+  SELECT 'test' AS split, CAST(test_docs AS BIGINT) AS n_docs,
+         CAST(test_leaked AS BIGINT) AS n_leaked,
+         CAST(test_groups AS BIGINT) AS n_groups_spanning,
+         CAST(CASE WHEN test_docs > 0 THEN test_leaked * 10000 // test_docs ELSE 0 END AS BIGINT) AS leak_bps
+  FROM agg
+  UNION ALL
+  SELECT 'val', CAST(val_docs AS BIGINT), CAST(val_leaked AS BIGINT),
+         CAST(val_groups AS BIGINT),
+         CAST(CASE WHEN val_docs > 0 THEN val_leaked * 10000 // val_docs ELSE 0 END AS BIGINT)
+  FROM agg
+) ORDER BY split
+""",
+    doc=(
+        "Train/eval split-leakage audit (SURVEY §2.E/§2.K): eval docs "
+        "whose 16-token opening prefix also appears in the train split "
+        "— the contamination check a pipeline runs AFTER splitting, "
+        "because hash-random splits scatter near-duplicate groups "
+        "across sides (McCoy et al.; the C4 prefix key reused from "
+        "prefix_dup_rate catches templated openings exact-hash dedup "
+        "misses). One tokenize pass projects a 16-byte prefix key + "
+        "the deterministic split tag (train_val_split's md5, no RNG); "
+        "ONE shuffle on the key builds per-group split counts; the "
+        "report then collapses to a single partial-aggregated row "
+        "exploded into per-eval-split rows — text never shuffles. "
+        "Exact-integer leak bps."
+    ),
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 1, _LEAK_PFX_TOKS)))
+    h = _hash2("split:", F.col("doc_id"))
+    d = docs.select(fp.alias("fp"), h.alias("h"))
+    g = d.groupBy("fp").agg(
+        F.sum(F.when(F.col("h") < _TRAIN_HI, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when((F.col("h") >= _TRAIN_HI) & (F.col("h") < _VAL_HI), 1).otherwise(0)).alias(
+            "n_val"
+        ),
+        F.sum(F.when(F.col("h") >= _VAL_HI, 1).otherwise(0)).alias("n_test"),
+    )
+    agg = g.agg(
+        F.sum("n_val").alias("val_docs"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_val")).otherwise(0)).alias("val_leaked"),
+        F.sum(F.when((F.col("n_train") > 0) & (F.col("n_val") > 0), 1).otherwise(0)).alias(
+            "val_groups"
+        ),
+        F.sum("n_test").alias("test_docs"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_test")).otherwise(0)).alias("test_leaked"),
+        F.sum(F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0)).alias(
+            "test_groups"
+        ),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("test").alias("split"),
+                        F.col("test_docs").cast("bigint").alias("n_docs"),
+                        F.col("test_leaked").cast("bigint").alias("n_leaked"),
+                        F.col("test_groups").cast("bigint").alias("n_groups_spanning"),
+                        F.when(
+                            F.col("test_docs") > 0, F.expr("test_leaked * 10000 div test_docs")
+                        )
+                        .otherwise(0)
+                        .cast("bigint")
+                        .alias("leak_bps"),
+                    ),
+                    F.struct(
+                        F.lit("val").alias("split"),
+                        F.col("val_docs").cast("bigint").alias("n_docs"),
+                        F.col("val_leaked").cast("bigint").alias("n_leaked"),
+                        F.col("val_groups").cast("bigint").alias("n_groups_spanning"),
+                        F.when(F.col("val_docs") > 0, F.expr("val_leaked * 10000 div val_docs"))
+                        .otherwise(0)
+                        .cast("bigint")
+                        .alias("leak_bps"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("split")
+    )

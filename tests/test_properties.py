@@ -795,3 +795,21 @@ def test_dim_ablation_full_width_anchor(spark):
         assert r.dims in se.ABLATION_DIMS
         assert 0 <= r.n_hits <= denom
         assert r.recall_bps == r.n_hits * 10000 // denom
+
+
+def test_split_leakage_reconciles_with_split_sizes(spark):
+    """Leakage can never exceed the split population, the bps identity
+    must hold, and n_docs must equal train_val_split's own counts for
+    the same deterministic assignment."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = {r.split: r for r in REGISTRY["split_leakage"].builder(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"val", "test"}
+    sizes = {
+        r.split: r.n_docs for r in REGISTRY["train_val_split"].builder(spark, SF_SMOKE).collect()
+    }
+    for name, r in rows.items():
+        assert r.n_docs == sizes[name]
+        assert 0 <= r.n_leaked <= r.n_docs
+        assert 0 <= r.n_groups_spanning <= r.n_leaked or r.n_leaked == 0
+        assert r.leak_bps == (r.n_leaked * 10000 // r.n_docs if r.n_docs else 0)
