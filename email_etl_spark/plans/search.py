@@ -4794,3 +4794,69 @@ def dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr(f"n_hits * 10000 div {denom}").cast("bigint").alias("recall_bps"),
     ).orderBy("dims")
+
+
+AC_MAX_PLEN = 3
+AC_TOPK = 3
+
+
+@register(
+    "query_autocomplete",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+p AS (
+  SELECT v.plen, substr(c.term, 1, v.plen) AS prefix, c.term, c.n
+  FROM c CROSS JOIN (VALUES (1),(2),(3)) v(plen)
+  WHERE length(c.term) > v.plen
+),
+r AS (
+  SELECT plen, prefix, term, n,
+         ROW_NUMBER() OVER (PARTITION BY plen, prefix ORDER BY n DESC, term) AS rank
+  FROM p
+)
+SELECT CAST(plen AS BIGINT) AS plen, prefix, CAST(rank AS BIGINT) AS rank, term,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= {AC_TOPK} ORDER BY plen, prefix, rank
+""",
+    doc=(
+        "Prefix -> top-3 completion table for search-box typeahead "
+        "(SURVEY §2.C — the suggest surface next to the reference's "
+        "search endpoints, src/api/server.py:118-507). The corpus is "
+        "touched ONCE (tokenize + term-count shuffle); prefix "
+        "generation, ranking and the suggest table itself are all "
+        "vocabulary-sized (the 3-row prefix-length table is broadcast "
+        "into the expansion, deterministic frequency-then-lexical "
+        "tie-break). At cluster scale the vocab table is the thing "
+        "you persist: rebuild per corpus snapshot, serve from the "
+        "sorted (plen, prefix, rank) layout this query emits."
+    ),
+)
+def query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    c = t.groupBy("term").agg(F.count("*").alias("n"))
+    plens = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, AC_MAX_PLEN + 1)])).alias("plen")
+    )
+    p = (
+        c.crossJoin(F.broadcast(plens))
+        .where(F.length("term") > F.col("plen"))
+        .select("plen", F.expr("substr(term, 1, plen)").alias("prefix"), "term", "n")
+    )
+    w = Window.partitionBy("plen", "prefix").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= AC_TOPK)
+        .select(
+            F.col("plen").cast("bigint").alias("plen"),
+            "prefix",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("plen", "prefix", "rank")
+    )

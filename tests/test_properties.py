@@ -813,3 +813,33 @@ def test_split_leakage_reconciles_with_split_sizes(spark):
         assert 0 <= r.n_leaked <= r.n_docs
         assert 0 <= r.n_groups_spanning <= r.n_leaked or r.n_leaked == 0
         assert r.leak_bps == (r.n_leaked * 10000 // r.n_docs if r.n_docs else 0)
+
+
+def test_query_autocomplete_prefix_and_rank_laws(spark):
+    """Every suggestion extends its prefix, ranks are dense from 1
+    with frequencies non-increasing within a prefix, and counts agree
+    with an independent term count."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.functions.text import tokens
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["query_autocomplete"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = dict(
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    by_prefix: dict = {}
+    for r in rows:
+        assert len(r.prefix) == r.plen
+        assert r.term.startswith(r.prefix) and len(r.term) > r.plen
+        assert counts[r.term] == r.n
+        by_prefix.setdefault((r.plen, r.prefix), []).append(r)
+    for grp in by_prefix.values():
+        grp.sort(key=lambda r: r.rank)
+        assert [g.rank for g in grp] == list(range(1, len(grp) + 1))
+        ns = [g.n for g in grp]
+        assert ns == sorted(ns, reverse=True)
