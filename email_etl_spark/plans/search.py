@@ -4860,3 +4860,93 @@ def query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plen", "prefix", "rank")
     )
+
+
+SNIPPET_WIN = 8  # tokens per highlight window
+SNIPPET_DOCS = 10
+
+
+@register(
+    "search_snippets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, u.i,
+         CASE WHEN toks[u.i] IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)}) THEN 1 ELSE 0 END AS hit
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+scored AS (
+  SELECT doc_id, toks, i,
+         SUM(hit) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {SNIPPET_WIN - 1} FOLLOWING) AS wscore,
+         SUM(hit) OVER (PARTITION BY doc_id) AS total_hits
+  FROM pos
+),
+best AS (
+  SELECT doc_id, toks, i, wscore, total_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wscore DESC, i) AS rn
+  FROM scored
+),
+top_docs AS (
+  SELECT doc_id, toks, i, wscore, total_hits,
+         ROW_NUMBER() OVER (ORDER BY total_hits DESC, doc_id) AS drank
+  FROM best WHERE rn = 1 AND total_hits > 0
+)
+SELECT CAST(drank AS BIGINT) AS drank, doc_id,
+       CAST(total_hits AS BIGINT) AS total_hits,
+       CAST(wscore AS BIGINT) AS window_hits,
+       array_to_string(toks[i:i + {SNIPPET_WIN - 1}], ' ') AS snippet
+FROM top_docs WHERE drank <= {SNIPPET_DOCS} ORDER BY drank
+""",
+    doc=(
+        "Result-snippet extraction (Postgres ts_headline analog — the "
+        "reference renders search hits through FTS, "
+        "scripts/init_db.sql:59-67): for the top-10 docs by query-term "
+        "hits, the 8-token window with the most hits (earliest on "
+        "ties) becomes the highlight snippet. One tokenize+posexplode "
+        "pass; per-doc sliding-window scoring and best-window pick "
+        "share ONE doc-partitioned sort; doc ranking is a distributed "
+        "top-k (TakeOrderedAndProject) — the global row_number runs "
+        "on the 10 survivors only, never the corpus."
+    ),
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pos = t.select("doc_id", "toks", F.posexplode("toks").alias("p", "tok")).select(
+        "doc_id",
+        "toks",
+        (F.col("p") + 1).alias("i"),
+        F.when(F.col("tok").isin(*QUERY_TERMS), 1).otherwise(0).alias("hit"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, SNIPPET_WIN - 1)
+    wt = Window.partitionBy("doc_id")
+    scored = pos.select(
+        "doc_id",
+        "toks",
+        "i",
+        F.sum("hit").over(wd).alias("wscore"),
+        F.sum("hit").over(wt).alias("total_hits"),
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("wscore"), F.asc("i"))
+    best = scored.withColumn("rn", F.row_number().over(wb)).where(
+        (F.col("rn") == 1) & (F.col("total_hits") > 0)
+    )
+    # distributed top-k first; the unpartitioned rank window then only
+    # ever sees SNIPPET_DOCS rows
+    top = best.orderBy(F.desc("total_hits"), F.asc("doc_id")).limit(SNIPPET_DOCS)
+    wr = Window.orderBy(F.desc("total_hits"), F.asc("doc_id"))
+    return (
+        top.withColumn("drank", F.row_number().over(wr))
+        .select(
+            F.col("drank").cast("bigint").alias("drank"),
+            "doc_id",
+            F.col("total_hits").cast("bigint").alias("total_hits"),
+            F.col("wscore").cast("bigint").alias("window_hits"),
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(SNIPPET_WIN))).alias("snippet"),
+        )
+        .orderBy("drank")
+    )

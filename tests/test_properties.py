@@ -843,3 +843,23 @@ def test_query_autocomplete_prefix_and_rank_laws(spark):
         assert [g.rank for g in grp] == list(range(1, len(grp) + 1))
         ns = [g.n for g in grp]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_search_snippets_window_laws(spark):
+    """Each snippet must contain at least one query term, window_hits
+    can't exceed min(total_hits, window size), ranks are dense, and
+    doc ordering is by total hits then doc_id."""
+    from email_etl_spark.plans import search as se
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["search_snippets"].builder(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= se.SNIPPET_DOCS
+    assert [r.drank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r.total_hits, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        toks = r.snippet.split(" ")
+        assert len(toks) <= se.SNIPPET_WIN
+        n_hits_in_snippet = sum(1 for t in toks if t in se.QUERY_TERMS)
+        assert n_hits_in_snippet == r.window_hits >= 1
+        assert r.window_hits <= r.total_hits
