@@ -430,3 +430,60 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "risk_bucket")
     )
+
+
+RETENTION_DAYS = 14
+
+
+@register(
+    "retention_purge_audit",
+    oracle=f"""
+WITH m AS (SELECT MAX(ts) - INTERVAL {RETENTION_DAYS} DAY AS horizon FROM events),
+e AS (
+  SELECT event_type,
+         CASE WHEN ts < m.horizon THEN 1 ELSE 0 END AS expired,
+         length(props) AS sz
+  FROM events CROSS JOIN m
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(expired) AS BIGINT) AS n_expired,
+       CAST(SUM(expired) * 10000 // COUNT(*) AS BIGINT) AS expired_bps,
+       CAST(COALESCE(SUM(CASE WHEN expired = 1 THEN sz END), 0) AS BIGINT) AS purge_chars
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Retention-policy purge audit (SURVEY §2.K): what a "
+        f"{RETENTION_DAYS}-day TTL would delete, per event type — row "
+        "counts, share in exact bps, and payload chars to reclaim "
+        "(the sizing pass a timeseries store runs before enabling a "
+        "drop-chunk retention job; horizon = corpus max(ts) minus the "
+        "policy window, a dataset-derived watermark, so the audit is "
+        "deterministic and engine-reproducible — no wall clock). The "
+        "1-row horizon broadcast joins into the scan; one partial-"
+        "aggregated rollup, no second pass. At cluster scale the "
+        "ts predicate is the partition-pruning key: the same horizon "
+        "turns into dropped date partitions, and this report prices "
+        "that drop before it runs."
+    ),
+)
+def retention_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.expr(f"max(ts) - INTERVAL {RETENTION_DAYS} DAYS").alias("horizon"))
+    e = ev.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.when(F.col("ts") < F.col("horizon"), 1).otherwise(0).alias("expired"),
+        F.length("props").alias("sz"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum("expired").cast("bigint").alias("n_expired"),
+            F.expr("sum(expired) * 10000 div count(*)").cast("bigint").alias("expired_bps"),
+            F.coalesce(F.sum(F.when(F.col("expired") == 1, F.col("sz"))), F.lit(0))
+            .cast("bigint")
+            .alias("purge_chars"),
+        )
+        .orderBy("event_type")
+    )

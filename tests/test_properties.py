@@ -863,3 +863,34 @@ def test_search_snippets_window_laws(spark):
         n_hits_in_snippet = sum(1 for t in toks if t in se.QUERY_TERMS)
         assert n_hits_in_snippet == r.window_hits >= 1
         assert r.window_hits <= r.total_hits
+
+
+def test_retention_purge_audit_reconciles(spark):
+    """Totals must equal the raw type counts, expired counts respect
+    the horizon recomputed independently, and bps identities hold."""
+    import datetime as dt
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans import governance as gov
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["retention_purge_audit"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(days=gov.RETENTION_DAYS)
+    expected = {
+        r.event_type: (r.n, r.e)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("ts") < F.lit(horizon), 1).otherwise(0)).alias("e"),
+        )
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(expected)
+    for r in rows:
+        n, e = expected[r.event_type]
+        assert (r.n_total, r.n_expired) == (n, e)
+        assert r.expired_bps == r.n_expired * 10000 // r.n_total
+        assert (r.purge_chars == 0) == (r.n_expired == 0)
