@@ -8,7 +8,7 @@ embarrassingly and push column pruning into the parquet reader.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from email_etl_spark.functions import text as T
@@ -2322,4 +2322,82 @@ def readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("easy_share_bps"),
         )
         .orderBy("lang", "source")
+    )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "doc_keywords",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf, score
+FROM r WHERE rank <= {KEYWORDS_PER_DOC} ORDER BY doc_id, rank
+""",
+    doc=(
+        "Per-document TF-IDF keyword extraction (SURVEY §2.D — the "
+        "auto-tagging surface next to categorize_docs; the reference "
+        "tags emails via LLM, src/llm_integration.py:94-150 — this is "
+        "the deterministic lexical analog): top-3 terms per doc by "
+        "tf x ln(N/df), rounded score then lexical tie-break (the "
+        "tfidf_search float convention). One tokenize+count shuffle "
+        "builds the (doc, term, tf) table; df and N are vocabulary-"
+        "sized broadcasts joined back onto it; the per-doc rank "
+        "window is the only other corpus-sized sort. Keywords stream "
+        "out per doc — the persisted tag table a search/labeling "
+        "service reads."
+    ),
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    # materialize the postings table once: both df (its term rollup)
+    # and the scoring join read it, and without this the tokenize +
+    # count pipeline builds twice (the dup_graph_degrees lesson). At
+    # cluster scale this is the persisted inverted (doc, term, tf)
+    # table every downstream reader shares.
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=True)
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    s = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+        )
+        .orderBy("doc_id", "rank")
     )

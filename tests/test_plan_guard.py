@@ -145,6 +145,11 @@ _BNL_JUSTIFIED = {
     "segment_flow", "text_drift", "text_index_stats", "tfidf_search",
     "topic_coherence", "unigram_logprob", "value_ks_drift",
     "zorder_layout",
+    # broadcast 1-row aggregate / constant dimension table (≤4 rows)
+    "retention_purge_audit",  # 1-row retention horizon
+    "doc_keywords",  # 1-row corpus doc count (idf denominator)
+    "query_autocomplete",  # 3-row prefix-length table
+    "dim_ablation_recall",  # 4-row width table + 5-row query batch
 }
 
 

@@ -894,3 +894,41 @@ def test_retention_purge_audit_reconciles(spark):
         assert (r.n_total, r.n_expired) == (n, e)
         assert r.expired_bps == r.n_expired * 10000 // r.n_total
         assert (r.purge_chars == 0) == (r.n_expired == 0)
+
+
+def test_doc_keywords_tfidf_laws(spark):
+    """Every doc gets at most 3 dense-ranked keywords whose tf matches
+    an independent count and whose scores are non-increasing; a term
+    present in every doc (idf 0) can never outrank a positive score."""
+    import math
+    from collections import Counter
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["doc_keywords"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    import re as _re
+
+    tok = lambda s: [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+    n_docs = len(docs)
+    df = Counter()
+    for txt in docs.values():
+        df.update(set(tok(txt)))
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, grp in by_doc.items():
+        grp.sort(key=lambda r: r.rank)
+        assert [g.rank for g in grp] == list(range(1, len(grp) + 1))
+        counts = Counter(tok(docs[doc_id]))
+        scores = []
+        for g in grp:
+            assert counts[g.term] == g.tf
+            expect = round(g.tf * math.log(n_docs / df[g.term]), 4)
+            assert abs(expect - g.score) < 1e-9
+            scores.append(g.score)
+        assert scores == sorted(scores, reverse=True)
