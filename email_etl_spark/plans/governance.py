@@ -487,3 +487,68 @@ def retention_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# candidate functional dependencies over the corpus schema: two hold
+# by key uniqueness, the rest measure approximate-FD violation rates
+FD_PAIRS = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_pair_sql(tbl: str, a: str, b: str) -> str:
+    return f"""
+SELECT '{tbl}.{a} -> {b}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS violation_bps,
+       CAST(CASE WHEN SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+FROM (SELECT {a}, COUNT(DISTINCT {b}) AS nb FROM {tbl} GROUP BY {a})"""
+
+
+@register(
+    "fd_profile",
+    oracle="\nUNION ALL".join(_fd_pair_sql(*p) for p in FD_PAIRS) + "\nORDER BY fd",
+    doc=(
+        "Approximate functional-dependency profile (SURVEY §2.K — "
+        "Metanome-style schema profiling, Papenbrock et al. 2015): "
+        "for each candidate A -> B, the count of A-groups, groups "
+        "with more than one distinct B (violations), exact-bps "
+        "violation rate, and whether the FD holds exactly. Key-backed "
+        "FDs (o_orderkey, doc_id) hold by uniqueness; the rest price "
+        "how far the denormalized columns are from dependency. Each "
+        "pair is one 2-column projected scan with a map-side-combined "
+        "distinct-count (the scan reads ONLY the pair), collapsed to "
+        "a 1-row report; the result is a fixed-8-row union. At "
+        "cluster scale add pairs freely — each costs one pruned "
+        "column-pair aggregation, no joins."
+    ),
+)
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for tbl, a, b in FD_PAIRS:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(a).agg(F.countDistinct(b).alias("nb"))
+        viol = F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+        parts.append(
+            g.agg(
+                F.lit(f"{tbl}.{a} -> {b}").alias("fd"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                viol.cast("bigint").alias("n_violating"),
+                F.expr("sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) * 10000 div count(*)")
+                .cast("bigint")
+                .alias("violation_bps"),
+                F.when(viol == 0, 1).otherwise(0).cast("bigint").alias("fd_holds"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionAll(p)
+    return res.orderBy("fd")

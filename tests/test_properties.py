@@ -932,3 +932,19 @@ def test_doc_keywords_tfidf_laws(spark):
             assert abs(expect - g.score) < 1e-9
             scores.append(g.score)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_fd_profile_key_backed_fds_hold(spark):
+    """FDs whose determinant is a table key must hold exactly; every
+    row must satisfy the violation-rate identities."""
+    from email_etl_spark.plans import governance as gov
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = {r.fd: r for r in REGISTRY["fd_profile"].builder(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(gov.FD_PAIRS)
+    for key_fd in ("orders.o_orderkey -> o_orderstatus", "documents.doc_id -> lang"):
+        assert rows[key_fd].fd_holds == 1 and rows[key_fd].n_violating == 0
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_groups
+        assert r.violation_bps == r.n_violating * 10000 // r.n_groups
+        assert r.fd_holds == (1 if r.n_violating == 0 else 0)
