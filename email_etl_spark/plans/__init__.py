@@ -38,6 +38,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "ref_integrity_profile",
     "fd_profile",
     "doc_keywords",
     "retention_purge_audit",

@@ -552,3 +552,67 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionAll(p)
     return res.orderBy("fd")
+
+
+# candidate inclusion dependencies (FK edges): five hold; the
+# documents -> embeddings edge genuinely fails above sf0.01 (docs
+# without embedding rows), so the audit carries live signal
+IND_PAIRS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("documents", "doc_id", "embeddings", "vec_id"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+)
+
+
+def _ind_pair_sql(ct: str, ck: str, pt: str, pk: str) -> str:
+    orph = f"SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)"
+    return f"""
+SELECT '{ct}.{ck} <= {pt}.{pk}' AS ind,
+       CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+       CAST({orph} AS BIGINT) AS n_orphans,
+       CAST({orph} * 10000 // COUNT(*) AS BIGINT) AS orphan_bps,
+       CAST(CASE WHEN {orph} = 0 THEN 1 ELSE 0 END AS BIGINT) AS ind_holds
+FROM (SELECT DISTINCT {ck} FROM {ct}) c LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p ON c.{ck} = p.{pk}"""
+
+
+@register(
+    "ref_integrity_profile",
+    oracle="\nUNION ALL".join(_ind_pair_sql(*p) for p in IND_PAIRS) + "\nORDER BY ind",
+    doc=(
+        "Referential-integrity / inclusion-dependency audit (SURVEY "
+        "§2.K — the IND half of schema profiling next to fd_profile; "
+        "generalizes missing_embeddings from one listing to a 6-edge "
+        "scorecard): per candidate FK edge, distinct child keys, "
+        "orphans (child keys absent from the parent), exact-bps "
+        "orphan rate, and an exact-holds flag. Each edge is two "
+        "key-only distinct projections + one left join (AQE picks "
+        "broadcast for dimension-sized parents, sort-merge for "
+        "key-to-key edges) collapsed to a 1-row report; the docs -> "
+        "embeddings edge fails with live orphan counts at sf0.1."
+    ),
+)
+def ref_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for ct, ck, pt, pk in IND_PAIRS:
+        c = load_table(spark, sf_dir, ct).select(ck).distinct()
+        p = load_table(spark, sf_dir, pt).select(pk).distinct()
+        j = c.join(p, c[ck] == p[pk], "left")
+        orph = F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+        parts.append(
+            j.agg(
+                F.lit(f"{ct}.{ck} <= {pt}.{pk}").alias("ind"),
+                F.count("*").cast("bigint").alias("n_child_keys"),
+                orph.cast("bigint").alias("n_orphans"),
+                F.expr(f"sum(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) * 10000 div count(*)")
+                .cast("bigint")
+                .alias("orphan_bps"),
+                F.when(orph == 0, 1).otherwise(0).cast("bigint").alias("ind_holds"),
+            )
+        )
+    res = parts[0]
+    for p2 in parts[1:]:
+        res = res.unionAll(p2)
+    return res.orderBy("ind")

@@ -948,3 +948,25 @@ def test_fd_profile_key_backed_fds_hold(spark):
         assert 0 <= r.n_violating <= r.n_groups
         assert r.violation_bps == r.n_violating * 10000 // r.n_groups
         assert r.fd_holds == (1 if r.n_violating == 0 else 0)
+
+
+def test_ref_integrity_profile_edges(spark):
+    """Key-backed edges must hold; the documents -> embeddings edge
+    must reconcile exactly with the missing_embeddings anti-join; and
+    bps identities hold on every row."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = {r.ind: r for r in REGISTRY["ref_integrity_profile"].builder(spark, SF_SMOKE).collect()}
+    for holds in (
+        "lineitem.l_orderkey <= orders.o_orderkey",
+        "orders.o_custkey <= customer.c_custkey",
+        "customer.c_nationkey <= nation.n_nationkey",
+    ):
+        assert rows[holds].ind_holds == 1 and rows[holds].n_orphans == 0
+    n_missing = REGISTRY["missing_embeddings"].builder(spark, SF_SMOKE).count()
+    doc_edge = rows["documents.doc_id <= embeddings.vec_id"]
+    assert doc_edge.n_orphans == n_missing
+    for r in rows.values():
+        assert 0 <= r.n_orphans <= r.n_child_keys
+        assert r.orphan_bps == r.n_orphans * 10000 // r.n_child_keys
+        assert r.ind_holds == (1 if r.n_orphans == 0 else 0)
