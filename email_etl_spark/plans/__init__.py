@@ -16,6 +16,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     sessions,
     temporal,
     text,
+    timeseries,
 )
 from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, query_map
 
@@ -38,6 +39,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "acf_daily",
+    "cusum_changepoint",
+    "ewma_anomaly",
     "ref_integrity_profile",
     "fd_profile",
     "doc_keywords",

@@ -1,0 +1,252 @@
+"""Time-series diagnostics over the daily ingest-volume series
+(SURVEY.md §2.H extensions): autocorrelation (weekly rhythm check),
+CUSUM change-point scan (did the crawl mix shift?), and EWMA anomaly
+flags (the batch twin of an ops alert). The reference keeps a
+processing audit trail and reports per-run volumes
+(src/database.py:214-258, get_statistics); these operators are the
+monitoring layer a 100 TB ingest pipeline runs over that same trail.
+
+Scale shape shared by all three: the event stream collapses to ONE
+daily-count aggregate (map-side combined, one shuffle on the day key);
+every subsequent window runs over the tiny daily table (bounded by
+calendar days, thousands of rows at any corpus size), so the
+single-partition ORDER BY d windows are O(days), never O(events).
+
+Determinism: all statistics are computed in pure integer arithmetic —
+centered terms are scaled by the day count (c_t = n_t*N - S avoids
+the fractional mean), EWMA weights are the exact integers 3^j*4^(7-j)
+(alpha = 1/4 over an 8-day finite window), and every ratio is either
+an integer `div` or a single ROUND(int/int, 6) — so distributed sums
+can never diverge from the single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from email_etl_spark.io import load_table
+from email_etl_spark.plans.registry import register
+
+ACF_MAX_LAG = 7
+
+_DAILY_SQL = """
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+st AS (SELECT COUNT(*) AS nd, SUM(n) AS s FROM daily),
+c AS (
+  SELECT d, n, n * st.nd - st.s AS ct FROM daily CROSS JOIN st
+)"""
+
+
+def _daily_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n, ct) with ct = n*N - S: the mean-centered daily count
+    scaled to stay integer (N = #days, S = total events)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    st = daily.agg(F.count("*").alias("nd"), F.sum("n").alias("s"))
+    return daily.crossJoin(F.broadcast(st)).select(
+        "d", "n", "nd", "s", (F.col("n") * F.col("nd") - F.col("s")).alias("ct")
+    )
+
+
+def _acf_oracle() -> str:
+    # centered terms go through DECIMAL(19,0)->(38,0) products so the
+    # integer path cannot overflow even at planetary event volumes
+    leads = ", ".join(
+        f"LEAD(ctd, {k}) OVER (ORDER BY d) AS l{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, ctd * l{k} AS prod, l{k} IS NOT NULL AS ok FROM w"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH {_DAILY_SQL},
+cd AS (SELECT d, CAST(ct AS DECIMAL(19,0)) AS ctd FROM c),
+w AS (SELECT d, ctd, {leads} FROM cd),
+den AS (SELECT SUM(ctd * ctd) AS dd FROM cd),
+arms AS ({arms})
+SELECT CAST(lag AS INT) AS lag,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CASE WHEN dd = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(CASE WHEN ok THEN prod ELSE 0.0 END) AS DOUBLE)
+                       / CAST(dd AS DOUBLE), 6)
+       END AS acf
+FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
+"""
+
+
+@register(
+    "acf_daily",
+    oracle=_acf_oracle(),
+    doc=(
+        "Autocorrelation of the daily event-count series at lags 1..7 "
+        "— the weekly-rhythm diagnostic (a healthy product stream "
+        "shows an acf peak at lag 7; a flat acf means the volume is "
+        "noise). Numerator and denominator are pure-integer sums of "
+        "scaled centered counts (c_t = n_t*N - S), so the statistic "
+        "is exact until the single final ROUND(int/int, 6). One "
+        "event-stream aggregate, then 7 LEADs in one O(days) window "
+        "pass and a posexplode per-lag rollup (SURVEY §2.H)."
+    ),
+)
+def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _daily_centered(spark, sf_dir).select(
+        "d", F.col("ct").cast("decimal(19,0)").alias("ctd")
+    )
+    w = Window.orderBy("d")
+    leads = [F.lead("ctd", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    wd = c.select("d", "ctd", *leads)
+    den = c.agg(F.sum(F.col("ctd") * F.col("ctd")).alias("dd"))
+    arms = wd.select(
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    (F.col("ctd") * F.col(f"l{k}")).alias("prod"),
+                    F.col(f"l{k}").isNotNull().alias("ok"),
+                )
+                for k in range(1, ACF_MAX_LAG + 1)
+            ])
+        ).alias("pos", "a")
+    ).select((F.col("pos") + 1).alias("lag"), "a.prod", "a.ok")
+    return (
+        arms.groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("ok"), F.col("prod")).otherwise(0)).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.when(F.col("dd") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("num").cast("double") / F.col("dd").cast("double"), 6)
+            )
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+CUSUM_TOP = 5
+
+
+@register(
+    "cusum_changepoint",
+    oracle=f"""
+WITH {_DAILY_SQL},
+s AS (
+  SELECT d, n, ct,
+         SUM(ct) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cusum,
+         st2.nd * st2.s AS scale
+  FROM c CROSS JOIN st st2
+)
+SELECT d, n, CAST(cusum AS BIGINT) AS cusum,
+       CAST(ABS(cusum) // GREATEST(1, scale // 10000) AS BIGINT) AS share_bps
+FROM s ORDER BY ABS(cusum) DESC, d LIMIT {CUSUM_TOP}
+""",
+    doc=(
+        "CUSUM change-point scan over the daily event-count series: "
+        "the running sum of scaled centered counts peaks (in absolute "
+        "value) at the most likely mean-shift day — the 'did the "
+        "crawl mix change here?' diagnostic. Integer cumulative sums "
+        "(no fractional mean: c_t = n_t*N - S), normalized to basis "
+        "points of the N*S worst case by pre-scaled integer div "
+        "(divisor div 10000 first, so no intermediate exceeds the "
+        "N*S bigint bound). One event "
+        "aggregate + one O(days) running-sum window + a top-5 "
+        "TakeOrderedAndProject (SURVEY §2.H)."
+    ),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _daily_centered(spark, sf_dir)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = c.select(
+        "d",
+        "n",
+        F.sum("ct").over(w).alias("cusum"),
+        (F.col("nd") * F.col("s")).alias("scale"),
+    )
+    return (
+        s.select(
+            "d",
+            "n",
+            F.col("cusum").cast("bigint").alias("cusum"),
+            F.expr("abs(cusum) div greatest(1L, scale div 10000)")
+            .cast("bigint")
+            .alias("share_bps"),
+        )
+        .orderBy(F.abs(F.col("cusum")).desc(), "d")
+        .limit(CUSUM_TOP)
+    )
+
+
+# EWMA with alpha=1/4 over the trailing 8 days (excluding today), as
+# exact integer weights: w_j = 3^(j-1) * 4^(8-j) for lag j=1..8,
+# sum(w) = 4^8 - 3^8 = 58975. A day is a spike when today's count
+# exceeds 2x the smoothed baseline (n*den > 2*ewma), a drop when it
+# falls below half (2*n*den < ewma).
+EWMA_W = [3 ** (j - 1) * 4 ** (8 - j) for j in range(1, 9)]
+EWMA_DEN = sum(EWMA_W)  # 58975
+
+
+@register(
+    "ewma_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d, n,
+         {" + ".join(f"LAG(n, {j}) OVER (ORDER BY d) * {EWMA_W[j - 1]}" for j in range(1, 9))} AS ew,
+         LAG(n, 8) OVER (ORDER BY d) AS l8
+  FROM daily
+)
+SELECT d, n,
+       CAST(ew // {EWMA_DEN} AS BIGINT) AS baseline,
+       CASE WHEN n * {EWMA_DEN} > 2 * ew THEN 'spike'
+            WHEN 2 * n * {EWMA_DEN} < ew THEN 'drop'
+            ELSE 'normal' END AS status
+FROM w WHERE l8 IS NOT NULL ORDER BY d
+""",
+    doc=(
+        "EWMA anomaly flags over the daily event-count series "
+        "(alpha=1/4, 8-day finite window, excluding the current day): "
+        "each day's count is compared against its exponentially "
+        "smoothed trailing baseline — >2x = spike, <0.5x = drop. The "
+        "8 EWMA weights are the exact integers 3^(j-1)*4^(8-j) "
+        "(den = 4^8-3^8 = 58975), so baseline and both thresholds are "
+        "pure integer arithmetic — no float recursion, no rounding "
+        "edge. One event aggregate + 8 LAGs in one O(days) window "
+        "pass; the streaming twin carries the same 8-value state "
+        "(SURVEY §2.H)."
+    ),
+)
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.orderBy("d")
+    ew = None
+    for j in range(1, 9):
+        term = F.lag("n", j).over(w) * F.lit(EWMA_W[j - 1])
+        ew = term if ew is None else ew + term
+    wd = daily.select(
+        "d", "n", ew.alias("ew"), F.lag("n", 8).over(w).alias("l8")
+    ).where(F.col("l8").isNotNull())
+    return wd.select(
+        "d",
+        "n",
+        F.expr(f"ew div {EWMA_DEN}").cast("bigint").alias("baseline"),
+        F.when(F.col("n") * EWMA_DEN > 2 * F.col("ew"), "spike")
+        .when(2 * F.col("n") * EWMA_DEN < F.col("ew"), "drop")
+        .otherwise("normal")
+        .alias("status"),
+    ).orderBy("d")
