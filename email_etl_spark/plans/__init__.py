@@ -7,6 +7,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     curation,
     dedup,
     governance,
+    lexical,
     llm,
     multimodal,
     patterns,
@@ -39,6 +40,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "spell_suggest",
+    "phrase_search",
+    "facet_counts",
     "acf_daily",
     "cusum_changepoint",
     "ewma_anomaly",
