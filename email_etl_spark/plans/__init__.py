@@ -40,6 +40,8 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "l_diversity_profile",
+    "column_entropy_profile",
     "spell_suggest",
     "phrase_search",
     "facet_counts",

@@ -616,3 +616,202 @@ def ref_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p2 in parts[1:]:
         res = res.unionAll(p2)
     return res.orderBy("ind")
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_profile — sensitive-attribute diversity within QI classes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l_diversity_profile",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(FLOOR(value) AS BIGINT) AS vbin,
+         COUNT(*) AS s,
+         COUNT(DISTINCT user_id) AS l
+  FROM events GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN l = 1 THEN 'l=1'
+              WHEN l < 5 THEN 'l=2-4'
+              WHEN l < 10 THEN 'l=5-9'
+              ELSE 'l>=10' END AS div_bucket,
+         s
+  FROM g
+)
+SELECT event_type, div_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(s) AS BIGINT) AS n_rows
+FROM b GROUP BY event_type, div_bucket
+ORDER BY event_type, div_bucket
+""",
+    doc=(
+        "l-diversity profile over the same quasi-identifier as "
+        "k_anonymity_profile (event_type, hour, integer value bin), "
+        "with user_id as the sensitive attribute: a class can be "
+        "k-anonymous yet leak its sensitive value when every row "
+        "belongs to ONE user (l=1 = homogeneity attack); the release "
+        "gate reads both profiles together. One QI rollup with a "
+        "distinct-count (shuffles only distinct (QI, user) pairs — "
+        "bounded by the QI domain x active users, not row count) plus "
+        "a tiny bucket rollup; no windows, no joins (SURVEY §2.L)."
+    ),
+)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hh"),
+            F.floor("value").cast("bigint").alias("vbin"),
+            "user_id",
+        )
+        .groupBy("event_type", "hh", "vbin")
+        .agg(F.count("*").alias("s"), F.countDistinct("user_id").alias("l"))
+    )
+    bucket = (
+        F.when(F.col("l") == 1, "l=1")
+        .when(F.col("l") < 5, "l=2-4")
+        .when(F.col("l") < 10, "l=5-9")
+        .otherwise("l>=10")
+    )
+    return (
+        g.select("event_type", bucket.alias("div_bucket"), "s")
+        .groupBy("event_type", "div_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("s").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("event_type", "div_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# column_entropy_profile — per-column value-distribution health.
+# ---------------------------------------------------------------------------
+
+# (table, [categorical columns]) melted per table in one scan each
+_ENTROPY_COLS = (
+    ("documents", ("lang", "source")),
+    ("events", ("event_type",)),
+    ("orders", ("o_orderstatus", "o_orderpriority")),
+    ("customer", ("c_mktsegment",)),
+)
+
+
+def _col_entropy_oracle() -> str:
+    melts = []
+    for table, cols in _ENTROPY_COLS:
+        for c in cols:
+            melts.append(
+                f"SELECT '{table}' AS table_name, '{c}' AS column_name, "
+                f"CAST({c} AS VARCHAR) AS val FROM {table}"
+            )
+    melted = "\n  UNION ALL ".join(melts)
+    return f"""
+WITH m AS ({melted}),
+c AS (
+  SELECT table_name, column_name, val, COUNT(*) AS n
+  FROM m GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT table_name, column_name, SUM(n) AS total, COUNT(*) AS n_distinct,
+         MAX(n) AS top_n
+  FROM c GROUP BY 1, 2
+),
+h AS (
+  SELECT c.table_name, c.column_name,
+         SUM(CAST(ROUND(-CAST(c.n AS DOUBLE) / t.total
+                        * ln(CAST(c.n AS DOUBLE) / t.total), 9)
+             AS DECIMAL(18,9))) AS hsum
+  FROM c JOIN t USING (table_name, column_name)
+  GROUP BY 1, 2
+)
+SELECT t.table_name, t.column_name,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       CAST(t.total AS BIGINT) AS n_rows,
+       ROUND(CAST(h.hsum AS DOUBLE), 4) AS entropy,
+       CAST(t.top_n * 10000 // t.total AS BIGINT) AS top_share_bps
+FROM t JOIN h USING (table_name, column_name)
+ORDER BY table_name, column_name
+"""
+
+
+@register(
+    "column_entropy_profile",
+    oracle=_col_entropy_oracle(),
+    doc=(
+        "Per-column value-distribution health across every categorical "
+        "column in the warehouse (Shannon entropy, distinct count, "
+        "top-value share): near-zero entropy flags a column collapsed "
+        "to one value (broken upstream extract), entropy near "
+        "ln(n_distinct) flags uniform synthetic fill — the profiling "
+        "companion to fd_profile/table_profile a 100 TB ingest runs "
+        "after each snapshot. Each table is scanned ONCE and melted "
+        "JVM-side (explode of (column, value) structs — no per-column "
+        "rescans); value counts shuffle only distinct values, entropy "
+        "terms pre-round to DECIMAL(18,9) (user_entropy convention) so "
+        "the distributed sum is order-insensitive (SURVEY §2.L)."
+    ),
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for table, cols in _ENTROPY_COLS:
+        df = load_table(spark, sf_dir, table)
+        melted = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ])
+            ).alias("kv")
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.col("kv.column_name").alias("column_name"),
+            F.col("kv.val").alias("val"),
+        )
+        parts.append(melted)
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionAll(p)
+    c = m.groupBy("table_name", "column_name", "val").agg(F.count("*").alias("n"))
+    t = c.groupBy("table_name", "column_name").agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+    h = (
+        c.join(t.select("table_name", "column_name", "total"), ["table_name", "column_name"])
+        .select(
+            "table_name",
+            "column_name",
+            F.round(
+                -F.col("n").cast("double") / F.col("total")
+                * F.log(F.col("n").cast("double") / F.col("total")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+        .groupBy("table_name", "column_name")
+        .agg(F.sum("term").alias("hsum"))
+    )
+    return (
+        t.join(h, ["table_name", "column_name"])
+        .select(
+            "table_name",
+            "column_name",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.col("total").cast("bigint").alias("n_rows"),
+            F.round(F.col("hsum").cast("double"), 4).alias("entropy"),
+            F.expr("top_n * 10000 div total").cast("bigint").alias("top_share_bps"),
+        )
+        .orderBy("table_name", "column_name")
+    )
