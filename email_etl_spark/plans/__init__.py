@@ -15,6 +15,7 @@ from email_etl_spark.plans import (  # noqa: F401  (import for side effect)
     relational_ext,
     search,
     sessions,
+    stats,
     temporal,
     text,
     timeseries,
@@ -40,6 +41,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "ols_price_size",
+    "embedding_sim_hist",
+    "seasonal_strength",
     "l_diversity_profile",
     "column_entropy_profile",
     "spell_suggest",

@@ -1,0 +1,274 @@
+"""Statistical modeling operators (SURVEY.md §2.L extensions):
+grouped OLS regression, an embedding-similarity histogram (the
+representation-collapse diagnostic), and a seasonal-strength
+decomposition of the daily volume series. These extend the engine's
+descriptive statistics (corr_matrix, winsorized_stats, acf_daily)
+with the model-fitting layer an analytics warehouse serves.
+
+Determinism conventions (plans/registry.py): regression moments are
+pure-integer sums (prices in centi-units) combined in DECIMAL(38,0);
+the final slope/intercept/r2 are single identical double expressions
+in both engines. Histogram bins come from the ROUNDED cosine, so bin
+edges can never straddle a float artifact. Seasonal means are rounded
+to DECIMAL(18,6) before any residual is formed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from email_etl_spark.functions.vectors import cosine_rounded, duckdb_cosine
+from email_etl_spark.io import load_table, parallelize_scan
+from email_etl_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# ols_price_size — per-brand least-squares fit of retail price vs size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_price_size",
+    oracle="""
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(p_size) AS sx,
+         SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sy,
+         SUM(p_size * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sxy,
+         SUM(p_size * p_size) AS sxx,
+         SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+             * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS syy
+  FROM part GROUP BY p_brand
+),
+d AS (
+  SELECT p_brand, n,
+         CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num,
+         CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den,
+         CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS dy,
+         sx, sy
+  FROM m
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_centi,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS intercept_centi,
+       CASE WHEN dy = 0 THEN 0.0
+            ELSE ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                       * (CAST(num AS DOUBLE) / CAST(dy AS DOUBLE)), 6)
+       END AS r2
+FROM d ORDER BY p_brand
+""",
+    doc=(
+        "Per-brand OLS fit of retail price against part size (does "
+        "this brand price by size, and how tightly?): the five "
+        "regression moments are ONE map-side-combined integer "
+        "aggregate (prices in exact centi-units, so distributed sums "
+        "are order-insensitive), combined into slope/intercept/r2 in "
+        "DECIMAL(38,0) cross-products — no covariance matrix, no ML "
+        "library, no second pass. The r2 identity num^2/(den*dy) is "
+        "computed as (num/den)*(num/dy) in identical double "
+        "expression trees both engines, avoiding the 10^52 integer "
+        "blowup at cluster scale (SURVEY §2.L)."
+    ),
+)
+def ols_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    y = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    m = part.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("p_size").alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col("p_size") * y).alias("sxy"),
+        F.sum(F.col("p_size") * F.col("p_size")).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = m.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).alias("num"),
+        (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).alias("den"),
+        (dec("n") * F.col("syy") - dec("sy") * F.col("sy")).alias("dy"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return d.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope_centi"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept_centi"),
+        F.when(F.col("dy") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(slope * (F.col("num").cast("double") / F.col("dy").cast("double")), 6)
+        )
+        .alias("r2"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# embedding_sim_hist — pairwise-cosine histogram over a hash sample.
+# ---------------------------------------------------------------------------
+
+SIMHIST_HI = "1a"  # md5 2-hex-digit prefix < '1a' => 26/256 ~ 10% sample
+SIMHIST_BINS = 20  # bin width 0.1 over [-1, 1): bin = floor(sim * 10)
+
+
+@register(
+    "embedding_sim_hist",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE substr(md5('simhist:' || CAST(vec_id AS VARCHAR)), 1, 2) < '{SIMHIST_HI}'
+),
+p AS (
+  SELECT {duckdb_cosine("a.embedding", "b.embedding")} AS sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+),
+b AS (SELECT CAST(FLOOR(sim * 10) AS BIGINT) AS bin, CAST(sim AS DECIMAL(6,4)) AS simd FROM p)
+SELECT ROUND(bin / 10.0, 1) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(simd) AS DOUBLE) / COUNT(*), 4) AS avg_sim
+FROM b GROUP BY bin ORDER BY bin_lo
+""",
+    doc=(
+        "Pairwise-cosine histogram over a deterministic ~10% md5 "
+        "sample of the embedding cloud — the representation-collapse "
+        "diagnostic (a healthy space piles mass near 0; mass near 1 "
+        "means the embedder collapsed; bimodal means cluster "
+        "structure). Bins come from the ROUNDED cosine so no edge "
+        "straddles a float artifact; per-bin means fold DECIMAL(6,4) "
+        "exactly. The sampled side is broadcast into an id-ordered "
+        "pair join, so the full corpus is touched once by the sample "
+        "filter (pushed to the scan) and never joined against "
+        "itself; the sample fraction is the scale knob — production "
+        "fixes the pair budget by tightening the md5 prefix "
+        "(SURVEY §2.F)."
+    ),
+)
+def embedding_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    s = emb.where(
+        F.substring(
+            F.md5(F.concat(F.lit("simhist:"), F.col("vec_id").cast("string"))), 1, 2
+        )
+        < SIMHIST_HI
+    )
+    a = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    p = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        cosine_rounded(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    binned = p.select(
+        F.floor(F.col("sim") * 10).cast("bigint").alias("bin"),
+        F.col("sim").cast("decimal(6,4)").alias("simd"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("simd").alias("ssim"),
+        )
+        .select(
+            F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+            "n_pairs",
+            F.round(F.col("ssim").cast("double") / F.col("n_pairs"), 4).alias("avg_sim"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength — weekday-seasonality R^2 of the daily series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_strength",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+dd AS (SELECT d, n, dayofweek(d) AS dow FROM daily),
+wm AS (
+  SELECT dow, CAST(ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS mw
+  FROM dd GROUP BY dow
+),
+gm AS (
+  SELECT CAST(ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS mg,
+         COUNT(*) AS nd
+  FROM dd
+),
+r AS (
+  SELECT SUM(CAST((dd.n - wm.mw) * (dd.n - wm.mw) AS DECIMAL(38,12))) AS sse,
+         SUM(CAST((dd.n - gm.mg) * (dd.n - gm.mg) AS DECIMAL(38,12))) AS sst,
+         MAX(gm.nd) AS n_days
+  FROM dd JOIN wm USING (dow) CROSS JOIN gm
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(sst AS DOUBLE), 4) AS sst,
+       ROUND(CAST(sse AS DOUBLE), 4) AS sse,
+       CASE WHEN sst = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE), 6)
+       END AS strength
+FROM r
+""",
+    doc=(
+        "Weekday-seasonality strength of the daily event series: the "
+        "R^2 of the per-weekday-mean model vs the grand mean (STL's "
+        "'seasonal strength' with a weekly period) — quantifies what "
+        "acf_daily's lag-7 peak only hints at. Weekday and grand "
+        "means are rounded to DECIMAL(18,6) BEFORE any residual is "
+        "formed, and squared residuals fold in DECIMAL(38,12), so "
+        "the distributed sums are exact; the 7-row weekday-mean "
+        "table broadcasts into the O(days) residual pass "
+        "(SURVEY §2.H)."
+    ),
+)
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    dd = daily.select("d", "n", F.dayofweek("d").alias("dow"))
+    mean6 = lambda: F.round(  # noqa: E731
+        F.sum("n").cast("double") / F.count("*"), 6
+    ).cast("decimal(18,6)")
+    wm = dd.groupBy("dow").agg(mean6().alias("mw"))
+    gm = dd.agg(mean6().alias("mg"), F.count("*").alias("nd"))
+    r = (
+        dd.join(F.broadcast(wm), "dow")
+        .crossJoin(F.broadcast(gm))
+        .agg(
+            F.sum(
+                ((F.col("n") - F.col("mw")) * (F.col("n") - F.col("mw"))).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("sse"),
+            F.sum(
+                ((F.col("n") - F.col("mg")) * (F.col("n") - F.col("mg"))).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("sst"),
+            F.max("nd").alias("n_days"),
+        )
+    )
+    return r.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("sst").cast("double"), 4).alias("sst"),
+        F.round(F.col("sse").cast("double"), 4).alias("sse"),
+        F.when(F.col("sst") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.col("sse").cast("double") / F.col("sst").cast("double"), 6
+            )
+        )
+        .alias("strength"),
+    )
