@@ -41,6 +41,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "image_ahash_dupes",
     "ols_price_size",
     "embedding_sim_hist",
     "seasonal_strength",

@@ -349,3 +349,136 @@ def shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_boundaries")
     )
+
+
+# ---------------------------------------------------------------------------
+# image_ahash_dupes — perceptual-hash near-dup detection over images.
+# ---------------------------------------------------------------------------
+
+AHASH_BLOCKS = 4  # 4 x 8-bit blocks; pigeonhole guarantees recall at ham <= 2
+AHASH_HAM_MAX = 2
+_AHASH_COMBOS = [(i, j) for i in range(AHASH_BLOCKS) for j in range(AHASH_BLOCKS) if i < j]
+
+
+def _ahash_block_sql(sha: str, j: int) -> str:
+    """8-bit block j of the 32-bit average-hash: bit k is the high bit
+    of digest byte 8j+k (hex digit at 1-based position 2*(8j+k)+1)."""
+    terms = []
+    for k in range(8):
+        digit = f"strpos('{_HEX}', substr({sha}, {2 * (8 * j + k) + 1}, 1)) - 1"
+        terms.append(f"(CASE WHEN {digit} >= 8 THEN {2 ** (7 - k)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ahash_oracle() -> str:
+    blocks = ", ".join(f"{_ahash_block_sql('sha', j)} AS b{j}" for j in range(AHASH_BLOCKS))
+    hexpr = " + ".join(
+        f"CAST(b{j} AS BIGINT) * {256 ** (AHASH_BLOCKS - 1 - j)}"
+        for j in range(AHASH_BLOCKS)
+    )
+    buckets = "\n  UNION ALL ".join(
+        f"SELECT {ci} AS combo, b{i} * 256 + b{j} AS bkey, doc_id, h FROM ah"
+        for ci, (i, j) in enumerate(_AHASH_COMBOS)
+    )
+    return f"""
+WITH raw AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+bl AS (SELECT doc_id, {blocks} FROM raw),
+ah AS (SELECT doc_id, CAST({hexpr} AS BIGINT) AS h, b0, b1, b2, b3 FROM bl),
+bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+  FROM bk a JOIN bk b ON a.combo = b.combo AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS ham
+  FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_HAM_MAX}
+)
+SELECT CAST(ham AS BIGINT) AS ham,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(doc_a) AS BIGINT) AS example_doc
+FROM v GROUP BY ham ORDER BY ham
+"""
+
+
+@register(
+    "image_ahash_dupes",
+    oracle=_ahash_oracle(),
+    doc=(
+        "Perceptual-hash near-duplicate detection over the image "
+        "corpus: a 32-bit average-hash (one bit per digest byte of "
+        "the stub codec — a real aHash swaps in per-pixel "
+        "luminance-vs-mean bits without changing the plan), then the "
+        "dedup_simhash pigeonhole — 4 8-bit blocks, any pair within "
+        "Hamming 2 must agree on one of the 6 block pairs, so "
+        "candidates come from (combo, block-pair) bucket equality "
+        "joins, never an all-pairs scan; bit_count(xor) verifies "
+        "exactly. Near-identical images (re-encodes, crops, "
+        "thumbnails) cluster at ham 0-2 while the corpus only ever "
+        "shuffles its 6-row-per-image bucket projection "
+        "(SURVEY §2.J+E)."
+    ),
+)
+def image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+
+    def block(j: int):
+        b = None
+        for k in range(8):
+            digit = F.conv(F.substring(sha, 2 * (8 * j + k) + 1, 1), 16, 10).cast("int")
+            term = F.when(digit >= 8, 2 ** (7 - k)).otherwise(0)
+            b = term if b is None else b + term
+        return b
+
+    bl = docs.select(
+        "doc_id", *[block(j).alias(f"b{j}") for j in range(AHASH_BLOCKS)]
+    )
+    hexpr = None
+    for j in range(AHASH_BLOCKS):
+        term = F.col(f"b{j}").cast("bigint") * (256 ** (AHASH_BLOCKS - 1 - j))
+        hexpr = term if hexpr is None else hexpr + term
+    ah = bl.select("doc_id", hexpr.cast("bigint").alias("h"), "b0", "b1", "b2", "b3")
+    bk = ah.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ci).alias("combo"),
+                    (F.col(f"b{i}") * 256 + F.col(f"b{j}")).alias("bkey"),
+                )
+                for ci, (i, j) in enumerate(_AHASH_COMBOS)
+            ])
+        ).alias("kb"),
+    ).select("doc_id", "h", F.col("kb.combo").alias("combo"), F.col("kb.bkey").alias("bkey"))
+    a = bk.select(
+        F.col("combo"), F.col("bkey"), F.col("doc_id").alias("doc_a"), F.col("h").alias("ha")
+    )
+    b = bk.select(
+        F.col("combo").alias("combo_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("combo") == F.col("combo_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    v = cand.select("doc_a", "doc_b", ham.alias("ham")).where(
+        F.col("ham") <= AHASH_HAM_MAX
+    )
+    return (
+        v.groupBy(F.col("ham").cast("bigint").alias("ham"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("ham")
+    )
