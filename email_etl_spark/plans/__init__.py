@@ -41,6 +41,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "nation_trade_balance",
+    "bot_regularity",
+    "release_gate",
     "image_ahash_dupes",
     "ols_price_size",
     "embedding_sim_hist",

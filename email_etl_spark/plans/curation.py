@@ -1174,3 +1174,104 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# release_gate — one-pass dataset release scorecard.
+# ---------------------------------------------------------------------------
+
+# (check, threshold_bps, direction): max = value must be <= threshold,
+# min = value must be >= threshold
+RELEASE_CHECKS = (
+    ("exact_dup_rate", 2000, "max"),
+    ("english_share", 5000, "min"),
+    ("short_doc_rate", 2000, "max"),
+    ("pii_doc_rate", 500, "max"),
+)
+_SHORT_CHARS = 100
+
+
+def _release_gate_oracle() -> str:
+    from email_etl_spark.plans.text import _PII_EMAIL
+
+    arms = []
+    for check, thr, direction in RELEASE_CHECKS:
+        op = "<=" if direction == "max" else ">="
+        arms.append(
+            f"SELECT '{check}' AS check_name, {check} AS value_bps, "
+            f"CAST({thr} AS BIGINT) AS threshold_bps, '{direction}' AS direction, "
+            f"CAST(CASE WHEN {check} {op} {thr} THEN 1 ELSE 0 END AS BIGINT) AS passed "
+            "FROM m"
+        )
+    melted = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH m AS (
+  SELECT CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 10000 // COUNT(*) AS BIGINT)
+           AS exact_dup_rate,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+           AS english_share,
+         CAST(SUM(CASE WHEN n_chars < {_SHORT_CHARS} THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+              AS BIGINT) AS short_doc_rate,
+         CAST(SUM(CASE WHEN regexp_matches(text, '{_PII_EMAIL}') THEN 1 ELSE 0 END)
+              * 10000 // COUNT(*) AS BIGINT) AS pii_doc_rate
+  FROM documents
+)
+SELECT * FROM ({melted}) ORDER BY check_name
+"""
+
+
+@register(
+    "release_gate",
+    oracle=_release_gate_oracle(),
+    doc=(
+        "Dataset release scorecard — the single table a data-release "
+        "review reads before a corpus ships to training: exact-dup "
+        "rate, English share, short-doc rate, and PII prevalence, "
+        "each in exact integer bps against its policy threshold with "
+        "a pass flag (thresholds are plan constants; the policy file "
+        "of a real pipeline). ALL four metrics come from ONE "
+        "map-side-combined corpus aggregate (the md5 distinct-count "
+        "is the only shuffle); the 4-row scorecard is then a "
+        "constant-space melt. Composes the signals dedup_exact / "
+        "lang_id / quality_score / pii_scrub compute in full "
+        "elsewhere into the go/no-go summary (SURVEY §2.K)."
+    ),
+)
+def release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.plans.text import _PII_EMAIL
+
+    docs = load_table(spark, sf_dir, "documents")
+    # rlike via the Python API (not F.expr) so the regex never passes
+    # through SQL string-literal escape processing — the pii_scrub
+    # dialect-parity convention
+    n = F.count("*")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    ibps = lambda c: F.expr(f"{c}_raw * 10000 div n_total").cast("bigint")  # noqa: E731
+    m0 = docs.agg(
+        n.alias("n_total"),
+        (n - F.countDistinct(F.md5("text"))).alias("exact_dup_rate_raw"),
+        cnt(F.col("lang") == "en").alias("english_share_raw"),
+        cnt(F.col("n_chars") < _SHORT_CHARS).alias("short_doc_rate_raw"),
+        cnt(F.col("text").rlike(_PII_EMAIL)).alias("pii_doc_rate_raw"),
+    )
+    m = m0.select(
+        *[ibps(c).alias(c) for c, _, _ in RELEASE_CHECKS],
+    )
+    arms = []
+    for check, thr, direction in RELEASE_CHECKS:
+        val = F.col(check)
+        ok = val <= thr if direction == "max" else val >= thr
+        arms.append(
+            F.struct(
+                F.lit(check).alias("check_name"),
+                val.alias("value_bps"),
+                F.lit(thr).cast("bigint").alias("threshold_bps"),
+                F.lit(direction).alias("direction"),
+                F.when(ok, 1).otherwise(0).cast("bigint").alias("passed"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*arms)).alias("c"))
+        .select("c.*")
+        .orderBy("check_name")
+    )

@@ -1865,3 +1865,78 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+WITH d AS (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS rev
+  FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+)
+SELECT LEAST(supp_nation, cust_nation) AS nation_a,
+       GREATEST(supp_nation, cust_nation) AS nation_b,
+       CAST(ROUND(SUM(rev), 4) AS DOUBLE) AS gross_revenue,
+       CAST(ROUND(SUM(CASE WHEN supp_nation < cust_nation THEN rev ELSE -rev END), 4)
+            AS DOUBLE) AS balance
+FROM d GROUP BY 1, 2 ORDER BY nation_a, nation_b
+""",
+    doc=(
+        "Bilateral trade-balance matrix: for every unordered nation "
+        "pair, gross cross-border revenue and the NET balance "
+        "(exports of the lexically-smaller nation minus its imports) "
+        "— the anti-symmetrized view of q7's directed volume matrix, "
+        "answering 'who runs a surplus against whom'. Same scale "
+        "shape as q7 (all dims broadcast, lineitem-orders is the "
+        "only big shuffle, DECIMAL-exact sums); the "
+        "anti-symmetrization is ONE signed aggregate over the tiny "
+        "directed rollup — no second fact pass, no self-join "
+        "(SURVEY §2.G)."
+    ),
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.plans.relational import _disc_price
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    signed = F.when(
+        F.col("supp_nation") < F.col("cust_nation"), F.col("rev")
+    ).otherwise(-F.col("rev"))
+    return (
+        d.groupBy(
+            F.least("supp_nation", "cust_nation").alias("nation_a"),
+            F.greatest("supp_nation", "cust_nation").alias("nation_b"),
+        )
+        .agg(
+            F.round(F.sum("rev"), 4).cast("double").alias("gross_revenue"),
+            F.round(F.sum(signed), 4).cast("double").alias("balance"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )

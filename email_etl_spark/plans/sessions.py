@@ -2173,3 +2173,84 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BOT_MIN_GAPS = 20
+BOT_TOP = 20
+
+
+@register(
+    "bot_regularity",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS tse FROM events
+),
+g AS (
+  SELECT user_id,
+         tse - LAG(tse) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM e
+),
+s AS (
+  SELECT user_id, COUNT(gap_s) AS n, SUM(gap_s) AS sg,
+         SUM(CAST(gap_s AS DECIMAL(19,0)) * gap_s) AS sg2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+),
+c AS (
+  SELECT user_id, n, sg,
+         CAST(CAST((CAST(n AS DECIMAL(38,0)) * sg2 - CAST(sg AS DECIMAL(38,0)) * sg) * 1000
+                   AS HUGEINT)
+              // CAST(CAST(sg AS DECIMAL(38,0)) * sg AS HUGEINT) AS BIGINT) AS cv2_milli
+  FROM s WHERE n >= {BOT_MIN_GAPS} AND sg > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_s,
+       cv2_milli
+FROM c ORDER BY cv2_milli, user_id LIMIT {BOT_TOP}
+""",
+    doc=(
+        "Bot detection by inter-event regularity: the 20 users whose "
+        "event-gap coefficient of variation squared is lowest "
+        "(humans are bursty — burstiness's user-level inverse; a "
+        "near-zero cv2 at high volume is a cron job). cv2 = "
+        "(n*sum(g^2) - sum(g)^2)/sum(g)^2 in exact DECIMAL(38,0) "
+        "cross-products scaled to integer milli-units — no float "
+        "variance, no rounding edge. One user-partitioned LAG "
+        "window (the sessionize shuffle) + a map-side-combined "
+        "moment aggregate + TakeOrderedAndProject (SURVEY §2.H)."
+    ),
+)
+def bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.col("ts"))
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s").cast("decimal(19,0)") * F.col("gap_s")).alias("sg2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c = s.where((F.col("n") >= BOT_MIN_GAPS) & (F.col("sg") > 0)).select(
+        "user_id",
+        "n",
+        "sg",
+        (
+            (dec("n") * F.col("sg2") - dec("sg") * F.col("sg")) * 1000
+        ).alias("cvnum"),
+        (dec("sg") * F.col("sg")).alias("cvden"),
+    )
+    return (
+        c.select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round(F.col("sg").cast("double") / F.col("n"), 4).alias("mean_gap_s"),
+            F.expr("cvnum div cvden").cast("bigint").alias("cv2_milli"),
+        )
+        .orderBy("cv2_milli", "user_id")
+        .limit(BOT_TOP)
+    )
