@@ -41,6 +41,10 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "pareto_skyline",
+    "cross_lang_pairs",
+    "markov_entropy_rate",
+    "hapax_rate_by_source",
     "peak_concurrency",
     "nation_trade_balance",
     "bot_regularity",

@@ -2463,3 +2463,61 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_band")
     )
+
+
+@register(
+    "cross_lang_pairs",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+pairs AS ({_pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "")}),
+lp AS (
+  SELECT LEAST(da.lang, db.lang) AS lang_a,
+         GREATEST(da.lang, db.lang) AS lang_b,
+         p.doc_a
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT lang_a, lang_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(doc_a) AS BIGINT) AS example_doc
+FROM lp GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+""",
+    doc=(
+        "Near-duplicate pairs broken down by unordered language pair "
+        "— the translation/mirror-mining view of the LSH pair stream "
+        "(cross-language near-dups are parallel-text candidates; "
+        "same-language pairs are ordinary boilerplate): the "
+        "dedup_minhash bucket-then-verify pipeline unchanged, then "
+        "each surviving pair picks up its endpoints' languages via "
+        "two id-keyed joins against the (doc_id, lang) projection — "
+        "the pair stream is orders of magnitude below the corpus, so "
+        "both joins shuffle only pairs; rollup is map-side combined "
+        "(SURVEY §2.E)."
+    ),
+)
+def cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    langs = docs.select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_pa"))
+    lb = langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_pb"))
+    lp = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("lang_pa", "lang_pb").alias("lang_a"),
+            F.greatest("lang_pa", "lang_pb").alias("lang_b"),
+            "doc_a",
+        )
+    )
+    return (
+        lp.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

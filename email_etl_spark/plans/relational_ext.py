@@ -1940,3 +1940,58 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_a", "nation_b")
     )
+
+
+@register(
+    "pareto_skyline",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_size, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_centi
+  FROM part
+),
+szmin AS (SELECT p_size, MIN(price_centi) AS minp FROM p GROUP BY p_size),
+lg AS (
+  SELECT p_size, minp,
+         MIN(minp) OVER (ORDER BY p_size DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS minp_larger
+  FROM szmin
+)
+SELECT p.p_partkey, p.p_size, p.price_centi
+FROM p JOIN lg USING (p_size)
+WHERE (lg.minp_larger IS NULL OR p.price_centi < lg.minp_larger)
+  AND p.price_centi = lg.minp
+ORDER BY p.p_size DESC, p.price_centi, p.p_partkey
+""",
+    doc=(
+        "Pareto skyline of the part catalog (maximize size, minimize "
+        "price): parts no other part dominates — the classic skyline "
+        "operator, the 'best tradeoffs' shortlist behind procurement "
+        "and plan-choice UIs. Dominance collapses to TWO-LEVEL "
+        "integer arithmetic: per-size min price (shuffles only the "
+        "~50 distinct sizes), a strictly-larger-size running min over "
+        "that tiny table, and a broadcast join back — a part survives "
+        "iff it hits its size's min price and beats every larger "
+        "size's best; no global sort over parts, no quadratic "
+        "dominance join, centi-unit exact. Equal-objective parts all "
+        "survive (standard skyline tie semantics) (SURVEY §2.G)."
+    ),
+)
+def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_centi"),
+    )
+    szmin = p.groupBy("p_size").agg(F.min("price_centi").alias("minp"))
+    wl = Window.orderBy(F.desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    lg = szmin.select("p_size", "minp", F.min("minp").over(wl).alias("minp_larger"))
+    return (
+        p.join(F.broadcast(lg), "p_size")
+        .where(
+            (F.col("minp_larger").isNull() | (F.col("price_centi") < F.col("minp_larger")))
+            & (F.col("price_centi") == F.col("minp"))
+        )
+        .select("p_partkey", "p_size", "price_centi")
+        .orderBy(F.desc("p_size"), "price_centi", "p_partkey")
+    )

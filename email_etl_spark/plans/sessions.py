@@ -2372,3 +2372,87 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS n_from FROM t GROUP BY prev_type),
+grand AS (SELECT SUM(n) AS n_total FROM t),
+h AS (
+  SELECT t.prev_type,
+         SUM(CAST(ROUND(-CAST(t.n AS DOUBLE) / tot.n_from
+                        * ln(CAST(t.n AS DOUBLE) / tot.n_from), 9)
+             AS DECIMAL(18,9))) AS hsum
+  FROM t JOIN tot USING (prev_type) GROUP BY t.prev_type
+)
+SELECT tot.prev_type AS from_type,
+       CAST(tot.n_from AS BIGINT) AS n_from,
+       CAST(tot.n_from * 10000 // grand.n_total AS BIGINT) AS weight_bps,
+       ROUND(CAST(h.hsum AS DOUBLE), 4) AS entropy,
+       ROUND(CAST(h.hsum AS DOUBLE) * tot.n_from / grand.n_total, 6) AS contribution
+FROM tot JOIN h USING (prev_type) CROSS JOIN grand
+ORDER BY from_type
+""",
+    doc=(
+        "Entropy rate of the event-type Markov chain: per from-state, "
+        "the Shannon entropy of its next-step distribution and its "
+        "contribution to the chain's entropy rate under the empirical "
+        "state weights — how PREDICTABLE each point of the user "
+        "journey is (near-zero entropy states are funnels, high-"
+        "entropy states are browsing; the information-theoretic "
+        "summary of markov_transitions' full matrix). Same single "
+        "lag-window shuffle as the matrix; entropy terms pre-round to "
+        "DECIMAL(18,9) (user_entropy convention); weights are exact "
+        "integer bps (SURVEY §2.H)."
+    ),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    grand = t.agg(F.sum("n").alias("n_total"))
+    h = (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            F.round(
+                -F.col("n").cast("double") / F.col("n_from")
+                * F.log(F.col("n").cast("double") / F.col("n_from")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+        .groupBy("prev_type")
+        .agg(F.sum("term").alias("hsum"))
+    )
+    return (
+        tot.join(h, "prev_type")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.col("prev_type").alias("from_type"),
+            F.col("n_from").cast("bigint").alias("n_from"),
+            F.expr("n_from * 10000 div n_total").cast("bigint").alias("weight_bps"),
+            F.round(F.col("hsum").cast("double"), 4).alias("entropy"),
+            F.round(
+                F.col("hsum").cast("double") * F.col("n_from") / F.col("n_total"), 6
+            ).alias("contribution"),
+        )
+        .orderBy("from_type")
+    )

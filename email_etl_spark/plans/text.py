@@ -2401,3 +2401,57 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "hapax_rate_by_source",
+    oracle=f"""
+WITH t AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+c AS (SELECT source, term, COUNT(*) AS n FROM t GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS hapax_bps,
+       CAST(COUNT(*) * 10000 // SUM(n) AS BIGINT) AS ttr_bps
+FROM c GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Hapax-legomenon rate and type-token ratio per source — the "
+        "OCR/gibberish fingerprint (clean prose has a stable hapax "
+        "share; OCR noise and random text push it toward 100% because "
+        "every error mints a new 'word'; machine-generated boilerplate "
+        "pushes BOTH ratios toward 0). One tokenize + (source, term) "
+        "count — shuffles only the distinct vocabulary per source, "
+        "never token instances — then a map-side-combined per-source "
+        "rollup; all ratios exact integer bps. Complements "
+        "vocab_stats' global view with the per-source contrast "
+        "mixture_weights consumes (SURVEY §2.D)."
+    ),
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    hap = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            hap.cast("bigint").alias("n_hapax"),
+            F.expr(
+                "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("hapax_bps"),
+            F.expr("count(*) * 10000 div sum(n)").cast("bigint").alias("ttr_bps"),
+        )
+        .orderBy("source")
+    )

@@ -43,13 +43,25 @@ def main() -> int:
                 continue
             problems = compare(name, spark, sf_dir, q.builder, q.oracle)
             out["queries"].setdefault(name, {})[sf_key] = problems or "ok"
-            out["checks"] += 1
             if problems:
                 failures += 1
-                out["failures"] += 1
                 print(f"FAIL {sf_dir} {name}: {problems}")
 
     out["queries"] = dict(sorted(out["queries"].items()))
+    # recompute the headline counters from the merged entry map — a
+    # re-run that turns a red entry green must also retire its failure
+    out["checks"] = sum(
+        1
+        for per_sf in out["queries"].values()
+        for v in per_sf.values()
+        if v != "no-oracle"
+    )
+    out["failures"] = sum(
+        1
+        for per_sf in out["queries"].values()
+        for v in per_sf.values()
+        if v not in ("ok", "no-oracle")
+    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, default=str)
     print(f"delta sweep: {failures} failures; SWEEP.json now {out['checks']} checks")
