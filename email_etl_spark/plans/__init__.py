@@ -41,6 +41,10 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "gap_fill_daily",
+    "rolling_30d_revenue",
+    "robust_zscore_mad",
+    "tokenizer_fertility",
     "pareto_skyline",
     "cross_lang_pairs",
     "markov_entropy_rate",

@@ -272,3 +272,95 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust_zscore_mad — median/MAD outlier scoring (the robust twin of
+# anomaly_zscore's mean/std).
+# ---------------------------------------------------------------------------
+
+# 0.6745 = Phi^-1(3/4): scales MAD to sigma-equivalent units. The
+# outlier test 0.6745*|x-med|/MAD > 3.5 runs as the cross-multiplied
+# integer inequality 2*6745*|2x-med2| > 35000*mad4 (see below), so no
+# engine ever compares rounded doubles.
+MAD_K_NUM = 6745  # 1e4 * 0.6745
+MAD_Z_CUT = 35_000  # 1e4 * 3.5
+
+
+@register(
+    "robust_zscore_mad",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS xm FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(ROUND(2 * quantile_cont(xm, 0.5)) AS BIGINT) AS med2
+  FROM x GROUP BY 1
+),
+a AS (
+  SELECT x.event_type,
+         CAST(ROUND(2 * quantile_cont(ABS(2 * x.xm - m.med2), 0.5)) AS BIGINT) AS mad4
+  FROM x JOIN m USING (event_type) GROUP BY 1
+)
+SELECT m.event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(m.med2 AS DOUBLE) / 2000000, 6) AS med,
+       ROUND(CAST(a.mad4 AS DOUBLE) / 4000000, 6) AS mad,
+       CAST(SUM(CASE WHEN 2 * {MAD_K_NUM} * ABS(2 * x.xm - m.med2)
+                          > {MAD_Z_CUT} * a.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM x JOIN m USING (event_type) JOIN a USING (event_type)
+GROUP BY 1, 3, 4 ORDER BY 1
+""",
+    doc=(
+        "Median/MAD robust outlier scoring per event type — the "
+        "heavy-tail-safe twin of anomaly_zscore (one extreme value "
+        "shifts a mean/std gate; the median/MAD gate moves only with "
+        "the bulk). Flags values with 0.6745*|x-med|/MAD > 3.5 "
+        "(Iglewicz-Hoaglin modified z). Determinism: values go to "
+        "exact micro-unit integers; med2=2*median and mad4=4*MAD stay "
+        "integers (an even-n median interpolates to .5, doubled is "
+        "exact), and the outlier test is a cross-multiplied integer "
+        "inequality — no rounded-double comparisons anywhere. Shape: "
+        "two grouped exact percentiles + one counting pass, all "
+        "map-side combinable except the per-group percentile sort, "
+        "which shuffles once on the (bounded-cardinality) type key; "
+        "at 100 TB swap percentile for approx_percentile and keep the "
+        "integer test (SURVEY §2.L)."
+    ),
+)
+def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type", F.round(F.col("value") * 1000000).cast("bigint").alias("xm")
+    )
+    m = x.groupBy("event_type").agg(
+        F.round(2 * F.percentile("xm", 0.5)).cast("bigint").alias("med2")
+    )
+    xm2 = x.join(F.broadcast(m), "event_type").select(
+        "event_type", "xm", "med2", F.abs(2 * F.col("xm") - F.col("med2")).alias("dev2")
+    )
+    a = xm2.groupBy("event_type").agg(
+        F.round(2 * F.percentile("dev2", 0.5)).cast("bigint").alias("mad4")
+    )
+    return (
+        xm2.join(F.broadcast(a), "event_type")
+        .groupBy(
+            "event_type",
+            F.round(F.col("med2").cast("double") / 2000000, 6).alias("med"),
+            F.round(F.col("mad4").cast("double") / 4000000, 6).alias("mad"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    2 * MAD_K_NUM * F.col("dev2") > MAD_Z_CUT * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )

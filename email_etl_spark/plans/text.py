@@ -2455,3 +2455,68 @@ def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _fertility_oracle() -> str:
+    """Per-language tokenizer fertility from the same static BPE fact
+    table as bpe_token_count (_bpe_expected.py): token counts depend
+    only on the text, so the per-doc join + per-lang sums are exact in
+    any engine; an uncovered text drops its row and fails the gate."""
+    from email_etl_spark.plans._bpe_expected import EXPECTED
+
+    vals = ",\n".join(f"('{h}', {n})" for h, n, _ in EXPECTED)
+    return f"""
+WITH expected(h, nb) AS (VALUES {vals}),
+per_doc AS (
+  SELECT d.lang, e.nb, len({_TOKS}) AS nw, length(d.text) AS nc
+  FROM documents d JOIN expected e ON md5(d.text) = e.h
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(nw) AS BIGINT) AS words,
+       ROUND(CAST(SUM(nb) AS DOUBLE) / SUM(nw), 4) AS fertility,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_token
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    doc=(
+        "Tokenizer fertility by language: BPE tokens per word and "
+        "chars per BPE token — THE standard multilingual-tokenizer "
+        "eval (fertility >> 1 means a language is over-segmented, "
+        "paying more sequence length per sentence; the first number "
+        "a vocab-allocation decision reads). Spark side runs the real "
+        "merge-loop BPE (functions/bpe.py, Arrow pandas_udf) + the "
+        "JVM-regex word count in ONE scan and reduces to per-lang "
+        "integer sums (map-side combined); ratios are single double "
+        "divisions of exact integers. Oracle joins the generated "
+        "static fact table (scripts/gen_bpe_expected.py) — the "
+        "bpe_token_count convention — so the driver hash-checks the "
+        "whole aggregation path (SURVEY §2.D)."
+    ),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.bpe import bpe_token_count_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "lang",
+        bpe_token_count_col(F.col("text")).cast("bigint").alias("nb"),
+        T.token_count(F.col("text")).cast("bigint").alias("nw"),
+        F.length("text").cast("bigint").alias("nc"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("bpe_tokens"),
+            F.sum("nw").cast("bigint").alias("words"),
+            F.round(F.sum("nb").cast("double") / F.sum("nw"), 4).alias("fertility"),
+            F.round(F.sum("nc").cast("double") / F.sum("nb"), 4).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

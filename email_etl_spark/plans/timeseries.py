@@ -250,3 +250,160 @@ def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("status"),
     ).orderBy("d")
+
+
+GAPFILL_FROM = "1996-01-01"
+GAPFILL_TO = "1996-12-31"
+
+
+@register(
+    "gap_fill_daily",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders
+  WHERE o_orderdate >= DATE '{GAPFILL_FROM}' AND o_orderdate <= DATE '{GAPFILL_TO}'
+  GROUP BY 1, 2
+),
+cal AS (
+  SELECT UNNEST(generate_series(DATE '{GAPFILL_FROM}', DATE '{GAPFILL_TO}',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+pri AS (SELECT DISTINCT priority FROM d),
+grid AS (SELECT p.priority, c.day FROM pri p CROSS JOIN cal c),
+j AS (
+  SELECT g.priority, g.day, COALESCE(d.n, 0) AS n_orders, d.rev
+  FROM grid g LEFT JOIN d ON d.priority = g.priority AND d.day = g.day
+)
+SELECT priority, day, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(LAST_VALUE(rev IGNORE NULLS) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rev_centi_ff
+FROM j ORDER BY priority, day
+""",
+    doc=(
+        "Calendar gap-fill + forward-fill of the per-priority daily "
+        "revenue series (the 1996 window): the series-densification "
+        "step every dashboard/forecast layer needs, since a day with "
+        "no orders is a REAL zero, not a missing sample. Shape: the "
+        "fact table collapses to one map-side-combined daily "
+        "aggregate (the only shuffle that sees order rows; the date "
+        "filter is pushed to the scan), the dense grid is "
+        "keys x calendar-days built from an exploded `sequence()` "
+        "literal (tiny by construction — days since epoch bounds it), "
+        "and the forward fill is one `last(ignorenulls)` running "
+        "window per key over the grid, never over facts. Revenue "
+        "stays exact integer centi-units end-to-end; leading days "
+        "before a key's first sale stay NULL in both engines "
+        "(SURVEY §2.H)."
+    ),
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(GAPFILL_FROM).cast("date"))
+            & (F.col("o_orderdate") <= F.lit(GAPFILL_TO).cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"),
+        )
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(GAPFILL_FROM).cast("date"), F.lit(GAPFILL_TO).cast("date")
+            )
+        ).alias("day")
+    )
+    pri = d.select("priority").distinct()
+    grid = pri.crossJoin(F.broadcast(cal))
+    j = grid.join(d, ["priority", "day"], "left")
+    wff = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "priority",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.last("rev", ignorenulls=True).over(wff).cast("bigint").alias("rev_centi_ff"),
+        )
+        .orderBy("priority", "day")
+    )
+
+
+ROLL_FROM = "1996-01-01"
+ROLL_TO = "1996-12-31"
+ROLL_DAYS = 30
+
+
+@register(
+    "rolling_30d_revenue",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day,
+         CAST(SUM(rev) OVER w AS BIGINT) AS rev_centi_30d,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_orders_30d,
+         CAST(COUNT(*) OVER w AS BIGINT) AS days_present
+  FROM d
+  WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM r
+WHERE day >= DATE '{ROLL_FROM}' AND day <= DATE '{ROLL_TO}'
+ORDER BY day
+""",
+    doc=(
+        "Trailing-30-day revenue per day (reported for 1996): the "
+        "time-based RANGE window frame — `RANGE BETWEEN 29 PRECEDING "
+        "AND CURRENT ROW` over epoch days — that a row-based frame "
+        "cannot express when calendar days are MISSING from the "
+        "series (TESTDATA's order stream has real gaps; a ROWS frame "
+        "would silently widen across them). Shape: one map-side-"
+        "combined daily aggregate is the only pass over order rows; "
+        "the unpartitioned range window then runs over the "
+        "calendar-bounded daily table (thousands of rows at ANY "
+        "corpus size — the timeseries.py contract), so the single-"
+        "partition sort is O(days), never O(orders). Exact integer "
+        "centi-units end-to-end (SURVEY §2.H)."
+    ),
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"),
+        F.count("*").alias("n"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-(ROLL_DAYS - 1), Window.currentRow)
+    )
+    return (
+        d.select(
+            "day",
+            F.sum("rev").over(w).cast("bigint").alias("rev_centi_30d"),
+            F.sum("n").over(w).cast("bigint").alias("n_orders_30d"),
+            F.count("*").over(w).cast("bigint").alias("days_present"),
+        )
+        .where(
+            (F.col("day") >= F.lit(ROLL_FROM).cast("date"))
+            & (F.col("day") <= F.lit(ROLL_TO).cast("date"))
+        )
+        .orderBy("day")
+    )
