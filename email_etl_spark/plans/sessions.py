@@ -2425,12 +2425,24 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
-    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
-    grand = t.agg(F.sum("n").alias("n_total"))
+    # n_from / n_total as windows over the TINY transition table (one
+    # row per (from,to) type pair), so the events scan + lag-window
+    # shuffle runs ONCE — deriving them as separate aggregates of `t`
+    # re-executed the whole event lineage per branch (16 exchanges ->
+    # 6; the single-partition global window is O(|types|^2)).
+    w_from = Window.partitionBy("prev_type")
+    w_all = Window.partitionBy()
+    tw = t.select(
+        "prev_type",
+        "n",
+        F.sum("n").over(w_from).alias("n_from"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
     h = (
-        t.join(F.broadcast(tot), "prev_type")
-        .select(
+        tw.select(
             "prev_type",
+            "n_from",
+            "n_total",
             F.round(
                 -F.col("n").cast("double") / F.col("n_from")
                 * F.log(F.col("n").cast("double") / F.col("n_from")),
@@ -2439,13 +2451,11 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,9)")
             .alias("term"),
         )
-        .groupBy("prev_type")
+        .groupBy("prev_type", "n_from", "n_total")
         .agg(F.sum("term").alias("hsum"))
     )
     return (
-        tot.join(h, "prev_type")
-        .crossJoin(F.broadcast(grand))
-        .select(
+        h.select(
             F.col("prev_type").alias("from_type"),
             F.col("n_from").cast("bigint").alias("n_from"),
             F.expr("n_from * 10000 div n_total").cast("bigint").alias("weight_bps"),
