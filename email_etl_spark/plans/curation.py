@@ -1275,3 +1275,59 @@ def release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.*")
         .orderBy("check_name")
     )
+
+
+SOURCE_CAP = 10
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN doc_id END) AS BIGINT) AS kept_id_sum,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN n_chars END) AS BIGINT) AS kept_chars
+FROM r GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Per-source frequency capping: keep at most CAP documents per "
+        "source, chosen by md5-hash order — the domain-balancing pass "
+        "every web-scale mixture runs so one crawl host cannot "
+        "dominate training data (the action twin of mixture_weights' "
+        "planning). Hash order makes the kept set a deterministic "
+        "uniform subsample, stable across re-runs/engines/partitions "
+        "— no RNG (train_val_split convention, doc_id tiebreak). "
+        "Shape: ONE row_number window per source key (the shuffle is "
+        "on the source key — at 100 TB a hot source is exactly the "
+        "row this op deletes, and only top-CAP rows per partition "
+        "survive); output checksums (id-sum, kept chars) pin the "
+        "exact membership, not just the counts (SURVEY §2.L)."
+    ),
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    r = docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+    keep = F.col("rk") <= SOURCE_CAP
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("doc_id"))).cast("bigint").alias("kept_id_sum"),
+            F.sum(F.when(keep, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1995,3 +1995,44 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "price_centi")
         .orderBy(F.desc("p_size"), "price_centi", "p_partkey")
     )
+
+
+@register(
+    "hll_rollup",
+    oracle=None,  # sketch bytes are engine-specific; rows-only check +
+    # error-bound property test (tests/test_properties.py)
+    doc=(
+        "Mergeable-sketch rollup: build ONE Datasketches HLL sketch of "
+        "user_id per day, then derive weekly and monthly uniques by "
+        "UNIONING the day sketches — the fact stream is scanned "
+        "exactly once, and every coarser grain is an O(#days) merge "
+        "of kilobyte sketch states. This is THE 100 TB pattern for "
+        "distinct-count dashboards (a pre-aggregated sketch table "
+        "answers any date-range question without touching events "
+        "again; exact COUNT(DISTINCT) cannot merge). Output: one row "
+        "per ISO week plus a 'total' row, estimates from "
+        "hll_union_agg / hll_sketch_estimate. Rows-only by design — "
+        "sketch estimates are engine-specific; the accuracy bound vs "
+        "the exact aggregate is pinned by a property test "
+        "(SURVEY §2.L)."
+    ),
+)
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # grain table: one compact sketch per day — at 100 TB this is the
+    # table a sink would persist (sketches survive storage round-trips)
+    day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    week = day.groupBy(F.weekofyear("day").cast("bigint").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    total = day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_days"),
+    ).select(F.lit(-1).cast("bigint").alias("week"), "est_users", "n_events", "n_days")
+    return week.unionByName(total).orderBy("week")

@@ -970,3 +970,38 @@ def test_ref_integrity_profile_edges(spark):
         assert 0 <= r.n_orphans <= r.n_child_keys
         assert r.orphan_bps == r.n_orphans * 10000 // r.n_child_keys
         assert r.ind_holds == (1 if r.n_orphans == 0 else 0)
+
+
+def test_hll_rollup_merge_error_bounded(spark):
+    """The day-sketch -> week/total UNION path must estimate within
+    HLL tolerance of the exact distinct count at every output grain —
+    a broken merge (e.g. unioning wrong sketch columns) would return
+    schema-valid garbage the rows-only driver check can't see."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+
+    est = {
+        int(r.week): (r.est_users, r.n_events, r.n_days)
+        for r in REGISTRY["hll_rollup"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    weekly = {
+        int(r.week): (r.exact, r.n_events, r.n_days)
+        for r in ev.groupBy(
+            F.weekofyear(F.col("ts").cast("date")).alias("week")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        )
+        .collect()
+    }
+    total_exact = ev.select(F.countDistinct("user_id")).first()[0]
+    weekly[-1] = (total_exact, sum(v[1] for v in weekly.values()),
+                  sum(v[2] for v in weekly.values()))
+    assert set(est) == set(weekly) and len(est) > 2
+    for week, (e, n_events, n_days) in est.items():
+        true, true_events, true_days = weekly[week]
+        assert n_events == true_events and n_days == true_days, week
+        assert abs(e - true) <= max(0.05 * true, 2), (week, e, true)
