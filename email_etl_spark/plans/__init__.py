@@ -41,6 +41,9 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "join_size_estimate",
+    "grouping_sets_revenue",
+    "quantile_normalize",
     "source_cap_sample",
     "ab_cuped_lift",
     "hll_rollup",

@@ -1331,3 +1331,75 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quantile_normalize",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         NTILE(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS dec_src,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS dec_glob
+  FROM documents
+),
+s AS (
+  SELECT source, dec_src AS decile,
+         MAX(n_chars) AS src_boundary, COUNT(*) AS n_docs
+  FROM r GROUP BY 1, 2
+),
+g AS (SELECT dec_glob AS decile, MAX(n_chars) AS glob_boundary FROM r GROUP BY 1)
+SELECT s.source, CAST(s.decile AS BIGINT) AS decile,
+       CAST(s.src_boundary AS BIGINT) AS src_boundary,
+       CAST(g.glob_boundary AS BIGINT) AS glob_boundary,
+       CAST(s.src_boundary - g.glob_boundary AS BIGINT) AS shift,
+       CAST(s.n_docs AS BIGINT) AS n_docs
+FROM s JOIN g USING (decile)
+ORDER BY s.source, s.decile
+""",
+    doc=(
+        "Cross-source quantile calibration of document length: each "
+        "source's decile boundaries against the global ones, plus the "
+        "shift — the table that tells a curation pipeline whether a "
+        "raw threshold like 'drop under 200 chars' means the same "
+        "thing on every source (it never does: a crawl host full of "
+        "boilerplate has wildly different length quantiles than a "
+        "books source), and the mapping quantile normalization would "
+        "apply. Determinism: deciles via NTILE over the total order "
+        "(n_chars, doc_id) — exact integers, no quantile "
+        "interpolation to drift between engines. Shape: per-source "
+        "windows shuffle once on source; the global decile is the one "
+        "genuinely global sort — at 100 TB swap it for "
+        "approx_percentile boundaries and keep the mapping join "
+        "(SURVEY §2.L)."
+    ),
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("dec_src"),
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("dec_glob"),
+    )
+    s = r.groupBy("source", F.col("dec_src").alias("decile")).agg(
+        F.max("n_chars").alias("src_boundary"), F.count("*").alias("n_docs")
+    )
+    g = r.groupBy(F.col("dec_glob").alias("decile")).agg(
+        F.max("n_chars").alias("glob_boundary")
+    )
+    return (
+        s.join(F.broadcast(g), "decile")
+        .select(
+            "source",
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("src_boundary").cast("bigint").alias("src_boundary"),
+            F.col("glob_boundary").cast("bigint").alias("glob_boundary"),
+            (F.col("src_boundary") - F.col("glob_boundary")).cast("bigint").alias("shift"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source", "decile")
+    )

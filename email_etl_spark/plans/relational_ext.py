@@ -2036,3 +2036,142 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_days"),
     ).select(F.lit(-1).cast("bigint").alias("week"), "est_users", "n_events", "n_days")
     return week.unionByName(total).orderBy("week")
+
+
+def _join_size_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+SELECT '{name}' AS join_name,
+       (SELECT COUNT(*) FROM {ta}) AS n_left,
+       (SELECT COUNT(*) FROM {tb}) AS n_right,
+       CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows,
+       CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_keys
+FROM (SELECT {ka} AS k, COUNT(*) AS ca FROM {ta} GROUP BY 1) a
+JOIN (SELECT {kb} AS k, COUNT(*) AS cb FROM {tb} GROUP BY 1) b USING (k)
+"""
+
+
+_JOIN_SIZE_SPECS = (
+    ("customer*orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders*lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part*lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+)
+
+
+@register(
+    "join_size_estimate",
+    oracle="\nUNION ALL\n".join(_join_size_sql(*s) for s in _JOIN_SIZE_SPECS)
+    + "\nORDER BY join_name",
+    doc=(
+        "Join-cardinality profiler: the EXACT output size of each "
+        "equi-join, computed WITHOUT running the join — "
+        "|A JOIN B| = sum over keys of cnt_A(k)*cnt_B(k), plus the "
+        "hottest key's contribution (the skew canary). This is the "
+        "pre-flight check before any 100 TB fact-fact join: the two "
+        "key-count tables it aggregates are orders of magnitude "
+        "smaller than the join output they predict, so the answer "
+        "costs two map-side-combined aggs + one count-table join "
+        "instead of the full shuffle-and-materialize. max_key_rows "
+        ">> join_rows/n_matching_keys means salt before you join "
+        "(operators/skew.py) (SURVEY §2.G)."
+    ),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str, ta: str, ka: str, tb: str, kb: str) -> DataFrame:
+        # n_left/n_right fold out of the same key-count tables the
+        # estimator joins. The explicit isNotNull matches the filter
+        # the join pushes into ITS branch — without it the two
+        # consumers scan/shuffle different subtrees and Spark cannot
+        # ReusedExchange them (null keys never match a join anyway).
+        a = (
+            load_table(spark, sf_dir, ta)
+            .where(F.col(ka).isNotNull())
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").alias("ca"))
+        )
+        b = (
+            load_table(spark, sf_dir, tb)
+            .where(F.col(kb).isNotNull())
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").alias("cb"))
+        )
+        na = a.agg(F.sum("ca").cast("bigint").alias("n_left"))
+        nb = b.agg(F.sum("cb").cast("bigint").alias("n_right"))
+        prod = (F.col("ca") * F.col("cb")).alias("prod")
+        return (
+            a.join(b, "k")
+            .select(prod)
+            .agg(
+                F.coalesce(F.sum("prod"), F.lit(0)).cast("bigint").alias("join_rows"),
+                F.coalesce(F.max("prod"), F.lit(0)).cast("bigint").alias("max_key_rows"),
+                F.count("*").cast("bigint").alias("n_matching_keys"),
+            )
+            .crossJoin(F.broadcast(na))
+            .crossJoin(F.broadcast(nb))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "join_rows",
+                "max_key_rows",
+                "n_matching_keys",
+            )
+        )
+
+    out = None
+    for spec in _JOIN_SIZE_SPECS:
+        part = one(*spec)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("join_name")
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS grouping_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_centi
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY grouping_id, priority, status
+""",
+    doc=(
+        "Arbitrary GROUPING SETS report — the per-priority and "
+        "per-status marginals plus the grand total in ONE pass, "
+        "WITHOUT the full cross-product cube_status_priority pays "
+        "(a cube over k columns expands 2^k groupings; a dashboard "
+        "usually wants a handful). grouping_id disambiguates which "
+        "marginal a row belongs to — COALESCE('ALL') alone cannot "
+        "distinguish a real 'ALL' value. Spark expands grouping sets "
+        "into one Expand + single aggregate exchange; revenue stays "
+        "exact integer centi-units (SURVEY §2.G)."
+    ),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gid = F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            gid.cast("bigint").alias("grouping_id"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_centi"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "grouping_id",
+            "n_orders",
+            "rev_centi",
+        )
+        .orderBy("grouping_id", "priority", "status")
+    )
