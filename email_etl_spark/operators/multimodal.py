@@ -264,3 +264,45 @@ def video_frame_sample(
             yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
 
     return df.select(binary_col).mapInPandas(batch_fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_energies(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Per-frame energy pass: each clip yields one row per 100 ms
+    frame with an integer energy level — the input to VAD
+    segmentation. STUB decode: frame count (8..12) and energies
+    (0..255) derive from the payload hash; a real decoder replaces
+    the hash reads with windowed RMS over PCM samples only — the
+    one-to-many Arrow seam, schema and partitioning stay identical."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for data in pdf[binary_col]:
+                data = bytes(data) if data is not None else b""
+                digest = hashlib.sha256(data)
+                h = digest.digest()
+                n_frames = 8 + h[8] % 5
+                for j in range(n_frames):
+                    out.append(
+                        {
+                            "content_hash": digest.hexdigest(),
+                            "frame_idx": j,
+                            "energy": h[9 + j],
+                            "n_frames": n_frames,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields])
+
+    return df.select(binary_col).mapInPandas(batch_fn, schema=AUDIO_FRAME_SCHEMA)

@@ -482,3 +482,117 @@ def image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ham")
     )
+
+
+def _frame_byte_sql() -> str:
+    """Byte (9 + frame_idx) of the hex digest, as an integer — the
+    dynamic-offset variant of _byte_sql."""
+    c1 = f"substr(sha, 19 + 2 * frame_idx, 1)"
+    c2 = f"substr(sha, 20 + 2 * frame_idx, 1)"
+    return f"(16 * (strpos('{_HEX}', {c1}) - 1) + strpos('{_HEX}', {c2}) - 1)"
+
+
+VAD_THRESHOLD = 64  # energy >= threshold -> voiced frame
+
+
+@register(
+    "audio_vad_segments",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT text FROM documents),
+s AS (SELECT sha256(text) AS sha FROM b),
+n AS (SELECT sha, 8 + ({_byte_sql('sha', 8)} % 5) AS n_frames FROM s),
+f AS (
+  SELECT n.sha, j.i AS frame_idx, n.n_frames,
+         {_frame_byte_sql()} AS energy
+  FROM n CROSS JOIN UNNEST(range(0, 12)) AS j(i)
+  WHERE j.i < n.n_frames
+),
+v AS (
+  SELECT sha, frame_idx, n_frames,
+         frame_idx - ROW_NUMBER() OVER (PARTITION BY sha ORDER BY frame_idx)
+           AS island
+  FROM f WHERE energy >= {VAD_THRESHOLD}
+),
+per_clip AS (
+  SELECT n.sha, n.n_frames,
+         COUNT(DISTINCT v.island) AS n_segments,
+         COUNT(v.frame_idx) AS n_voiced
+  FROM n LEFT JOIN v ON v.sha = n.sha
+  GROUP BY n.sha, n.n_frames
+)
+SELECT CAST(n_segments AS BIGINT) AS n_segments,
+       COUNT(*) AS n_clips,
+       CAST(SUM(n_voiced) * 10000 // SUM(n_frames) AS BIGINT) AS voiced_bps,
+       CASE WHEN n_segments > 0
+            THEN ROUND(CAST(SUM(n_voiced) AS DOUBLE) / (n_segments * COUNT(*)), 4)
+            END AS avg_seg_frames
+FROM per_clip GROUP BY n_segments ORDER BY n_segments
+""",
+    doc=(
+        "Voice-activity segmentation over the audio corpus — the "
+        "pre-ASR chunking pass every speech pipeline runs (only "
+        "voiced segments are worth transcribing; segment shape drives "
+        "batch packing). The decode seam emits one row per 100 ms "
+        "frame (operators/multimodal.audio_frame_energies — "
+        "one-to-many mapInPandas, STUB energies hash-derived so the "
+        "oracle reconstructs them from the sha hex), then segmentation "
+        "is PURE SPARK: voiced frames collapse to segments by the "
+        "gaps-and-islands window (frame_idx minus row_number), i.e. "
+        "the activity_streaks trick at 100 ms granularity. Clips "
+        "dedupe by payload first (DISTINCT), so identity needs no "
+        "side channel. Report: clip count, voiced share (exact bps) "
+        "and mean segment length per segment-count bucket "
+        "(SURVEY §2.J)."
+    ),
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.operators.multimodal import audio_frame_energies
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.select(F.encode(F.col("text"), "UTF-8").alias("content")).distinct()
+    frames = audio_frame_energies(clips)
+    w = Window.partitionBy("content_hash").orderBy("frame_idx")
+    v = frames.where(F.col("energy") >= VAD_THRESHOLD).select(
+        "content_hash",
+        "frame_idx",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("island"),
+    )
+    base = frames.groupBy("content_hash").agg(F.max("n_frames").alias("n_frames"))
+    seg = v.groupBy("content_hash").agg(
+        F.countDistinct("island").alias("n_segments"),
+        F.count("*").alias("n_voiced"),
+    )
+    per_clip = base.join(seg, "content_hash", "left").select(
+        "n_frames",
+        F.coalesce(F.col("n_segments"), F.lit(0)).alias("n_segments"),
+        F.coalesce(F.col("n_voiced"), F.lit(0)).alias("n_voiced"),
+    )
+    return (
+        per_clip.select(
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            "n_voiced",
+            "n_frames",
+        )
+        .groupBy("n_segments")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.expr("sum(n_voiced) * 10000 div sum(n_frames)")
+            .cast("bigint")
+            .alias("voiced_bps"),
+            F.sum("n_voiced").alias("_sv"),
+        )
+        .select(
+            "n_segments",
+            "n_clips",
+            "voiced_bps",
+            F.when(
+                F.col("n_segments") > 0,
+                F.round(
+                    F.col("_sv").cast("double")
+                    / (F.col("n_segments") * F.col("n_clips")),
+                    4,
+                ),
+            ).alias("avg_seg_frames"),
+        )
+        .orderBy("n_segments")
+    )
