@@ -41,6 +41,8 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "session_window_stats",
+    "probe_calibration",
     "audio_vad_segments",
     "join_size_estimate",
     "grouping_sets_revenue",

@@ -4950,3 +4950,89 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("drank")
     )
+
+
+def _probe_calibration_oracle() -> str:
+    lp = _linear_probe_oracle()
+    return f"""
+WITH lp AS MATERIALIZED (SELECT * FROM ({lp})),
+wv AS (SELECT list(weight ORDER BY dim) AS w FROM lp WHERE dim >= 1),
+wb AS (SELECT weight AS b FROM lp WHERE dim = 0),
+e AS (
+  SELECT embedding, CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+m AS (
+  SELECT e.y,
+         ROUND(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, {EMB_DIM} + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * wv.w[i])),
+               (a, b) -> a + b) + wb.b, 6) AS margin
+  FROM e CROSS JOIN wv CROSS JOIN wb
+),
+pr AS (
+  SELECT y, ROUND(1.0 / (1.0 + EXP(-margin)), 6) AS p FROM m
+),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+         y, CAST(p AS DECIMAL(18,6)) AS pd
+  FROM pr
+)
+SELECT bin,
+       COUNT(*) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 10000 // COUNT(*) AS BIGINT) AS acc_bps,
+       ROUND(CAST(SUM(pd) AS DOUBLE) / COUNT(*), 6) AS conf
+FROM bins GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "probe_calibration",
+    oracle=_probe_calibration_oracle(),
+    doc=(
+        "Reliability diagram of the trained linear probe: score every "
+        "vector with the probe's FINAL weights (the 65-value vector "
+        "linear_probe trains — collected as plan constants, the "
+        "kmeans/pca convention), bucket predictions into 10 "
+        "confidence bins, and report per-bin empirical accuracy vs "
+        "mean confidence — the calibration check (Guo et al. 2017) "
+        "run before anyone thresholds a classifier's probabilities "
+        "for filtering decisions; the |acc − conf| gaps are the ECE "
+        "terms. Determinism: margins use the SAME sequential fold + "
+        "6-dp pre-sigmoid rounding as the probe's epoch 2, "
+        "probabilities are 6-dp before both binning and the "
+        "DECIMAL(18,6) confidence sums, and accuracy is exact integer "
+        "bps. Shape: one broadcast-weights map pass + one 10-group "
+        "aggregate (SURVEY §2.F)."
+    ),
+)
+def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    wrows = linear_probe(spark, sf_dir).orderBy("dim").collect()
+    bias = float(wrows[0]["weight"])
+    w = [float(r["weight"]) for r in wrows[1:]]
+    wlit = F.expr("array(" + ",".join(f"{v!r}D" for v in w) + ")")
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), wlit, lambda x, wv: x.cast("double") * wv),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    margin = F.round(dot + F.lit(bias), 6)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    y = F.when(F.col("label") % 2 == 0, 1).otherwise(0)
+    bins = emb.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("bigint").alias("bin"),
+        y.alias("y"),
+        p.cast("decimal(18,6)").alias("pd"),
+    )
+    return (
+        bins.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr("sum(y) * 10000 div count(*)").cast("bigint").alias("acc_bps"),
+            F.round(F.sum("pd").cast("double") / F.count("*"), 6).alias("conf"),
+        )
+        .orderBy("bin")
+    )

@@ -2595,3 +2595,84 @@ def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("var_reduction"),
     )
+
+
+SESSWIN_BUCKET_US = 300 * 1_000_000  # 5-minute duration buckets
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         -- session_window merges on WINDOW OVERLAP, half-open
+         -- [ts, ts+gap): a gap of exactly 30:00.000000 splits, and
+         -- the boundary is microsecond-precise (sessionize's
+         -- whole-second date_diff would truncate 1800.5 s to 1800)
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                   >= {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         date_diff('microsecond', MIN(ts), MAX(ts))
+           + {SESSION_GAP_S} * 1000000 AS dur_us
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT CAST(dur_us // {SESSWIN_BUCKET_US} AS BIGINT) AS dur_bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events
+FROM per_sess GROUP BY 1 ORDER BY 1
+""",
+    doc=(
+        "Session-duration distribution via Spark's NATIVE "
+        "session_window aggregate — the same 30-min-gap semantics as "
+        "`sessionize` but through the SessionWindow physical operator "
+        "(merging session state inside the aggregate, no lag+cumsum "
+        "window pair), i.e. the exact code path the streaming twin "
+        "uses, run in batch. Spark's session end = last event + gap, "
+        "so dur = (max-min)+gap in MICROSECONDS on both engines "
+        "(events carry sub-second timestamps; second-truncation would "
+        "split buckets). The oracle reconstructs sessions the "
+        "portable way (sessionize's lag + running sum), proving the "
+        "two formulations agree session-for-session (SURVEY §2.H)."
+    ),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+    ).agg(F.count("*").alias("n_events"))
+    # scans may surface ts as TIMESTAMP_NTZ; unix_micros requires LTZ.
+    # The session tz is pinned UTC (io._ensure_confs) so the cast is a
+    # deterministic retag, and start/end shift identically either way.
+    dur_us = F.unix_micros(F.col("session_window.end").cast("timestamp")) - F.unix_micros(
+        F.col("session_window.start").cast("timestamp")
+    )
+    per_sess = s.select("user_id", "n_events", dur_us.alias("dur_us"))
+    return (
+        per_sess.select(
+            F.expr(f"dur_us div {SESSWIN_BUCKET_US}").cast("bigint").alias("dur_bucket"),
+            "n_events",
+            "user_id",
+        )
+        .groupBy("dur_bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("n_events").cast("double") / F.count("*"), 4).alias(
+                "avg_events"
+            ),
+        )
+        .orderBy("dur_bucket")
+    )
