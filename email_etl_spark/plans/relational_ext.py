@@ -2175,3 +2175,89 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "priority", "status")
     )
+
+
+MG_K = 32  # counters per partition summary
+MG_PARTS = 8  # deterministic partition count for the summary pass
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle=None,  # summary contents depend on the (pinned) partition
+    # layout; the undercount bound vs exact counts is the contract —
+    # pinned in tests/test_properties.py
+    doc=(
+        "Misra-Gries heavy hitters over user activity — the THIRD "
+        "mergeable summary in the sketch family (HLL distincts, "
+        "t-digest quantiles, MG frequencies): each partition keeps at "
+        "most K=32 counters (eviction decrements all — the classic "
+        "one-pass algorithm), summaries merge by summing and the "
+        "standard (K+1)-th-largest subtraction restores the merged "
+        "bound, so any user with true count > N/(K+1) MUST survive "
+        "and every estimate undercounts by at most N/(K+1). At 100 TB "
+        "this replaces a full groupBy when only the top talkers "
+        "matter: the shuffle carries <= K rows per partition instead "
+        "of one per key. Determinism: rows hash-repartition on "
+        "event_id and sort within partitions, so the per-partition "
+        "scan order (which MG's contents depend on) is pinned at any "
+        "parallelism (SURVEY §2.L)."
+    ),
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    pinned = ev.repartition(MG_PARTS, "event_id").sortWithinPartitions("event_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def mg(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < MG_K:
+                    counters[u] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for d in dead:
+                        del counters[d]
+        yield pd.DataFrame(
+            {"user_id": list(counters), "cnt": list(counters.values())}
+        ).astype("int64", errors="ignore")
+
+    summaries = pinned.mapInPandas(mg, schema=schema)
+    merged = summaries.groupBy("user_id").agg(F.sum("cnt").alias("cnt"))
+    # merged-summary reduction: subtract the (K+1)-th largest counter
+    # (0 when fewer survive) and keep positive — restores the N/(K+1)
+    # undercount guarantee after the merge (Agarwal et al. 2012)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    ranked = merged.select("user_id", "cnt", F.row_number().over(w).alias("rk"))
+    thresh = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == MG_K + 1, F.col("cnt"))), F.lit(0)
+        ).alias("sub")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .select(
+            "user_id",
+            (F.col("cnt") - F.col("sub")).cast("bigint").alias("est_count"),
+        )
+        .where(F.col("est_count") > 0)
+        .orderBy(F.desc("est_count"), "user_id")
+    )

@@ -57,6 +57,31 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def session_windowed_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation through Spark's NATIVE
+    session_window streaming aggregate — the declarative sibling of
+    the custom applyInPandasWithState sessionizer
+    (streaming/sessionizer.py): gap-based windows merge inside the
+    aggregation operator, the watermark finalizes (and drops) a
+    session once event time passes its end + allowed lateness, so
+    state is bounded by open sessions only. Emits one row per closed
+    session; the batch twin is plans/sessions.session_window_stats
+    (same operator, batch mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def incremental_sink(df: DataFrame, out_dir: str, checkpoint_dir: str) -> DataStreamWriter:
     """Append sink with checkpointing — exactly-once file output, the
     durable replacement for the reference's audit-log bookkeeping."""

@@ -492,3 +492,38 @@ def test_read_maildir(spark, tmp_path):
     assert set(by_subj) == {"report", "standup", "deploy"}
     assert by_subj["report"].sender == "ann@example.com"
     assert "Shipped v2." in by_subj["deploy"].body_markdown
+
+
+def test_streaming_session_window_counts(spark, tmp_path):
+    """Native session_window streaming aggregate drains to the same
+    sessions the identical operator produces in batch mode — the
+    declarative sibling of the applyInPandasWithState sessionizer."""
+    from pyspark.sql import functions as F
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        session_windowed_counts,
+    )
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "events_drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-000.parquet")
+    stream = events_stream(spark, str(events_dir))
+    rows = run_available_now(session_windowed_counts(stream), str(tmp_path / "ckpt"))
+    got = {(r.user_id, str(r.session_start)): (str(r.session_end), r.n_events) for r in rows}
+
+    ev = load_table(spark, sf, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, str(r.w.start)): (str(r.w.end), r.n_events) for r in batch
+    }
+    assert got == expected and len(got) > 100

@@ -1005,3 +1005,33 @@ def test_hll_rollup_merge_error_bounded(spark):
         true, true_events, true_days = weekly[week]
         assert n_events == true_events and n_days == true_days, week
         assert abs(e - true) <= max(0.05 * true, 2), (week, e, true)
+
+
+def test_heavy_hitters_mg_bound(spark):
+    """Misra-Gries contract after the summary merge: every estimate
+    undercounts its exact count by at most N/(K+1) (never overcounts),
+    and any user whose true count exceeds N/(K+1) must be reported.
+    Run twice to pin determinism of the order-pinned summary pass."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.plans.registry import REGISTRY
+    from email_etl_spark.plans.relational_ext import MG_K
+
+    q = REGISTRY["heavy_hitters_mg"]
+    got = {r.user_id: r.est_count for r in q.builder(spark, SF_SMOKE).collect()}
+    again = {r.user_id: r.est_count for r in q.builder(spark, SF_SMOKE).collect()}
+    assert got == again  # pinned partition order -> reproducible summary
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / (MG_K + 1)
+    assert len(got) > 0
+    for u, est in got.items():
+        assert 0 < est <= exact[u], (u, est, exact[u])
+        assert exact[u] - est <= bound, (u, est, exact[u], bound)
+    for u, n in exact.items():
+        if n > bound:
+            assert u in got, (u, n, bound)
