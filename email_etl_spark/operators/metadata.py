@@ -1,0 +1,69 @@
+"""Parquet footer metadata operators (SURVEY §4 data-skipping).
+
+At 100 TB, scan planning happens against FOOTERS, not data: per
+row-group min/max statistics decide which byte ranges a predicate can
+skip before any column chunk is read. These operators surface that
+layer: the driver distributes only FILE PATHS; executors open footers
+with pyarrow (kilobytes per file, never the data pages) inside
+mapInPandas, so a million-file lake profiles in one metadata-parallel
+pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ROWGROUP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rg_idx", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("stat_min", T.StringType()),
+        T.StructField("stat_max", T.StringType()),
+    ]
+)
+
+
+def parquet_rowgroup_stats(
+    spark: SparkSession, paths: list[str], column: str
+) -> DataFrame:
+    """One row per parquet row group with the min/max statistics of
+    `column` (stringified — callers cast/parse per their column type).
+    Paths are distributed; footers are read executor-side."""
+    files = spark.createDataFrame([(p,) for p in paths], "file string").repartition(
+        min(len(paths), 32)
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["file"]:
+                md = pq.ParquetFile(path).metadata
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                ci = names[column]
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    col = g.column(ci)
+                    st = col.statistics
+                    out.append(
+                        {
+                            "file": path,
+                            "rg_idx": rg,
+                            "n_rows": g.num_rows,
+                            "total_bytes": g.total_byte_size,
+                            "stat_min": None if st is None else str(st.min),
+                            "stat_max": None if st is None else str(st.max),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ROWGROUP_STATS_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(read_footers, schema=ROWGROUP_STATS_SCHEMA)

@@ -815,3 +815,44 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name", "column_name")
     )
+
+
+@register(
+    "parquet_skipping_stats",
+    oracle=None,  # footer statistics are storage-layer facts with no
+    # relational twin; skip math is pinned in tests/test_metadata.py
+    # against pyarrow ground truth on a crafted multi-row-group file
+    doc=(
+        "Data-skipping profile from parquet FOOTERS only: one row per "
+        "row group of the events table with its ts min/max statistics "
+        "and whether the sessionize-era date window could skip it — "
+        "the planning layer a 100 TB scan consults before reading any "
+        "data page. The driver ships file PATHS; executors read "
+        "footers (kilobytes) in mapInPandas "
+        "(operators/metadata.parquet_rowgroup_stats), so a "
+        "million-file lake profiles in one metadata-parallel pass. "
+        "Local testdata is single-file/single-group — the skip "
+        "arithmetic is exercised on a crafted multi-row-group file in "
+        "tests/test_metadata.py (SURVEY §4)."
+    ),
+)
+def parquet_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stats = parquet_rowgroup_stats(spark, [path], "ts")
+    lo, hi = "2024-01-10", "2024-01-20"
+    skippable = ~(
+        (F.col("stat_min") <= F.lit(hi)) & (F.col("stat_max") >= F.lit(lo))
+    )
+    return stats.select(
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
+        "rg_idx",
+        "n_rows",
+        "total_bytes",
+        "stat_min",
+        "stat_max",
+        skippable.alias("skippable"),
+    ).orderBy("file", "rg_idx")

@@ -2520,3 +2520,56 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BPE_PAIR_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT u.w AS word
+  FROM documents,
+       UNNEST({_TOKS}) AS u(w)
+),
+p AS (
+  SELECT substr(word, i.i, 2) AS pair
+  FROM w, UNNEST(range(1, length(word))) AS i(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOPK}
+""",
+    doc=(
+        "Adjacent-symbol pair counts over the corpus — the DISTRIBUTED "
+        "step of BPE tokenizer training (each merge iteration picks "
+        "argmax over exactly these statistics; at 100 TB the pair "
+        "count is the only part that must scan the corpus — the "
+        "argmax+table update is driver-side over a vocab-sized "
+        "summary, which is how functions/bpe.py's trainer consumes "
+        "it). Entirely JVM-side: words from one regex split, pairs "
+        "from transform(sequence(...)) — a lambda-free explode, no "
+        "Python in the hot path; count is map-side combined and the "
+        "top-50 cut is TakeOrderedAndProject with a lexical tiebreak "
+        "(SURVEY §2.D)."
+    ),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+        ).alias("word")
+    ).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_PAIR_TOPK)
+    )

@@ -1,0 +1,64 @@
+"""Parquet footer data-skipping contract (SURVEY §4): per-row-group
+min/max statistics must reproduce pyarrow ground truth, and the skip
+decision for a predicate window must match exact row membership on a
+crafted multi-row-group file."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunked_file(tmp_path_factory):
+    """60 rows over 6 row groups of 10, ts strictly increasing by day
+    — row-group min/max windows are disjoint, so skipping is exact."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("meta") / "events_chunked.parquet")
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(days=i) for i in range(60)]
+    table = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": list(range(60))})
+    pq.write_table(table, path, row_group_size=10)
+    return path
+
+
+def test_rowgroup_stats_match_pyarrow(spark, chunked_file):
+    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+
+    got = parquet_rowgroup_stats(spark, [chunked_file], "ts").orderBy("rg_idx").collect()
+    md = pq.ParquetFile(chunked_file).metadata
+    assert len(got) == md.num_row_groups == 6
+    for row in got:
+        st = md.row_group(row.rg_idx).column(0).statistics
+        assert row.n_rows == 10
+        assert row.stat_min == str(st.min) and row.stat_max == str(st.max)
+
+
+def test_skip_decision_matches_exact_membership(spark, chunked_file):
+    """A [lo, hi] window must mark exactly the row groups with no
+    overlapping rows as skippable."""
+    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+
+    lo, hi = "2024-01-25", "2024-02-05"  # overlaps row groups 2 and 3
+    stats = parquet_rowgroup_stats(spark, [chunked_file], "ts")
+    skippable = ~((F.col("stat_min") <= F.lit(hi)) & (F.col("stat_max") >= F.lit(lo)))
+    got = {
+        r.rg_idx: r.skip
+        for r in stats.select("rg_idx", skippable.alias("skip")).collect()
+    }
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_registry_query_runs_on_testdata(spark):
+    from email_etl_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["parquet_skipping_stats"].builder(spark, SF_SMOKE).collect()
+    # single small file -> one row group, overlapping the window
+    assert len(rows) >= 1
+    assert all(r.n_rows > 0 for r in rows)
+    assert rows[0].skippable is False
