@@ -5036,3 +5036,71 @@ def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "label_noise_knn",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS q, a.label AS lq, b.vec_id AS n, b.label AS ln_,
+         {duckdb_cosine('a.embedding', 'b.embedding')} AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT q, lq, ln_, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+  FROM pairs
+),
+votes AS (
+  SELECT q, lq,
+         SUM(CASE WHEN ln_ <> lq THEN 1 ELSE 0 END) AS n_diff
+  FROM ranked WHERE rk <= {_KNN_K} GROUP BY q, lq
+)
+SELECT lq AS label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN 2 * n_diff > {_KNN_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suspect,
+       CAST(SUM(CASE WHEN 2 * n_diff > {_KNN_K} THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS suspect_bps,
+       CAST(SUM(n_diff) AS BIGINT) AS total_diff_votes
+FROM votes GROUP BY lq ORDER BY lq
+""",
+    doc=(
+        "Label-noise detection by neighbor vote (confident-learning "
+        "lite, Northcutt et al. 2021's cheap precursor): a vector "
+        "whose k nearest neighbors MAJORITY-disagree with its own "
+        "label is a mislabel suspect — the curation gate run before "
+        "training a classifier on harvested labels. Builds on "
+        "knn_join's exact block-tiled top-k pair stream (O(P·k) "
+        "shuffle rows per vector, no corpus broadcast — the pruned "
+        "matmul is the candidate generator, exact-fold cosine the "
+        "contract), then two key-equality label joins and an exact "
+        "integer-bps rollup per label (SURVEY §2.F)."
+    ),
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    lab_q = emb.select(F.col("vec_id"), F.col("label").alias("lq"))
+    lab_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ln_")
+    )
+    votes = (
+        pairs.join(lab_q, "vec_id")
+        .join(lab_n, "neighbor_id")
+        .groupBy("vec_id", "lq")
+        .agg(F.sum(F.when(F.col("ln_") != F.col("lq"), 1).otherwise(0)).alias("n_diff"))
+    )
+    suspect = F.when(2 * F.col("n_diff") > _KNN_K, 1).otherwise(0)
+    return (
+        votes.groupBy(F.col("lq").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(suspect).cast("bigint").alias("n_suspect"),
+            F.expr(f"sum(CASE WHEN 2 * n_diff > {_KNN_K} THEN 1 ELSE 0 END) * 10000"
+                   " div count(*)")
+            .cast("bigint")
+            .alias("suspect_bps"),
+            F.sum("n_diff").cast("bigint").alias("total_diff_votes"),
+        )
+        .orderBy("label")
+    )

@@ -2573,3 +2573,94 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_PAIR_TOPK)
     )
+
+
+KN_D = 0.75  # absolute discount
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM tok CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1 FROM c2 GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS cont FROM c2 GROUP BY w2),
+t AS (SELECT COUNT(*) AS t FROM c2),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(
+             (CAST(c2.c2 AS DOUBLE) - {KN_D}) / c1.c1
+             + ({KN_D} * c1.n1 / c1.c1) * (CAST(cont.cont AS DOUBLE) / t.t)
+           ), 6) AS DECIMAL(18,6)) AS lp
+  FROM bg b
+  JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN t
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) AS DOUBLE) AS kn_logprob,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    doc=(
+        "Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; "
+        "Chen & Goodman 1998 — THE n-gram smoothing): "
+        "p(w2|w1) = max(c-D,0)/c(w1·) + D·N1+(w1·)/c(w1·) · "
+        "N1+(·w2)/|bigram types| — the continuation-probability term "
+        "is what separates it from bigram_logprob's raw MLE (words "
+        "frequent only inside fixed phrases stop looking probable "
+        "everywhere). All counts — bigram, left-marginal, follower "
+        "types, continuation types, type total — are exact-integer "
+        "map-side-combined aggregates off ONE bigram stream; the "
+        "log-prob is a single structurally-identical double expression "
+        "in both engines, rounded to DECIMAL(18,6) before the per-doc "
+        "sum (order-insensitive at any parallelism) (SURVEY §2.D)."
+    ),
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    tok = docs.select("doc_id", toks.alias("toks"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"), F.count("*").alias("n1"))
+    cont = c2.groupBy("w2").agg(F.count("*").alias("cont"))
+    t = c2.agg(F.count("*").alias("t"))
+    lp = F.expr(
+        f"CAST(ROUND(LN((CAST(c2 AS DOUBLE) - {KN_D}) / c1"
+        f" + ({KN_D} * n1 / c1) * (CAST(cont AS DOUBLE) / t)), 6)"
+        " AS DECIMAL(18,6))"
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("kn_logprob"),
+            # UNROUNDED quotient on purpose: both engines divide the
+            # same exact-decimal sum by the same count, so the IEEE
+            # result is bit-identical — a final ROUND(...,6) would
+            # re-introduce the decimal-string vs binary half-way
+            # divergence it is meant to prevent (sf0.1 doc hit an
+            # exact .5 at 6 dp)
+            (F.sum("lp").cast("double") / F.count("*")).alias("avg_kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )

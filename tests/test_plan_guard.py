@@ -150,6 +150,16 @@ _BNL_JUSTIFIED = {
     "doc_keywords",  # 1-row corpus doc count (idf denominator)
     "query_autocomplete",  # 3-row prefix-length table
     "dim_ablation_recall",  # 4-row width table + 5-row query batch
+    # reviewed round 4 (rows first surfaced by the PLANS.md regen)
+    "acf_daily",  # 1-row (N, S) daily-totals broadcast, reused x3
+    "cusum_changepoint",  # same 1-row daily-totals broadcast
+    "seasonal_strength",  # 1-row grand-mean broadcast
+    "embedding_sim_hist",  # hash-sampled pair side, bounded + broadcast
+    "spell_suggest",  # plan-constant query batch (SPELL_QUERIES)
+    "gap_fill_daily",  # 366-row sequence() calendar literal broadcast
+    "join_size_estimate",  # 1-row n_left/n_right count broadcasts (x6)
+    "heavy_hitters_mg",  # 1-row (K+1)-th-counter threshold broadcast
+    "kneser_ney_bigram",  # 1-row bigram-type-total broadcast (KN's |V|)
 }
 
 
