@@ -2664,3 +2664,97 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SKIPGRAM_TOPK = 30
+_NEG = "md5('neg:' || center || ':' || context)"
+_HEXP = "0123456789abcdef"
+_NEG_H = (
+    f"(65536 * (16 * (strpos('{_HEXP}', substr({_NEG}, 1, 1)) - 1)"
+    f"          + strpos('{_HEXP}', substr({_NEG}, 2, 1)) - 1)"
+    f" + 256 * (16 * (strpos('{_HEXP}', substr({_NEG}, 3, 1)) - 1)"
+    f"          + strpos('{_HEXP}', substr({_NEG}, 4, 1)) - 1)"
+    f" + (16 * (strpos('{_HEXP}', substr({_NEG}, 5, 1)) - 1)"
+    f"    + strpos('{_HEXP}', substr({_NEG}, 6, 1)) - 1))"
+)
+
+
+@register(
+    "skipgram_pairs",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT toks[u.i] AS center, toks[u.i + d.d] AS context
+  FROM tok
+  CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS u(i)
+  CROSS JOIN UNNEST([-2, -1, 1, 2]) AS d(d)
+  WHERE u.i + d.d >= 1 AND u.i + d.d <= len(toks)
+),
+c AS (SELECT center, context, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS rk, COUNT(*) OVER () AS v
+  FROM (SELECT DISTINCT center AS word FROM c)
+),
+hx AS (SELECT center, context, n, {_NEG_H} AS h FROM c)
+SELECT hx.center, hx.context, CAST(hx.n AS BIGINT) AS n, neg.word AS neg_word
+FROM hx JOIN vocab neg ON neg.rk = 1 + (hx.h % (SELECT MAX(v) FROM vocab))
+ORDER BY hx.n DESC, hx.center, hx.context LIMIT {SKIPGRAM_TOPK}
+""",
+    doc=(
+        "Skip-gram training-pair generation (word2vec / fastText input; "
+        "Mikolov et al. 2013): (center, context) pairs within a ±2 "
+        "window plus one hash-derived NEGATIVE sample per pair — the "
+        "data-gen pass an embedding-training pipeline runs over the "
+        "whole corpus. Pair explosion is a lambda-free JVM "
+        "flatten(transform(sequence(...))) — no self-join on position "
+        "(the window offsets are plan constants), no Python; negatives "
+        "come from md5 mod |vocab| against the ranked vocabulary (the "
+        "engine-reproducible stand-in for frequency^0.75 sampling — "
+        "deterministic, no RNG), joined by equality on rank. Top-30 "
+        "pairs with a full (n desc, center, context) tiebreak "
+        "(SURVEY §2.D)."
+    ),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    tok = docs.select(toks.alias("toks")).where(F.size("toks") > 0)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(toks) - 1), i ->"
+                " filter(transform(array(-2, -1, 1, 2), d ->"
+                "   CASE WHEN i + d >= 0 AND i + d < size(toks)"
+                "        THEN struct(toks[i] AS center, toks[i + d] AS context)"
+                "   END), x -> x IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    c = pairs.groupBy("center", "context").agg(F.count("*").alias("n"))
+    wv = Window.orderBy("word")
+    vocab = (
+        c.select(F.col("center").alias("word"))
+        .distinct()
+        .select("word", F.row_number().over(wv).alias("rk"))
+    )
+    vsize = vocab.agg(F.max("rk").alias("v"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("neg:"), F.col("center"), F.lit(":"), F.col("context"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hx = c.select("center", "context", "n", h.alias("h")).crossJoin(
+        F.broadcast(vsize)
+    )
+    neg = vocab.select(F.col("rk").alias("nrk"), F.col("word").alias("neg_word"))
+    return (
+        hx.withColumn("nrk", F.lit(1) + F.col("h") % F.col("v"))
+        .join(F.broadcast(neg), "nrk")
+        .select("center", "context", F.col("n").cast("bigint").alias("n"), "neg_word")
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(SKIPGRAM_TOPK)
+    )
