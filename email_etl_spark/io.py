@@ -91,3 +91,22 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def observe_counters(df: DataFrame, name: str, **aggs):
+    """Piggyback data-quality counters on a query's OWN action via
+    `Dataset.observe` — the metrics accumulate inside the running job
+    (no second scan, unlike a separate `.agg().collect()` pass), which
+    at 100 TB is the difference between free monitoring and doubling
+    the read. Returns (df, observation); read `observation.get` after
+    any action on the returned frame.
+
+    >>> df, obs = observe_counters(docs, "ingest",
+    ...     n_rows=F.count(F.lit(1)), null_text=F.sum(F.isnull("text").cast("long")))
+    >>> df.write.parquet(out); obs.get["null_text"]
+    """
+    from pyspark.sql import Observation
+
+    observation = Observation(name)
+    named = [expr.alias(alias) for alias, expr in aggs.items()]
+    return df.observe(observation, *named), observation

@@ -343,3 +343,19 @@ def read_cdc_state(spark: SparkSession, store_dir: str) -> DataFrame:
     """Live CDC state: the store minus tombstones (op='D' rows are
     retained for out-of-order protection, never served)."""
     return spark.read.parquet(store_dir).where(F.col("op") != "D")
+
+
+def run_available_now_update(df: DataFrame, checkpoint_dir: str, name: str) -> list:
+    """Drain a bounded UPDATE-mode stream into memory and return the
+    rows — test harness path for transformWithState processors that
+    re-emit a key's latest value each micro-batch."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.sql(f"SELECT * FROM {name}").collect()

@@ -527,3 +527,53 @@ def test_streaming_session_window_counts(spark, tmp_path):
         (r.user_id, str(r.w.start)): (str(r.w.end), r.n_events) for r in batch
     }
     assert got == expected and len(got) > 100
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 successor of
+    applyInPandasWithState): after draining the stream, every user's
+    last emitted running total equals the batch groupBy truth — exact
+    centi-unit sums, state one ValueState row per user."""
+    from pyspark.sql import functions as F
+
+    from email_etl_spark.io import load_table
+    import pytest
+
+    from email_etl_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now_update,
+    )
+    from email_etl_spark.streaming.tws_counter import running_user_totals, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithState needs google.protobuf (not in this container)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = tmp_path / "events_drops"
+    events_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", events_dir / "part-000.parquet")
+    stream = events_stream(spark, str(events_dir))
+    rows = run_available_now_update(
+        running_user_totals(stream), str(tmp_path / "ckpt"), "tws_totals_test"
+    )
+    got = {r.user_id: (r.n_events, r.value_centi) for r in rows}
+
+    ev = load_table(spark, sf, "events")
+    truth = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth) and len(got) > 50
+    for u, (n, v) in truth.items():
+        assert got[u][0] == n, (u, got[u], n)

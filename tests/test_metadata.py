@@ -62,3 +62,28 @@ def test_registry_query_runs_on_testdata(spark):
     assert len(rows) >= 1
     assert all(r.n_rows > 0 for r in rows)
     assert rows[0].skippable is False
+
+
+def test_observe_counters_ride_the_action(spark):
+    """observe() metrics must match a ground-truth aggregate while
+    costing zero extra scans (they accumulate inside the one action)."""
+    from email_etl_spark.io import load_table, observe_counters
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out, obs = observe_counters(
+        docs,
+        "ingest_quality",
+        n_rows=F.count(F.lit(1)),
+        n_en=F.sum((F.col("lang") == "en").cast("long")),
+        total_chars=F.sum("n_chars"),
+    )
+    n_out = out.where(F.length("text") >= 0).count()  # the ONE action
+    m = obs.get
+    truth = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("en"),
+        F.sum("n_chars").alias("c"),
+    ).first()
+    assert m["n_rows"] == truth["n"] == n_out
+    assert m["n_en"] == truth["en"]
+    assert m["total_chars"] == truth["c"]
