@@ -385,3 +385,54 @@ def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "props_variant_profile",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Semi-structured profile through Spark 4's VARIANT type "
+        "(SPARK-45891 — the lakehouse answer to JSONB, ref: metadata "
+        "JSONB column, scripts/init_db.sql:32): props parse ONCE into "
+        "a binary variant (try_parse_json — malformed rows become "
+        "NULL, not job failures) and every field access is "
+        "try_variant_get on the decoded tree, not a re-parse of the "
+        "string per path the way repeated get_json_object costs. At "
+        "100 TB the parse-once/shred-many difference dominates "
+        "semi-structured scans. Aggregation is one map-side-combined "
+        "pass; the oracle expresses identical semantics over DuckDB's "
+        "JSON reader (SURVEY §2.I)."
+    ),
+)
+def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(F.when(k.isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_with_k"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
