@@ -2261,3 +2261,87 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_count") > 0)
         .orderBy(F.desc("est_count"), "user_id")
     )
+
+
+@register(
+    "revenue_bridge",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT month, n, rev,
+         LAG(n) OVER (ORDER BY month) AS n_p,
+         LAG(rev) OVER (ORDER BY month) AS rev_p
+  FROM m
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(rev AS BIGINT) AS rev_centi,
+       CAST(rev - rev_p AS BIGINT) AS d_rev_centi,
+       (CAST(n AS DOUBLE) - n_p) * (CAST(rev_p AS DOUBLE) / n_p) / 100
+         AS volume_effect,
+       (CAST(rev AS DOUBLE) / n - CAST(rev_p AS DOUBLE) / n_p)
+             * CAST(n AS DOUBLE) / 100 AS price_effect
+FROM l WHERE n_p IS NOT NULL AND month >= DATE '1998-01-01'
+ORDER BY month
+""",
+    doc=(
+        "Month-over-month revenue BRIDGE (the FP&A waterfall): "
+        "decompose each month's revenue delta into a volume effect "
+        "(order-count change at last month's average order value) and "
+        "a price/mix effect (AOV change at this month's volume) — "
+        "volume + price = delta exactly in real arithmetic, the "
+        "standard two-factor decomposition behind every 'why did "
+        "revenue move' review (the explanatory layer on top of "
+        "revenue_mom's raw deltas). Shape: ONE map-side-combined "
+        "monthly rollup is the only pass over orders; the lag window "
+        "runs on the calendar-bounded month table. Deltas stay exact "
+        "integer centi-units; the two effects are identical "
+        "structurally-ordered double expressions in both engines, "
+        "shipped UNROUNDED (bit-equal by construction; an output ROUND hit the decimal-string-vs-binary halfway split) (SURVEY §2.G)."
+    ),
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"),
+    )
+    w = Window.orderBy("month")
+    l = m.select(
+        "month",
+        "n",
+        "rev",
+        F.lag("n").over(w).alias("n_p"),
+        F.lag("rev").over(w).alias("rev_p"),
+    )
+    # UNROUNDED on purpose: both engines evaluate the identical
+    # structurally-ordered expression over identical exact integers,
+    # so the IEEE doubles are bit-equal — ROUND(...,2) reintroduced
+    # the decimal-string-vs-binary halfway split at sf0.001
+    vol = (
+        (F.col("n").cast("double") - F.col("n_p"))
+        * (F.col("rev_p").cast("double") / F.col("n_p"))
+        / 100
+    )
+    price = (
+        (F.col("rev").cast("double") / F.col("n") - F.col("rev_p").cast("double") / F.col("n_p"))
+        * F.col("n").cast("double")
+        / 100
+    )
+    return (
+        l.where(F.col("n_p").isNotNull() & (F.col("month") >= F.lit("1998-01-01").cast("date")))
+        .select(
+            F.col("month").cast("date").alias("month"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("rev").cast("bigint").alias("rev_centi"),
+            (F.col("rev") - F.col("rev_p")).cast("bigint").alias("d_rev_centi"),
+            vol.alias("volume_effect"),
+            price.alias("price_effect"),
+        )
+        .orderBy("month")
+    )
