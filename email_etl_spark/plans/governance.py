@@ -856,3 +856,69 @@ def parquet_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat_max",
         skippable.alias("skippable"),
     ).orderBy("file", "rg_idx")
+
+
+DP_EPS_X10 = 10  # epsilon = 1.0 (x10 to keep the name integer)
+_DP_U = (
+    "((CAST(CONV(SUBSTRING(MD5(CONCAT('dp:', event_type)), 1, 6), 16, 10) AS BIGINT)"
+    " % 1000000) + 0.5) / 1000000.0"
+)
+_DP_U_DUCK = (
+    "((65536 * (16 * (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 1, 1)) - 1)"
+    "          + strpos('0123456789abcdef', substr(md5('dp:' || event_type), 2, 1)) - 1)"
+    " + 256 * (16 * (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 3, 1)) - 1)"
+    "          + strpos('0123456789abcdef', substr(md5('dp:' || event_type), 4, 1)) - 1)"
+    " + (16 * (strpos('0123456789abcdef', substr(md5('dp:' || event_type), 5, 1)) - 1)"
+    "    + strpos('0123456789abcdef', substr(md5('dp:' || event_type), 6, 1)) - 1))"
+    " % 1000000 + 0.5) / 1000000.0"
+)
+
+
+@register(
+    "dp_release_counts",
+    oracle=f"""
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+u AS (SELECT event_type, n, {_DP_U_DUCK} AS u FROM c),
+z AS (
+  SELECT event_type, n,
+         ROUND(-(10.0 / {DP_EPS_X10}) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * LN(1.0 - 2.0 * ABS(u - 0.5)), 4) AS noise
+  FROM u
+)
+SELECT event_type,
+       CAST(ROUND(n + noise) AS BIGINT) AS n_released,
+       noise,
+       {DP_EPS_X10} / 10.0 AS epsilon
+FROM z ORDER BY event_type
+""",
+    doc=(
+        "Laplace-mechanism count release (Dwork et al. 2006) — the "
+        "third leg of the privacy family after k_anonymity_profile / "
+        "l_diversity_profile: per-group counts plus Laplace(1/eps) "
+        "noise (sensitivity 1, eps=1) via the inverse-CDF transform. "
+        "CAVEAT, stated loudly: the uniform draw is md5-derived (the "
+        "engine's no-RNG reproducibility convention), which makes "
+        "this the MECHANISM's pipeline — bit-checkable cross-engine — "
+        "not a cryptographically private release; production swaps "
+        "the hash for a secure RNG and changes nothing else. Shape: "
+        "one map-side-combined count + per-row noise arithmetic; the "
+        "inverse-CDF ln is rounded to 4 dp in both engines "
+        "(SURVEY §2.L)."
+    ),
+)
+def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = F.expr(_DP_U)
+    noise = F.round(
+        -(10.0 / DP_EPS_X10)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+        4,
+    )
+    return c.select(
+        "event_type",
+        F.round(F.col("n") + noise).cast("bigint").alias("n_released"),
+        noise.alias("noise"),
+        F.lit(DP_EPS_X10 / 10.0).alias("epsilon"),
+    ).orderBy("event_type")
