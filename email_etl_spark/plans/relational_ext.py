@@ -2345,3 +2345,77 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+NDR_COHORT_BEFORE = "1996-01-01"
+NDR_MAX_K = 11
+
+
+@register(
+    "cohort_dollar_retention",
+    oracle=f"""
+WITH f AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT f.cohort,
+         (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort)) * 12
+         + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort)) AS k,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev,
+         COUNT(DISTINCT o.o_custkey) AS n_active
+  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+base AS (SELECT cohort, rev AS rev0 FROM r WHERE k = 0)
+SELECT CAST(r.cohort AS DATE) AS cohort, CAST(r.k AS BIGINT) AS k,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(r.rev AS BIGINT) AS rev_centi,
+       CAST(r.rev * 10000 // b.rev0 AS BIGINT) AS ndr_bps
+FROM r JOIN base b USING (cohort)
+WHERE r.cohort < DATE '{NDR_COHORT_BEFORE}' AND r.k <= {NDR_MAX_K}
+ORDER BY cohort, k
+""",
+    doc=(
+        "Dollar retention matrix (NDR) by first-order cohort: each "
+        "1995 cohort's month-k revenue as exact integer bps of its "
+        "month-0 revenue — the REVENUE twin of retention_cohorts' "
+        "user counts, and the metric subscription/marketplace finance "
+        "actually reviews (users can be retained while dollars "
+        "churn). Shape: one first-order aggregate (shuffles customer "
+        "keys once), one key-equality join back to the fact stream, "
+        "one (cohort, k) rollup — month arithmetic is pure integer "
+        "(year*12+month), the month-0 base joins back on the tiny "
+        "cohort table, and every ratio is an exact integer div "
+        "(SURVEY §2.G)."
+    ),
+)
+def cohort_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    o = orders.join(f, "o_custkey")
+    k = (F.year("o_orderdate") - F.year("cohort")) * 12 + (
+        F.month("o_orderdate") - F.month("cohort")
+    )
+    r = o.groupBy("cohort", k.alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"),
+        F.countDistinct("o_custkey").alias("n_active"),
+    )
+    base = r.where(F.col("k") == 0).select("cohort", F.col("rev").alias("rev0"))
+    return (
+        r.join(F.broadcast(base), "cohort")
+        .where(
+            (F.col("cohort") < F.lit(NDR_COHORT_BEFORE).cast("timestamp"))
+            & (F.col("k") <= NDR_MAX_K)
+        )
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("rev").cast("bigint").alias("rev_centi"),
+            F.expr("rev * 10000 div rev0").cast("bigint").alias("ndr_bps"),
+        )
+        .orderBy("cohort", "k")
+    )
