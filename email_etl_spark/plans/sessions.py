@@ -2676,3 +2676,78 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_bucket")
     )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+         date_diff('microsecond', CAST(CAST(ts AS DATE) AS TIMESTAMP), ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         ts, event_id
+  FROM events
+),
+w AS (
+  SELECT day, vc,
+         COALESCE(LEAD(us) OVER (PARTITION BY day ORDER BY ts, event_id),
+                  86400000000) - us AS w_us
+  FROM e
+)
+SELECT day, COUNT(*) AS n,
+       CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 100
+         AS naive_mean,
+       CAST(SUM(CAST(vc AS DECIMAL(38,0)) * w_us) AS DOUBLE)
+         / CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS DOUBLE) / 100 AS twap
+FROM w GROUP BY day ORDER BY day
+""",
+    doc=(
+        "Time-weighted daily average of the value stream (the TWAP "
+        "estimator): each observation holds until the next one, so "
+        "its weight is microseconds-until-next-event (last event "
+        "holds to midnight) — the correct mean for sampled-on-change "
+        "series, where the naive row mean over-weights bursty periods "
+        "(the two columns disagree visibly on this data). Exactness: "
+        "weights are integer microseconds off the ordered per-day "
+        "window, weighted sums accumulate in DECIMAL(38,0) (scale-"
+        "safe: centi-value x day-microseconds products overflow "
+        "BIGINT at planetary volumes), and both engines divide the "
+        "same exact sums — output doubles are bit-equal unrounded. "
+        "One per-day lead window + one map-side-combined rollup "
+        "(SURVEY §2.H)."
+    ),
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp")
+    day = F.col("ts").cast("date")
+    us = F.unix_micros(ts_ltz) - F.unix_micros(day.cast("timestamp"))
+    e = ev.select(
+        day.alias("day"),
+        us.alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        "ts",
+        "event_id",
+    )
+    wspec = Window.partitionBy("day").orderBy("ts", "event_id")
+    w = e.select(
+        "day",
+        "vc",
+        (
+            F.coalesce(F.lead("us").over(wspec), F.lit(86_400_000_000))
+            - F.col("us")
+        ).alias("w_us"),
+    )
+    vc_d = F.col("vc").cast("decimal(38,0)")
+    w_d = F.col("w_us").cast("decimal(38,0)")
+    return (
+        w.groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(vc_d).cast("double") / F.count("*") / 100).alias("naive_mean"),
+            (F.sum(vc_d * F.col("w_us")).cast("double") / F.sum(w_d).cast("double") / 100).alias(
+                "twap"
+            ),
+        )
+        .orderBy("day")
+    )
