@@ -1403,3 +1403,111 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+def _pref_quality_sql() -> str:
+    """The quality_score oracle expression (plans/text.py), inlined so
+    the ranking key is the SAME rounded heuristic both engines sort."""
+    from email_etl_spark.plans.text import _PUNCT, _TOKS, _stop_sql
+
+    return (
+        "ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} /"
+        f" GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} /"
+        " GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)), 4)"
+    )
+
+
+@register(
+    "preference_pairs",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, {_pref_quality_sql()} AS quality FROM documents
+),
+r AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+),
+p AS (
+  SELECT hi.source,
+         hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+         CAST(ROUND((hi.quality - lo.quality) * 10000) AS BIGINT) AS gap_bps
+  FROM r hi JOIN r lo
+    ON hi.source = lo.source AND lo.rk = hi.n + 1 - hi.rk
+  WHERE hi.rk < hi.n + 1 - hi.rk
+)
+SELECT source,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(chosen_id) AS BIGINT) AS chosen_id_sum,
+       CAST(SUM(rejected_id) AS BIGINT) AS rejected_id_sum,
+       CAST(SUM(gap_bps) AS BIGINT) AS total_gap_bps,
+       CAST(MIN(gap_bps) AS BIGINT) AS min_gap_bps
+FROM p GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Preference-pair formation for DPO/RLHF-style training: "
+        "within each source, rank documents by the shared quality "
+        "heuristic and pair rank r (chosen) with rank n+1-r "
+        "(rejected) — extreme-vs-extreme pairing maximizes the "
+        "preference margin while keeping both sides in-distribution "
+        "(same source), the standard cheap recipe before human "
+        "labels exist. Shape: ONE rank window per source key (no "
+        "self-join on content — the partner rank is arithmetic), one "
+        "rank-equality self-join that shuffles only (source, rank) "
+        "keys, and exact-integer bps gaps; id-sum checksums pin the "
+        "exact pairing, not just counts (source_cap_sample "
+        "convention) (SURVEY §2.L)."
+    ),
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", T.quality_score(F.col("text")).alias("quality"))
+    wq = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    wn = Window.partitionBy("source")
+    r = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(wq).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    hi = r.select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("q_hi"),
+        "rk",
+        "n",
+        (F.col("n") + 1 - F.col("rk")).alias("lo_rk"),
+    ).where(F.col("rk") < F.col("lo_rk"))
+    lo = r.select(
+        F.col("source").alias("source_lo"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("q_lo"),
+        F.col("rk").alias("lo_rk"),
+    )
+    p = hi.join(
+        lo,
+        (F.col("source") == F.col("source_lo")) & (hi.lo_rk == lo.lo_rk),
+    ).select(
+        "source",
+        "chosen_id",
+        "rejected_id",
+        F.round((F.col("q_hi") - F.col("q_lo")) * 10000).cast("bigint").alias("gap_bps"),
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("chosen_id").cast("bigint").alias("chosen_id_sum"),
+            F.sum("rejected_id").cast("bigint").alias("rejected_id_sum"),
+            F.sum("gap_bps").cast("bigint").alias("total_gap_bps"),
+            F.min("gap_bps").cast("bigint").alias("min_gap_bps"),
+        )
+        .orderBy("source")
+    )
