@@ -160,6 +160,7 @@ _BNL_JUSTIFIED = {
     "join_size_estimate",  # 1-row n_left/n_right count broadcasts (x6)
     "heavy_hitters_mg",  # 1-row (K+1)-th-counter threshold broadcast
     "kneser_ney_bigram",  # 1-row bigram-type-total broadcast (KN's |V|)
+    "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
 }
 
 
