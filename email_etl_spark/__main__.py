@@ -4,6 +4,7 @@
 Commands mirror the reference's verbs over the Spark engine:
 
   query <name> [--sf-dir D] [--limit N]   run a registry query
+  explain <name>                          print a query's physical plan
   list                                    list registry queries
   search <text> [--limit N] [--lang L]    semantic search
   ask <question> [--context N]            RAG context assembly
@@ -34,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     p_query = sub.add_parser("query")
     p_query.add_argument("name")
     p_query.add_argument("--limit", type=int, default=20)
+
+    p_explain = sub.add_parser("explain")
+    p_explain.add_argument("name")
 
     sub.add_parser("list")
 
@@ -102,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         REGISTRY[args.name].builder(spark, args.sf_dir).show(args.limit, truncate=80)
+    elif args.cmd == "explain":
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = REGISTRY[args.name].builder(spark, args.sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        print(df._jdf.queryExecution().explainString(mode))
     elif args.cmd == "search":
         from email_etl_spark.api import search_emails
 

@@ -175,3 +175,12 @@ def test_cli_actions_and_categorize(spark, capsys):
     assert main(["--sf-dir", SF_SMOKE, "categorize", "--ids", "1,2"]) == 0
     out = capsys.readouterr().out
     assert "doc_id" in out
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    from email_etl_spark.__main__ import main
+
+    assert main(["--sf-dir", SF_SMOKE, "explain", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    assert "PushedFilters" in out  # the audit detail explain exists for
