@@ -2419,3 +2419,60 @@ def cohort_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "k")
     )
+
+
+@register(
+    "gini_revenue",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i FROM c),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(rev AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(i AS DECIMAL(38,0)) * rev) AS six
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_rev_centi,
+       (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+FROM s
+""",
+    doc=(
+        "Gini coefficient of customer revenue — the inequality "
+        "SUMMARY that completes the concentration family "
+        "(revenue_concentration's top-k shares and supplier_hhi "
+        "answer 'who dominates'; Gini answers 'how unequal overall', "
+        "comparable across periods and segments). Exact rank formula "
+        "G = (2*Σ i*x_(i) − (n+1)*Σ x) / (n*Σ x) over the ascending "
+        "revenue order: moments are DECIMAL(38,0) integer sums (rank "
+        "× centi-revenue products overflow BIGINT at scale), the "
+        "final expression one identical double fold — unrounded, "
+        "bit-equal. Shape: per-customer rollup (the only pass over "
+        "orders), ONE rank window over the customer-cardinality "
+        "table, one 1-row moment aggregate (SURVEY §2.G)."
+    ),
+)
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    r = c.select("rev", F.row_number().over(w).alias("i"))
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").cast("bigint").alias("total_rev_centi"),
+        (
+            (2.0 * F.col("six").cast("double") - (F.col("n").cast("double") + 1) * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        ).alias("gini"),
+    )
