@@ -2476,3 +2476,74 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("sx").cast("double"))
         ).alias("gini"),
     )
+
+
+@register(
+    "category_tree_shares",
+    oracle="""
+WITH f AS (
+  SELECT p.p_brand AS brand, p.p_type AS type,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+           AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand, type,
+       CAST(rev AS BIGINT) AS rev_centi,
+       CAST(rev * 10000 // SUM(rev) OVER (PARTITION BY brand) AS BIGINT)
+         AS share_of_brand_bps,
+       CAST(SUM(rev) OVER (PARTITION BY brand) * 10000 // SUM(rev) OVER ()
+            AS BIGINT) AS brand_share_bps
+FROM f ORDER BY brand, type
+""",
+    doc=(
+        "Percent-of-parent category tree (total -> brand -> type): "
+        "each leaf's share of its brand and each brand's share of "
+        "total revenue, in exact integer bps — the drill-down tree "
+        "every BI category view renders, and the windowed "
+        "percent-of-parent shape rollup/cube don't give you (they "
+        "produce the LEVELS; this produces the RATIOS between "
+        "adjacent levels). Shape: one fact-dim key join + one "
+        "(brand, type) map-side-combined rollup over lineitem — the "
+        "only fact pass; both share windows then run over the "
+        "category-cardinality table (brand window partitions it, the "
+        "global-sum window is O(|categories|)). Exact integer div "
+        "everywhere (SURVEY §2.G)."
+    ),
+)
+def category_tree_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    f = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("rev")
+        )
+    )
+    wb = Window.partitionBy("brand")
+    wall = Window.partitionBy()
+    return (
+        f.select(
+            "brand",
+            "type",
+            F.col("rev").cast("bigint").alias("rev_centi"),
+            F.sum("rev").over(wb).alias("_brand_rev"),
+            F.sum("rev").over(wall).alias("_total_rev"),
+        )
+        .select(
+            "brand",
+            "type",
+            "rev_centi",
+            F.expr("rev_centi * 10000 div _brand_rev")
+            .cast("bigint")
+            .alias("share_of_brand_bps"),
+            F.expr("_brand_rev * 10000 div _total_rev")
+            .cast("bigint")
+            .alias("brand_share_bps"),
+        )
+        .orderBy("brand", "type")
+    )
