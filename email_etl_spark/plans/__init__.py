@@ -41,6 +41,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # sweep is the driver-gate mirror (same compare, same sf0.01).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
+    "absorption_within_k",
     "category_tree_shares",
     "gini_revenue",
     "preference_pairs",

@@ -2751,3 +2751,118 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+ABSORB_TARGET = "purchase"
+
+
+@register(
+    "absorption_within_k",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c2 AS (
+  SELECT prev_type AS a, event_type AS b, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+c1 AS (SELECT a, SUM(n) AS tot FROM c2 GROUP BY a),
+p AS (
+  SELECT c2.a, c2.b,
+         ROUND(CAST(c2.n AS DOUBLE) / c1.tot, 9) AS p
+  FROM c2 JOIN c1 USING (a)
+),
+p1 AS (
+  SELECT c1.a, COALESCE(t.p, 0.0) AS p1
+  FROM c1 LEFT JOIN (SELECT a, p FROM p WHERE b = '{ABSORB_TARGET}') t USING (a)
+),
+p2 AS (
+  SELECT p.a,
+         MAX(x.p1) + SUM(CAST(ROUND(p.p * m.p1, 9) AS DECIMAL(18,9))) AS p2
+  FROM p JOIN p1 m ON p.b = m.a AND p.b <> '{ABSORB_TARGET}'
+  JOIN p1 x ON x.a = p.a
+  GROUP BY p.a
+),
+p3 AS (
+  SELECT p.a,
+         MAX(x.p1) + SUM(CAST(ROUND(p.p * CAST(m.p2 AS DOUBLE), 9)
+                              AS DECIMAL(18,9))) AS p3
+  FROM p JOIN p2 m ON p.b = m.a AND p.b <> '{ABSORB_TARGET}'
+  JOIN p1 x ON x.a = p.a
+  GROUP BY p.a
+)
+SELECT p1.a AS from_state,
+       ROUND(p1.p1, 6) AS p_within_1,
+       ROUND(CAST(p2.p2 AS DOUBLE), 6) AS p_within_2,
+       ROUND(CAST(p3.p3 AS DOUBLE), 6) AS p_within_3
+FROM p1 JOIN p2 ON p1.a = p2.a JOIN p3 ON p1.a = p3.a
+ORDER BY from_state
+""",
+    doc=(
+        "Absorption probability within k steps: from each journey "
+        "state, the chance of reaching '" + ABSORB_TARGET + "' in at "
+        "most 1/2/3 transitions of the empirical Markov chain — the "
+        "funnel question ordered_funnel's fixed event sequence can't "
+        "ask (any path counts, not one prescribed order), computed as "
+        "matrix powers EXPRESSED RELATIONALLY: each Neumann step is "
+        "one join of the 5x5 transition table against the previous "
+        "vector, so the recursion never leaves the tiny state space — "
+        "the event stream is touched once (markov_transitions' lag "
+        "window). Determinism: transition probs rounded to 9 dp, each "
+        "step's products rounded to DECIMAL(18,9) BEFORE the "
+        "order-insensitive sum (the user_entropy convention) "
+        "(SURVEY §2.H)."
+    ),
+)
+def absorption_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c2 = seq.groupBy(
+        F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+    ).agg(F.count("*").alias("n"))
+    wtot = Window.partitionBy("a")
+    p = c2.select(
+        "a",
+        "b",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 9).alias("p"),
+    )
+    states = p.select("a").distinct()
+    tgt = p.where(F.col("b") == ABSORB_TARGET).select("a", F.col("p").alias("p1"))
+    p1 = states.join(F.broadcast(tgt), "a", "left").select(
+        "a", F.coalesce(F.col("p1"), F.lit(0.0)).alias("p1")
+    )
+
+    def step(prev: DataFrame, col: str, out: str) -> DataFrame:
+        m = prev.select(F.col("a").alias("b"), F.col(col).cast("double").alias("pm"))
+        return (
+            p.where(F.col("b") != ABSORB_TARGET)
+            .join(F.broadcast(m), "b")
+            .join(F.broadcast(p1.select("a", F.col("p1").alias("px"))), "a")
+            .groupBy("a")
+            .agg(
+                (
+                    F.max("px")
+                    + F.sum(F.round(F.col("p") * F.col("pm"), 9).cast("decimal(18,9)"))
+                ).alias(out)
+            )
+        )
+
+    p2 = step(p1, "p1", "p2")
+    p3 = step(p2, "p2", "p3")
+    return (
+        p1.join(p2, "a")
+        .join(p3, "a")
+        .select(
+            F.col("a").alias("from_state"),
+            F.round(F.col("p1"), 6).alias("p_within_1"),
+            F.round(F.col("p2").cast("double"), 6).alias("p_within_2"),
+            F.round(F.col("p3").cast("double"), 6).alias("p_within_3"),
+        )
+        .orderBy("from_state")
+    )
