@@ -2827,11 +2827,17 @@ def absorption_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").alias("a"), F.col("event_type").alias("b")
     ).agg(F.count("*").alias("n"))
     wtot = Window.partitionBy("a")
-    p = c2.select(
+    p_built = c2.select(
         "a",
         "b",
         F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 9).alias("p"),
     )
+    # ONE events pass: the |states|^2-row transition table is a
+    # bounded collect (kmeans-codebook convention); every Neumann
+    # step below then joins LOCAL relations — without this, each
+    # branch re-executed the whole scan + lag-window lineage
+    # (round-4 audit: 53 exchanges, 16 scans)
+    p = spark.createDataFrame(p_built.collect(), "a string, b string, p double")
     states = p.select("a").distinct()
     tgt = p.where(F.col("b") == ABSORB_TARGET).select("a", F.col("p").alias("p1"))
     p1 = states.join(F.broadcast(tgt), "a", "left").select(
