@@ -1511,3 +1511,76 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_bias_chi2",
+    oracle="""
+WITH d AS (
+  SELECT lang, substr(md5('bias:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           AS in_sample
+  FROM documents
+),
+per AS (
+  SELECT lang, COUNT(*) AS n_l,
+         SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS o_l
+  FROM d GROUP BY lang
+),
+tot AS (SELECT SUM(n_l) AS n, SUM(o_l) AS ns FROM per),
+terms AS (
+  SELECT per.lang,
+         CAST(ROUND(
+           (per.o_l - CAST(tot.ns AS DOUBLE) * per.n_l / tot.n)
+           * (per.o_l - CAST(tot.ns AS DOUBLE) * per.n_l / tot.n)
+           / (CAST(tot.ns AS DOUBLE) * per.n_l / tot.n), 9)
+         AS DECIMAL(18,9)) AS term
+  FROM per CROSS JOIN tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+       (SELECT CAST(ns AS BIGINT) FROM tot) AS n_sample,
+       COUNT(*) - 1 AS dof,
+       CAST(SUM(term) AS DOUBLE) AS chi2
+FROM terms
+""",
+    doc=(
+        "Sampling-bias chi-square: goodness-of-fit of the md5 hash "
+        "sample's language distribution against the population's — "
+        "the audit that certifies a deterministic sample is UNBIASED "
+        "before eval numbers computed on it are trusted (a chi2 far "
+        "above dof means the hash interacts with the stratum, which "
+        "would silently skew every sampled metric). One "
+        "map-side-combined (lang, in_sample) rollup is the only "
+        "corpus pass; expected counts and chi2 terms are identical "
+        "double expressions over exact integers, pre-rounded to "
+        "DECIMAL(18,9) before the order-insensitive sum "
+        "(SURVEY §2.L)."
+    ),
+)
+def sample_bias_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = (
+        F.substring(F.md5(F.concat(F.lit("bias:"), F.col("doc_id").cast("string"))), 1, 1)
+        == "0"
+    )
+    per = docs.select("lang", in_sample.alias("s")).groupBy("lang").agg(
+        F.count("*").alias("n_l"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("o_l"),
+    )
+    tot = per.agg(F.sum("n_l").alias("n"), F.sum("o_l").alias("ns"))
+    e = F.col("ns").cast("double") * F.col("n_l") / F.col("n")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "ns",
+        F.round((F.col("o_l") - e) * (F.col("o_l") - e) / e, 9)
+        .cast("decimal(18,9)")
+        .alias("term"),
+    )
+    return terms.groupBy("n", "ns").agg(
+        (F.count("*") - 1).alias("dof"),
+        F.sum("term").cast("double").alias("chi2"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("ns").cast("bigint").alias("n_sample"),
+        F.col("dof").cast("bigint").alias("dof"),
+        "chi2",
+    )
