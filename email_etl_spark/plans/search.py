@@ -5104,3 +5104,71 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "retrievability_audit",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+d AS (
+  SELECT t.doc_id, t.lang,
+         (e.vec_id IS NOT NULL) AS sem_ok,
+         ({_TERM_RANK_SQL} > 0) AS lex_ok
+  FROM tok t LEFT JOIN embeddings e ON t.doc_id = e.vec_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sem_ok THEN 1 ELSE 0 END) AS BIGINT) AS sem_reachable,
+       CAST(SUM(CASE WHEN lex_ok THEN 1 ELSE 0 END) AS BIGINT) AS lex_reachable,
+       CAST(SUM(CASE WHEN sem_ok OR lex_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS any_reachable,
+       CAST(SUM(CASE WHEN NOT sem_ok AND NOT lex_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS unreachable,
+       CAST(SUM(CASE WHEN sem_ok OR lex_ok THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS reachable_bps
+FROM d GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Retrievability audit of the search surface: per language, "
+        "how many documents EACH retrieval path can actually reach — "
+        "semantic needs an embedding row (missing_embeddings' gap, "
+        "here quantified per serving path), lexical needs a nonzero "
+        "term-rank for the standing query vocabulary — and how many "
+        "NO path can surface (the silent dark-corpus a search UI "
+        "never shows; the operational question behind "
+        "hybrid_search_rrf's universe bug in the round-3 advice). "
+        "One left join on the id key + one map-side-combined rollup; "
+        "exact integer bps (SURVEY §2.C)."
+    ),
+)
+def retrievability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("sem_ok")
+    )
+    rank = _term_rank(F.col("text"))
+    d = docs.join(emb, "doc_id", "left").select(
+        "lang",
+        F.coalesce(F.col("sem_ok"), F.lit(False)).alias("sem_ok"),
+        (rank > 0).alias("lex_ok"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("sem_ok"), 1).otherwise(0)).cast("bigint").alias("sem_reachable"),
+            F.sum(F.when(F.col("lex_ok"), 1).otherwise(0)).cast("bigint").alias("lex_reachable"),
+            F.sum(F.when(F.col("sem_ok") | F.col("lex_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("any_reachable"),
+            F.sum(F.when(~F.col("sem_ok") & ~F.col("lex_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("unreachable"),
+            F.expr(
+                "sum(CASE WHEN sem_ok OR lex_ok THEN 1 ELSE 0 END) * 10000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("reachable_bps"),
+        )
+        .orderBy("lang")
+    )
