@@ -191,3 +191,28 @@ def test_registry_wide_bnl_allowlist():
 def test_registry_wide_no_cartesian():
     offenders = {n: ln for n, ln in _plans_rows().items() if "Cartesian" in ln}
     assert not offenders, offenders
+
+
+def test_join_size_estimate_reuses_exchanges(spark):
+    """The key-count aggregate feeds both the join and the n_left /
+    n_right totals; the explicit isNotNull alignment exists so AQE can
+    ReusedExchange them — pin that each table is physically scanned
+    once per branch pair (6 reuses for 3 join specs)."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["join_size_estimate"].builder(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 6, plan.count("ReusedExchange")
+
+
+def test_absorption_single_event_pass(spark):
+    """absorption_within_k collects the tiny transition table once;
+    the returned plan must contain NO parquet scan (every Neumann step
+    joins local relations — re-deriving the event lineage per branch
+    was the 53-exchange regression this pins against)."""
+    from email_etl_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["absorption_within_k"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower(), plan[:500]
