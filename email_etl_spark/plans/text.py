@@ -2758,3 +2758,91 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "center", "context")
         .limit(SKIPGRAM_TOPK)
     )
+
+
+@register(
+    "bigram_entropy_text",
+    oracle=f"""
+WITH tok AS (SELECT lang, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT lang, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM tok CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+c2 AS (SELECT lang, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, SUM(n) AS n1 FROM c2 GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n1) AS nt FROM c1 GROUP BY 1),
+h AS (
+  SELECT c2.lang,
+         SUM(CAST(ROUND(-(CAST(c2.n AS DOUBLE) / tot.nt)
+                        * ln(CAST(c2.n AS DOUBLE) / c1.n1), 9)
+             AS DECIMAL(18,9))) AS h_cond,
+         SUM(CAST(ROUND(-(CAST(c2.n AS DOUBLE) / tot.nt)
+                        * ln(CAST(c2.n AS DOUBLE) / tot.nt), 9)
+             AS DECIMAL(18,9))) AS h_joint
+  FROM c2 JOIN c1 USING (lang, w1) JOIN tot USING (lang)
+  GROUP BY c2.lang
+)
+SELECT tot.lang,
+       CAST(tot.nt AS BIGINT) AS n_bigrams,
+       ROUND(CAST(h.h_cond AS DOUBLE), 4) AS cond_entropy,
+       ROUND(CAST(h.h_joint AS DOUBLE), 4) AS joint_entropy
+FROM tot JOIN h USING (lang) ORDER BY tot.lang
+""",
+    doc=(
+        "Conditional word-bigram entropy per language, "
+        "H(w2|w1) = -sum p(w1,w2) ln p(w2|w1), plus the joint entropy "
+        "— the information-theoretic text-complexity metric (how "
+        "predictable is the next word; low conditional entropy = "
+        "templated/boilerplate text, and the gap joint - cond = H(w1) "
+        "recovers the unigram entropy). The TEXT twin of "
+        "markov_entropy_rate's event-chain machinery, and the "
+        "corpus-level statistic behind Kneser-Ney's effectiveness. "
+        "One bigram explode feeds every count table (map-side "
+        "combined); entropy terms pre-round to DECIMAL(18,9) before "
+        "the order-insensitive per-lang sums (SURVEY §2.D)."
+    ),
+)
+def bigram_entropy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    tok = docs.select("lang", toks.alias("toks")).where(F.size("toks") >= 2)
+    bg = tok.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+    wl1 = Window.partitionBy("lang", "w1")
+    wl = Window.partitionBy("lang")
+    t = c2.select(
+        "lang",
+        "n",
+        F.sum("n").over(wl1).alias("n1"),
+        F.sum("n").over(wl).alias("nt"),
+    )
+    term_cond = F.round(
+        -(F.col("n").cast("double") / F.col("nt"))
+        * F.log(F.col("n").cast("double") / F.col("n1")),
+        9,
+    ).cast("decimal(18,9)")
+    term_joint = F.round(
+        -(F.col("n").cast("double") / F.col("nt"))
+        * F.log(F.col("n").cast("double") / F.col("nt")),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        t.select("lang", "nt", term_cond.alias("tc"), term_joint.alias("tj"))
+        .groupBy("lang", "nt")
+        .agg(F.sum("tc").alias("h_cond"), F.sum("tj").alias("h_joint"))
+        .select(
+            "lang",
+            F.col("nt").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("h_cond").cast("double"), 4).alias("cond_entropy"),
+            F.round(F.col("h_joint").cast("double"), 4).alias("joint_entropy"),
+        )
+        .orderBy("lang")
+    )
