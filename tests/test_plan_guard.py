@@ -161,6 +161,7 @@ _BNL_JUSTIFIED = {
     "heavy_hitters_mg",  # 1-row (K+1)-th-counter threshold broadcast
     "kneser_ney_bigram",  # 1-row bigram-type-total broadcast (KN's |V|)
     "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
+    "sample_bias_chi2",  # 1-row (N, n_sample) totals broadcast
 }
 
 
