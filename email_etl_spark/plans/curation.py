@@ -329,10 +329,13 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = train_b.join(bench_b, ["band", "key"]).select("train_id", "bench_id").distinct()
 
+    # no broadcast hint on the candidate pairs: cross-set collisions are
+    # corpus-proportional on template-heavy corpora (see
+    # _lsh_verified_pairs in plans/dedup.py); AQE broadcasts when small
     sht = sh.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t"))
     shb = sh.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b"))
     sized = (
-        F.broadcast(cand)
+        cand
         .join(sht, "train_id")
         .join(shb, "bench_id")
         .select(

@@ -138,13 +138,18 @@ def _lsh_verified_pairs(
     # materialized ONCE per pair via an explicit projection — putting
     # H.jaccard's tree straight into select() evaluates array_intersect
     # twice (numerator + union term; no CSE across the filter).
-    # Broadcast the CANDIDATE side, never the shingle table: candidates
-    # are bucket-local survivors (small by construction) while sh is
-    # the full corpus — at 100 TB broadcasting sh is an OOM.
+    # NO broadcast hint on the candidate-pair side: candidate volume is
+    # corpus-proportional on template-heavy corpora (a bucket of B
+    # boilerplate docs yields B² candidates — dup_graph_degrees exists
+    # to find exactly these hubs), so a forced broadcast is an OOM at
+    # 100 TB and the hint would FORBID AQE from degrading gracefully.
+    # AQE still picks a broadcast join at runtime whenever the pair set
+    # is genuinely small (its post-shuffle size is measured, not
+    # estimated). The shingle table must never broadcast either way.
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (
-        F.broadcast(cand).join(sha, "doc_a")
+        cand.join(sha, "doc_a")
         .join(shb, "doc_b")
         .select(
             "doc_a",
@@ -285,15 +290,18 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
+    # candidate-side joins carry NO broadcast hint (candidate volume is
+    # corpus-proportional on template-heavy corpora; see
+    # _lsh_verified_pairs) — AQE broadcasts at runtime when small.
     sh = (
-        docs.join(F.broadcast(cand_docs), "doc_id")
+        docs.join(cand_docs, "doc_id")
         .select("doc_id", T.tokens(F.col("text")).alias("toks"))
         .select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (
-        F.broadcast(cand)
+        cand
         .join(sha, "doc_a")
         .join(shb, "doc_b")
         .select(
@@ -398,28 +406,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact verification: the oracle-identical sequential fold, on the
-    # few hundred survivors only. Broadcast the candidate side — the
-    # embedding table is the corpus and must stream, not broadcast.
+    # survivors only. No broadcast hint on the candidate side (pair
+    # volume is corpus-proportional under near-dup hubs; AQE broadcasts
+    # at runtime when small) — the embedding table must stream either
+    # way, never broadcast.
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine_rounded(F.col("ea"), F.col("eb"))
     return (
-        F.broadcast(cand).join(ea, "vec_a")
+        cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= EMB_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
-    )
-
-
-def _dedup_embedding_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(F.broadcast(b)).where(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_rounded(F.col("ea"), F.col("eb"))
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= EMB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
@@ -1056,8 +1053,35 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.45  # cosine; aligned with dedup_embedding
 
 
+def _semdedup_k(n: int) -> int:
+    """Corpus-derived cluster count for SemDeDup: K = max(KM_K, floor(sqrt n)).
+
+    With K ∝ √n, expected cluster size is √n and within-cluster pair
+    work Σ per-cluster² ≈ K·(n/K)² = n²/K = n^1.5 — genuinely sublinear
+    in pair space as the corpus grows, matching the published SemDeDup
+    recipe of scaling cluster count with corpus size (a compile-time
+    constant K keeps pair work Θ(n²/const), i.e. still quadratic).
+    math.isqrt(n) == FLOOR(SQRT(n)) in SQL for every realistic n (IEEE
+    sqrt is correctly rounded; doubles are exact to 2^53)."""
+    import math
+
+    from email_etl_spark.plans.search import KM_K
+
+    return max(KM_K, math.isqrt(n))
+
+
+def _semdedup_k_sql() -> str:
+    """DuckDB twin of _semdedup_k, computed from the same corpus."""
+    from email_etl_spark.plans.search import KM_K
+
+    return (
+        f"(SELECT GREATEST({KM_K}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+        "FROM embeddings)"
+    )
+
+
 def _semdedup_oracle() -> str:
-    from email_etl_spark.plans.search import EMB_DIM, KM_K, _km_dist_sql
+    from email_etl_spark.plans.search import _km_dist_sql
 
     d0 = _km_dist_sql("e.v", "c.v")
     cos = duckdb_cosine("a.embedding", "b.embedding")
@@ -1067,7 +1091,7 @@ WITH e AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {_semdedup_k_sql()}),
 a1 AS MATERIALIZED (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -1105,20 +1129,22 @@ FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
         "and prune every vector that has a smaller-id cluster peer at "
         "cosine >= threshold, reporting its keeper. Cluster bounding "
         "is the scale story: pair work is sum of per-cluster squares, "
-        "not corpus^2 — with production K, clusters are small and the "
-        "cid-keyed join salts like any skewed key (operators/skew.py). "
-        "Exact decimal sims make the keeper argmax deterministic "
-        "(SURVEY §2.E/§2.F)."
+        "not corpus^2 — and K is CORPUS-DERIVED (max(KM_K, floor "
+        "sqrt n), _semdedup_k) so the bound is n^1.5, not Θ(n²/const); "
+        "the cid-keyed join salts like any skewed key "
+        "(operators/skew.py). Exact decimal sims make the keeper "
+        "argmax deterministic (SURVEY §2.E/§2.F)."
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from email_etl_spark.plans.search import KM_K, _km_assign
+    from email_etl_spark.plans.search import _km_assign
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    k = _semdedup_k(emb.count())
     init = (
-        emb.where(F.col("vec_id") < KM_K)
+        emb.where(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -1341,9 +1367,10 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = sk.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # attach both sketch sizes with ONE derivation of sz (the
-    # dup_graph_degrees single-build lesson): explode the tiny pair
-    # stream into (endpoint, side) rows, broadcast it into one probe
-    # of sz, then fold the two sides back per pair
+    # dup_graph_degrees single-build lesson): explode the pair stream
+    # into (endpoint, side) rows, join them against sz, then fold the
+    # two sides back per pair. No broadcast hint on the pair stream
+    # (see _lsh_verified_pairs) — AQE broadcasts it when small.
     long = p.select(
         "doc_a",
         "doc_b",
@@ -1355,7 +1382,7 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ep"),
     ).select("doc_a", "doc_b", "shared", F.col("ep.doc_id").alias("doc_id"), F.col("ep.side").alias("side"))
-    j = sz.join(F.broadcast(long), "doc_id")
+    j = sz.join(long, "doc_id")
     return (
         j.groupBy("doc_a", "doc_b", "shared")
         .agg(
@@ -1607,9 +1634,12 @@ def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # id→source lookups are corpus-cardinality after pruning (every
+    # doc_id), so they carry no broadcast hint either — the join
+    # shuffles on the id key and AQE broadcasts whichever side is small
     m = (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             F.least(F.col("src_a"), F.col("src_b")).alias("source_x"),
             F.greatest(F.col("src_a"), F.col("src_b")).alias("source_y"),
@@ -1775,8 +1805,9 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(H.N_LANES):
         m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         matches = m if matches is None else matches + m
+    # no broadcast hint on the pair stream (see _lsh_verified_pairs)
     e = (
-        F.broadcast(pairs).join(la, "doc_a")
+        pairs.join(la, "doc_a")
         .join(lb, "doc_b")
         .select(
             (matches * 10000).cast("bigint").alias("m4"),
@@ -1986,12 +2017,13 @@ def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact verification once over the union of candidate pairs (== the
-    # 1-row config's set); per-config counts rejoin on the pair key
+    # 1-row config's set); per-config counts rejoin on the pair key.
+    # No broadcast hints on pair streams (see _lsh_verified_pairs).
     ver = cand.select("doc_a", "doc_b").distinct()
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (
-        F.broadcast(ver)
+        ver
         .join(sha, "doc_a")
         .join(shb, "doc_b")
         .select(
@@ -2007,7 +2039,7 @@ def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.when(jac >= MINHASH_THRESHOLD, 1).otherwise(0).alias("is_true")
     )
     return (
-        cand.join(F.broadcast(vj), ["doc_a", "doc_b"])
+        cand.join(vj, ["doc_a", "doc_b"])
         .groupBy("r")
         .agg(F.count("*").alias("n_cand"), F.sum("is_true").alias("n_true"))
         .select(
@@ -2027,7 +2059,7 @@ def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_tiers_oracle() -> str:
-    from email_etl_spark.plans.search import KM_K, _km_dist_sql
+    from email_etl_spark.plans.search import _km_dist_sql
 
     d0 = _km_dist_sql("e.v", "c.v")
     cos = duckdb_cosine("a.embedding", "b.embedding")
@@ -2060,7 +2092,7 @@ e AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KM_K}),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {_semdedup_k_sql()}),
 a1 AS MATERIALIZED (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -2229,10 +2261,11 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_b = buckets.where(~F.col("is_new")).select(F.col("doc_id").alias("old_id"), "band", "key")
     cand = new_b.join(old_b, ["band", "key"]).select("new_id", "old_id").distinct()
 
+    # no broadcast hint on the candidate pairs (see _lsh_verified_pairs)
     shn = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
     sho = sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_o"))
     sized = (
-        F.broadcast(cand)
+        cand
         .join(shn, "new_id")
         .join(sho, "old_id")
         .select(
@@ -2339,8 +2372,10 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dsrc = deg.select(F.col("node").alias("src"), "deg")
     c1 = F.round(F.lit(1.0) / (F.col("n") * F.col("deg")), 9).cast("decimal(18,9)")
+    # degree/rank tables are node-cardinality (corpus-proportional on
+    # boilerplate-heavy corpora) — no broadcast hints; nn is 1 row
     s1 = (
-        edges.join(F.broadcast(dsrc), "src")
+        edges.join(dsrc, "src")
         .crossJoin(F.broadcast(nn))
         .select(F.col("dst").alias("node"), c1.alias("c"))
         .groupBy("node")
@@ -2355,8 +2390,8 @@ def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_src = pr1.select(F.col("node").alias("src"), "pr")
     c2 = F.round(F.col("pr").cast("double") / F.col("deg"), 9).cast("decimal(18,9)")
     s2 = (
-        edges.join(F.broadcast(p_src), "src")
-        .join(F.broadcast(dsrc), "src")
+        edges.join(p_src, "src")
+        .join(dsrc, "src")
         .select(F.col("dst").alias("node"), c2.alias("c"))
         .groupBy("node")
         .agg(F.sum("c").alias("s"))
@@ -2439,8 +2474,9 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = hashes.select("doc_id", *_simhash_ints_spark(F.col("hs"))).select("doc_id", "sig")
     sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # no broadcast hint on the pair stream (see _lsh_verified_pairs)
     e = (
-        F.broadcast(pairs)
+        pairs
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(

@@ -253,7 +253,7 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
-    cand = (
+    pool = (
         emb.where(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
@@ -265,7 +265,10 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     scored = (
-        docs.join(F.broadcast(cand), "doc_id")
+        # the pool is LIMIT-bounded (<= _RERANK_POOL rows) in-plan, so the
+        # broadcast hint is provably safe — unlike open-ended candidate
+        # streams, which never carry one (see plans/dedup.py)
+        docs.join(F.broadcast(pool), "doc_id")
         .select(
             "doc_id",
             "retrieval_sim",

@@ -1044,11 +1044,14 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact-fold verification on candidates only, then the global top-k
+    # exact-fold verification on candidates only, then the global top-k.
+    # No broadcast hint: the candidate set is O(n·k) — corpus-
+    # proportional by construction — so a forced broadcast is an OOM at
+    # scale; AQE picks broadcast at runtime when genuinely small.
     eq = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("eq"))
     en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
     scored = (
-        F.broadcast(cand)
+        cand
         .join(eq, "q")
         .join(en, "n")
         .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
@@ -3991,10 +3994,11 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # no broadcast hint on the O(n·k) candidate stream (see knn_join)
     eq = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("eq"))
     en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
     scored = (
-        F.broadcast(cand)
+        cand
         .join(eq, "q")
         .join(en, "n")
         .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
@@ -4409,8 +4413,11 @@ def ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = emb.where(F.col("vec_id") < INT8_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # the candidate set is NQ×INT8_CAND (bounded), but carries no
+    # broadcast hint by convention — no pair/candidate stream does
+    # (see _lsh_verified_pairs); AQE broadcasts it at runtime anyway
     res = (
-        F.broadcast(cand)
+        cand
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qe), "qid")
         .select(

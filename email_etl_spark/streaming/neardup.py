@@ -68,10 +68,13 @@ def screen_batch(
         .select("new_id", F.col("doc_id").alias("dup_of"))
         .distinct()
     )
-    # shingle ONLY the corpus docs that collided
+    # shingle ONLY the corpus docs that collided. The PROBE side above
+    # broadcasts (bounded by the micro-batch), but the candidate set is
+    # batch × collisions — corpus-proportional under boilerplate hubs —
+    # so it carries no broadcast hint; AQE broadcasts when small.
     corpus_sh = (
         corpus.join(
-            F.broadcast(cand.select(F.col("dup_of").alias("doc_id")).distinct()),
+            cand.select(F.col("dup_of").alias("doc_id")).distinct(),
             "doc_id",
         )
         .select("doc_id", T.tokens(F.col("text")).alias("toks"))
@@ -81,7 +84,7 @@ def screen_batch(
         )
     )
     sized = (
-        F.broadcast(cand)
+        cand
         .join(new_sh, "new_id")
         .join(corpus_sh, "dup_of")
         .select(

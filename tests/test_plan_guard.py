@@ -217,3 +217,26 @@ def test_absorption_single_event_pass(spark):
     df = REGISTRY["absorption_within_k"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "parquet" not in plan.lower(), plan[:500]
+
+
+def test_no_broadcast_hint_on_candidate_pair_streams():
+    """Candidate/pair streams are corpus-proportional on template-heavy
+    corpora (a bucket of B boilerplate docs yields B² candidates), so a
+    forced broadcast hint on them is an OOM at 100 TB — and the hint
+    FORBIDS AQE from degrading gracefully. Convention: pair/candidate
+    variables are named `cand`/`pairs`, and no plan or streaming source
+    may wrap them in F.broadcast(...); AQE still broadcasts small pair
+    sets at runtime from measured sizes. (Bounded sides keep their
+    hints under other names: `pool` is LIMIT-bounded, `cand_ids` is one
+    query's bucket collisions in the ANN serving path, probe/dim/stats
+    tables are plan constants.)"""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "email_etl_spark"
+    offenders = []
+    for sub in ("plans", "streaming", "operators"):
+        for f in sorted((root / sub).glob("*.py")):
+            for i, ln in enumerate(f.read_text().splitlines(), 1):
+                if "F.broadcast(cand)" in ln or "F.broadcast(pairs)" in ln:
+                    offenders.append(f"{f.name}:{i}: {ln.strip()}")
+    assert not offenders, offenders
