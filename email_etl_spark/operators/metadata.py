@@ -67,3 +67,20 @@ def parquet_rowgroup_stats(
             )
 
     return files.mapInPandas(read_footers, schema=ROWGROUP_STATS_SCHEMA)
+
+
+def skippable_outside_window(lo_date: str, hi_date: str):
+    """Skip predicate for an INCLUSIVE [lo_date, hi_date] day window
+    over stringified timestamp statistics (lexicographic compare is
+    chronological for 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings).
+
+    The hi bound must be extended to the day's last representable
+    instant: a bare date string sorts BEFORE every timestamp on that
+    day ('2024-01-20 00:00:00' > '2024-01-20' lexicographically), so
+    comparing against the bare hi would misclassify a row group whose
+    min falls ON the hi day as skippable even though it overlaps the
+    window. lo needs no extension (any 'lo ...' timestamp >= 'lo')."""
+    from pyspark.sql import functions as F
+
+    hi_end = hi_date + " 23:59:59.999999999"
+    return ~((F.col("stat_min") <= F.lit(hi_end)) & (F.col("stat_max") >= F.lit(lo_date)))

@@ -817,11 +817,33 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKIP_LO, _SKIP_HI = "2024-01-10", "2024-01-20"  # inclusive day window
+
+
 @register(
     "parquet_skipping_stats",
-    oracle=None,  # footer statistics are storage-layer facts with no
-    # relational twin; skip math is pinned in tests/test_metadata.py
-    # against pyarrow ground truth on a crafted multi-row-group file
+    # DuckDB's parquet_metadata() reads the same thrift footer pyarrow
+    # does, so footer facts DO have an oracle twin: row_group_bytes ==
+    # pyarrow total_byte_size and stats_min_value/stats_max_value
+    # stringify identically. parquet_metadata() only accepts CONSTANT
+    # paths, so the SQL carries the __SF_DIR__ token — substituted with
+    # the actual corpus dir by the parity harness (tests/oracle.py) and
+    # pinned to the driver's sf0.01 correctness contract in
+    # oracle_sql_map(). Skip arithmetic on crafted multi-row-group
+    # files stays pinned in tests/test_metadata.py.
+    oracle=f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS file,
+       CAST(row_group_id AS INTEGER) AS rg_idx,
+       CAST(row_group_num_rows AS BIGINT) AS n_rows,
+       CAST(row_group_bytes AS BIGINT) AS total_bytes,
+       stats_min_value AS stat_min,
+       stats_max_value AS stat_max,
+       NOT (stats_min_value <= '{_SKIP_HI} 23:59:59.999999999'
+            AND stats_max_value >= '{_SKIP_LO}') AS skippable
+FROM parquet_metadata('__SF_DIR__/events.parquet')
+WHERE path_in_schema = 'ts'
+ORDER BY file, rg_idx
+""",
     doc=(
         "Data-skipping profile from parquet FOOTERS only: one row per "
         "row group of the events table with its ts min/max statistics "
@@ -839,14 +861,14 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parquet_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+    from email_etl_spark.operators.metadata import (
+        parquet_rowgroup_stats,
+        skippable_outside_window,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
     stats = parquet_rowgroup_stats(spark, [path], "ts")
-    lo, hi = "2024-01-10", "2024-01-20"
-    skippable = ~(
-        (F.col("stat_min") <= F.lit(hi)) & (F.col("stat_max") >= F.lit(lo))
-    )
+    skippable = skippable_outside_window(_SKIP_LO, _SKIP_HI)
     return stats.select(
         F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
         "rg_idx",

@@ -55,8 +55,18 @@ def query_map() -> dict[str, Builder]:
     return {name: q.builder for name, q in REGISTRY.items()}
 
 
+# the external driver runs the oracle side of its correctness gate at
+# sf=0.01 (brief contract); storage-layer oracles (parquet_metadata)
+# need that path as a SQL constant, carried as the __SF_DIR__ token
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 def oracle_sql_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle.replace("__SF_DIR__", DRIVER_ORACLE_SF_DIR)
+        for name, q in REGISTRY.items()
+        if q.oracle is not None
+    }
 
 
 def headline_queries() -> list[Query]:

@@ -2039,15 +2039,20 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _join_size_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    # n_left/n_right carry the SAME null-key filter as the Spark plan
+    # (which derives them from the isNotNull-filtered key-count tables
+    # so AQE can ReusedExchange): identical on TPC-H's non-null keys,
+    # but required for bit-exact parity on any dataset with NULL join
+    # keys (null keys never match an equi-join anyway).
     return f"""
 SELECT '{name}' AS join_name,
-       (SELECT COUNT(*) FROM {ta}) AS n_left,
-       (SELECT COUNT(*) FROM {tb}) AS n_right,
+       (SELECT COUNT(*) FROM {ta} WHERE {ka} IS NOT NULL) AS n_left,
+       (SELECT COUNT(*) FROM {tb} WHERE {kb} IS NOT NULL) AS n_right,
        CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows,
        CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_rows,
        CAST(COUNT(*) AS BIGINT) AS n_matching_keys
-FROM (SELECT {ka} AS k, COUNT(*) AS ca FROM {ta} GROUP BY 1) a
-JOIN (SELECT {kb} AS k, COUNT(*) AS cb FROM {tb} GROUP BY 1) b USING (k)
+FROM (SELECT {ka} AS k, COUNT(*) AS ca FROM {ta} WHERE {ka} IS NOT NULL GROUP BY 1) a
+JOIN (SELECT {kb} AS k, COUNT(*) AS cb FROM {tb} WHERE {kb} IS NOT NULL GROUP BY 1) b USING (k)
 """
 
 

@@ -66,7 +66,9 @@ def run_ann_index_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from email_etl_spark.streaming.pipeline import _await_drained
+
+    _await_drained(q, "ann_index_delta", timeout_s)
 
 
 def read_ann_index(spark: SparkSession, index_root: str) -> DataFrame:

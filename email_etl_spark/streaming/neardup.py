@@ -130,4 +130,6 @@ def run_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from email_etl_spark.streaming.pipeline import _await_drained
+
+    _await_drained(q, "neardup_screen", timeout_s)

@@ -93,6 +93,18 @@ def incremental_sink(df: DataFrame, out_dir: str, checkpoint_dir: str) -> DataSt
     )
 
 
+
+def _await_drained(q, what: str, timeout_s: int = 300) -> None:
+    """awaitTermination with the timeout ENFORCED: a hung or slow
+    availableNow drain must fail loudly instead of handing back a
+    partially populated store/memory table (awaitTermination returns
+    False on timeout; ignoring it surfaces later as a confusing
+    downstream assertion mismatch)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"availableNow drain of {what!r} exceeded {timeout_s} s")
+
+
 def run_available_now(df: DataFrame, checkpoint_dir: str) -> list:
     """Drain the bounded stream into memory (complete mode) and return
     the rows — test harness path."""
@@ -104,7 +116,7 @@ def run_available_now(df: DataFrame, checkpoint_dir: str) -> list:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, "windowed_counts_test")
     spark = df.sparkSession
     return spark.sql("SELECT * FROM windowed_counts_test").collect()
 
@@ -132,7 +144,7 @@ def run_available_now_append(df: DataFrame, checkpoint_dir: str, name: str) -> l
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, name)
     return df.sparkSession.sql(f"SELECT * FROM {name}").collect()
 
 
@@ -265,7 +277,7 @@ def run_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, "upsert_store_merge")
 
 
 def run_cdc_stream(
@@ -336,7 +348,7 @@ def run_cdc_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, "cdc_store_merge")
 
 
 def read_cdc_state(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -357,5 +369,5 @@ def run_available_now_update(df: DataFrame, checkpoint_dir: str, name: str) -> l
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, name)
     return df.sparkSession.sql(f"SELECT * FROM {name}").collect()

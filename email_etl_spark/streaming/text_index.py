@@ -94,7 +94,9 @@ def run_text_index_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from email_etl_spark.streaming.pipeline import _await_drained
+
+    _await_drained(q, "text_index_delta", timeout_s)
 
 
 def _delta_epochs(index_root: str) -> list[str]:

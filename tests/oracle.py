@@ -59,7 +59,9 @@ def run_spark(query, spark, sf_dir: str):
 
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb_conn(sf_dir)
-    cur = con.execute(sql)
+    # storage-layer oracles (parquet_metadata) need the corpus path as
+    # a CONSTANT; the registry carries it as the __SF_DIR__ token
+    cur = con.execute(sql.replace("__SF_DIR__", sf_dir.rstrip("/")))
     cols = [d[0] for d in cur.description]
     return cols, cur.fetchall()
 

@@ -44,14 +44,48 @@ def test_skip_decision_matches_exact_membership(spark, chunked_file):
     overlapping rows as skippable."""
     from email_etl_spark.operators.metadata import parquet_rowgroup_stats
 
+    from email_etl_spark.operators.metadata import skippable_outside_window
+
     lo, hi = "2024-01-25", "2024-02-05"  # overlaps row groups 2 and 3
     stats = parquet_rowgroup_stats(spark, [chunked_file], "ts")
-    skippable = ~((F.col("stat_min") <= F.lit(hi)) & (F.col("stat_max") >= F.lit(lo)))
+    skippable = skippable_outside_window(lo, hi)
     got = {
         r.rg_idx: r.skip
         for r in stats.select("rg_idx", skippable.alias("skip")).collect()
     }
     assert got == {0: True, 1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_skip_decision_inclusive_hi_day(spark, tmp_path):
+    """A row group whose min timestamp falls MID-DAY on the hi date
+    overlaps an inclusive [lo, hi] day window and must NOT be marked
+    skippable — the naive lexicographic compare against the bare hi
+    date string classified it skippable ('2024-01-20 13:00:00' >
+    '2024-01-20'); midnight-aligned fixtures masked this."""
+    import datetime as dt
+
+    from email_etl_spark.operators.metadata import (
+        parquet_rowgroup_stats,
+        skippable_outside_window,
+    )
+
+    path = str(tmp_path / "midday.parquet")
+    ts = [
+        dt.datetime(2024, 1, 20, 13, 0, 0),   # rg 0: entirely on hi day, after midnight
+        dt.datetime(2024, 1, 20, 18, 30, 0),
+        dt.datetime(2024, 1, 21, 1, 0, 0),    # rg 1: entirely after the window
+        dt.datetime(2024, 1, 21, 2, 0, 0),
+    ]
+    table = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": [1, 2, 3, 4]})
+    pq.write_table(table, path, row_group_size=2)
+    stats = parquet_rowgroup_stats(spark, [path], "ts")
+    got = {
+        r.rg_idx: r.skip
+        for r in stats.select(
+            "rg_idx", skippable_outside_window("2024-01-10", "2024-01-20").alias("skip")
+        ).collect()
+    }
+    assert got == {0: False, 1: True}
 
 
 def test_registry_query_runs_on_testdata(spark):

@@ -159,3 +159,66 @@ def test_cdc_stream_applies_deletes_and_blocks_resurrection(spark, tmp_path):
     run_cdc_stream(events_stream(spark, src), store, ck, key="user_id")
     state = {r["user_id"]: r["event_id"] for r in read_cdc_state(spark, store).collect()}
     assert state == {7: 7, 9: 6}
+
+
+def test_cdc_stream_state_matches_duckdb_oracle(spark, tmp_path):
+    """End-to-end CORRECTNESS-style gate for the streaming CDC path
+    (VERDICT r4 item 9): deliver the REAL sf0.001 events table as three
+    out-of-order file drops through run_cdc_stream, then compare the
+    served state (read_cdc_state) against the same DuckDB oracle
+    discipline the batch cdc_apply query uses — row count + sorted
+    schema + order-insensitive canonical values. A key's served row
+    must be its highest-(ts, event_id) op, and only if that op is an
+    upsert; tombstone retention across micro-batch boundaries is what
+    this exercises that the batch twin cannot."""
+    import duckdb
+
+    from email_etl_spark.io import load_table
+    from email_etl_spark.streaming.pipeline import (
+        events_stream,
+        read_cdc_state,
+        run_cdc_stream,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import canonical_rows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "drops")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    # three interleaved drops: event_id mod 3 scatters each user's ops
+    # across micro-batches in non-chronological order, so cross-batch
+    # keep-latest merges AND out-of-order upserts older than a standing
+    # tombstone both occur on real data
+    for part in range(3):
+        rows = [tuple(r) for r in ev.where(F.col("event_id") % 3 == part).collect()]
+        _write_drop(spark, src, rows, f"d{part}")
+    run_cdc_stream(events_stream(spark, src), store, ck, key="user_id")
+
+    got = read_cdc_state(spark, store).select("user_id", "event_id", "value")
+    s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    cur = con.execute(
+        """
+WITH log AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, value FROM log WHERE rn = 1 AND op = 'U'
+"""
+    )
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows)
+    assert canonical_rows(s_cols, s_rows) == canonical_rows(o_cols, o_rows)
