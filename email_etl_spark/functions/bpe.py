@@ -141,7 +141,14 @@ def load_merges_file(path: str) -> int:
     drop it in and set SPARK_GRAFT_BPE_MERGES, or call this directly;
     executors pick the env var up at module import. Returns the number
     of merges loaded. Closes the tiktoken-parity gap structurally
-    (ref: src/embeddings.py:5,20 counts with tiktoken cl100k)."""
+    (ref: src/embeddings.py:5,20 counts with tiktoken cl100k).
+
+    Why the self-trained table stays the DEFAULT: the build container
+    has no network access and ships neither tiktoken nor any published
+    merges.txt (verified round 5), so vendoring the published table is
+    not possible here — the loader, the GPT-2 byte encoding, and the
+    env-var plumbing are tested (tests/test_bpe.py) and a deployment
+    with the file closes the gap by setting one env var."""
     dec = {v: k for k, v in _bytes_to_unicode().items()}
     merges: list[tuple[bytes, bytes]] = []
     with open(path, encoding="utf-8") as fh:
