@@ -1587,3 +1587,209 @@ def sample_bias_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dof").cast("bigint").alias("dof"),
         "chi2",
     )
+
+
+_EPOCH_CAP_MILLI = 4000  # repeat a source at most 4x (milli-epochs)
+_BUDGET_X = 2            # train budget = 2x the corpus token mass
+
+
+@register(
+    "epoch_allocation",
+    oracle=f"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(len({_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) * {_BUDGET_X} AS budget, COUNT(*) AS n_sources FROM t
+),
+a AS (
+  SELECT t.source, t.n_docs, t.n_tokens,
+         tot.budget // tot.n_sources AS budget_share
+  FROM t CROSS JOIN tot
+),
+e AS (
+  SELECT source, n_docs, n_tokens, budget_share,
+         budget_share * 1000 // n_tokens AS epochs_milli
+  FROM a
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(budget_share AS BIGINT) AS budget_share,
+       CAST(epochs_milli AS BIGINT) AS epochs_milli,
+       CAST(LEAST(epochs_milli, {_EPOCH_CAP_MILLI}) AS BIGINT) AS epochs_capped_milli,
+       CAST(LEAST(budget_share, n_tokens * {_EPOCH_CAP_MILLI} // 1000) AS BIGINT) AS effective_tokens,
+       CAST(budget_share - LEAST(budget_share, n_tokens * {_EPOCH_CAP_MILLI} // 1000) AS BIGINT) AS stranded_budget
+FROM e ORDER BY source
+""",
+    doc=(
+        "Data-constrained epoch allocation (Muennighoff et al. 2023, "
+        "public recipe): given a token budget of "
+        f"{_BUDGET_X}x the corpus and an equal per-source split, how "
+        "many epochs does each source run, where does the "
+        f"{_EPOCH_CAP_MILLI / 1000:.0f}-epoch repeat cap bind, and how "
+        "much budget is STRANDED on sources too small to absorb their "
+        "share — the planning view that decides whether to re-weight "
+        "(mixture_weights) or go crawl more data. Pure integer "
+        "milli-epoch arithmetic (truncating div both engines); one "
+        "tokenize scan, a source-cardinality rollup and a 1-row "
+        "budget broadcast (SURVEY §2.L)."
+    ),
+)
+def epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = t.agg(
+        (F.sum("n_tokens") * _BUDGET_X).alias("budget"),
+        F.count("*").alias("n_sources"),
+    )
+    a = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("budget div n_sources").alias("budget_share"),
+    )
+    e = a.withColumn("epochs_milli", F.expr("budget_share * 1000 div n_tokens"))
+    eff = F.expr(f"LEAST(budget_share, n_tokens * {_EPOCH_CAP_MILLI} div 1000)")
+    return e.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("budget_share").cast("bigint").alias("budget_share"),
+        F.col("epochs_milli").cast("bigint").alias("epochs_milli"),
+        F.least(F.col("epochs_milli"), F.lit(_EPOCH_CAP_MILLI))
+        .cast("bigint")
+        .alias("epochs_capped_milli"),
+        eff.cast("bigint").alias("effective_tokens"),
+        (F.col("budget_share") - eff).cast("bigint").alias("stranded_budget"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_kappa — do the curation filters agree, or is one
+# redundant with another?
+# ---------------------------------------------------------------------------
+
+_KAPPA_MINLEN = 50  # min-token filter
+_KAPPA_STOPX = 10   # stopword floor: n_stop * 10 >= n_tokens
+
+
+def _kappa_pair_sql(name: str, x: str, y: str, xy: str) -> str:
+    """One kappa row from the 1-row sufficient-statistics table s:
+    all-integer until the single final double division (identical
+    expression text both engines after operator substitution)."""
+    agree = f"(n - {x} - {y} + 2 * {xy})"
+    pe = f"({x} * {y} + (n - {x}) * (n - {y}))"
+    return f"""
+SELECT '{name}' AS filter_pair,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST({xy} AS BIGINT) AS n_both_pass,
+       CAST(n - {x} - {y} + {xy} AS BIGINT) AS n_both_fail,
+       CAST({agree} * 10000 // n AS BIGINT) AS agree_bps,
+       CAST(n * {agree} - {pe} AS DOUBLE) / CAST(n * n - {pe} AS DOUBLE) AS kappa
+FROM s"""
+
+
+def _kappa_oracle() -> str:
+    from email_etl_spark.plans.dedup import _quality_sql_fragment
+    from email_etl_spark.plans.text import _stop_sql
+
+    q = _quality_sql_fragment()
+    stop = _stop_sql(T.STOPWORDS)
+    rows = "\nUNION ALL".join(
+        [
+            _kappa_pair_sql("minlen~stopword", "m", "st", "ms"),
+            _kappa_pair_sql("quality~minlen", "q", "m", "qm"),
+            _kappa_pair_sql("quality~stopword", "q", "st", "qs"),
+        ]
+    )
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END AS fq,
+         CASE WHEN len({_TOKS}) >= {_KAPPA_MINLEN} THEN 1 ELSE 0 END AS fm,
+         CASE WHEN {stop} * {_KAPPA_STOPX} >= len({_TOKS}) THEN 1 ELSE 0 END AS fs
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(fq) AS q, SUM(fm) AS m, SUM(fs) AS st,
+         SUM(fq * fm) AS qm, SUM(fq * fs) AS qs, SUM(fm * fs) AS ms
+  FROM f
+)
+SELECT * FROM ({rows}) ORDER BY filter_pair
+"""
+
+
+@register(
+    "filter_agreement_kappa",
+    oracle=None,  # assembled at import end (needs text helpers); see below
+    doc=(
+        "Cohen's kappa between the curation filters (quality >= 0.5, "
+        f"min {_KAPPA_MINLEN} tokens, stopword ratio >= "
+        f"1/{_KAPPA_STOPX}) — chance-corrected agreement answers the "
+        "question raw agreement can't: a filter that passes almost "
+        "everything agrees with everyone by luck. kappa ~ 1 means one "
+        "filter is redundant (drop the expensive one), kappa ~ 0 "
+        "means they remove DIFFERENT documents and stack "
+        "(filter_ablation shows the marginal counts, this shows the "
+        "correlation structure). ONE conditional-aggregate scan "
+        "produces the 7 sufficient statistics; each pairwise kappa is "
+        "pure integer moments folded into a single final double "
+        "division — bit-equal cross-engine; the 3-row melt is "
+        "constant-space (SURVEY §2.L)."
+    ),
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_n = T.token_count(F.col("text"))
+    fq = F.when(T.quality_score(F.col("text")) >= 0.5, 1).otherwise(0)
+    fm = F.when(toks_n >= _KAPPA_MINLEN, 1).otherwise(0)
+    fs = F.when(
+        T.stopword_count(F.col("text")) * _KAPPA_STOPX >= toks_n, 1
+    ).otherwise(0)
+    s = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(fq).alias("q"),
+        F.sum(fm).alias("m"),
+        F.sum(fs).alias("st"),
+        F.sum(fq * fm).alias("qm"),
+        F.sum(fq * fs).alias("qs"),
+        F.sum(fm * fs).alias("ms"),
+    )
+
+    def row(name: str, x: str, y: str, xy: str):
+        agree = f"(n - {x} - {y} + 2 * {xy})"
+        pe = f"({x} * {y} + (n - {x}) * (n - {y}))"
+        return F.struct(
+            F.lit(name).alias("filter_pair"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col(xy).cast("bigint").alias("n_both_pass"),
+            F.expr(f"n - {x} - {y} + {xy}").cast("bigint").alias("n_both_fail"),
+            F.expr(f"{agree} * 10000 div n").cast("bigint").alias("agree_bps"),
+            F.expr(
+                f"CAST(n * {agree} - {pe} AS DOUBLE) / CAST(n * n - {pe} AS DOUBLE)"
+            ).alias("kappa"),
+        )
+
+    rows = [
+        row("minlen~stopword", "m", "st", "ms"),
+        row("quality~minlen", "q", "m", "qm"),
+        row("quality~stopword", "q", "st", "qs"),
+    ]
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("filter_pair")
+    )
+
+
+# late-bind the oracle: _kappa_oracle imports plans.text helpers, which
+# would be circular at module import on some load orders
+from email_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["filter_agreement_kappa"] = _REG["filter_agreement_kappa"].__class__(
+    **{**_REG["filter_agreement_kappa"].__dict__, "oracle": _kappa_oracle()}
+)

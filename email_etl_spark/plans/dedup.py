@@ -2557,3 +2557,85 @@ def cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+def _lsh_bucket_skew_oracle() -> str:
+    lane = (
+        lambda l: "list_min(list_transform(sh, s -> "
+        f"substring(md5('{l // H.LANES_PER_GROUP}:' || s), {1 + 8 * (l % H.LANES_PER_GROUP)}, 8)))"
+    )
+    band_keys = ", ".join(
+        f"{lane(2 * b)} || {lane(2 * b + 1)}" for b in range(H.N_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+sig AS MATERIALIZED (SELECT doc_id, [{band_keys}] AS keys FROM sh),
+bk AS (
+  SELECT doc_id, bb.b AS band, keys[bb.b + 1] AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, {H.N_BANDS})) AS b) bb
+),
+bc AS (SELECT band, key, COUNT(*) AS c FROM bk GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs,
+       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS top1_share_bps
+FROM bc GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "lsh_bucket_skew",
+    oracle=_lsh_bucket_skew_oracle(),
+    doc=(
+        "Band-bucket occupancy profile of the MinHash LSH space — the "
+        "skew measurement behind this round's no-broadcast-hint rule: "
+        "per band, bucket count, largest bucket, and the exact "
+        "candidate-pair work the bucket join will generate "
+        "(sum of C(bucket,2)) BEFORE running it — join_size_estimate's "
+        "LSH twin. A template-heavy corpus shows up as max_bucket "
+        "growing with the corpus (B boilerplate docs -> B^2 pairs), "
+        "which is exactly when a forced broadcast of the pair set "
+        "would OOM and when bucket caps / AQE skew handling earn their "
+        "keep. One signature pass (shuffle-free, array-local lanes), "
+        "one (band, key) count aggregate — the corpus is never "
+        "self-joined; the whole report derives from the "
+        "bucket-cardinality count table (SURVEY §2.E)."
+    ),
+)
+def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            for b in range(H.N_BANDS)
+        ]
+    )
+    buckets = sig.select(F.explode(bands).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    bc = buckets.groupBy("band", "key").agg(F.count("*").alias("c"))
+    return (
+        bc.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.expr("sum(c * (c - 1)) div 2").cast("bigint").alias("candidate_pairs"),
+            F.expr("max(c) * 10000 div sum(c)").cast("bigint").alias("top1_share_bps"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "candidate_pairs",
+            "top1_share_bps",
+        )
+        .orderBy("band")
+    )

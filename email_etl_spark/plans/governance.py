@@ -944,3 +944,110 @@ def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         F.lit(DP_EPS_X10 / 10.0).alias("epsilon"),
     ).orderBy("event_type")
+
+
+@register(
+    "t_closeness_profile",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(FLOOR(value) AS BIGINT) AS vbin,
+         user_id % 8 AS coh
+  FROM events
+),
+cnt AS (SELECT event_type, hh, vbin, coh, COUNT(*) AS c FROM base GROUP BY 1, 2, 3, 4),
+nc AS (SELECT event_type, hh, vbin, SUM(c) AS n_c FROM cnt GROUP BY 1, 2, 3),
+g AS (SELECT coh, SUM(c) AS gc FROM cnt GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+grid AS (SELECT nc.event_type, nc.hh, nc.vbin, nc.n_c, g.coh, g.gc FROM nc CROSS JOIN g),
+diffs AS (
+  SELECT gr.event_type, gr.hh, gr.vbin, gr.n_c,
+         ABS(CAST(COALESCE(cnt.c, 0) AS HUGEINT) * tot.n
+             - CAST(gr.gc AS HUGEINT) * gr.n_c) AS d
+  FROM grid gr
+  LEFT JOIN cnt ON cnt.event_type = gr.event_type AND cnt.hh = gr.hh
+              AND cnt.vbin = gr.vbin AND cnt.coh = gr.coh
+  CROSS JOIN tot
+),
+per_class AS (
+  SELECT event_type, hh, vbin, n_c,
+         CAST(SUM(d) * 10000 // (2 * CAST(n_c AS HUGEINT) * (SELECT n FROM tot)) AS BIGINT) AS t_bps
+  FROM diffs GROUP BY 1, 2, 3, 4
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_c) AS BIGINT) AS n_rows,
+       CAST(MAX(t_bps) AS BIGINT) AS max_t_bps,
+       CAST(SUM(CAST(n_c AS HUGEINT) * t_bps) // SUM(n_c) AS BIGINT) AS wmean_t_bps,
+       CAST(SUM(CASE WHEN t_bps >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes
+FROM per_class GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "t-closeness profile (Li et al. 2007) over the same "
+        "quasi-identifier as k_anonymity_profile — the fourth leg of "
+        "the privacy family: a class can be k-anonymous AND l-diverse "
+        "yet still leak if its sensitive-attribute distribution sits "
+        "far from the global one (skewness attack). Sensitive "
+        "attribute = the deterministic user cohort (user_id mod 8, "
+        "the engine's categorical stand-in); distance = total "
+        "variation (EMD under the equal-distance metric), computed "
+        "EXACTLY as |c_i*N - g_i*n_c| integer cross-products over the "
+        "class x cohort grid — zero float CDFs, HUGEINT/DECIMAL(38,0) "
+        "products so planetary volume cannot overflow. Shape: ONE "
+        "events scan (the QI+cohort rollup); every later table is "
+        "bounded by the QI domain, the 8-row cohort margin broadcasts "
+        "(SURVEY §2.L)."
+    ),
+)
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor("value").cast("bigint").alias("vbin"),
+        (F.col("user_id") % 8).alias("coh"),
+    )
+    cnt = base.groupBy("event_type", "hh", "vbin", "coh").agg(F.count("*").alias("c"))
+    nc = cnt.groupBy("event_type", "hh", "vbin").agg(F.sum("c").alias("n_c"))
+    g = cnt.groupBy("coh").agg(F.sum("c").alias("gc"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    grid = nc.crossJoin(F.broadcast(g))
+    j = (
+        grid.join(cnt, ["event_type", "hh", "vbin", "coh"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hh",
+            "vbin",
+            "n_c",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)).cast("decimal(38,0)") * F.col("n")
+                - F.col("gc").cast("decimal(38,0)") * F.col("n_c")
+            ).alias("d"),
+            F.col("n"),
+        )
+    )
+    per_class = j.groupBy("event_type", "hh", "vbin", "n_c").agg(
+        F.expr(
+            "CAST(sum(d) * 10000 AS DECIMAL(38,0)) div "
+            "(2 * CAST(n_c AS DECIMAL(38,0)) * CAST(max(n) AS DECIMAL(38,0)))"
+        ).alias("t_bps")
+    )
+    return (
+        per_class.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("n_c").cast("bigint").alias("n_rows"),
+            F.max("t_bps").cast("bigint").alias("max_t_bps"),
+            F.expr(
+                "CAST(sum(CAST(n_c AS DECIMAL(38,0)) * t_bps) AS DECIMAL(38,0)) div sum(n_c)"
+            )
+            .cast("bigint")
+            .alias("wmean_t_bps"),
+            F.sum(F.when(F.col("t_bps") >= 5000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_risky_classes"),
+        )
+        .orderBy("event_type")
+    )

@@ -2552,3 +2552,140 @@ def category_tree_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "type")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_report — measured vs theoretical false-positive rate of the
+# engine's bloom pre-filter geometry (bloom_semi_join's companion).
+# The production filter hashes with xxhash64 (JVM-fast); the REPORT
+# uses the engine's md5-derived lanes so the bit pattern itself is
+# reproducible in any oracle — geometry (m, k) and the fill/FPR math
+# are identical either way.
+# ---------------------------------------------------------------------------
+
+_BF_M = 262144  # 256 Kbit, the bloom_semi_join geometry
+_BF_K = 3
+
+
+def _bf_pos_spark(j: int, key: str) -> str:
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('bf{j}:', CAST({key} AS STRING))), 1, 6), 16, 10) "
+        f"AS BIGINT) % {_BF_M}"
+    )
+
+
+def _bf_pos_duck(j: int, key: str) -> str:
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    poly = " + ".join(f"{digit(i)} * {16 ** (6 - i)}" for i in range(1, 7))
+    return f"(({poly}) % {_BF_M})"
+
+
+_BF_THEORY = (
+    f"CAST(ROUND(POWER(1.0 - POWER(1.0 - 1.0 / {_BF_M}, {_BF_K} * n_build), {_BF_K}) "
+    "* 10000) AS BIGINT)"
+)
+
+
+def _bloom_fpr_oracle() -> str:
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bf_pos_duck(j, 'c_custkey')} AS pos FROM build" for j in range(_BF_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT c_custkey AS k, {_bf_pos_duck(j, 'c_custkey')} AS pos FROM probe"
+        for j in range(_BF_K)
+    )
+    return f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+probe AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 1),
+bpos AS (SELECT DISTINCT pos FROM ({build_pos})),
+ppos AS ({probe_pos}),
+hits AS (
+  SELECT p.k, SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+  GROUP BY p.k
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM build) AS n_build,
+         (SELECT COUNT(*) FROM probe) AS n_probe,
+         (SELECT COUNT(*) FROM bpos) AS n_bits_set,
+         (SELECT COUNT(*) FROM hits WHERE n_hit = {_BF_K}) AS fp_count
+)
+SELECT CAST(n_build AS BIGINT) AS n_build,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST({_BF_M} AS BIGINT) AS m_bits,
+       CAST({_BF_K} AS BIGINT) AS k_hashes,
+       CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(n_bits_set * 10000 // {_BF_M} AS BIGINT) AS fill_bps,
+       CAST(fp_count AS BIGINT) AS fp_count,
+       CAST(fp_count * 10000 // n_probe AS BIGINT) AS fpr_bps,
+       {_BF_THEORY} AS fpr_theory_bps
+FROM agg
+"""
+
+
+@register(
+    "bloom_fpr_report",
+    oracle=_bloom_fpr_oracle(),
+    doc=(
+        "Bloom-filter quality report for the 256 Kbit / k=3 geometry "
+        "bloom_semi_join ships: build the bit pattern from the even "
+        "customer keys, probe with the odd keys (guaranteed "
+        "negatives), and report bits set, fill ratio, MEASURED "
+        "false-positive rate, and the textbook expectation "
+        "(1-(1-1/m)^(kn))^k — the sizing check before trusting a "
+        "bloom to shed probe traffic at a bigger build cardinality. "
+        "Position set is md5-derived (engine convention) so the exact "
+        "bit pattern is oracle-reproducible; all joins key on bit "
+        "POSITIONS (bounded by m = 262144, never corpus-sized), "
+        "counts are exact integers, the only double is the final "
+        "rounded theory term (SURVEY §2.G)."
+    ),
+)
+def bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    probe = cust.where(F.col("c_custkey") % 2 == 1).select("c_custkey")
+    bpos = (
+        build.select(
+            F.explode(
+                F.array(*[F.expr(_bf_pos_spark(j, "c_custkey")) for j in range(_BF_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    ppos = probe.select(
+        F.col("c_custkey").alias("k"),
+        F.explode(
+            F.array(*[F.expr(_bf_pos_spark(j, "c_custkey")) for j in range(_BF_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        ppos.join(bpos.withColumn("present", F.lit(1)), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_hit"))
+    )
+    agg = (
+        build.agg(F.count("*").alias("n_build"))
+        .crossJoin(F.broadcast(probe.agg(F.count("*").alias("n_probe"))))
+        .crossJoin(F.broadcast(bpos.agg(F.count("*").alias("n_bits_set"))))
+        .crossJoin(
+            F.broadcast(
+                hits.where(F.col("n_hit") == _BF_K).agg(
+                    F.count("*").alias("fp_count")
+                )
+            )
+        )
+    )
+    return agg.select(
+        F.col("n_build").cast("bigint").alias("n_build"),
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        F.lit(_BF_M).cast("bigint").alias("m_bits"),
+        F.lit(_BF_K).cast("bigint").alias("k_hashes"),
+        F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+        F.expr(f"n_bits_set * 10000 div {_BF_M}").cast("bigint").alias("fill_bps"),
+        F.col("fp_count").cast("bigint").alias("fp_count"),
+        F.expr("fp_count * 10000 div n_probe").cast("bigint").alias("fpr_bps"),
+        F.expr(_BF_THEORY).alias("fpr_theory_bps"),
+    )

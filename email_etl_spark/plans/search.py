@@ -5179,3 +5179,106 @@ def retrievability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# score_rank_corr — how correlated are the hybrid legs?
+# ---------------------------------------------------------------------------
+
+_RC_SAMPLE_HI = "4"  # ~25% md5 doc sample (first hex digit < '4')
+
+
+@register(
+    "score_rank_corr",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+u AS (
+  SELECT d.doc_id, {_TOKS_SQL} AS toks, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id <> {QUERY_VEC_ID}
+    AND substr(md5('rc:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '{_RC_SAMPLE_HI}'
+),
+sc AS (
+  SELECT u.doc_id,
+         {_COS.format(a="u.embedding", b="q.embedding")} AS sem,
+         {_TERM_RANK_SQL} AS lex
+  FROM u CROSS JOIN q
+),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id) AS r_sem,
+         ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS r_lex
+  FROM sc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((r_sem - r_lex) * (r_sem - r_lex)) AS BIGINT) AS sum_d2,
+       1.0 - 6.0 * SUM((r_sem - r_lex) * (r_sem - r_lex))
+           / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)) AS spearman_rho,
+       CAST(SUM(CASE WHEN r_sem <= 10 AND r_lex <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS top10_overlap
+FROM r
+""",
+    doc=(
+        "Spearman rank correlation between the two hybrid-search legs "
+        "(semantic cosine vs lexical term rank) over the ranking "
+        "universe — the diagnostic that says whether the 0.7/0.3 "
+        "blend adds anything: rho near 1 means the legs agree and "
+        "hybrid is redundant, rho near 0 means they surface DIFFERENT "
+        "documents and fusion earns its keep; top-10 overlap gives "
+        "the serving-page view of the same question. Both scores are "
+        "the exact expressions the production queries use (rounded "
+        "cosine, rounded term rank); ranks are deterministic total "
+        "orders (score desc, doc_id); rho's 6Σd² numerator is pure "
+        "integer. Runs on a deterministic ~25% md5 doc sample "
+        "(embedding_sim_hist convention) because exact global ranks "
+        "need a total order — tune the rate down as the corpus grows "
+        "(SURVEY §2.C/§2.F)."
+    ),
+)
+def score_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from email_etl_spark.functions.vectors import cosine_rounded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = _LIT_CACHE.get(("qvec", sf_dir))
+    if qvec is None:
+        row = (
+            emb.where(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+        )
+        qvec = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in row[0]) + ")")
+        _LIT_CACHE[("qvec", sf_dir)] = qvec
+    u = (
+        docs.where(
+            (F.col("doc_id") != QUERY_VEC_ID)
+            & (
+                F.substring(
+                    F.md5(F.concat(F.lit("rc:"), F.col("doc_id").cast("string"))), 1, 1
+                )
+                < _RC_SAMPLE_HI
+            )
+        )
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    )
+    sc = u.select(
+        "doc_id",
+        cosine_rounded(F.col("embedding"), qvec).alias("sem"),
+        _term_rank(F.col("text")).alias("lex"),
+    )
+    r = sc.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("sem"), "doc_id")).alias("r_sem"),
+        F.row_number().over(Window.orderBy(F.desc("lex"), "doc_id")).alias("r_lex"),
+    )
+    d2 = (F.col("r_sem") - F.col("r_lex")) * (F.col("r_sem") - F.col("r_lex"))
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.expr(
+            "1.0 - 6.0 * SUM(CAST((r_sem - r_lex) AS BIGINT) * (r_sem - r_lex))"
+            " / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1))"
+        ).alias("spearman_rho"),
+        F.sum(F.when((F.col("r_sem") <= 10) & (F.col("r_lex") <= 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("top10_overlap"),
+    )

@@ -2889,3 +2889,97 @@ def absorption_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_state")
     )
+
+
+@register(
+    "bounce_rate_daily",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, tse,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         MIN(tse) // 86400 AS day_idx
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT DATE '1970-01-01' + CAST(day_idx AS INT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS bounce_bps,
+       CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS events_per_session_milli
+FROM per_sess GROUP BY day_idx ORDER BY day
+""",
+    doc=(
+        "Daily bounce rate: share of single-event sessions per UTC "
+        "day (day = session START), plus events-per-session in exact "
+        "milli-units — the engagement-quality companion to "
+        "sessionize's per-user rollup (a rising bounce rate with flat "
+        "session counts is a landing-page or bot problem). Rides the "
+        "exact sessionize core (one user-keyed shuffle, deduped lag + "
+        "running sum), then two aggregations over the session-"
+        "cardinality table; day arithmetic is pure integer epoch-div "
+        "so both engines cut midnight identically (SURVEY §2.H)."
+    ),
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    prev = F.lag("tse").over(w)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "tse",
+        F.when(prev.isNull() | ((F.col("tse") - prev) > SESSION_GAP_S), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = s.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("min(tse) div 86400").alias("day_idx"),
+    )
+    return (
+        per_sess.groupBy("day_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.expr(
+                "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("bounce_bps"),
+            F.expr("sum(n_events) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("events_per_session_milli"),
+        )
+        .select(
+            F.date_from_unix_date(F.col("day_idx").cast("int")).alias("day"),
+            "n_sessions",
+            "n_bounces",
+            "bounce_bps",
+            "events_per_session_milli",
+        )
+        .orderBy("day")
+    )

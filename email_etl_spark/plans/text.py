@@ -2846,3 +2846,114 @@ def bigram_entropy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# keyphrase_rake — RAKE keyword extraction (Rose et al. 2010).
+# ---------------------------------------------------------------------------
+
+_RAKE_MAX_WORDS = 3
+_RAKE_TOPK = 10
+_RAKE_STOP_RE = r"\b(" + "|".join(T.STOPWORDS) + r")\b"
+
+
+@register(
+    "keyphrase_rake",
+    oracle=f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t FROM documents
+),
+ph AS (
+  SELECT trim(p) AS phrase
+  FROM norm, unnest(str_split(regexp_replace(t, '{_RAKE_STOP_RE}', '|', 'g'), '|')) AS u(p)
+),
+occ AS (
+  SELECT phrase, list_filter(str_split(phrase, ' '), x -> x <> '') AS ws
+  FROM ph
+  WHERE trim(phrase) <> ''
+    AND len(list_filter(str_split(phrase, ' '), x -> x <> '')) BETWEEN 1 AND {_RAKE_MAX_WORDS}
+),
+wstat AS (
+  SELECT w, COUNT(*) AS freq, SUM(len(ws)) AS deg
+  FROM occ, unnest(ws) AS u(w)
+  GROUP BY w
+),
+wscore AS (
+  SELECT w, CAST(ROUND(CAST(deg AS DOUBLE) / freq, 9) AS DECIMAL(18,9)) AS s FROM wstat
+),
+pcount AS (SELECT phrase, ws, COUNT(*) AS n_occ FROM occ GROUP BY phrase, ws),
+pscore AS (
+  SELECT p.phrase, p.n_occ, len(p.ws) AS n_words, SUM(ws2.s) AS score
+  FROM pcount p, unnest(p.ws) AS u(w)
+  JOIN wscore ws2 ON ws2.w = u.w
+  GROUP BY p.phrase, p.n_occ, p.ws
+)
+SELECT phrase,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_occ AS BIGINT) AS n_occurrences,
+       CAST(score AS DOUBLE) AS score
+FROM pscore
+ORDER BY score DESC, n_occ DESC, phrase
+LIMIT {_RAKE_TOPK}
+""",
+    doc=(
+        "RAKE keyphrase extraction (Rose et al. 2010, public "
+        "algorithm): candidate phrases are maximal stopword-free token "
+        "runs (1..3 words; boundaries at stopwords — punctuation is "
+        "already folded by the shared tokenizer normalization), word "
+        "scores are degree/frequency over phrase co-occurrence, a "
+        "phrase scores the sum of its words — the corpus-level "
+        "keyword view next to doc_keywords' per-doc TF-IDF tags. "
+        "Scale shape: one scan, phrase splitting is row-local regex "
+        "(the stopword-boundary regex is a plan constant), word stats "
+        "are vocab-sized and broadcast back over the DISTINCT-phrase "
+        "table, per-word scores pre-rounded to DECIMAL(18,9) so the "
+        "per-phrase sum is order-insensitive, TakeOrderedAndProject "
+        "top-{_RAKE_TOPK} (SURVEY §2.D).".replace(
+            "{_RAKE_TOPK}", str(_RAKE_TOPK)
+        )
+    ),
+)
+def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    ph = docs.select(
+        F.explode(F.split(F.regexp_replace(norm, _RAKE_STOP_RE, "|"), "\\|")).alias("p")
+    )
+    ws = F.filter(F.split(F.trim(F.col("p")), " "), lambda x: x != "")
+    occ = (
+        ph.select(F.trim(F.col("p")).alias("phrase"), ws.alias("ws"))
+        .where(
+            (F.col("phrase") != "")
+            & (F.size("ws") >= 1)
+            & (F.size("ws") <= _RAKE_MAX_WORDS)
+        )
+    )
+    wstat = (
+        occ.select(F.explode("ws").alias("w"), F.size("ws").alias("plen"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstat.select(
+        "w",
+        F.round(F.col("deg").cast("double") / F.col("freq"), 9)
+        .cast("decimal(18,9)")
+        .alias("s"),
+    )
+    pcount = occ.groupBy("phrase", "ws").agg(F.count("*").alias("n_occ"))
+    pscore = (
+        pcount.select("phrase", "n_occ", F.size("ws").alias("n_words"), F.explode("ws").alias("w"))
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_occ", "n_words")
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        pscore.select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_occ").cast("bigint").alias("n_occurrences"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_occurrences"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -407,3 +407,89 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "weekday_anova",
+    oracle="""
+WITH d AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS day_idx,
+         COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT (day_idx + 4) % 7 AS wd, COUNT(*) AS m, SUM(c) AS sg,
+         CAST(ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*), 6) AS DECIMAL(18,6)) AS term
+  FROM d GROUP BY 1
+),
+s AS (
+  SELECT SUM(m) AS n_days, COUNT(*) AS k, SUM(sg) AS s_all,
+         SUM(term) AS t,
+         (SELECT SUM(c * c) FROM d) AS q
+  FROM g
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(k AS BIGINT) AS k_groups,
+       CAST(s_all * 1000 // n_days AS BIGINT) AS grand_mean_milli,
+       ((CAST(t AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days) / (k - 1))
+         / ((CAST(q AS DOUBLE) - CAST(t AS DOUBLE)) / (n_days - k)) AS f_stat,
+       CAST(ROUND((CAST(t AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days)
+                  / (CAST(q AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days) * 10000)
+            AS BIGINT) AS eta_sq_bps
+FROM s
+""",
+    doc=(
+        "One-way ANOVA for the weekday effect on daily event volume — "
+        "the SIGNIFICANCE companion to seasonal_strength's R² (a "
+        "seasonal share can look large on a short noisy series; the "
+        "F-statistic says whether 7 weekday means beat noise given "
+        "the day count). All sufficient statistics are exact integer "
+        "moments off the day-cardinality rollup (one events scan); "
+        "the 7 per-group between terms S_g²/m_g are pre-rounded to "
+        "DECIMAL(18,6) so their sum is order-insensitive, and the "
+        "F/eta² doubles are single structurally-identical expressions "
+        "over those exact inputs (kneser_ney convention: unrounded "
+        "IEEE quotient ships). Weekday = (epoch_day + 4) mod 7 — pure "
+        "integer, no calendar functions to disagree on "
+        "(SURVEY §2.L)."
+    ),
+)
+def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400").alias(
+                "day_idx"
+            )
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("c"))
+    )
+    g = d.groupBy(((F.col("day_idx") + 4) % 7).alias("wd")).agg(
+        F.count("*").alias("m"),
+        F.sum("c").alias("sg"),
+        F.expr("CAST(ROUND(CAST(SUM(c) AS DOUBLE) * SUM(c) / COUNT(*), 6) AS DECIMAL(18,6))").alias(
+            "term"
+        ),
+    )
+    q = d.agg(F.sum(F.col("c") * F.col("c")).alias("q"))
+    s = g.agg(
+        F.sum("m").alias("n_days"),
+        F.count("*").alias("k"),
+        F.sum("sg").alias("s_all"),
+        F.sum("term").alias("t"),
+    ).crossJoin(F.broadcast(q))
+    return s.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.expr("s_all * 1000 div n_days").cast("bigint").alias("grand_mean_milli"),
+        F.expr(
+            "((CAST(t AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days) / (k - 1))"
+            " / ((CAST(q AS DOUBLE) - CAST(t AS DOUBLE)) / (n_days - k))"
+        ).alias("f_stat"),
+        F.expr(
+            "CAST(ROUND((CAST(t AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days)"
+            " / (CAST(q AS DOUBLE) - CAST(s_all AS DOUBLE) * s_all / n_days) * 10000)"
+            " AS BIGINT)"
+        ).alias("eta_sq_bps"),
+    )
