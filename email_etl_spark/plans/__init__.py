@@ -35,56 +35,36 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # same SFs) at sf0.001 + sf0.01 + sf0.1 every round.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    "bigram_entropy_text",
-    "retrievability_audit",
-    "sample_bias_chi2",
-    "absorption_within_k",
-    "category_tree_shares",
-    "gini_revenue",
-    "preference_pairs",
-    "time_weighted_value",
-    "cohort_dollar_retention",
-    "dp_release_counts",
-    "revenue_bridge",
-    "props_variant_profile",
-    "skipgram_pairs",
-    "kneser_ney_bigram",
-    "label_noise_knn",
-    "bpe_pair_counts",
+    # ---- round-5 driver window (first 50): this round's new
+    # operators, then never-driver-checked queries whose code or
+    # oracle changed this round (broadcast-hint removal, semdedup
+    # corpus-derived K), then parquet_skipping_stats (now oracle-
+    # backed; its r4 row was no_oracle), then backlog head ----
+    "lsh_bucket_skew",
+    "t_closeness_profile",
+    "bloom_fpr_report",
+    "epoch_allocation",
+    "filter_agreement_kappa",
+    "keyphrase_rake",
+    "bounce_rate_daily",
+    "weekday_anova",
+    "score_rank_corr",
+    "semdedup_prune",
+    "dedup_tiers",
+    "dedup_minhash_indexed",
+    "incremental_neardup",
+    "winnowing_dedup",
+    "dup_source_matrix",
+    "dup_pagerank",
+    "dup_quality_gap",
+    "lsh_band_curve",
+    "minhash_calibration",
+    "simhash_calibration",
+    "near_dup_rate_curve",
+    "reciprocal_best_match",
+    "ann_int8",
+    "crossencoder_rerank",
     "parquet_skipping_stats",
-    "heavy_hitters_mg",
-    "session_window_stats",
-    "probe_calibration",
-    "audio_vad_segments",
-    "join_size_estimate",
-    "grouping_sets_revenue",
-    "quantile_normalize",
-    "source_cap_sample",
-    "ab_cuped_lift",
-    "hll_rollup",
-    "gap_fill_daily",
-    "rolling_30d_revenue",
-    "robust_zscore_mad",
-    "tokenizer_fertility",
-    "pareto_skyline",
-    "cross_lang_pairs",
-    "markov_entropy_rate",
-    "hapax_rate_by_source",
-    "peak_concurrency",
-    "nation_trade_balance",
-    "bot_regularity",
-    "release_gate",
-    "image_ahash_dupes",
-    "ols_price_size",
-    "embedding_sim_hist",
-    "seasonal_strength",
-    "l_diversity_profile",
-    "column_entropy_profile",
-    "spell_suggest",
-    "phrase_search",
-    "facet_counts",
-    "acf_daily",
-    "cusum_changepoint",
     "ewma_anomaly",
     "ref_integrity_profile",
     "fd_profile",
@@ -102,8 +82,6 @@ _GATE_ORDER = (
     "winsorized_stats",
     "k_anonymity_profile",
     "ann_lsh_indexed",
-    "dedup_minhash_indexed",
-    "semdedup_prune",
     "embedding_drift",
     "gopher_quality",
     "bigram_logprob",
@@ -112,6 +90,9 @@ _GATE_ORDER = (
     "langid_chargram",
     "perplexity_buckets",
     "vocab_coverage",
+    # ---- below the 50-query window: never-checked backlog for
+    # rounds 6-7, then changed-this-round re-verification, then
+    # the standing flagship surface; rest keep module order ----
     "charclass_profile",
     "dsir_weights",
     "contamination_by_benchmark",
@@ -125,10 +106,8 @@ _GATE_ORDER = (
     "bm25_indexed",
     "hard_negatives",
     "ivf_recall_curve",
-    "winnowing_dedup",
     "prefix_dup_rate",
     "dup_cluster_size_hist",
-    "dup_quality_gap",
     "image_resize_plan",
     "table_profile",
     "join_skew_report",
@@ -146,11 +125,6 @@ _GATE_ORDER = (
     "latency_slo_report",
     "topk_movers",
     "user_affinity_jaccard",
-    # -- below the 50-query window: sweep-covered; in-window cousins
-    # exercise the same machinery (ann_index_stats ≙ ann_lsh_indexed,
-    # dau_wau ≙ daily_retention, session_paths ≙ markov_transitions,
-    # rfm_segments ≙ length_deciles, ordered_funnel ≙
-    # conversion_funnel, ...) --
     "ordered_funnel",
     "dau_wau",
     "session_paths",
@@ -165,9 +139,7 @@ _GATE_ORDER = (
     "code_switch_report",
     "activity_punchcard",
     "emb_dim_variance",
-    "dup_source_matrix",
     "graph_triangles",
-    "minhash_calibration",
     "length_filter_curve",
     "dedup_savings",
     "churn_risk",
@@ -182,53 +154,47 @@ _GATE_ORDER = (
     "props_k_liftcurve",
     "supplier_delay_variance",
     "purchase_hazard",
-    "lsh_band_curve",
     "int8_quant_report",
     "hub_vectors",
     "asof_join_forward",
     "text_drift",
-    "dedup_tiers",
-    "crossencoder_rerank",
-    "incremental_neardup",
     "ndcg_eval",
-    "reciprocal_best_match",
     "ngram_novelty",
     "burstiness",
     "topic_coherence",
     "label_purity",
-    "ann_int8",
     "user_entropy",
-    "dup_pagerank",
     "value_ks_drift",
     "text_index_stats",
     "props_schema_profile",
     "order_backlog_aging",
     "segment_flow",
     "weighted_length_quantiles",
-    "simhash_calibration",
     "range_partition_plan",
     "pca_projection_hist",
     "ooo_report",
     "bloom_semi_join",
     "zorder_layout",
     "linear_probe",
-    # -- changed-this-round re-verification queue --
-    "hybrid_search_rrf",
-    "mmr_rerank",
-    "minhash_recall_eval",
-    "dup_graph_degrees",
-    "bm25_search",
-    "ann_recall_eval",
+    "vocab_growth",
+    "quality_length_corr",
+    "ann_ivfpq",
+    "cluster_top_terms",
     "sessionize",
+    "join_size_estimate",
     "dedup_minhash",
-    "bpe_token_count",
-    # then the standing flagship surface; the rest keep module order
+    "fuzzy_decontaminate",
+    "knn_join",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
     "hybrid_search",
     "semantic_topk",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
     "rag_context",
+    "q1_pricing_summary",
+    "tumbling_counts",
 )
 
 

@@ -1725,7 +1725,7 @@ SELECT * FROM ({rows}) ORDER BY filter_pair
 
 @register(
     "filter_agreement_kappa",
-    oracle=None,  # assembled at import end (needs text helpers); see below
+    oracle=_kappa_oracle(),
     doc=(
         "Cohen's kappa between the curation filters (quality >= 0.5, "
         f"min {_KAPPA_MINLEN} tokens, stopword ratio >= "
@@ -1785,11 +1785,3 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("filter_pair")
     )
 
-
-# late-bind the oracle: _kappa_oracle imports plans.text helpers, which
-# would be circular at module import on some load orders
-from email_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
-
-_REG["filter_agreement_kappa"] = _REG["filter_agreement_kappa"].__class__(
-    **{**_REG["filter_agreement_kappa"].__dict__, "oracle": _kappa_oracle()}
-)

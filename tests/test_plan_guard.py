@@ -162,6 +162,11 @@ _BNL_JUSTIFIED = {
     "kneser_ney_bigram",  # 1-row bigram-type-total broadcast (KN's |V|)
     "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
     "sample_bias_chi2",  # 1-row (N, n_sample) totals broadcast
+    # reviewed round 5 (new operators)
+    "bloom_fpr_report",  # three 1-row count broadcasts (n_build/probe/fp)
+    "epoch_allocation",  # 1-row (budget, n_sources) broadcast
+    "t_closeness_profile",  # 8-row cohort margin + 1-row total broadcast
+    "weekday_anova",  # 1-row sum-of-squares broadcast
 }
 
 
