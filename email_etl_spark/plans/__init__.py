@@ -49,6 +49,10 @@ _GATE_ORDER = (
     "bounce_rate_daily",
     "weekday_anova",
     "score_rank_corr",
+    "pacf_daily",
+    "simpson_diversity",
+    "lm_cross_source",
+    "collocation_llr",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -2957,3 +2957,252 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.desc("n_occurrences"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+@register(
+    "simpson_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, u.tok FROM (SELECT lang, {_TOKS} AS toks FROM documents), unnest(toks) AS u(tok)
+),
+c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) * 10000
+            // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT) AS simpson_bps,
+       CAST(CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1) AS DOUBLE)
+         / CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE) AS inv_simpson
+FROM c GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Simpson concentration index of the token distribution per "
+        "language — P(two random tokens are the same type), the "
+        "heavy-top-sensitive twin of the entropy family (entropy "
+        "weights the tail, Simpson the head: boilerplate floods show "
+        "up here first) — plus the inverse-Simpson 'effective "
+        "vocabulary size'. The unbiased form sum n_i(n_i-1)/(N(N-1)) "
+        "is PURE INTEGER (HUGEINT/DECIMAL(38,0) products, truncating "
+        "div) — no float probabilities at all; one tokenize pass, one "
+        "vocab-sized count table, inv_simpson is a single identical "
+        "double division (SURVEY §2.D)."
+    ),
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.expr(
+                "CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) * 10000 AS DECIMAL(38,0))"
+                " div (CAST(sum(n) AS DECIMAL(38,0)) * (sum(n) - 1))"
+            )
+            .cast("bigint")
+            .alias("simpson_bps"),
+            F.expr(
+                "CAST(CAST(sum(n) AS DECIMAL(38,0)) * (sum(n) - 1) AS DOUBLE)"
+                " / CAST(sum(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DOUBLE)"
+            ).alias("inv_simpson"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_cross_source — cross-source unigram-LM perplexity matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_cross_source",
+    oracle=f"""
+WITH t AS (
+  SELECT source, u.tok FROM (SELECT source, {_TOKS} AS toks FROM documents), unnest(toks) AS u(tok)
+),
+c AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+tots AS (SELECT source, SUM(n) AS tt, COUNT(*) AS ty FROM c GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM c),
+-- every (target token row) x (model source): c_s = count under the model
+x AS (
+  SELECT tgt.source AS target, m.source AS model, tgt.tok, tgt.n AS c_t,
+         COALESCE(cs.n, 0) AS c_s, m.tt AS t_s
+  FROM c tgt
+  CROSS JOIN tots m
+  LEFT JOIN c cs ON cs.source = m.source AND cs.tok = tgt.tok
+),
+terms AS (
+  SELECT target, model,
+         CAST(c_t AS DECIMAL(19,0))
+           * CAST(ROUND(LN((CAST(c_s AS DOUBLE) + 1.0) / (t_s + vocab.v)), 9) AS DECIMAL(18,9)) AS w
+  FROM x CROSS JOIN vocab
+)
+SELECT terms.target, terms.model,
+       CAST(tt AS BIGINT) AS n_target_tokens,
+       -CAST(SUM(w) AS DOUBLE) / tt AS cross_entropy
+FROM terms JOIN tots ON tots.source = terms.target
+GROUP BY terms.target, terms.model, tt
+ORDER BY target, model
+""",
+    doc=(
+        "Cross-source unigram-LM cross-entropy matrix: train an "
+        "add-one-smoothed unigram model on each source, score every "
+        "source's token distribution under every model — the "
+        "directional who-resembles-whom view (js_divergence is "
+        "symmetric; a crawl that SUBSUMES another shows low H one way "
+        "and high the other), and the standard cheap proxy for "
+        "domain-similarity data selection next to dsir_weights. "
+        "Per-token ln terms are pre-rounded to DECIMAL(18,9) and "
+        "weighted by exact integer counts, so distributed sums are "
+        "order-insensitive; the matrix is sources² rows, the join is "
+        "vocab-key bounded (token-count tables, never documents), "
+        "one tokenize pass feeds everything (SURVEY §2.D/§2.L)."
+    ),
+)
+def lm_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tots = c.groupBy("source").agg(F.sum("n").alias("tt"), F.count("*").alias("ty"))
+    vocab = c.agg(F.countDistinct("tok").alias("v"))
+    tgt = c.select(
+        F.col("source").alias("target"), "tok", F.col("n").alias("c_t")
+    )
+    models = tots.select(F.col("source").alias("model"), F.col("tt").alias("t_s"))
+    cs = c.select(F.col("source").alias("model"), "tok", F.col("n").alias("c_s0"))
+    x = (
+        tgt.crossJoin(F.broadcast(models))
+        .join(cs, ["model", "tok"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "target",
+            "model",
+            "c_t",
+            F.coalesce(F.col("c_s0"), F.lit(0)).alias("c_s"),
+            "t_s",
+            "v",
+        )
+    )
+    # DECIMAL(19,0) x DECIMAL(18,9) -> DECIMAL(38,9): exactly at
+    # Spark's precision cap, so the product keeps all 9 decimals. A
+    # bare BIGINT operand promotes to DECIMAL(20,0) and the (39,9)
+    # result gets precision-adjusted to (38,8) — silently rounding
+    # each term to 8 dp while DuckDB keeps 9 (measured 1e-11 drift).
+    w = F.col("c_t").cast("decimal(19,0)") * F.round(
+        F.log((F.col("c_s").cast("double") + 1.0) / (F.col("t_s") + F.col("v"))), 9
+    ).cast("decimal(18,9)")
+    return (
+        x.select("target", "model", w.alias("w"))
+        .groupBy("target", "model")
+        .agg(F.sum("w").alias("sw"))
+        .join(tots.withColumnRenamed("source", "target"), "target")
+        .select(
+            "target",
+            "model",
+            F.col("tt").cast("bigint").alias("n_target_tokens"),
+            (-F.col("sw").cast("double") / F.col("tt")).alias("cross_entropy"),
+        )
+        .orderBy("target", "model")
+    )
+
+
+# ---------------------------------------------------------------------------
+# collocation_llr — Dunning log-likelihood-ratio collocations.
+# ---------------------------------------------------------------------------
+
+LLR_MIN_COUNT = 5
+LLR_TOP = 20
+
+
+def _llr_expr() -> str:
+    """Dunning G² from the bigram contingency table, as ONE shared
+    expression over the exact integer marginals (k terms guard their
+    ln with CASE so empty cells contribute 0, the G² convention)."""
+    cells = [
+        ("k11", "n_ab", "c1 * c2"),
+        ("k12", "c1 - n_ab", "c1 * (bt - c2)"),
+        ("k21", "c2 - n_ab", "(bt - c1) * c2"),
+        ("k22", "bt - c1 - c2 + n_ab", "(bt - c1) * (bt - c2)"),
+    ]
+    terms = " + ".join(
+        f"(CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE)"
+        f" * LN(CAST({k} AS DOUBLE) * bt / ({e})) ELSE 0.0 END)"
+        for _, k, e in cells
+    )
+    return f"ROUND(2.0 * ({terms}), 4)"
+
+
+@register(
+    "collocation_llr",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+m1 AS (SELECT w1, SUM(n_ab) AS c1 FROM cb GROUP BY w1),
+m2 AS (SELECT w2, SUM(n_ab) AS c2 FROM cb GROUP BY w2),
+tot AS (SELECT SUM(n_ab) AS bt FROM cb),
+scored AS (
+  SELECT cb.w1 || ' ' || cb.w2 AS gram, cb.n_ab, {_llr_expr()} AS llr
+  FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+  WHERE cb.n_ab >= {LLR_MIN_COUNT}
+)
+SELECT gram, CAST(n_ab AS BIGINT) AS n_ab, llr
+FROM scored ORDER BY llr DESC, gram LIMIT {LLR_TOP}
+""",
+    doc=(
+        "Dunning log-likelihood-ratio collocations (Dunning 1993, the "
+        "standard significance-aware alternative to PMI): G² over the "
+        "exact bigram contingency table — PMI over-rewards rare pairs "
+        "(two hapaxes that co-occur once get maximal PMI), G² weighs "
+        "the evidence mass, so it surfaces collocations you can "
+        "trust at corpus scale; together with cooccurrence_pmi it "
+        "brackets phrase-mining / tokenizer-merge candidates. All "
+        "four contingency cells derive from the ONE bigram count "
+        "table's marginals (no second corpus pass); G² is a single "
+        "shared double expression over exact integers, rounded to 4 "
+        "dp; TakeOrderedAndProject top-20 (SURVEY §2.D)."
+    ),
+)
+def collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+        ),
+    )
+    bi = tokd.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    m1 = cb.groupBy("w1").agg(F.sum("n_ab").alias("c1"))
+    m2 = cb.groupBy("w2").agg(F.sum("n_ab").alias("c2"))
+    tot = cb.agg(F.sum("n_ab").alias("bt"))
+    return (
+        cb.where(F.col("n_ab") >= LLR_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr(_llr_expr()).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "gram")
+        .limit(LLR_TOP)
+    )

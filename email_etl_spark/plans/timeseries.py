@@ -493,3 +493,95 @@ def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("eta_sq_bps"),
     )
+
+
+def _pacf_exprs(engine_round) -> list[str]:
+    """Durbin–Levinson recursion to lag 3 from the ROUNDED acf values
+    r1..r3: rounding the three anchors to 6 dp FIRST means both
+    engines run the identical recursion on identical doubles, so the
+    outputs are bit-equal without rounding the (nonlinear) results."""
+    phi22 = "((r2 - r1 * r1) / (1.0 - r1 * r1))"
+    phi21 = f"(r1 * (1.0 - {phi22}))"
+    phi33 = (
+        f"((r3 - {phi21} * r2 - {phi22} * r1)"
+        f" / (1.0 - {phi21} * r1 - {phi22} * r2))"
+    )
+    return ["r1", phi22, phi33]
+
+
+@register(
+    "pacf_daily",
+    oracle=f"""
+WITH {_DAILY_SQL},
+cd AS (SELECT d, CAST(ct AS DECIMAL(19,0)) AS ctd FROM c),
+w AS (SELECT d, ctd,
+             LEAD(ctd, 1) OVER (ORDER BY d) AS l1,
+             LEAD(ctd, 2) OVER (ORDER BY d) AS l2,
+             LEAD(ctd, 3) OVER (ORDER BY d) AS l3
+      FROM cd),
+m AS (
+  SELECT SUM(ctd * ctd) AS dd,
+         SUM(CASE WHEN l1 IS NOT NULL THEN ctd * l1 ELSE 0.0 END) AS n1,
+         SUM(CASE WHEN l2 IS NOT NULL THEN ctd * l2 ELSE 0.0 END) AS n2,
+         SUM(CASE WHEN l3 IS NOT NULL THEN ctd * l3 ELSE 0.0 END) AS n3
+  FROM w
+),
+r AS (
+  SELECT ROUND(CAST(n1 AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS r1,
+         ROUND(CAST(n2 AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS r2,
+         ROUND(CAST(n3 AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS r3
+  FROM m
+)
+SELECT CAST(u.lag AS INT) AS lag,
+       CASE u.lag WHEN 1 THEN {_pacf_exprs(None)[0]}
+                  WHEN 2 THEN {_pacf_exprs(None)[1]}
+                  ELSE {_pacf_exprs(None)[2]} END AS pacf
+FROM r CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) u
+ORDER BY lag
+""",
+    doc=(
+        "Partial autocorrelation of the daily series at lags 1..3 via "
+        "the Durbin–Levinson recursion — the AR-order diagnostic acf "
+        "can't give (acf at lag 2 can be large purely because lag 1 "
+        "is; pacf removes the shorter-lag contribution, so a pacf "
+        "cutoff after lag p says 'fit AR(p)'). The three acf anchors "
+        "come from the same exact integer centered moments as "
+        "acf_daily and are rounded to 6 dp BEFORE the recursion, so "
+        "both engines run the identical nonlinear arithmetic on "
+        "identical doubles; the 3-row melt is constant-space "
+        "(SURVEY §2.H)."
+    ),
+)
+def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _daily_centered(spark, sf_dir).select(
+        "d", F.col("ct").cast("decimal(19,0)").alias("ctd")
+    )
+    w = Window.orderBy("d")
+    wd = c.select(
+        "ctd",
+        F.lead("ctd", 1).over(w).alias("l1"),
+        F.lead("ctd", 2).over(w).alias("l2"),
+        F.lead("ctd", 3).over(w).alias("l3"),
+    )
+    m = wd.agg(
+        F.sum(F.col("ctd") * F.col("ctd")).alias("dd"),
+        F.sum(F.when(F.col("l1").isNotNull(), F.col("ctd") * F.col("l1")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("l2").isNotNull(), F.col("ctd") * F.col("l2")).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("l3").isNotNull(), F.col("ctd") * F.col("l3")).otherwise(0)).alias("n3"),
+    )
+    r = m.select(
+        F.round(F.col("n1").cast("double") / F.col("dd").cast("double"), 6).alias("r1"),
+        F.round(F.col("n2").cast("double") / F.col("dd").cast("double"), 6).alias("r2"),
+        F.round(F.col("n3").cast("double") / F.col("dd").cast("double"), 6).alias("r3"),
+    )
+    e1, e2, e3 = _pacf_exprs(None)
+    rows = F.array(
+        F.struct(F.lit(1).alias("lag"), F.expr(e1).alias("pacf")),
+        F.struct(F.lit(2).alias("lag"), F.expr(e2).alias("pacf")),
+        F.struct(F.lit(3).alias("lag"), F.expr(e3).alias("pacf")),
+    )
+    return (
+        r.select(F.explode(rows).alias("x"))
+        .select(F.col("x.lag").cast("int").alias("lag"), F.col("x.pacf").alias("pacf"))
+        .orderBy("lag")
+    )
