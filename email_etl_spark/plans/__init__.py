@@ -53,6 +53,8 @@ _GATE_ORDER = (
     "simpson_diversity",
     "lm_cross_source",
     "collocation_llr",
+    "stratified_kfold_assign",
+    "slo_burn_rate",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

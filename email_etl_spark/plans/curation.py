@@ -1785,3 +1785,71 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("filter_pair")
     )
 
+
+
+_KFOLD = 5
+
+
+def _fold_duck() -> str:
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substr(md5('fold:' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    poly = " + ".join(f"{digit(i)} * {16 ** (3 - i)}" for i in range(1, 4))
+    return f"(({poly}) % {_KFOLD})"
+
+
+@register(
+    "stratified_kfold_assign",
+    oracle=f"""
+WITH a AS (
+  SELECT lang, {_fold_duck()} AS fold, len({_TOKS}) AS nt FROM documents
+),
+g AS (SELECT lang, fold, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM a GROUP BY 1, 2),
+lt AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM g GROUP BY lang)
+SELECT g.lang, CAST(g.fold AS BIGINT) AS fold,
+       CAST(g.n_docs AS BIGINT) AS n_docs,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       CAST(g.n_tokens * 10000 // lt.lang_tokens AS BIGINT) AS token_share_bps
+FROM g JOIN lt USING (lang)
+ORDER BY lang, fold
+""",
+    doc=(
+        "Deterministic stratified k-fold assignment (k="
+        f"{_KFOLD}) with the per-fold token balance it produces: fold "
+        "= md5(doc_id) mod k (3 hex digits — 4096 mod 5 keeps the "
+        "residue bias <0.03%), stratification read out per language "
+        "as each fold's token share in exact bps — the CV-split "
+        "generalization of train_val_split, and the balance check "
+        "run BEFORE trusting per-fold eval numbers. One tokenize "
+        "scan, (lang x k)-sized rollups, no RNG so any engine "
+        "reproduces the exact membership (SURVEY §2.L)."
+    ),
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.expr(
+            "CAST(CONV(SUBSTRING(MD5(CONCAT('fold:', CAST(doc_id AS STRING))), 1, 3), 16, 10) AS BIGINT)"
+        )
+        % _KFOLD
+    )
+    a = docs.select(
+        "lang", fold.alias("fold"), T.token_count(F.col("text")).alias("nt")
+    )
+    g = a.groupBy("lang", "fold").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    lt = g.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    return (
+        g.join(lt, "lang")
+        .select(
+            "lang",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("n_tokens * 10000 div lang_tokens")
+            .cast("bigint")
+            .alias("token_share_bps"),
+        )
+        .orderBy("lang", "fold")
+    )

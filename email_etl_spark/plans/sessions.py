@@ -2983,3 +2983,80 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_SLO_BUDGET_BPS = 100  # 1% error budget
+
+
+@register(
+    "slo_burn_rate",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+w AS (
+  SELECT u.win, u.secs FROM (VALUES ('1h', 3600), ('24h', 86400)) AS u(win, secs)
+),
+agg AS (
+  SELECT w.win, w.secs,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events e CROSS JOIN mx CROSS JOIN w
+  WHERE e.ts > mx.m - to_seconds(w.secs)
+  GROUP BY w.win, w.secs
+)
+SELECT win AS "window",
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(n_errors * 10000 // n_events AS BIGINT) AS err_bps,
+       CAST({_SLO_BUDGET_BPS} AS BIGINT) AS budget_bps,
+       CAST(n_errors * 10000 * 1000 // (n_events * {_SLO_BUDGET_BPS}) AS BIGINT) AS burn_milli
+FROM agg ORDER BY "window"
+""",
+    doc=(
+        "Multi-window SLO error-budget burn rate (the Google SRE "
+        "alerting recipe): error share of the trailing 1h and 24h "
+        "windows against a 1% budget, burn expressed in exact integer "
+        "milli-multiples (burn 1000 = exactly consuming budget; page "
+        "when BOTH windows burn hot — the short window for speed, the "
+        "long one to suppress blips). Horizon anchors to the stream's "
+        "own max(ts) (no wall clock, reproducible); one scan with the "
+        "1-row max broadcast and a 2-row window table, conditional "
+        "aggregation, pure integer arithmetic; the streaming twin "
+        "rides the same expressions per micro-batch (SURVEY §2.H)."
+    ),
+)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    # ONE conditional-aggregate pass over the scan (an events x windows
+    # explode would double the scanned rows at 100 TB), then the 2-row
+    # per-window melt runs over the 1-row sufficient statistics
+    wins = [("1h", 3600), ("24h", 86400)]
+    in_w = lambda secs: F.col("ts") > F.col("m") - F.expr(f"INTERVAL {secs} SECOND")
+    is_err = F.col("event_type") == "error"
+    aggs = []
+    for name, secs in wins:
+        aggs.append(F.sum(F.when(in_w(secs), 1).otherwise(0)).alias(f"n_{name}"))
+        aggs.append(
+            F.sum(F.when(in_w(secs) & is_err, 1).otherwise(0)).alias(f"e_{name}")
+        )
+    stats = ev.crossJoin(F.broadcast(mx)).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("window"),
+                F.col(f"n_{name}").cast("bigint").alias("n_events"),
+                F.col(f"e_{name}").cast("bigint").alias("n_errors"),
+                F.expr(f"e_{name} * 10000 div n_{name}").cast("bigint").alias("err_bps"),
+                F.lit(_SLO_BUDGET_BPS).cast("bigint").alias("budget_bps"),
+                F.expr(
+                    f"e_{name} * 10000 * 1000 div (n_{name} * {_SLO_BUDGET_BPS})"
+                )
+                .cast("bigint")
+                .alias("burn_milli"),
+            )
+            for name, _ in wins
+        ]
+    )
+    return (
+        stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("window")
+    )
