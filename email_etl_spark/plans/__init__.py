@@ -55,6 +55,7 @@ _GATE_ORDER = (
     "collocation_llr",
     "stratified_kfold_assign",
     "slo_burn_rate",
+    "payload_partition_plan",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -596,3 +596,77 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_segments")
     )
+
+
+_PAYLOAD_BUDGET = 64 * 1024  # target payload bytes per partition
+_PP_BUCKET = 1024            # ids per prefix-sum bucket
+
+
+@register(
+    "payload_partition_plan",
+    oracle=f"""
+WITH sz AS (SELECT doc_id, n_chars FROM documents),
+c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sz
+),
+a AS (
+  SELECT doc_id, n_chars, (cum - n_chars) // {_PAYLOAD_BUDGET} AS part FROM c
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n_chars) AS BIGINT) AS payload_bytes,
+       CAST(SUM(n_chars) * 10000 // {_PAYLOAD_BUDGET} AS BIGINT) AS fill_bps
+FROM a GROUP BY part ORDER BY part
+""",
+    doc=(
+        "Byte-budgeted partition layout for the binary corpus — the "
+        "write-side plan behind operators/multimodal."
+        "size_budget_partitions: binary rows are wildly variable, so "
+        "row-count partitioning under/over-fills Arrow batches; this "
+        "assigns each clip to the partition where its payload STARTS "
+        "under a 64 KiB budget and reports per-partition fill in "
+        "exact bps (the 1-D size-weighted cousin of "
+        "range_partition_plan). The prefix sum is TWO-LEVEL "
+        "(shard_plan's discipline): per-1024-id bucket subtotals roll "
+        "up in a bucket-cardinality window, exclusive offsets "
+        "broadcast back, and the in-bucket window is bounded by the "
+        "bucket width — no serial corpus-length window at any scale. "
+        "Pure integer div both engines (SURVEY §2.J)."
+    ),
+)
+def payload_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.select("doc_id", "n_chars", F.expr(f"doc_id div {_PP_BUCKET}").alias("bk"))
+    bsum = sz.groupBy("bk").agg(F.sum("n_chars").alias("bs"))
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = bsum.select(
+        "bk", (F.sum("bs").over(wb) - F.col("bs")).alias("off")
+    )
+    wi = Window.partitionBy("bk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    a = (
+        sz.join(F.broadcast(offs), "bk")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("off") + F.sum("n_chars").over(wi) - F.col("n_chars")).alias("start"),
+        )
+        .select("n_chars", F.expr(f"start div {_PAYLOAD_BUDGET}").alias("part"))
+    )
+    return (
+        a.groupBy("part")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clips"),
+            F.sum("n_chars").cast("bigint").alias("payload_bytes"),
+            F.expr(f"sum(n_chars) * 10000 div {_PAYLOAD_BUDGET}")
+            .cast("bigint")
+            .alias("fill_bps"),
+        )
+        .select(F.col("part").cast("bigint").alias("part"), "n_clips", "payload_bytes", "fill_bps")
+        .orderBy("part")
+    )
