@@ -1035,3 +1035,26 @@ def test_heavy_hitters_mg_bound(spark):
     for u, n in exact.items():
         if n > bound:
             assert u in got, (u, n, bound)
+
+
+def test_semdedup_k_matches_sql_floor_sqrt():
+    """_semdedup_k (math.isqrt) must equal the oracle's
+    GREATEST(KM_K, FLOOR(SQRT(n))) for any corpus size — including
+    perfect squares, where a sloppy float sqrt could land one off."""
+    import duckdb
+
+    from email_etl_spark.plans.dedup import _semdedup_k
+    from email_etl_spark.plans.search import KM_K
+
+    con = duckdb.connect()
+    ns = (
+        list(range(0, 70))
+        + [x * x for x in range(1, 80)]
+        + [x * x - 1 for x in range(2, 80)]
+        + [10**6, 10**6 + 1, 10**9, 10**12 - 1, 10**12]
+    )
+    for n in ns:
+        sql_k = con.execute(
+            f"SELECT GREATEST({KM_K}, CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT))"
+        ).fetchone()[0]
+        assert _semdedup_k(n) == sql_k, (n, _semdedup_k(n), sql_k)
