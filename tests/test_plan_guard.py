@@ -167,6 +167,10 @@ _BNL_JUSTIFIED = {
     "epoch_allocation",  # 1-row (budget, n_sources) broadcast
     "t_closeness_profile",  # 8-row cohort margin + 1-row total broadcast
     "weekday_anova",  # 1-row sum-of-squares broadcast
+    "collocation_llr",  # 1-row bigram-total broadcast
+    "lm_cross_source",  # sources-row model margin + 1-row vocab broadcast
+    "pacf_daily",  # 1-row acf-anchor row exploded to 3 lags
+    "slo_burn_rate",  # 1-row max(ts) horizon broadcast
 }
 
 
