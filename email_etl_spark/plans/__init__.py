@@ -56,6 +56,7 @@ _GATE_ORDER = (
     "stratified_kfold_assign",
     "slo_burn_rate",
     "payload_partition_plan",
+    "asof_join_nearest",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -258,3 +258,122 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+a AS (SELECT * FROM e WHERE event_type = 'error'),
+b AS (SELECT * FROM e WHERE event_type = 'purchase'),
+prev AS (
+  SELECT a.event_id AS error_id, b.event_id AS pid, b.tse AS ptse
+  FROM a JOIN b ON a.user_id = b.user_id AND b.tse <= a.tse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.event_id
+                             ORDER BY b.tse DESC, b.event_id DESC) = 1
+),
+nxt AS (
+  SELECT a.event_id AS error_id, b.event_id AS nid, b.tse AS ntse
+  FROM a JOIN b ON a.user_id = b.user_id AND b.tse > a.tse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.event_id
+                             ORDER BY b.tse, b.event_id) = 1
+)
+SELECT a.event_id AS error_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts,
+       CAST(CASE WHEN p.pid IS NOT NULL
+                  AND (n.nid IS NULL OR a.tse - p.ptse <= n.ntse - a.tse)
+                 THEN p.pid ELSE n.nid END AS BIGINT) AS purchase_id,
+       CASE WHEN p.pid IS NULL AND n.nid IS NULL THEN NULL
+            WHEN p.pid IS NOT NULL
+                 AND (n.nid IS NULL OR a.tse - p.ptse <= n.ntse - a.tse)
+            THEN 'backward' ELSE 'forward' END AS direction,
+       CAST(CASE WHEN p.pid IS NOT NULL
+                  AND (n.nid IS NULL OR a.tse - p.ptse <= n.ntse - a.tse)
+                 THEN a.tse - p.ptse ELSE n.ntse - a.tse END AS BIGINT) AS delta_s
+FROM a
+LEFT JOIN prev p ON p.error_id = a.event_id
+LEFT JOIN nxt n ON n.error_id = a.event_id
+ORDER BY error_id
+""",
+    doc=(
+        "Nearest-direction as-of join: each error matched to the same "
+        "user's CLOSEST purchase in time, either direction (equal "
+        "distance -> backward; per-side ties use the asof_join / "
+        "asof_join_forward contracts) — completes the pandas "
+        "merge_asof direction surface (backward / forward / nearest; "
+        "SURVEY §2.L). Still ONE shuffle and ONE sort: both sides "
+        "union, and the prev and next candidates read from TWO frames "
+        "of the same user-keyed window (last-preceding and first-"
+        "following); no time-inequality pair space ever materializes. "
+        "Equal-timestamp purchases land in the preceding frame (src "
+        "sort), which the backward-wins tie rule makes exactly the "
+        "oracle's two-QUALIFY semantics."
+    ),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse"),
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "tse",
+        "event_id",
+        F.lit(0).alias("src"),
+        F.struct(
+            F.col("event_id").alias("pid"), F.col("tse").alias("ptse")
+        ).alias("bs"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("a_ts"),
+    )
+    a = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "tse",
+        "event_id",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("struct<pid:bigint,ptse:bigint>").alias("bs"),
+        F.col("ts").alias("a_ts"),
+    )
+    # ONE sort serves both directions: builds at the probe's own
+    # timestamp sort BEFORE it (src 0 < 1), so they are inside the
+    # PRECEDING frame (asof ties included backward) and outside the
+    # FOLLOWING frame — and backward wins equal distances anyway.
+    base = Window.partitionBy("user_id").orderBy("tse", "src", "event_id")
+    wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = a.unionByName(b).select(
+        "user_id",
+        "tse",
+        "event_id",
+        "src",
+        "a_ts",
+        F.last("bs", ignorenulls=True).over(wp).alias("prv"),
+        F.first("bs", ignorenulls=True).over(wn).alias("nxt"),
+    )
+    prv_d = F.col("tse") - F.col("prv.ptse")
+    nxt_d = F.col("nxt.ptse") - F.col("tse")
+    back = F.col("prv").isNotNull() & (F.col("nxt").isNull() | (prv_d <= nxt_d))
+    return (
+        merged.where(F.col("src") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("a_ts").alias("ts"),
+            F.when(back, F.col("prv.pid"))
+            .otherwise(F.col("nxt.pid"))
+            .cast("bigint")
+            .alias("purchase_id"),
+            F.when(F.col("prv").isNull() & F.col("nxt").isNull(), F.lit(None))
+            .when(back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.when(back, prv_d).otherwise(nxt_d).cast("bigint").alias("delta_s"),
+        )
+        .orderBy("error_id")
+    )
