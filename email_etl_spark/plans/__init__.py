@@ -57,6 +57,7 @@ _GATE_ORDER = (
     "slo_burn_rate",
     "payload_partition_plan",
     "asof_join_nearest",
+    "km_survival_gaps",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

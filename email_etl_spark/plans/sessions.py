@@ -3060,3 +3060,131 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("window")
     )
+
+
+_KM_MAX_DAY = 30
+
+
+@register(
+    "km_survival_gaps",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+),
+iv AS (
+  SELECT user_id, tse,
+         LEAD(tse) OVER (PARTITION BY user_id ORDER BY tse, event_id) AS nxt
+  FROM p
+),
+mx AS (SELECT MAX(tse) AS horizon FROM p),
+d AS (
+  SELECT CASE WHEN nxt IS NULL THEN (mx.horizon - tse) // 86400
+              ELSE (nxt - tse) // 86400 END AS dur,
+         CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+  FROM iv CROSS JOIN mx
+),
+h AS (
+  SELECT dur,
+         SUM(1 - censored) AS d_t,
+         SUM(censored) AS c_t
+  FROM d GROUP BY dur
+),
+r AS (
+  SELECT dur, d_t, c_t,
+         SUM(d_t + c_t) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_t
+  FROM h
+),
+s AS (
+  SELECT dur, d_t, c_t, n_t,
+         CASE WHEN d_t < n_t
+              THEN CAST(ROUND(LN(1.0 - CAST(d_t AS DOUBLE) / n_t), 9) AS DECIMAL(18,9))
+              END AS lnf,
+         MAX(CASE WHEN d_t >= n_t THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead
+  FROM r
+)
+SELECT CAST(dur AS BIGINT) AS day,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       CAST(d_t AS BIGINT) AS n_events,
+       CAST(c_t AS BIGINT) AS n_censored,
+       CASE WHEN dead = 0
+            THEN CAST(SUM(lnf) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            END AS ln_survival
+FROM s WHERE dur <= {_KM_MAX_DAY} ORDER BY day
+""",
+    doc=(
+        "Kaplan-Meier product-limit survival of inter-purchase gaps "
+        "WITH right-censoring (each user's final purchase opens an "
+        "interval censored at the corpus horizon) — the estimator "
+        "purchase_hazard's complete-intervals-only histogram biases "
+        "short (dropping open intervals undercounts long gaps). "
+        "Day-granular: risk sets come from ONE reverse-cumulative "
+        "window over the duration histogram (bounded by the corpus "
+        "span in days, never row count), each ln(1 - d/n) factor is "
+        "pre-rounded to DECIMAL(18,9) so the cumulative log-survival "
+        "sum is exact and order-insensitive, and the output ships "
+        "LN-survival (an exact decimal sum) rather than exp of it — "
+        "no cross-engine exp ulp to chase. One lag window on the "
+        "purchase stream is the only corpus-sized shuffle "
+        "(SURVEY §2.H/§2.L)."
+    ),
+)
+def km_survival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    iv = p.select("user_id", "tse", F.lead("tse").over(w).alias("nxt"))
+    mx = p.agg(F.max("tse").alias("horizon"))
+    d = iv.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNull(),
+            F.expr("(horizon - tse) div 86400"),
+        )
+        .otherwise(F.expr("(nxt - tse) div 86400"))
+        .alias("dur"),
+        F.when(F.col("nxt").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    h = d.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).alias("d_t"),
+        F.sum("censored").alias("c_t"),
+    )
+    wr = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur", "d_t", "c_t", F.sum(F.col("d_t") + F.col("c_t")).over(wr).alias("n_t")
+    )
+    wf = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = r.select(
+        "dur",
+        "d_t",
+        "c_t",
+        "n_t",
+        F.when(
+            F.col("d_t") < F.col("n_t"),
+            F.round(F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")), 9).cast(
+                "decimal(18,9)"
+            ),
+        ).alias("lnf"),
+        F.max(F.when(F.col("d_t") >= F.col("n_t"), 1).otherwise(0)).over(wf).alias("dead"),
+    )
+    return (
+        s.select(
+            F.col("dur").cast("bigint").alias("day"),
+            F.col("n_t").cast("bigint").alias("n_at_risk"),
+            F.col("d_t").cast("bigint").alias("n_events"),
+            F.col("c_t").cast("bigint").alias("n_censored"),
+            F.when(F.col("dead") == 0, F.sum("lnf").over(wf).cast("double")).alias(
+                "ln_survival"
+            ),
+        )
+        .where(F.col("day") <= _KM_MAX_DAY)
+        .orderBy("day")
+    )
