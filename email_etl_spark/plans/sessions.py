@@ -3188,3 +3188,121 @@ def km_survival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("day") <= _KM_MAX_DAY)
         .orderBy("day")
     )
+
+
+# 0.9^d day-decay weights in integer micro-units (plan constants shared
+# textually with the oracle — no runtime pow, engagement_scores idiom)
+_DECAY_W = (1000000, 900000, 810000, 729000, 656100, 590490, 531441)
+
+
+def _decay_oracle() -> str:
+    day = 86400
+    # COALESCE: an empty RANGE frame sums to NULL, which would void the
+    # whole weighted credit for any purchase missing one day bucket
+    cnt_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER "
+        f"(PARTITION BY user_id ORDER BY tse RANGE BETWEEN {(d + 1) * day} PRECEDING "
+        f"AND {d * day + 1} PRECEDING), 0) AS c_{t}_{d}"
+        for t in _TOUCH_TYPES
+        for d in range(7)
+    )
+    wsum = lambda t: " + ".join(f"c_{t}_{d} * {_DECAY_W[d]}" for d in range(7))
+    total = " + ".join(f"w_{t}" for t in _TOUCH_TYPES)
+    credits = " UNION ALL ".join(
+        f"SELECT '{t}' AS touch_type, "
+        f"SUM(CASE WHEN w_all > 0 THEN w_{t} * 1000000 // w_all ELSE 0 END) AS credit_micro, "
+        f"SUM(CASE WHEN w_{t} > 0 THEN 1 ELSE 0 END) AS n_purchases_touched FROM p"
+        for t in _TOUCH_TYPES
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+w AS (SELECT user_id, event_id, event_type, tse, {cnt_cols} FROM e),
+ws AS (
+  SELECT event_type, {", ".join(f"{wsum(t)} AS w_{t}" for t in _TOUCH_TYPES)}
+  FROM w
+),
+p AS (SELECT {total} AS w_all, {", ".join(f"w_{t}" for t in _TOUCH_TYPES)}
+      FROM ws WHERE event_type = 'purchase'),
+credits AS ({credits})
+SELECT touch_type, CAST(credit_micro AS BIGINT) AS credit_micro,
+       CAST(n_purchases_touched AS BIGINT) AS n_purchases_touched
+FROM credits ORDER BY touch_type
+"""
+
+
+@register(
+    "attribution_time_decay",
+    oracle=_decay_oracle(),
+    doc=(
+        "Time-decay multi-touch attribution (0.9^age-days weights), "
+        "completing the attribution family: last-touch credits only "
+        "recency, linear ignores it, decay interpolates — the "
+        "marketing-standard middle ground. Decay weights are integer "
+        "micro-unit PLAN CONSTANTS shared textually with the oracle "
+        "(engagement_scores idiom, no runtime pow); per-(type, "
+        "day-bucket) touch counts come from 7 RANGE frames over the "
+        "SAME user-keyed sort (no event-stream self-join — "
+        "attribution_linear's discipline), per-purchase credit "
+        "normalization is exact integer div, so every purchase "
+        "distributes exactly 1e6 micro-credits (SURVEY §2.H/§2.L)."
+    ),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse")
+    )
+    day = 86400
+    cnt_cols = []
+    for t in _TOUCH_TYPES:
+        for d in range(7):
+            wr = (
+                Window.partitionBy("user_id")
+                .orderBy("tse")
+                .rangeBetween(-(d + 1) * day, -(d * day + 1))
+            )
+            cnt_cols.append(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .over(wr)
+                .alias(f"c_{t}_{d}")
+            )
+    w = e.select("event_type", *cnt_cols)
+    ws_cols = []
+    for t in _TOUCH_TYPES:
+        expr = None
+        for d in range(7):
+            term = F.coalesce(F.col(f"c_{t}_{d}"), F.lit(0)) * _DECAY_W[d]
+            expr = term if expr is None else expr + term
+        ws_cols.append(expr.alias(f"w_{t}"))
+    ws = w.select("event_type", *ws_cols)
+    total = None
+    for t in _TOUCH_TYPES:
+        c = F.col(f"w_{t}")
+        total = c if total is None else total + c
+    p = ws.where(F.col("event_type") == "purchase").select(
+        total.alias("w_all"), *[F.col(f"w_{t}") for t in _TOUCH_TYPES]
+    )
+    rows = [
+        F.struct(
+            F.lit(t).alias("touch_type"),
+            F.sum(
+                F.when(F.col("w_all") > 0, F.expr(f"w_{t} * 1000000L div w_all")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("credit_micro"),
+            F.sum(F.when(F.col(f"w_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases_touched"),
+        )
+        for t in _TOUCH_TYPES
+    ]
+    agg = p.agg(F.array(*rows).alias("a"))
+    return (
+        agg.select(F.explode("a").alias("r"))
+        .select("r.touch_type", "r.credit_micro", "r.n_purchases_touched")
+        .orderBy("touch_type")
+    )
