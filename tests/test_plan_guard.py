@@ -171,6 +171,7 @@ _BNL_JUSTIFIED = {
     "lm_cross_source",  # sources-row model margin + 1-row vocab broadcast
     "pacf_daily",  # 1-row acf-anchor row exploded to 3 lags
     "slo_burn_rate",  # 1-row max(ts) horizon broadcast
+    "km_survival_gaps",  # 1-row corpus-horizon broadcast
 }
 
 
