@@ -436,3 +436,86 @@ def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "props_schema_drift",
+    oracle="""
+WITH e AS (
+  SELECT props, event_id FROM events WHERE props IS NOT NULL
+),
+mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM e),
+kv AS (
+  SELECT UNNEST(json_keys(props)) AS key,
+         CASE WHEN event_id <= mid.m THEN 0 ELSE 1 END AS half
+  FROM e, mid
+),
+n AS (
+  SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+  FROM (SELECT CASE WHEN event_id <= mid.m THEN 0 ELSE 1 END AS half FROM e, mid)
+),
+k AS (
+  SELECT key,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+  FROM kv GROUP BY key
+)
+SELECT key,
+       CAST(c1 AS BIGINT) AS n_first,
+       CAST(c2 AS BIGINT) AS n_second,
+       CAST(c1 * 10000 // n.n1 AS BIGINT) AS rate_first_bps,
+       CAST(c2 * 10000 // n.n2 AS BIGINT) AS rate_second_bps,
+       CAST(c2 * 10000 // n.n2 - c1 * 10000 // n.n1 AS BIGINT) AS drift_bps
+FROM k CROSS JOIN n ORDER BY key
+""",
+    doc=(
+        "JSON keyspace drift between ingest halves (id-midpoint split, "
+        "the embedding_drift / text_drift convention): per key, "
+        "presence rate in each half and the signed drift in exact bps "
+        "— completes the drift family (text, embedding, value, SCHEMA) "
+        "and flags producer-side schema rollouts (a key appearing or "
+        "vanishing mid-stream) before an expression index or VARIANT "
+        "shred path starts missing rows. Drift is a DIFFERENCE of two "
+        "already-truncated integer rates — no signed integer division "
+        "whose floor/truncate semantics could split the engines. One "
+        "parse + key explode, keyspace-sized rollup, 1-row half "
+        "counts broadcast (SURVEY §2.I)."
+    ),
+)
+def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("props").isNotNull()).select("props", "event_id")
+    mid = e.agg(
+        F.expr("(min(event_id) + max(event_id)) div 2").alias("m")
+    )
+    half = F.when(F.col("event_id") <= F.col("m"), 0).otherwise(1)
+    eh = e.crossJoin(F.broadcast(mid)).select("props", half.alias("half"))
+    n = eh.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    kv = eh.select(
+        F.explode(F.map_keys(F.from_json(F.col("props"), "map<string,string>"))).alias(
+            "key"
+        ),
+        "half",
+    )
+    k = kv.groupBy("key").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    return (
+        k.crossJoin(F.broadcast(n))
+        .select(
+            "key",
+            F.col("c1").cast("bigint").alias("n_first"),
+            F.col("c2").cast("bigint").alias("n_second"),
+            F.expr("c1 * 10000 div n1").cast("bigint").alias("rate_first_bps"),
+            F.expr("c2 * 10000 div n2").cast("bigint").alias("rate_second_bps"),
+            F.expr("c2 * 10000 div n2 - c1 * 10000 div n1")
+            .cast("bigint")
+            .alias("drift_bps"),
+        )
+        .orderBy("key")
+    )
