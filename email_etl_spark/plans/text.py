@@ -3206,3 +3206,128 @@ def collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("llr"), "gram")
         .limit(LLR_TOP)
     )
+
+
+@register(
+    "yule_k",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, u.tok FROM (SELECT lang, {_TOKS} AS toks FROM documents), unnest(toks) AS u(tok)
+),
+c AS (SELECT lang, tok, COUNT(*) AS m FROM t GROUP BY 1, 2),
+sp AS (SELECT lang, m, COUNT(*) AS vm FROM c GROUP BY 1, 2)
+SELECT lang,
+       CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+       CAST(SUM(vm) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT) AS v1,
+       CAST(SUM(CASE WHEN m = 2 THEN vm ELSE 0 END) AS BIGINT) AS v2,
+       CAST((SUM(CAST(m AS HUGEINT) * m * vm) - SUM(m * vm)) * 10000000
+            // (CAST(SUM(m * vm) AS HUGEINT) * SUM(m * vm)) AS BIGINT) AS yule_k_milli
+FROM sp GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Yule's K lexical-richness characteristic per language (Yule "
+        "1944: K = 10^4 (S2 - N)/N^2 over the frequency spectrum S2 = "
+        "sum m^2 V_m) — the classic size-INVARIANT repetitiveness "
+        "constant: TTR and hapax rate fall as a corpus grows even "
+        "when the text character is unchanged, K does not, so "
+        "cross-SF or cross-snapshot comparisons are honest. Reported "
+        "in exact integer milli-K (HUGEINT/DECIMAL(38,0) moments, "
+        "truncating div); one tokenize pass, vocab-sized counts, "
+        "spectrum-sized rollup (SURVEY §2.D)."
+    ),
+)
+def yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("m"))
+    )
+    sp = c.groupBy("lang", "m").agg(F.count("*").alias("vm"))
+    return (
+        sp.groupBy("lang")
+        .agg(
+            F.sum(F.col("m") * F.col("vm")).cast("bigint").alias("n_tokens"),
+            F.sum("vm").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("m") == 1, F.col("vm")).otherwise(0))
+            .cast("bigint")
+            .alias("v1"),
+            F.sum(F.when(F.col("m") == 2, F.col("vm")).otherwise(0))
+            .cast("bigint")
+            .alias("v2"),
+            F.expr(
+                "CAST((sum(CAST(m AS DECIMAL(38,0)) * m * vm) - sum(m * vm)) * 10000000 AS DECIMAL(38,0))"
+                " div (CAST(sum(m * vm) AS DECIMAL(38,0)) * sum(m * vm))"
+            )
+            .cast("bigint")
+            .alias("yule_k_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+GT_MAX_R = 5
+
+
+@register(
+    "good_turing_counts",
+    oracle=f"""
+WITH t AS (
+  SELECT u.tok FROM (SELECT {_TOKS} AS toks FROM documents), unnest(toks) AS u(tok)
+),
+c AS (SELECT tok, COUNT(*) AS m FROM t GROUP BY 1),
+sp AS (SELECT m AS r, COUNT(*) AS v_r FROM c GROUP BY 1),
+n AS (SELECT SUM(r * v_r) AS nt FROM sp),
+j AS (
+  SELECT a.r, a.v_r, COALESCE(b.v_r, 0) AS v_r1
+  FROM sp a LEFT JOIN sp b ON b.r = a.r + 1
+  WHERE a.r <= {GT_MAX_R}
+)
+SELECT CAST(j.r AS BIGINT) AS r,
+       CAST(j.v_r AS BIGINT) AS v_r,
+       CAST(j.v_r1 AS BIGINT) AS v_r_next,
+       CAST((j.r + 1) * j.v_r1 * 1000 // j.v_r AS BIGINT) AS r_star_milli,
+       CAST((SELECT v_r FROM sp WHERE r = 1) * 10000 // n.nt AS BIGINT) AS unseen_mass_bps
+FROM j CROSS JOIN n ORDER BY r
+""",
+    doc=(
+        "Good-Turing frequency re-estimation over the corpus token "
+        "spectrum (Good 1953): adjusted counts r* = (r+1) V_{{r+1}} / "
+        "V_r for r <= 5 plus the missing-mass estimate V_1/N — THE "
+        "classical answer to 'how much probability belongs to words "
+        "we have never seen', and the smoothing companion to "
+        "kneser_ney_bigram (KN's discount is calibrated against "
+        "exactly these spectrum ratios). Pure integer milli/bps "
+        "arithmetic over the frequency-of-frequencies table (spectrum "
+        "cardinality <= max token count — tiny); one tokenize pass "
+        "feeds vocab then spectrum rollups (SURVEY §2.D)."
+    ),
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("m"))
+    )
+    sp = c.groupBy(F.col("m").alias("r")).agg(F.count("*").alias("v_r"))
+    n = sp.agg(F.sum(F.col("r") * F.col("v_r")).alias("nt"))
+    v1 = sp.where(F.col("r") == 1).select(F.col("v_r").alias("v1"))
+    nxt = sp.select((F.col("r") - 1).alias("r"), F.col("v_r").alias("v_r1"))
+    return (
+        sp.where(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(v1))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("v_r").cast("bigint").alias("v_r"),
+            F.coalesce(F.col("v_r1"), F.lit(0)).cast("bigint").alias("v_r_next"),
+            F.expr("(r + 1) * coalesce(v_r1, 0) * 1000 div v_r")
+            .cast("bigint")
+            .alias("r_star_milli"),
+            F.expr("v1 * 10000 div nt").cast("bigint").alias("unseen_mass_bps"),
+        )
+        .orderBy("r")
+    )
