@@ -172,6 +172,8 @@ _BNL_JUSTIFIED = {
     "pacf_daily",  # 1-row acf-anchor row exploded to 3 lags
     "slo_burn_rate",  # 1-row max(ts) horizon broadcast
     "km_survival_gaps",  # 1-row corpus-horizon broadcast
+    "good_turing_counts",  # 1-row token-total + 1-row V1 broadcasts
+    "props_schema_drift",  # 1-row id-midpoint + 1-row half-count broadcasts
 }
 
 
