@@ -25,14 +25,15 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 # Registration order is part of the external contract: correctness
 # harnesses that sample "the first N registered queries" must see the
-# right tier first. Rotation policy: NEVER-driver-checked queries go
-# first, newest additions at the head (this round's 30 new operators,
-# then the round-3-tail additions still awaiting their first driver
-# row), followed by queries whose code changed after their last driver
-# pass, then the standing flagship surface. Everything — in or out of
-# the window — stays verified by the repo sweep (scripts/sweep.py +
+# right tier first. Rotation policy: this round's NEW operators go
+# first, then never-driver-checked queries whose code or oracle
+# CHANGED this round, then the never-checked backlog (retired over
+# rounds 5-7), then changed-but-previously-green re-verification and
+# the standing flagship surface. Everything — in or out of the window
+# — stays verified by the repo sweep (scripts/sweep.py +
 # sweep_delta.py -> SWEEP.json, the driver-gate mirror: same compare,
-# same SFs) at sf0.001 + sf0.01 + sf0.1 every round.
+# same SFs; heavy unchanged sf0.1 oracle re-runs may defer per the
+# SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-5 driver window (first 50): this round's new
