@@ -63,6 +63,7 @@ _GATE_ORDER = (
     "props_schema_drift",
     "yule_k",
     "good_turing_counts",
+    "content_chunk_dedup",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -2639,3 +2639,112 @@ def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# content_chunk_dedup — content-defined chunking (CDC) dedup sizing.
+# ---------------------------------------------------------------------------
+
+_CDC_BOUNDARY_HEX = "1"  # boundary iff md5(token) first hex < '1' (p = 1/16)
+
+
+@register(
+    "content_chunk_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM tok CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN substr(md5(tok), 1, 1) < '{_CDC_BOUNDARY_HEX}' THEN 1 ELSE 0 END AS bd
+  FROM pos
+),
+ch AS (
+  SELECT doc_id, pos, tok,
+         SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cid
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, COALESCE(cid, 0) AS cid,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+         COUNT(*) AS n_toks
+  FROM ch GROUP BY doc_id, COALESCE(cid, 0)
+),
+f AS (SELECT fp, COUNT(*) AS n_copies, MAX(n_toks) AS n_toks FROM chunks GROUP BY fp)
+SELECT CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST((SELECT SUM(n_toks) FROM chunks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN (n_copies - 1) * n_toks ELSE 0 END) AS BIGINT)
+         AS reclaimable_tokens,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN (n_copies - 1) * n_toks ELSE 0 END) * 10000
+            // (SELECT SUM(n_toks) FROM chunks) AS BIGINT) AS reclaim_bps
+FROM f
+""",
+    doc=(
+        "Content-defined chunking dedup sizing (the FastCDC/rsync "
+        "primitive): chunk boundaries fall where md5(token) starts "
+        "below a threshold (p = 1/16, expected 16-token chunks), so "
+        "identical passages chunk identically REGARDLESS of their "
+        "byte offset — the shift-robustness prefix_dup_rate and "
+        "fixed-window shingles lack — and the distinct-fingerprint "
+        "rollup prices keep-one-copy chunk storage exactly "
+        "(reclaimable tokens + bps). Boundaries are token-local md5 "
+        "tests (plan-constant threshold), chunk ids come from one "
+        "doc-keyed running-sum window bounded by doc length, chunk "
+        "fingerprints group on 16-byte keys, never text "
+        "(SURVEY §2.E)."
+    ),
+)
+def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    pos = toks.select("doc_id", F.posexplode("toks").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    bd = F.when(F.substring(F.md5(F.col("tok")), 1, 1) < _CDC_BOUNDARY_HEX, 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = pos.select(
+        "doc_id", "pos", "tok", F.coalesce(F.sum(bd).over(w), F.lit(0)).alias("cid")
+    )
+    chunks = (
+        ch.groupBy("doc_id", "cid")
+        .agg(
+            F.md5(F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"))).alias("fp"),
+            F.count("*").alias("n_toks"),
+        )
+    )
+    f = chunks.groupBy("fp").agg(
+        F.count("*").alias("n_copies"), F.max("n_toks").alias("n_toks")
+    )
+    tot = chunks.agg(
+        F.count("*").alias("n_chunks"), F.sum("n_toks").alias("n_tokens")
+    )
+    return (
+        f.agg(
+            F.count("*").cast("bigint").alias("n_distinct_chunks"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, (F.col("n_copies") - 1) * F.col("n_toks")).otherwise(0)
+            ).alias("reclaimable_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            "n_distinct_chunks",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("reclaimable_tokens").cast("bigint").alias("reclaimable_tokens"),
+            F.expr("reclaimable_tokens * 10000 div n_tokens")
+            .cast("bigint")
+            .alias("reclaim_bps"),
+        )
+    )
