@@ -64,6 +64,7 @@ _GATE_ORDER = (
     "yule_k",
     "good_turing_counts",
     "content_chunk_dedup",
+    "trigger_followup_rates",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

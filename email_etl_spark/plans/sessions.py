@@ -3306,3 +3306,107 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.touch_type", "r.credit_micro", "r.n_purchases_touched")
         .orderBy("touch_type")
     )
+
+
+_TRIGGER_TYPES = ("click", "error", "purchase", "signup", "view")
+_TRIGGER_WINDOW_S = 300
+
+
+@register(
+    "trigger_followup_rates",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+w AS (
+  SELECT user_id, event_type, tse,
+         {", ".join(
+             f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER "
+             f"(PARTITION BY user_id ORDER BY tse RANGE BETWEEN 1 FOLLOWING "
+             f"AND {_TRIGGER_WINDOW_S} FOLLOWING), 0) AS f_{t}"
+             for t in _TRIGGER_TYPES
+         )}
+  FROM e
+),
+m AS (
+  {" UNION ALL ".join(
+      f"SELECT event_type AS trigger_type, '{t}' AS followup_type, "
+      f"COUNT(*) AS n_trigger, "
+      f"SUM(CASE WHEN f_{t} > 0 THEN 1 ELSE 0 END) AS n_followed FROM w GROUP BY event_type"
+      for t in _TRIGGER_TYPES
+  )}
+)
+SELECT trigger_type, followup_type,
+       CAST(n_trigger AS BIGINT) AS n_trigger,
+       CAST(n_followed AS BIGINT) AS n_followed,
+       CAST(n_followed * 10000 // n_trigger AS BIGINT) AS followed_bps
+FROM m ORDER BY trigger_type, followup_type
+""",
+    doc=(
+        "Behavioral trigger table: for every ordered (trigger, "
+        "follow-up) event-type pair, the share of trigger events "
+        "followed by at least one follow-up from the SAME user within "
+        "5 minutes (exact bps) — the time-windowed complement to "
+        "markov_transitions' adjacency view (adjacency misses 'error "
+        "then purchase 4 minutes later with clicks between'; this "
+        "doesn't). Per-type follow-up counts come from ONE "
+        "strictly-future RANGE frame (1..300 s) over a single "
+        "user-keyed sort — the attribution_linear discipline, no "
+        "event-stream self-join; the 25-cell matrix rolls up "
+        "map-side (SURVEY §2.H)."
+    ),
+)
+def trigger_followup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("tse")
+        .rangeBetween(1, _TRIGGER_WINDOW_S)
+    )
+    cols = [
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(wr), F.lit(0)
+        ).alias(f"f_{t}")
+        for t in _TRIGGER_TYPES
+    ]
+    w = e.select("event_type", *cols)
+    per_trigger = w.groupBy("event_type").agg(
+        F.count("*").alias("n_trigger"),
+        *[
+            F.sum(F.when(F.col(f"f_{t}") > 0, 1).otherwise(0)).alias(f"n_{t}")
+            for t in _TRIGGER_TYPES
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("followup_type"),
+                F.col(f"n_{t}").alias("n_followed"),
+            )
+            for t in _TRIGGER_TYPES
+        ]
+    )
+    return (
+        per_trigger.select(
+            F.col("event_type").alias("trigger_type"),
+            "n_trigger",
+            F.explode(rows).alias("r"),
+        )
+        .select(
+            "trigger_type",
+            F.col("r.followup_type").alias("followup_type"),
+            F.col("n_trigger").cast("bigint").alias("n_trigger"),
+            F.col("r.n_followed").cast("bigint").alias("n_followed"),
+            F.expr("r.n_followed * 10000 div n_trigger")
+            .cast("bigint")
+            .alias("followed_bps"),
+        )
+        .orderBy("trigger_type", "followup_type")
+    )
