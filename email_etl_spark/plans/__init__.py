@@ -65,6 +65,7 @@ _GATE_ORDER = (
     "good_turing_counts",
     "content_chunk_dedup",
     "trigger_followup_rates",
+    "minhash_index_integrity",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -2748,3 +2748,88 @@ def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reclaim_bps"),
         )
     )
+
+
+_IDX_AUDIT_HI = "2"  # ~1/8 md5 doc sample for the integrity audit
+
+
+@register(
+    "minhash_index_integrity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 1) < '{_IDX_AUDIT_HI}'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sample_docs,
+       CAST(COUNT(*) * {{n_bands}} AS BIGINT) AS n_expected_rows,
+       CAST(COUNT(*) * {{n_bands}} AS BIGINT) AS n_matched,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS n_stale
+FROM tok
+""".replace("{n_bands}", "16"),
+    doc=(
+        "Integrity audit of the PERSISTED MinHash band-bucket index "
+        "(text_index_stats' dedup twin): recompute the 16 band keys "
+        "for a deterministic ~1/8 md5 doc sample and full-outer join "
+        "them against the stored (band, key, doc_id) rows — n_missing "
+        "(doc in corpus, row absent from index) and n_stale (row in "
+        "index with a key the current text no longer produces) must "
+        "both be ZERO on a healthy index; a truncated write, a "
+        "missed compaction, or drift between index build and corpus "
+        "shows up immediately. The oracle states the healthy-index "
+        "contract (sample x 16 bands, all matched) from the corpus "
+        "alone, so any divergence in the store FAILS the hash gate. "
+        "Query-side work: one sample-pruned signature pass + a "
+        "doc_id-keyed join against the index (partition-pruned by "
+        "the sample's bands at scale) (SURVEY §2.E)."
+    ),
+)
+def minhash_index_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = build_minhash_index(spark, sf_dir)
+    idx = _IDX_CACHE.get(index_dir)
+    if idx is None:
+        idx = spark.read.parquet(index_dir)
+        _IDX_CACHE[index_dir] = idx
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    sample = docs.where(
+        F.substring(F.md5(F.concat(F.lit("idx:"), key)), 1, 1) < _IDX_AUDIT_HI
+    )
+    toks = parallelize_scan(sample).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            for b in range(H.N_BANDS)
+        ]
+    )
+    fresh = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        F.lit(1).alias("is_fresh"),
+    )
+    stored = (
+        idx.join(fresh.select("doc_id").distinct(), "doc_id")
+        .select("doc_id", "band", "key", F.lit(1).alias("is_stored"))
+    )
+    j = fresh.join(stored, ["doc_id", "band", "key"], "full_outer")
+    return (
+        j.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_sample_docs"),
+            F.sum(F.coalesce(F.col("is_fresh"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_expected_rows"),
+            F.sum(
+                F.when(F.col("is_fresh").isNotNull() & F.col("is_stored").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("is_stored").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.sum(F.when(F.col("is_fresh").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_stale"),
+        )
+    )
