@@ -174,6 +174,7 @@ _BNL_JUSTIFIED = {
     "km_survival_gaps",  # 1-row corpus-horizon broadcast
     "good_turing_counts",  # 1-row token-total + 1-row V1 broadcasts
     "props_schema_drift",  # 1-row id-midpoint + 1-row half-count broadcasts
+    "content_chunk_dedup",  # 1-row chunk/token totals broadcast
 }
 
 
