@@ -66,6 +66,7 @@ _GATE_ORDER = (
     "content_chunk_dedup",
     "trigger_followup_rates",
     "minhash_index_integrity",
+    "dp_quantile_release",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

@@ -1051,3 +1051,101 @@ def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DPQ_EPS_X10 = 10  # epsilon = 1.0
+# Gumbel-max exponential mechanism: md5-derived uniform per candidate
+# (no-RNG reproducibility convention, same caveat as dp_release_counts)
+_DPQ_U = (
+    "((CAST(CONV(SUBSTRING(MD5(CONCAT('dpq:', CAST(v AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+    " % 1000000) + 0.5) / 1000000.0"
+)
+_DPQ_U_DUCK = (
+    "((65536 * (16 * (strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 1, 1)) - 1)"
+    "          + strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 2, 1)) - 1)"
+    " + 256 * (16 * (strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 3, 1)) - 1)"
+    "          + strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 4, 1)) - 1)"
+    " + (16 * (strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 5, 1)) - 1)"
+    "    + strpos('0123456789abcdef', substr(md5('dpq:' || CAST(v AS VARCHAR)), 6, 1)) - 1))"
+    " % 1000000 + 0.5) / 1000000.0"
+)
+
+
+@register(
+    "dp_quantile_release",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value) AS BIGINT) AS v, COUNT(*) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+n AS (SELECT SUM(c) AS nt FROM b),
+r AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM b
+),
+s AS (
+  SELECT v, cum, n.nt,
+         ROUND(-ABS(2.0 * cum - n.nt) * {_DPQ_EPS_X10} / 40.0
+               - LN(-LN({_DPQ_U_DUCK})), 9) AS score
+  FROM r CROSS JOIN n
+),
+win AS (
+  SELECT v, nt FROM s
+  QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, v) = 1
+),
+tru AS (SELECT MIN(v) AS m FROM r CROSS JOIN n WHERE 2 * cum >= n.nt)
+SELECT CAST(win.nt AS BIGINT) AS n_values,
+       CAST(tru.m AS BIGINT) AS true_median_bin,
+       CAST(win.v AS BIGINT) AS released_bin,
+       {_DPQ_EPS_X10} / 10.0 AS epsilon
+FROM win CROSS JOIN tru
+""",
+    doc=(
+        "Exponential-mechanism DP median release (McSherry & Talwar "
+        "2007) over integer purchase-value bins — the fourth privacy "
+        "leg: k-anonymity/l-diversity/t-closeness profile the RISK, "
+        "dp_release_counts releases counts, this releases a QUANTILE "
+        "with utility u(v) = -|rank(v) - n/2| (sensitivity 1) via the "
+        "Gumbel-max trick. SAME LOUD CAVEAT as dp_release_counts: the "
+        "per-candidate uniform is md5-derived so the mechanism's "
+        "pipeline is bit-checkable cross-engine — production swaps a "
+        "secure RNG and changes nothing else. Scores pre-rounded to 9 "
+        "dp before the argmax (deterministic winner, value "
+        "tiebreak); one fact rollup, all later tables bounded by the "
+        "~100-bin candidate domain (SURVEY §2.L)."
+    ),
+)
+def dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.floor("value").cast("bigint").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    n = b.agg(F.sum("c").alias("nt"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = b.select("v", "c", F.sum("c").over(wc).alias("cum"))
+    s = r.crossJoin(F.broadcast(n)).select(
+        "v",
+        "cum",
+        "nt",
+        F.round(
+            -F.abs(2.0 * F.col("cum") - F.col("nt")) * _DPQ_EPS_X10 / 40.0
+            - F.log(-F.log(F.expr(_DPQ_U))),
+            9,
+        ).alias("score"),
+    )
+    ww = Window.orderBy(F.desc("score"), "v")
+    win = s.withColumn("rn", F.row_number().over(ww)).where(F.col("rn") == 1)
+    tru = (
+        r.crossJoin(F.broadcast(n))
+        .where(2 * F.col("cum") >= F.col("nt"))
+        .agg(F.min("v").alias("m"))
+    )
+    return win.crossJoin(F.broadcast(tru)).select(
+        F.col("nt").cast("bigint").alias("n_values"),
+        F.col("m").cast("bigint").alias("true_median_bin"),
+        F.col("v").cast("bigint").alias("released_bin"),
+        F.lit(_DPQ_EPS_X10 / 10.0).alias("epsilon"),
+    )
