@@ -67,6 +67,7 @@ _GATE_ORDER = (
     "trigger_followup_rates",
     "minhash_index_integrity",
     "dp_quantile_release",
+    "fleiss_kappa_filters",
     "semdedup_prune",
     "dedup_tiers",
     "dedup_minhash_indexed",

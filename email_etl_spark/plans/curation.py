@@ -1853,3 +1853,88 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "fold")
     )
+
+
+@register(
+    "fleiss_kappa_filters",
+    oracle=None,  # bound below: needs the shared quality/stopword SQL
+    doc=(
+        "Fleiss' kappa across the three curation filters treated as "
+        "raters of pass/fail — the single multi-rater agreement "
+        "number summarizing what filter_agreement_kappa's three "
+        "pairwise kappas show cell by cell (Fleiss 1971). Per-doc "
+        "agreement collapses to the exact integer x²+(3−x)²−3 over "
+        "the pass count x, so the whole statistic derives from THREE "
+        "integer sums off one conditional-aggregate scan; P̄, P̄e and "
+        "kappa are structurally identical double expressions over "
+        "those exact inputs (unrounded IEEE, kneser_ney convention) "
+        "(SURVEY §2.L)."
+    ),
+)
+def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_n = T.token_count(F.col("text"))
+    x = (
+        F.when(T.quality_score(F.col("text")) >= 0.5, 1).otherwise(0)
+        + F.when(toks_n >= _KAPPA_MINLEN, 1).otherwise(0)
+        + F.when(T.stopword_count(F.col("text")) * _KAPPA_STOPX >= toks_n, 1).otherwise(0)
+    )
+    s = docs.select(x.alias("x")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x") + (3 - F.col("x")) * (3 - F.col("x")) - 3).alias(
+            "agree_num"
+        ),
+    )
+    pe = (
+        "(CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))"
+        " / (9.0 * CAST(n AS DOUBLE) * n)"
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.lit(3).cast("bigint").alias("n_raters"),
+        F.expr("CAST(agree_num AS DOUBLE) / (6.0 * n)").alias("p_bar"),
+        F.expr(pe).alias("p_e"),
+        F.expr(
+            f"(CAST(agree_num AS DOUBLE) / (6.0 * n) - {pe}) / (1.0 - {pe})"
+        ).alias("fleiss_kappa"),
+    )
+
+
+def _fleiss_oracle() -> str:
+    from email_etl_spark.plans.dedup import _quality_sql_fragment
+    from email_etl_spark.plans.text import _stop_sql
+
+    q = _quality_sql_fragment()
+    stop = _stop_sql(T.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT (CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END)
+       + (CASE WHEN len({_TOKS}) >= {_KAPPA_MINLEN} THEN 1 ELSE 0 END)
+       + (CASE WHEN {stop} * {_KAPPA_STOPX} >= len({_TOKS}) THEN 1 ELSE 0 END) AS x
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx,
+         SUM(x * x + (3 - x) * (3 - x) - 3) AS agree_num
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(3 AS BIGINT) AS n_raters,
+       CAST(agree_num AS DOUBLE) / (6.0 * n) AS p_bar,
+       (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+         / (9.0 * CAST(n AS DOUBLE) * n) AS p_e,
+       (CAST(agree_num AS DOUBLE) / (6.0 * n)
+        - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+          / (9.0 * CAST(n AS DOUBLE) * n))
+       / (1.0 - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+          / (9.0 * CAST(n AS DOUBLE) * n)) AS fleiss_kappa
+FROM s
+"""
+
+
+from email_etl_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["fleiss_kappa_filters"] = _REG2["fleiss_kappa_filters"].__class__(
+    **{**_REG2["fleiss_kappa_filters"].__dict__, "oracle": _fleiss_oracle()}
+)
