@@ -175,6 +175,7 @@ _BNL_JUSTIFIED = {
     "good_turing_counts",  # 1-row token-total + 1-row V1 broadcasts
     "props_schema_drift",  # 1-row id-midpoint + 1-row half-count broadcasts
     "content_chunk_dedup",  # 1-row chunk/token totals broadcast
+    "dp_quantile_release",  # 1-row total + 1-row true-median broadcasts
 }
 
 
