@@ -1149,3 +1149,73 @@ def dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("released_bin"),
         F.lit(_DPQ_EPS_X10 / 10.0).alias("epsilon"),
     )
+
+
+_RG_BANDS_MB = (1, 16, 64)  # histogram edges; target healthy size >= 64 MB
+
+
+@register(
+    "rowgroup_size_histogram",
+    oracle="""
+WITH g AS (
+  SELECT row_group_id, MAX(row_group_bytes) AS bytes
+  FROM parquet_metadata('__SF_DIR__/events.parquet')
+  GROUP BY row_group_id
+),
+b AS (
+  SELECT CASE WHEN bytes < 1048576 THEN '<1MB'
+              WHEN bytes < 16777216 THEN '1-16MB'
+              WHEN bytes < 67108864 THEN '16-64MB'
+              ELSE '>=64MB' END AS size_band,
+         bytes
+  FROM g
+)
+SELECT size_band,
+       CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(*) * 10000 // (SELECT COUNT(*) FROM g) AS BIGINT) AS share_bps
+FROM b GROUP BY size_band ORDER BY size_band
+""",
+    doc=(
+        "Row-group size histogram from parquet FOOTERS (the "
+        "compaction-planning companion to parquet_skipping_stats): "
+        "row groups below the 64 MB healthy band mean a small-file / "
+        "small-group problem — every one costs a seek and dilutes "
+        "min/max skipping, and the fix (OPTIMIZE / rewrite with "
+        "bigger groups) is priced by exactly this table. Executors "
+        "read footers only (operators/metadata, kilobytes per file); "
+        "the oracle reads the same thrift metadata through DuckDB's "
+        "parquet_metadata() via the __SF_DIR__ token (SURVEY §4)."
+    ),
+)
+def rowgroup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stats = parquet_rowgroup_stats(spark, [path], "ts")
+    g = stats.select("rg_idx", F.col("total_bytes").alias("bytes"))
+    band = (
+        F.when(F.col("bytes") < 1 << 20, "<1MB")
+        .when(F.col("bytes") < 16 << 20, "1-16MB")
+        .when(F.col("bytes") < 64 << 20, "16-64MB")
+        .otherwise(">=64MB")
+    )
+    tot = g.agg(F.count("*").alias("n_all"))
+    return (
+        g.select(band.alias("size_band"), "bytes")
+        .groupBy("size_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_row_groups"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "size_band",
+            "n_row_groups",
+            "total_bytes",
+            F.expr("n_row_groups * 10000 div n_all").cast("bigint").alias("share_bps"),
+        )
+        .orderBy("size_band")
+    )
