@@ -176,6 +176,7 @@ _BNL_JUSTIFIED = {
     "props_schema_drift",  # 1-row id-midpoint + 1-row half-count broadcasts
     "content_chunk_dedup",  # 1-row chunk/token totals broadcast
     "dp_quantile_release",  # 1-row total + 1-row true-median broadcasts
+    "rowgroup_size_histogram",  # 1-row group-count broadcast
 }
 
 
