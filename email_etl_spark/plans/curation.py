@@ -1855,9 +1855,41 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fleiss_oracle() -> str:
+    from email_etl_spark.plans.dedup import _quality_sql_fragment
+    from email_etl_spark.plans.text import _stop_sql
+
+    q = _quality_sql_fragment()
+    stop = _stop_sql(T.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT (CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END)
+       + (CASE WHEN len({_TOKS}) >= {_KAPPA_MINLEN} THEN 1 ELSE 0 END)
+       + (CASE WHEN {stop} * {_KAPPA_STOPX} >= len({_TOKS}) THEN 1 ELSE 0 END) AS x
+  FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx,
+         SUM(x * x + (3 - x) * (3 - x) - 3) AS agree_num
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(3 AS BIGINT) AS n_raters,
+       CAST(agree_num AS DOUBLE) / (6.0 * n) AS p_bar,
+       (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+         / (9.0 * CAST(n AS DOUBLE) * n) AS p_e,
+       (CAST(agree_num AS DOUBLE) / (6.0 * n)
+        - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+          / (9.0 * CAST(n AS DOUBLE) * n))
+       / (1.0 - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
+          / (9.0 * CAST(n AS DOUBLE) * n)) AS fleiss_kappa
+FROM s
+"""
+
+
 @register(
     "fleiss_kappa_filters",
-    oracle=None,  # bound below: needs the shared quality/stopword SQL
+    oracle=_fleiss_oracle(),
     doc=(
         "Fleiss' kappa across the three curation filters treated as "
         "raters of pass/fail — the single multi-rater agreement "
@@ -1899,42 +1931,3 @@ def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(CAST(agree_num AS DOUBLE) / (6.0 * n) - {pe}) / (1.0 - {pe})"
         ).alias("fleiss_kappa"),
     )
-
-
-def _fleiss_oracle() -> str:
-    from email_etl_spark.plans.dedup import _quality_sql_fragment
-    from email_etl_spark.plans.text import _stop_sql
-
-    q = _quality_sql_fragment()
-    stop = _stop_sql(T.STOPWORDS)
-    return f"""
-WITH f AS (
-  SELECT (CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END)
-       + (CASE WHEN len({_TOKS}) >= {_KAPPA_MINLEN} THEN 1 ELSE 0 END)
-       + (CASE WHEN {stop} * {_KAPPA_STOPX} >= len({_TOKS}) THEN 1 ELSE 0 END) AS x
-  FROM documents
-),
-s AS (
-  SELECT COUNT(*) AS n, SUM(x) AS sx,
-         SUM(x * x + (3 - x) * (3 - x) - 3) AS agree_num
-  FROM f
-)
-SELECT CAST(n AS BIGINT) AS n_docs,
-       CAST(3 AS BIGINT) AS n_raters,
-       CAST(agree_num AS DOUBLE) / (6.0 * n) AS p_bar,
-       (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
-         / (9.0 * CAST(n AS DOUBLE) * n) AS p_e,
-       (CAST(agree_num AS DOUBLE) / (6.0 * n)
-        - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
-          / (9.0 * CAST(n AS DOUBLE) * n))
-       / (1.0 - (CAST(sx AS DOUBLE) * sx + CAST(3 * n - sx AS DOUBLE) * (3 * n - sx))
-          / (9.0 * CAST(n AS DOUBLE) * n)) AS fleiss_kappa
-FROM s
-"""
-
-
-from email_etl_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
-
-_REG2["fleiss_kappa_filters"] = _REG2["fleiss_kappa_filters"].__class__(
-    **{**_REG2["fleiss_kappa_filters"].__dict__, "oracle": _fleiss_oracle()}
-)
