@@ -292,7 +292,8 @@ ORDER BY train_id, bench_id
         "decontaminate's tiny shingle set, a hash-defined bench split "
         "scales with the corpus and must never be broadcast — and "
         "only bucket-colliding train×bench pairs are exact-Jaccard "
-        "verified (candidates broadcast; the shingle table never). "
+        "verified (no broadcast hints anywhere on the path — AQE picks "
+        "the join strategy from runtime sizes). "
         "Oracle is the exact all-pairs cross-set scan; LSH recall at "
         "the corpus's J>=0.8 near-dup floor is ~1 (functions/hashing.py)."
     ),
@@ -1761,8 +1762,17 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def row(name: str, x: str, y: str, xy: str):
+        # pe multiplies two corpus-sized marginals and the denominator
+        # is n*n: in Spark BIGINT both wrap silently past ~3e9 docs
+        # (non-ANSI), while the DuckDB oracle's SUM is HUGEINT. Widen
+        # to DECIMAL(38,0) — same 1e38 headroom as HUGEINT — so the
+        # moments stay EXACT integers until the one final double
+        # division, preserving bit-equality at any realistic n.
         agree = f"(n - {x} - {y} + 2 * {xy})"
-        pe = f"({x} * {y} + (n - {x}) * (n - {y}))"
+        pe = (
+            f"(CAST({x} AS DECIMAL(38,0)) * {y}"
+            f" + (CAST(n AS DECIMAL(38,0)) - {x}) * (n - {y}))"
+        )
         return F.struct(
             F.lit(name).alias("filter_pair"),
             F.col("n").cast("bigint").alias("n_docs"),
@@ -1770,7 +1780,8 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n - {x} - {y} + {xy}").cast("bigint").alias("n_both_fail"),
             F.expr(f"{agree} * 10000 div n").cast("bigint").alias("agree_bps"),
             F.expr(
-                f"CAST(n * {agree} - {pe} AS DOUBLE) / CAST(n * n - {pe} AS DOUBLE)"
+                f"CAST(CAST(n AS DECIMAL(38,0)) * {agree} - {pe} AS DOUBLE)"
+                f" / CAST(CAST(n AS DECIMAL(38,0)) * n - {pe} AS DOUBLE)"
             ).alias("kappa"),
         )
 

@@ -2761,12 +2761,12 @@ WITH tok AS (
   WHERE substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 1) < '{_IDX_AUDIT_HI}'
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sample_docs,
-       CAST(COUNT(*) * {{n_bands}} AS BIGINT) AS n_expected_rows,
-       CAST(COUNT(*) * {{n_bands}} AS BIGINT) AS n_matched,
+       CAST(COUNT(*) * {H.N_BANDS} AS BIGINT) AS n_expected_rows,
+       CAST(COUNT(*) * {H.N_BANDS} AS BIGINT) AS n_matched,
        CAST(0 AS BIGINT) AS n_missing,
        CAST(0 AS BIGINT) AS n_stale
 FROM tok
-""".replace("{n_bands}", "16"),
+""",
     doc=(
         "Integrity audit of the PERSISTED MinHash band-bucket index "
         "(text_index_stats' dedup twin): recompute the 16 band keys "

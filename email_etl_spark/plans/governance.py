@@ -831,13 +831,24 @@ _SKIP_LO, _SKIP_HI = "2024-01-10", "2024-01-20"  # inclusive day window
     # pinned to the driver's sf0.01 correctness contract in
     # oracle_sql_map(). Skip arithmetic on crafted multi-row-group
     # files stays pinned in tests/test_metadata.py.
+    # Stat strings are representation-normalized on BOTH sides before
+    # comparison by the gate: DuckDB trims trailing fractional-second
+    # zeros ('…00.5') while pyarrow's str(datetime) pads to 6-digit
+    # micros ('…00.500000'), so a row group whose min/max micros end in
+    # 0 would hash-mismatch spuriously. Shared canonical form = trim
+    # trailing zeros then any dangling '.', applied to the DISPLAY
+    # columns only — the skippable comparison stays on the raw strings
+    # (trimming preserves chronological order, but raw is obviously
+    # safe).
     oracle=f"""
 SELECT regexp_extract(file_name, '[^/]+$') AS file,
        CAST(row_group_id AS INTEGER) AS rg_idx,
        CAST(row_group_num_rows AS BIGINT) AS n_rows,
        CAST(row_group_bytes AS BIGINT) AS total_bytes,
-       stats_min_value AS stat_min,
-       stats_max_value AS stat_max,
+       regexp_replace(regexp_replace(stats_min_value, '(\\.\\d*?)0+$', '\\1'),
+                      '\\.$', '') AS stat_min,
+       regexp_replace(regexp_replace(stats_max_value, '(\\.\\d*?)0+$', '\\1'),
+                      '\\.$', '') AS stat_max,
        NOT (stats_min_value <= '{_SKIP_HI} 23:59:59.999999999'
             AND stats_max_value >= '{_SKIP_LO}') AS skippable
 FROM parquet_metadata('__SF_DIR__/events.parquet')
@@ -869,13 +880,22 @@ def parquet_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     stats = parquet_rowgroup_stats(spark, [path], "ts")
     skippable = skippable_outside_window(_SKIP_LO, _SKIP_HI)
+
+    def trim_frac(c):
+        # Canonical stat string shared with the DuckDB oracle: trim
+        # trailing fractional-second zeros, then a dangling '.', so the
+        # gate compares values, not engine formatting.
+        return F.regexp_replace(
+            F.regexp_replace(c, r"(\.\d*?)0+$", "$1"), r"\.$", ""
+        )
+
     return stats.select(
         F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
         "rg_idx",
         "n_rows",
         "total_bytes",
-        "stat_min",
-        "stat_max",
+        trim_frac(F.col("stat_min")).alias("stat_min"),
+        trim_frac(F.col("stat_max")).alias("stat_max"),
         skippable.alias("skippable"),
     ).orderBy("file", "rg_idx")
 

@@ -16,6 +16,7 @@ single-threaded oracle):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -57,8 +58,12 @@ def query_map() -> dict[str, Builder]:
 
 # the external driver runs the oracle side of its correctness gate at
 # sf=0.01 (brief contract); storage-layer oracles (parquet_metadata)
-# need that path as a SQL constant, carried as the __SF_DIR__ token
-DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# need that path as a SQL constant, carried as the __SF_DIR__ token.
+# Overridable so deployments whose oracle corpus lives elsewhere don't
+# hit parquet_metadata() on a nonexistent path.
+DRIVER_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def oracle_sql_map() -> dict[str, str]:

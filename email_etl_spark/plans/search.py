@@ -5270,7 +5270,11 @@ def score_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("sem"), "doc_id")).alias("r_sem"),
         F.row_number().over(Window.orderBy(F.desc("lex"), "doc_id")).alias("r_lex"),
     )
-    d2 = (F.col("r_sem") - F.col("r_lex")) * (F.col("r_sem") - F.col("r_lex"))
+    # BIGINT cast BEFORE the multiply: two int32 row_numbers' product
+    # silently wraps (non-ANSI) past ~46k sampled docs, diverging from
+    # the DuckDB oracle's HUGEINT sum — same discipline as the rho
+    # expression below.
+    d2 = F.expr("CAST(r_sem - r_lex AS BIGINT) * (r_sem - r_lex)")
     return r.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(d2).cast("bigint").alias("sum_d2"),

@@ -3127,11 +3127,17 @@ def _llr_expr() -> str:
     """Dunning G² from the bigram contingency table, as ONE shared
     expression over the exact integer marginals (k terms guard their
     ln with CASE so empty cells contribute 0, the G² convention)."""
+    # Expectation cells multiply two corpus-sized marginals — in BIGINT
+    # that wraps silently past ~3e9 total bigrams (Spark non-ANSI;
+    # DuckDB would widen to HUGEINT, so the engines would diverge).
+    # The products feed a double LN anyway, so the first factor is cast
+    # to DOUBLE before multiplying — identical below 2^53 and safe
+    # above. Observed cells (k) stay exact integers.
     cells = [
-        ("k11", "n_ab", "c1 * c2"),
-        ("k12", "c1 - n_ab", "c1 * (bt - c2)"),
-        ("k21", "c2 - n_ab", "(bt - c1) * c2"),
-        ("k22", "bt - c1 - c2 + n_ab", "(bt - c1) * (bt - c2)"),
+        ("k11", "n_ab", "CAST(c1 AS DOUBLE) * c2"),
+        ("k12", "c1 - n_ab", "CAST(c1 AS DOUBLE) * (bt - c2)"),
+        ("k21", "c2 - n_ab", "(CAST(bt AS DOUBLE) - c1) * c2"),
+        ("k22", "bt - c1 - c2 + n_ab", "(CAST(bt AS DOUBLE) - c1) * (bt - c2)"),
     ]
     terms = " + ".join(
         f"(CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE)"

@@ -121,3 +121,57 @@ def test_observe_counters_ride_the_action(spark):
     assert m["n_rows"] == truth["n"] == n_out
     assert m["n_en"] == truth["en"]
     assert m["total_chars"] == truth["c"]
+
+
+def test_stat_strings_canonical_across_engines(spark, tmp_path):
+    """Row groups whose min/max micros end in 0 stringify differently
+    per engine (DuckDB trims trailing fractional zeros, pyarrow's
+    str(datetime) pads to 6 digits); the query + oracle share a trim
+    canonicalization so the gate compares values, not formatting."""
+    import datetime as dt
+
+    import duckdb
+
+    path = str(tmp_path / "zeromicros.parquet")
+    ts = [
+        dt.datetime(2024, 1, 11, 13, 0, 0, 500000),   # '.500000' vs '.5'
+        dt.datetime(2024, 1, 12, 13, 0, 0, 120000),   # '.120000' vs '.12'
+        dt.datetime(2024, 1, 13, 13, 0, 0, 0),        # no frac on either side
+        dt.datetime(2024, 1, 14, 13, 0, 0, 123456),   # full 6 digits, no trim
+    ]
+    table = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": [1, 2, 3, 4]})
+    pq.write_table(table, path, row_group_size=2)
+
+    def trim_frac(c):
+        return F.regexp_replace(
+            F.regexp_replace(c, r"(\.\d*?)0+$", "$1"), r"\.$", ""
+        )
+
+    from email_etl_spark.operators.metadata import parquet_rowgroup_stats
+
+    got = {
+        r.rg_idx: (r.lo, r.hi)
+        for r in parquet_rowgroup_stats(spark, [path], "ts")
+        .select(
+            "rg_idx",
+            trim_frac(F.col("stat_min")).alias("lo"),
+            trim_frac(F.col("stat_max")).alias("hi"),
+        )
+        .collect()
+    }
+    oracle = {
+        rg: (lo, hi)
+        for rg, lo, hi in duckdb.sql(
+            f"""
+            SELECT row_group_id,
+                   regexp_replace(regexp_replace(stats_min_value,
+                       '(\\.\\d*?)0+$', '\\1'), '\\.$', ''),
+                   regexp_replace(regexp_replace(stats_max_value,
+                       '(\\.\\d*?)0+$', '\\1'), '\\.$', '')
+            FROM parquet_metadata('{path}') WHERE path_in_schema = 'ts'
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+    assert got[0] == ("2024-01-11 13:00:00.5", "2024-01-12 13:00:00.12")
+    assert got[1] == ("2024-01-13 13:00:00", "2024-01-14 13:00:00.123456")
