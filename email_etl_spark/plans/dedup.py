@@ -83,6 +83,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _shingle_table(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh) word-k-gram shingle SETS, cached: the table feeds
+    three branches (signature, verify-left, verify-right) and caching
+    also materializes the arrays, avoiding Spark's per-output-row
+    re-evaluation of generator children (measured 10x on this corpus).
+    """
+    toks = parallelize_scan(docs).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    return toks.select("doc_id", H.shingles(F.col("toks"), k=k).alias("sh")).cache()
+
+
 def _lsh_verified_pairs(
     docs: DataFrame, k: int, threshold: float, with_containment: bool = False
 ) -> DataFrame:
@@ -98,13 +110,21 @@ def _lsh_verified_pairs(
     a tiny uniform vocabulary makes every 2-gram high-frequency, which
     is the worst case for inverted-index joins.
     """
-    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    # cache the shingle table: it feeds three branches (signature,
-    # verify-left, verify-right) and caching also materializes the
-    # arrays, avoiding Spark's per-output-row re-evaluation of
-    # generator children (measured 10x on this corpus)
-    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=k).alias("sh")).cache()
+    return _verified_pairs_from_shingles(
+        _shingle_table(docs, k), threshold, with_containment
+    )
 
+
+def _verified_pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float,
+    with_containment: bool = False,
+    ordered: bool = True,
+) -> DataFrame:
+    """LSH bucket-then-verify over a prebuilt (doc_id, sh) shingle
+    table — the body of _lsh_verified_pairs, split out so the
+    closure-only consumers can run it on a COLLAPSED doc set
+    (_closure_edges)."""
     # per-doc array-local signature: zero shuffles between the scan and
     # the band-bucket join (vs distinct-shingle + broadcast-join +
     # 32-column groupBy — measured ~40% faster end-to-end and two
@@ -161,22 +181,67 @@ def _lsh_verified_pairs(
     )
     jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
     if with_containment:
-        return (
-            sized.select(
-                "doc_a",
-                "doc_b",
-                jac.alias("jaccard"),
-                F.round(F.col("n_inter") / F.col("na"), 4).alias("containment_a"),
-                F.round(F.col("n_inter") / F.col("nb"), 4).alias("containment_b"),
-            )
-            .where(F.col("jaccard") >= threshold)
-            .orderBy("doc_a", "doc_b")
+        out = sized.select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            F.round(F.col("n_inter") / F.col("na"), 4).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("nb"), 4).alias("containment_b"),
+        ).where(F.col("jaccard") >= threshold)
+    else:
+        out = sized.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
         )
-    return (
-        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+    return out.orderBy("doc_a", "doc_b") if ordered else out
+
+
+def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Connectivity-sufficient near-dup edge stream (doc_a, doc_b) for
+    the transitive-CLOSURE consumers (dedup_clusters / dedup_keep_best
+    / dedup_savings / dup_cluster_size_hist) — NOT the full verified
+    pair set, which stays the contract of the pair-OUTPUT queries
+    (dedup_minhash, dup_graph_degrees, ...).
+
+    The hot-bucket B² problem: a bucket of B boilerplate copies emits
+    C(B,2) candidate pairs, and for closure that is pure waste. Raw
+    "star edges to the bucket minimum" would be UNSOUND here because an
+    edge requires exact-Jaccard verification (two docs can each miss
+    the threshold against the bucket min yet clear it with each other).
+    The sound collapse is over IDENTICAL SHINGLE SETS:
+
+    - docs are grouped by a fingerprint of their sorted shingle set;
+      within a group J = 1 ≥ any threshold, so B−1 star edges
+      (min-doc rep → member) reproduce the group clique's connectivity
+      at linear cost with NO verification needed;
+    - for any doc x outside the group, J(x, member) = J(x, rep)
+      (equal sets), so the rep's verified pairs carry every member's
+      cross-group edges.
+
+    Components over (star ∪ verified-rep-pairs) therefore equal
+    components over the full verified pair graph EXACTLY (pinned by
+    tests/test_dedup_closure.py against brute force), while the
+    dominant template-copy blowup drops from quadratic to linear. Only
+    near-but-NOT-identical shingle sets still pay pair cost — which
+    exact closure semantics genuinely require.
+    """
+    sh = _shingle_table(docs, k)
+    fp = sh.select(
+        "doc_id",
+        "sh",
+        F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("fp"),
     )
+    grp = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    mem = fp.select("doc_id", "fp").join(grp, "fp")
+    star = mem.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    reps_sh = fp.join(
+        grp.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select("doc_id", "sh")
+    rep_pairs = _verified_pairs_from_shingles(
+        reps_sh, threshold, ordered=False
+    ).select("doc_a", "doc_b")
+    return star.unionByName(rep_pairs)
 
 
 @register(
@@ -568,17 +633,25 @@ FROM reach GROUP BY node ORDER BY doc_id
     doc=(
         "Duplicate clusters: transitive closure over near-dup pairs via "
         "iterative min-label propagation (operators/graph.py) — keeps one "
-        "representative per duplicate GROUP, not per pair. Oracle computes "
-        "the same closure with a recursive CTE (SURVEY §2.E)."
+        "representative per duplicate GROUP, not per pair. Closure-only "
+        "consumer: identical-shingle docs are collapsed to a rep before "
+        "pair generation (_closure_edges), so the hot-bucket B² pair "
+        "stream becomes B−1 star edges with provably identical "
+        "components. Oracle computes the same closure with a recursive "
+        "CTE over the exact all-pairs graph (SURVEY §2.E)."
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from email_etl_spark.operators.graph import connected_components
 
-    pairs = _lsh_verified_pairs(
+    # closure-only consumer: identical-shingle docs are collapsed to a
+    # rep before pair generation (see _closure_edges) — components are
+    # provably identical to the full verified-pair graph's, but the
+    # B² hot-bucket pair stream becomes B−1 star edges
+    edges = _closure_edges(
         load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD
     )
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
@@ -815,8 +888,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from email_etl_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    # closure-only consumer — collapsed edge stream (see _closure_edges)
+    edges = _closure_edges(docs, k=3, threshold=MINHASH_THRESHOLD)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
     q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
     m = comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).join(
         q, "doc_id"

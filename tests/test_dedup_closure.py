@@ -1,0 +1,161 @@
+"""Star-edge closure soundness (SURVEY §4): the collapsed edge stream
+used by the closure-only dedup consumers must yield EXACTLY the
+connected components of the full verified-pair graph, while emitting
+linearly many edges for identical-copy groups.
+
+Why this needs its own proof fixture: raw "star edges to the bucket
+min" is UNSOUND (two docs can each miss the Jaccard threshold against
+the bucket min yet clear it with each other) — the corpus below
+contains exactly that trap, so a regression to bucket-min stars fails
+here even though the sf testdata might not catch it.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_etl_spark.plans.dedup import (
+    MINHASH_THRESHOLD,
+    _closure_edges,
+    _lsh_verified_pairs,
+)
+
+
+def _brute_components(rows: list[tuple[int, str]], k: int, t: float) -> dict[int, int]:
+    """Exact all-pairs Jaccard >= t over word-k-gram shingle sets,
+    then union-find closure — pure-Python ground truth."""
+
+    def shingle(text: str) -> frozenset[str]:
+        toks = [w for w in text.lower().split() if w]
+        if len(toks) < k:
+            return frozenset({" ".join(toks)})
+        return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+    sets = {d: shingle(t_) for d, t_ in rows}
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = 0
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        j = round(inter / (len(sa) + len(sb) - inter), 4) if (sa or sb) else 0.0
+        if j >= t:
+            edges += 1
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels, only docs in a component of size >= 2
+    comp: dict[int, int] = {}
+    roots: dict[int, list[int]] = {}
+    for d in sets:
+        roots.setdefault(find(d), []).append(d)
+    for root, members in roots.items():
+        if len(members) >= 2:
+            lo = min(members)
+            for m in members:
+                comp[m] = lo
+    return comp
+
+
+@pytest.fixture(scope="module")
+def trap_corpus():
+    """Corpus with (a) a 12-copy identical template group, (b) a
+    transitive chain A~B~C where A,C never meet the threshold, and
+    (c) the bucket-min trap: a LOW-id doc that shares every LSH
+    bucket risk with two mutual near-dups but is itself below the
+    threshold against both."""
+    template = "the quick brown fox jumps over the lazy dog again and again " * 3
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = []
+    # (a) identical group: doc_ids 100..111
+    for i in range(12):
+        rows.append((100 + i, template))
+    # (b) chain: B overlaps both A and C heavily; A vs C less so
+    a = base + " uniform victor whiskey xray yankee zulu one two three four"
+    b_ = base + " uniform victor whiskey xray yankee zulu five six seven eight"
+    c = base + " nine ten eleven victor whiskey xray yankee zulu five six seven eight"
+    rows += [(200, a), (201, b_), (202, c)]
+    # (c) bucket-min trap: 300 is the min id but dissimilar; 301/302 are
+    # mutual near-dups (they share most text with each other, less with 300)
+    common = "omega gamma delta epsilon zeta eta theta iota kappa " * 2
+    rows += [
+        (300, "completely different words entirely unrelated content here now"),
+        (301, common + "shared tail one two three"),
+        (302, common + "shared tail one two four"),
+    ]
+    # singletons
+    rows += [(400, "lone document with unique content nothing similar"),
+             (401, "another isolated text completely on its own path")]
+    return rows
+
+
+def test_closure_edges_components_match_bruteforce(spark, trap_corpus):
+    from email_etl_spark.operators.graph import connected_components
+
+    docs = spark.createDataFrame(trap_corpus, "doc_id long, text string")
+    truth = _brute_components(trap_corpus, k=3, t=MINHASH_THRESHOLD)
+
+    edges = _closure_edges(docs, k=3, threshold=MINHASH_THRESHOLD)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == truth
+
+    # the fixture's traps actually fire: template group is one cluster,
+    # the chain is transitively joined, 301~302 cluster WITHOUT 300
+    assert {truth[100 + i] for i in range(12)} == {100}
+    assert truth[200] == truth[201] == truth[202] == 200
+    assert truth.get(301) == 301 and truth.get(302) == 301
+    assert 300 not in truth and 400 not in truth
+
+
+def test_closure_edges_linear_for_identical_groups(spark):
+    """100 identical copies: the full verified pair graph has C(100,2)
+    = 4950 edges; the collapsed stream must emit exactly 99 star
+    edges (plus zero rep pairs — one rep, no candidates)."""
+    text = "identical boilerplate template body repeated across the corpus " * 4
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(100)], "doc_id long, text string"
+    )
+    edges = _closure_edges(docs, k=3, threshold=MINHASH_THRESHOLD)
+    rows = edges.collect()
+    assert len(rows) == 99
+    assert all(r.doc_a == 0 for r in rows)
+    # while the pair-OUTPUT contract on the same corpus is quadratic
+    n_pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).count()
+    assert n_pairs == 4950
+
+
+def test_registry_consumers_agree_with_oracle_semantics(spark):
+    """dedup_clusters on real testdata: collapsed-edge components must
+    equal the components of the full verified pair set (the oracle's
+    definition) — the closure substitution is invisible to outputs."""
+    from email_etl_spark.io import load_table
+    from email_etl_spark.operators.graph import connected_components
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    full = connected_components(
+        _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD),
+        src="doc_a",
+        dst="doc_b",
+    )
+    collapsed = connected_components(
+        _closure_edges(docs, k=3, threshold=MINHASH_THRESHOLD),
+        src="doc_a",
+        dst="doc_b",
+    )
+    assert {(r.node, r.component) for r in full.collect()} == {
+        (r.node, r.component) for r in collapsed.collect()
+    }
