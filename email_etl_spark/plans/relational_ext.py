@@ -220,13 +220,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_fact_oracle(name: str, types: dict[str, str], order_by: str) -> str:
+    """Fact-table oracle for the DETERMINISTIC sketch queries: DuckDB
+    cannot rebuild a Datasketches HLL register file, but these queries'
+    outputs are pure functions of the input multiset (register-max HLL
+    merges; MG with a pinned partition layout), so the expected rows
+    for the committed corpora are static facts — generated by
+    scripts/gen_sketch_expected.py with a two-parallelism determinism
+    cross-check, keyed by the events row count. An uncovered corpus
+    selects zero branches and fails the row-count gate LOUDLY (same
+    discipline as _bpe_expected.py)."""
+    from email_etl_spark.plans._sketch_expected import COLUMNS, EXPECTED
+
+    cols = COLUMNS[name]
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    branches = []
+    for n_ev, rows in sorted(EXPECTED[name].items()):
+        vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+        branches.append(
+            f"SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)})\n"
+            f"WHERE (SELECT COUNT(*) FROM events) = {n_ev}"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    outer = ", ".join(f"CAST({c} AS {types.get(c, 'BIGINT')}) AS {c}" for c in cols)
+    return f"SELECT {outer} FROM (\n{body}\n) u ORDER BY {order_by}"
+
+
 @register(
     "approx_user_counts",
-    oracle=None,  # approximate sketches are engine-specific; rows-only check
+    oracle=_sketch_fact_oracle(
+        "approx_user_counts", {"event_type": "VARCHAR"}, "event_type"
+    ),
     doc=(
         "HLL approximate distinct users per event type — the documented "
-        "scale path for COUNT(DISTINCT) when exactness is not required "
-        "(rows-only: sketch estimates are engine-specific)."
+        "scale path for COUNT(DISTINCT) when exactness is not required. "
+        "HLL++ registers are max-of-hash, so the estimate is a pure "
+        "function of the input SET (any partitioning, any merge order): "
+        "oracle-checked against the generated corpus fact table "
+        "(_sketch_expected.py) plus the error-bound property test."
     ),
 )
 def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,21 +277,87 @@ def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AQ_ACC = 1000  # approx_percentile accuracy (rank error <= n/acc per GK)
+_AQ_BAND_X = 3  # audit band = 3x the nominal bound (merge slack)
+
+
 @register(
     "approx_value_quantiles",
-    oracle=None,  # t-digest estimates are engine-specific; rows-only check
+    # Unlike the HLL/MG family, Greenwald-Khanna summaries are
+    # partial-ARRIVAL-ORDER sensitive, so the raw estimates cannot be
+    # fact-pinned without flakiness. The gate instead checks the
+    # CONTRACT: the sketch value must be an in-group element whose rank
+    # lies within 3x the nominal n/accuracy band of the target rank —
+    # the oracle computes the exact group sizes and asserts TRUE bands.
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     doc=(
-        "Approximate percentiles per event type via approx_percentile "
-        "(t-digest-style sketch) — the scale path twin of value_percentiles."
+        "Approximate-percentile ACCURACY AUDIT per event type: runs "
+        "approx_percentile (Greenwald-Khanna sketch, the scale path "
+        "twin of value_percentiles) and verifies each estimate's rank "
+        f"against exact order statistics — in-band means within "
+        f"{_AQ_BAND_X}x the nominal n/{_AQ_ACC} rank error of the "
+        "target rank. The exact side costs one per-group sort window "
+        "(audit-tier, like ann_recall_eval: ground truth is the "
+        "point); the sketch side is the production path. GK merges "
+        "are arrival-order sensitive, so the gate checks this rank "
+        "CONTRACT rather than sketch internals (SURVEY §2.L)."
     ),
 )
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(_AQ_ACC)).alias("a50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(_AQ_ACC)).alias("a95"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    band = F.greatest(
+        F.lit(1), F.ceil(F.col("n_events") * _AQ_BAND_X / _AQ_ACC)
+    ).cast("long")
+
+    def lo(p):
+        return F.greatest(
+            F.lit(1), F.floor(F.lit(p) * F.col("n_events")).cast("long") - band
+        )
+
+    def hi(p):
+        return F.least(
+            F.col("n_events"), F.ceil(F.lit(p) * F.col("n_events")).cast("long") + band
+        )
+
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    ).join(ap.select("event_type", "n_events"), "event_type")
+    targets = ranked.select(
+        "event_type",
+        "value",
+        "rn",
+        lo(0.5).alias("lo50"),
+        hi(0.5).alias("hi50"),
+        lo(0.95).alias("lo95"),
+        hi(0.95).alias("hi95"),
+    )
+    stats = targets.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("lo50"), F.col("value"))).alias("v_lo50"),
+        F.max(F.when(F.col("rn") == F.col("hi50"), F.col("value"))).alias("v_hi50"),
+        F.max(F.when(F.col("rn") == F.col("lo95"), F.col("value"))).alias("v_lo95"),
+        F.max(F.when(F.col("rn") == F.col("hi95"), F.col("value"))).alias("v_hi95"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-            F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+        ap.join(stats, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            ((F.col("a50") >= F.col("v_lo50")) & (F.col("a50") <= F.col("v_hi50")))
+            .alias("p50_in_band"),
+            ((F.col("a95") >= F.col("v_lo95")) & (F.col("a95") <= F.col("v_hi95")))
+            .alias("p95_in_band"),
         )
         .orderBy("event_type")
     )
@@ -1999,8 +2101,7 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_rollup",
-    oracle=None,  # sketch bytes are engine-specific; rows-only check +
-    # error-bound property test (tests/test_properties.py)
+    oracle=_sketch_fact_oracle("hll_rollup", {}, "week"),
     doc=(
         "Mergeable-sketch rollup: build ONE Datasketches HLL sketch of "
         "user_id per day, then derive weekly and monthly uniques by "
@@ -2011,9 +2112,11 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "answers any date-range question without touching events "
         "again; exact COUNT(DISTINCT) cannot merge). Output: one row "
         "per ISO week plus a 'total' row, estimates from "
-        "hll_union_agg / hll_sketch_estimate. Rows-only by design — "
-        "sketch estimates are engine-specific; the accuracy bound vs "
-        "the exact aggregate is pinned by a property test "
+        "hll_union_agg / hll_sketch_estimate. HLL registers are "
+        "max-of-hash (commutative, associative, idempotent), so the "
+        "estimates are corpus-pure facts: oracle-checked against the "
+        "generated fact table (_sketch_expected.py); the accuracy "
+        "bound vs the exact aggregate stays pinned by a property test "
         "(SURVEY §2.L)."
     ),
 )
@@ -2188,9 +2291,7 @@ MG_PARTS = 8  # deterministic partition count for the summary pass
 
 @register(
     "heavy_hitters_mg",
-    oracle=None,  # summary contents depend on the (pinned) partition
-    # layout; the undercount bound vs exact counts is the contract —
-    # pinned in tests/test_properties.py
+    oracle=_sketch_fact_oracle("heavy_hitters_mg", {}, "est_count DESC, user_id"),
     doc=(
         "Misra-Gries heavy hitters over user activity — the THIRD "
         "mergeable summary in the sketch family (HLL distincts, "

