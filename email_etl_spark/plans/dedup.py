@@ -270,7 +270,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchored at the repo root (not the caller's cwd) — see ANN_INDEX_ROOT
 import os as _os
 
+from email_etl_spark.cache import register_dir_cache as _register_dir_cache
+
 _IDX_CACHE: dict = {}
+# keys are index_dir strings; compaction paths invalidate via
+# email_etl_spark.cache.invalidate_under(index_root)
+_register_dir_cache(_IDX_CACHE, lambda k: k if isinstance(k, str) else None)
 
 MINHASH_INDEX_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),

@@ -223,6 +223,20 @@ _PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
 # (repr() round-trips every IEEE double exactly).
 _LIT_CACHE: dict = {}
 
+# directory-keyed entries — ("ann_idx", dir), ("pq_idx", dir),
+# ("pq_books", dir), ("qvec", sf_dir), ... — are dropped by
+# email_etl_spark.cache.invalidate_under when an index compaction
+# swaps the directory underneath them; pure plan constants ("planes")
+# map to None and are never invalidated.
+from email_etl_spark.cache import register_dir_cache as _register_dir_cache
+
+_register_dir_cache(
+    _LIT_CACHE,
+    lambda k: (
+        k[1] if isinstance(k, tuple) and len(k) == 2 and isinstance(k[1], str) else None
+    ),
+)
+
 
 def _planes_literal(flat_planes):
     col = _LIT_CACHE.get("planes")

@@ -116,3 +116,10 @@ def compact_ann_index(spark: SparkSession, index_root: str) -> None:
     if os.path.isdir(delta):
         shutil.rmtree(delta)
     shutil.rmtree(old, ignore_errors=True)
+
+    # drop memoized DataFrame handles over the swapped tree — a cached
+    # plan would read the pre-compact listing (or error on the deleted
+    # .old path) in a long-lived serving process
+    from email_etl_spark.cache import invalidate_under
+
+    invalidate_under(index_root)

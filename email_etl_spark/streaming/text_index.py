@@ -179,3 +179,9 @@ def compact_text_index(spark: SparkSession, index_root: str) -> None:
     if os.path.isdir(delta):
         shutil.rmtree(delta)
     shutil.rmtree(old, ignore_errors=True)
+
+    # drop memoized DataFrame handles over the swapped tree (see
+    # email_etl_spark/cache.py)
+    from email_etl_spark.cache import invalidate_under
+
+    invalidate_under(index_root)

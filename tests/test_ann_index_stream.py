@@ -105,3 +105,55 @@ def test_compact_recovers_interrupted_swap(spark, tmp_path):
     compact_ann_index(spark, root)
     assert os.path.isdir(base) and not os.path.isdir(base + ".old")
     assert read_ann_index(spark, root).count() == 2 * 4
+
+
+def test_compaction_invalidates_serving_caches(spark, tmp_path):
+    """A long-lived serving process memoizes index DataFrame handles;
+    compaction swaps the base directory underneath them, so the swap
+    must DROP every cache entry under the index root — re-querying
+    through the cache then sees the post-compact data instead of a
+    stale listing (or an error on the deleted .old path)."""
+    from email_etl_spark.cache import invalidate_under
+    from email_etl_spark.plans.dedup import _IDX_CACHE
+    from email_etl_spark.plans.search import _LIT_CACHE
+
+    src = str(tmp_path / "vecs")
+    root = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    _drop_vectors(spark, src, [0, 1, 2], "d1")
+    run_ann_index_stream(_stream(spark, src), root, ck)
+    compact_ann_index(spark, root)
+    base = os.path.join(root, "base")
+
+    # serve through memoized handles, the way ann_lsh_indexed /
+    # dedup_minhash_indexed do
+    def serve() -> set:
+        idx = _LIT_CACHE.get(("ann_idx", base))
+        if idx is None:
+            idx = spark.read.parquet(base)
+            _LIT_CACHE[("ann_idx", base)] = idx
+        return {r.vec_id for r in idx.select("vec_id").distinct().collect()}
+
+    _IDX_CACHE[base] = spark.read.parquet(base)
+    assert serve() == {0, 1, 2}
+
+    # new vectors arrive; compaction swaps the base
+    _drop_vectors(spark, src, [3, 4], "d2")
+    run_ann_index_stream(_stream(spark, src), root, ck)
+    compact_ann_index(spark, root)
+
+    # both registered caches dropped their entries under the root...
+    assert ("ann_idx", base) not in _LIT_CACHE
+    assert base not in _IDX_CACHE
+    # ...and re-serving through the same code path sees the new data
+    assert serve() == {0, 1, 2, 3, 4}
+
+    # plan constants / unrelated directories are untouched
+    _LIT_CACHE["planes"] = "sentinel"
+    _LIT_CACHE[("ann_idx", "/somewhere/else")] = "other"
+    assert invalidate_under(root) == 1  # only the entry serve() re-added
+    assert _LIT_CACHE["planes"] == "sentinel"
+    assert _LIT_CACHE[("ann_idx", "/somewhere/else")] == "other"
+    del _LIT_CACHE[("ann_idx", "/somewhere/else")]
