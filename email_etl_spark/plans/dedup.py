@@ -166,6 +166,10 @@ def _verified_pairs_from_shingles(
     # AQE still picks a broadcast join at runtime whenever the pair set
     # is genuinely small (its post-shuffle size is measured, not
     # estimated). The shingle table must never broadcast either way.
+    # Hub-key SKEW on doc_a/doc_b (one template doc in thousands of
+    # pairs) is handled by AQE skew-join splitting, not manual salting
+    # — the split's activation on a hub corpus is pinned by
+    # tests/test_dedup_closure.py::test_pair_verify_join_aqe_skew_split_activates.
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (

@@ -159,3 +159,52 @@ def test_registry_consumers_agree_with_oracle_semantics(spark):
     assert {(r.node, r.component) for r in full.collect()} == {
         (r.node, r.component) for r in collapsed.collect()
     }
+
+
+def test_pair_verify_join_aqe_skew_split_activates(spark):
+    """Pair-OUTPUT queries legitimately keep the B² candidate stream,
+    so the cand ⋈ shingle verify join inherits hub skew (one template
+    doc in thousands of pairs). The engine's posture is AQE skew-join
+    splitting, not manual salting — this pins that the split actually
+    ACTIVATES on a hub corpus (skew=true in the final adaptive SMJ)
+    and that outputs are unchanged by the replan."""
+    from email_etl_spark.plans.dedup import MINHASH_THRESHOLD
+
+    # hub: 300 identical copies -> C(300,2) pairs, key doc_a=0 in 299
+    # of them; plus unique fillers so the key histogram is skewed
+    hub = "shared template body repeated for the hub bucket " * 6
+    rows = [(i, hub) for i in range(300)]
+    rows += [
+        (1000 + i, f"unique filler document number {i} with its own words {i * 7}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    confs = {
+        # keep the verify join a shuffle join so skew handling applies
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale AQE's skew thresholds down to test-corpus sizes
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "24KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "12KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+        got = pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "skew=true" in plan, plan[:4000]
+    # outputs unchanged by the replan: the hub clique, exactly
+    assert len(got) == 300 * 299 // 2
+    assert all(r.jaccard == 1.0 for r in got)
