@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from email_etl_spark.io import load_table
+from email_etl_spark.io import load_table, present_sorted
 from email_etl_spark.operators.multimodal import image_features
 from email_etl_spark.plans.registry import register
 
@@ -78,7 +78,8 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("content_hash").alias("min_hash"),
             F.round(F.sum("height").cast("double") / F.count("*"), 4).alias("avg_height"),
         )
-        .orderBy("width_bucket")
+        # bucket-sized result: see io.present_sorted
+        .transform(lambda d: present_sorted(d, "width_bucket"))
     )
 
 

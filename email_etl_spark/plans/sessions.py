@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from email_etl_spark.io import load_table
+from email_etl_spark.io import load_table, present_sorted
 from email_etl_spark.plans.registry import register
 
 SESSION_GAP_S = 1800  # 30 minutes
@@ -85,15 +85,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("sess_events"),
         (F.max("tse") - F.min("tse")).alias("sess_seconds"),
     )
-    return (
-        per_sess.groupBy("user_id")
-        .agg(
+    # user-dimension-sized result: single-partition presentation sort
+    # (orderBy's range-bounds sampling job re-executed the whole
+    # window+agg chain — the source of the r4/r5 bench drift)
+    return present_sorted(
+        per_sess.groupBy("user_id").agg(
             F.count("*").alias("n_sessions"),
             F.sum("sess_events").cast("bigint").alias("n_events"),
             F.max("sess_events").alias("max_session_events"),
             F.max("sess_seconds").alias("max_session_seconds"),
-        )
-        .orderBy("user_id")
+        ),
+        "user_id",
     )
 
 
@@ -117,7 +119,8 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         )
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
-        .orderBy("window_start", "event_type")
+        # (hour x type)-sized result: see io.present_sorted
+        .transform(lambda d: present_sorted(d, "window_start", "event_type"))
     )
 
 
