@@ -1091,3 +1091,55 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+WITH j AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1.0 - l_discount AS DECIMAL(6,4)) AS disc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc
+                                   ELSE CAST(0 AS DECIMAL(12,4)) END)
+                  / SUM(disc), 4) AS DOUBLE) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+         AS promo_items
+FROM j
+""",
+    doc=(
+        "TPC-H Q14 shape (promotion-effect revenue share) — the last "
+        "of the 22 TPC-H queries, completing §G's full sweep: one "
+        "month of lineitem joined to the part dim (broadcast), promo "
+        "share of discounted revenue as a conditional-aggregate ratio. "
+        "Exact DECIMAL sums keep the distributed ratio bit-equal to "
+        "the single-threaded oracle; the shipdate predicate pushes to "
+        "the scan so only the month's row groups are read."
+    ),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo) / F.sum(disc), 4
+        )
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
+        .cast("bigint")
+        .alias("promo_items"),
+    )

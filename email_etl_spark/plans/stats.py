@@ -364,3 +364,81 @@ def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# priority_status_chi2 — chi-squared independence test on orders.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_status_chi2",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT pr, SUM(o) AS r FROM cells GROUP BY pr),
+ct AS (SELECT st, SUM(o) AS c FROM cells GROUP BY st),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           POWER(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n, 2)
+             / (CAST(r AS DOUBLE) * c / n), 8) AS DECIMAL(18,8)) AS term
+  FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot
+)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1)
+            AS BIGINT) AS dof,
+       CAST(SUM(term) AS DOUBLE) AS chi2
+FROM terms
+""",
+    doc=(
+        "Chi-squared independence test of order priority x order "
+        "status — the categorical-association diagnostic behind 'is "
+        "fulfillment behaving differently for urgent orders?' "
+        "(sample_bias_chi2 tests a SAMPLE against its population; "
+        "this tests two ATTRIBUTES against each other). One map-side-"
+        "combined pass builds the contingency cells; margins are "
+        "cell-table rollups (priorities x statuses ~ 15 rows at any "
+        "corpus size), each cell's (O-E)^2/E term is rounded to "
+        "DECIMAL(18,8) before the order-insensitive sum, so the "
+        "distributed aggregate is bit-equal to the oracle "
+        "(SURVEY §2.L)."
+    ),
+)
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").alias("o"))
+    rt = cells.groupBy("pr").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("st").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.round(
+        F.pow(F.col("o").cast("double") - e, 2) / e, 8
+    ).cast("decimal(18,8)")
+    joined = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_r = rt.agg(F.count("*").alias("nr"))
+    n_c = ct.agg(F.count("*").alias("nc"))
+    return (
+        joined.agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(term.alias("t")).cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "n_orders",
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )

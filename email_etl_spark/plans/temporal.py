@@ -377,3 +377,89 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+ASOF_TOL_S = 900  # 15-minute match tolerance
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+SELECT a.event_id AS purchase_id, a.user_id,
+       b.event_id AS prior_event_id, b.event_type AS prior_type,
+       CAST(date_diff('second', b.ts, a.ts) AS BIGINT) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+ AND b.ts >= a.ts - INTERVAL {ASOF_TOL_S} SECOND
+QUALIFY b.event_id IS NULL
+     OR ROW_NUMBER() OVER (PARTITION BY a.event_id
+                           ORDER BY b.ts DESC, b.event_id DESC) = 1
+ORDER BY purchase_id
+""",
+    doc=(
+        "As-of join with a MATCH TOLERANCE: each purchase matched to "
+        "the user's most recent prior event only if it happened within "
+        f"{ASOF_TOL_S} s — the bounded-staleness variant every feature "
+        "store / trade-quote pipeline runs (an unbounded as-of happily "
+        "joins yesterday's quote to today's trade). Same union-sort-"
+        "window single-shuffle form as asof_join; the tolerance is a "
+        "post-window null-out (the most recent prior IS the minimum "
+        "gap, so out-of-tolerance means no match at all), never an "
+        "inequality join. Oracle carries the tolerance in the join "
+        "predicate — provably the same semantics (SURVEY §2.L)."
+    ),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("src"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("ts").alias("b_ts"),
+    )
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("long").alias("b_event_id"),
+        F.lit(None).cast("string").alias("b_type"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("b_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = a.unionByName(b).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "src",
+        F.last("b_event_id", ignorenulls=True).over(w).alias("p_event_id"),
+        F.last("b_type", ignorenulls=True).over(w).alias("p_type"),
+        F.last("b_ts", ignorenulls=True).over(w).alias("p_ts"),
+    )
+    # in-tolerance on RAW timestamps (microsecond-exact, like the
+    # oracle's join predicate); the reported gap is epoch-second
+    # truncated to match date_diff('second', ...)
+    ok = F.col("p_ts") >= F.expr(f"ts - INTERVAL {ASOF_TOL_S} SECOND")
+    gap = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 1000000"
+        " - unix_micros(cast(p_ts as timestamp)) div 1000000"
+    ).cast("bigint")
+    return (
+        merged.where(F.col("src") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(ok, F.col("p_event_id")).alias("prior_event_id"),
+            F.when(ok, F.col("p_type")).alias("prior_type"),
+            F.when(ok, gap).alias("gap_seconds"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -3337,3 +3337,209 @@ def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit — log-log OLS of the vocabulary growth curve.
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKET = 50  # docs per ingest bucket (vocab_growth's grain)
+
+
+def _heaps_oracle() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id // {_HEAPS_BUCKET} AS bucket, COUNT(*) AS n_tok
+       FROM tok GROUP BY 1),
+fs AS (SELECT tok, MIN(doc_id) AS first_seen FROM tok GROUP BY tok),
+vb AS (SELECT first_seen // {_HEAPS_BUCKET} AS bucket, COUNT(*) AS n_new
+       FROM fs GROUP BY 1),
+cum AS (
+  SELECT tb.bucket,
+         SUM(tb.n_tok) OVER (ORDER BY tb.bucket) AS cum_tok,
+         SUM(COALESCE(vb.n_new, 0)) OVER (ORDER BY tb.bucket) AS cum_vocab
+  FROM tb LEFT JOIN vb USING (bucket)
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(cum_tok AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+         CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+  FROM cum WHERE cum_tok > 0 AND cum_vocab > 0
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy, SUM(lx * ly) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS beta,
+       ROUND(EXP(CAST(sy AS DOUBLE) / n
+             - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE) / n), 6) AS k,
+       CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+            THEN 0.0
+            ELSE ROUND(POWER(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) END AS r2
+FROM s
+"""
+
+
+@register(
+    "heaps_law_fit",
+    oracle=_heaps_oracle(),
+    doc=(
+        "Heaps-law fit V(N) = K*N^beta over the ingest-order "
+        "vocabulary growth curve: log-log OLS on the per-bucket "
+        "(cumulative tokens, cumulative vocab) points that "
+        "vocab_growth plots — beta is the one-number lexical-novelty "
+        "constant (English prose ~0.4-0.6; beta near 1 means every "
+        "batch is new vocabulary = dirty tokens; near 0 means the "
+        "corpus is saturated and more data buys no diversity). The "
+        "ln terms are pre-rounded to DECIMAL(18,9) so the OLS moment "
+        "sums are exact and order-insensitive; the point table is "
+        "bucket-sized, never corpus-sized (SURVEY §2.D)."
+    ),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tb = toks.groupBy(
+        F.expr(f"doc_id div {_HEAPS_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n_tok"))
+    fs = toks.groupBy("tok").agg(F.min("doc_id").alias("first_seen"))
+    vb = fs.groupBy(
+        F.expr(f"first_seen div {_HEAPS_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        tb.join(vb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .where((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+    )
+    pts = cum.select(
+        F.round(F.log(F.col("cum_tok").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("lx"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    # moments stay EXACT decimals through the sums; the OLS combination
+    # runs in DOUBLE on the already-cast sums — identical expression
+    # text in both engines (wide-decimal products would silently lose
+    # scale under Spark's 38-digit cap and cancel catastrophically)
+    num = F.expr(
+        "n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den = F.expr(
+        "n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    deny = F.expr(
+        "n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    beta = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp(
+                F.expr("CAST(sy AS DOUBLE) / n")
+                - beta * F.expr("CAST(sx AS DOUBLE) / n")
+            ),
+            6,
+        ).alias("k"),
+        # saturated-vocab degenerate case (constant ly → deny = 0, the
+        # shape of this synthetic corpus): define r2 = 0 identically in
+        # both engines instead of 0/0
+        F.when(den * deny == 0, F.lit(0.0))
+        .otherwise(F.round(F.pow(num, 2) / (den * deny), 6))
+        .alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gibberish_profile — consonant-run / charclass garbage detection.
+# ---------------------------------------------------------------------------
+
+_CONS_RE = "[bcdfghjklmnpqrstvwxyz]{2,}"
+_GIB_RUN = 4  # flag threshold: a >=4-consonant run is un-English-like
+
+
+@register(
+    "gibberish_profile",
+    oracle=f"""
+WITH r AS (
+  SELECT source,
+         COALESCE(list_max(list_transform(
+           regexp_extract_all(lower(text), '{_CONS_RE}'), x -> length(x))), 0)
+           AS max_run
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(max_run) AS BIGINT) AS max_consonant_run,
+       CAST(SUM(CASE WHEN max_run >= {_GIB_RUN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN max_run >= {_GIB_RUN} THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS flagged_bps,
+       CAST(SUM(max_run) * 1000 // COUNT(*) AS BIGINT) AS mean_run_milli
+FROM r GROUP BY source ORDER BY source
+""",
+    doc=(
+        "OCR-garbage / gibberish screen per source: the longest "
+        "consonant run in each doc (regexp_extract_all over a shared "
+        "pattern — a >=4-consonant run almost never occurs in real "
+        "English but is the signature of OCR line noise, base64 "
+        "blobs, and mojibake), rolled up to per-source flag rates in "
+        "exact integer bps/milli units. Complements charclass_profile "
+        "(which counts character CLASSES, not runs) in the quality-"
+        "filter family; one scan, source-sized rollup (SURVEY §2.D)."
+    ),
+)
+def gibberish_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    runs = F.expr(
+        f"transform(regexp_extract_all(lower(text), '{_CONS_RE}', 0), x -> length(x))"
+    )
+    max_run = F.coalesce(F.array_max(runs), F.lit(0))
+    r = docs.select("source", max_run.alias("max_run"))
+    flagged = F.when(F.col("max_run") >= _GIB_RUN, 1).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("max_run").cast("bigint").alias("max_consonant_run"),
+            F.sum(flagged).cast("bigint").alias("n_flagged"),
+            F.expr(
+                f"sum(CASE WHEN max_run >= {_GIB_RUN} THEN 1 ELSE 0 END) * 10000"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("flagged_bps"),
+            F.expr("sum(max_run) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("mean_run_milli"),
+        )
+        .orderBy("source")
+    )

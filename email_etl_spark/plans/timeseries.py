@@ -585,3 +585,168 @@ def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.lag").cast("int").alias("lag"), F.col("x.pacf").alias("pacf"))
         .orderBy("lag")
     )
+
+
+def _mk_oracle() -> str:
+    return f"""
+WITH {_DAILY_SQL},
+p AS (
+  SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+s AS (SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS s_stat FROM p),
+nd AS (SELECT COUNT(*) AS n FROM daily),
+ties AS (SELECT n AS val, COUNT(*) AS t FROM daily GROUP BY n),
+v AS (
+  SELECT (SELECT n * (n - 1) * (2 * n + 5) FROM nd)
+         - COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS var18
+  FROM ties
+)
+SELECT CAST(nd.n AS BIGINT) AS n_days,
+       s.s_stat,
+       CAST(v.var18 AS BIGINT) AS var_s_x18,
+       CASE WHEN v.var18 = 0 THEN 0.0
+            WHEN s.s_stat > 0
+              THEN ROUND((s.s_stat - 1) / SQRT(v.var18 / 18.0), 6)
+            WHEN s.s_stat < 0
+              THEN ROUND((s.s_stat + 1) / SQRT(v.var18 / 18.0), 6)
+            ELSE 0.0 END AS z_score
+FROM nd CROSS JOIN s CROSS JOIN v
+"""
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=_mk_oracle(),
+    doc=(
+        "Mann-Kendall monotone-trend test on the daily event-count "
+        "series: S = sum of sign(n_j - n_i) over day pairs i<j, "
+        "tie-corrected variance (x18 to stay integer), continuity-"
+        "corrected z — the standard NONPARAMETRIC drift detector "
+        "(CUSUM finds a change POINT, MK asks 'is volume trending at "
+        "all' without assuming normality; a |z|>1.96 series deserves "
+        "a look before it becomes a capacity incident). The pair join "
+        "is CALENDAR-bounded — events collapse to one daily row "
+        "first, so the quadratic is over days, never events; all "
+        "integer until the one final z division (SURVEY §2.H)."
+    ),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    sg = (
+        F.when(F.col("nb") > F.col("na"), 1)
+        .when(F.col("nb") < F.col("na"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(F.coalesce(F.sum(sg), F.lit(0)).cast("bigint").alias("s_stat"))
+    )
+    nd = daily.agg(F.count("*").alias("n"))
+    ties = daily.groupBy("n").agg(F.count("*").alias("t"))
+    tsum = ties.agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+        ).alias("tie_sum")
+    )
+    z = (
+        F.when(F.col("var18") == 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            F.round((F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0), 6),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.round((F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0), 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nd.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tsum))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_sum")
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+            "tie_sum",
+        )
+        .withColumn("var18", F.col("var_s_x18"))
+        .select("n_days", "s_stat", "var_s_x18", z.alias("z_score"))
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle=f"""
+WITH {_DAILY_SQL},
+x AS (
+  SELECT d, n, date_diff('day', (SELECT MIN(d) FROM daily), d) AS xi FROM daily
+),
+sl AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / (b.xi - a.xi) AS slope
+  FROM x a JOIN x b ON a.xi < b.xi
+),
+m AS (SELECT quantile_cont(slope, 0.5) AS slope FROM sl),
+ic AS (
+  SELECT quantile_cont(x.n - m.slope * x.xi, 0.5) AS intercept
+  FROM x CROSS JOIN m
+)
+SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_days,
+       CAST((SELECT COUNT(*) FROM sl) AS BIGINT) AS n_pairs,
+       ROUND(m.slope, 6) AS slope_per_day,
+       ROUND(ic.intercept, 6) AS intercept
+FROM m CROSS JOIN ic
+""",
+    doc=(
+        "Theil-Sen robust trend of the daily event-count series: "
+        "slope = median of all pairwise slopes, intercept = median of "
+        "(n_i - slope*x_i) — up to 29% of days can be corrupted "
+        "(deploy spikes, backfill days) before the estimate moves, "
+        "where OLS breaks on one outlier; the robust twin of "
+        "ols_price_size for the ingest-volume trail. Both medians are "
+        "interpolated percentiles over IDENTICAL double sets in both "
+        "engines, so the gate hash-matches. The pair space is "
+        "CALENDAR-bounded (days², not events²; events collapse to "
+        "daily rows in one map-side-combined shuffle) (SURVEY §2.H)."
+    ),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    x = daily.crossJoin(F.broadcast(mn)).select(
+        "n", F.datediff(F.col("d"), F.col("d0")).cast("long").alias("xi")
+    )
+    a = x.select(F.col("xi").alias("xa"), F.col("n").alias("na"))
+    b = x.select(F.col("xi").alias("xb"), F.col("n").alias("nb"))
+    sl = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("nb") - F.col("na")).cast("double") / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        )
+    )
+    m = sl.agg(
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    ic = x.crossJoin(F.broadcast(m)).agg(
+        F.expr("percentile(n - slope * xi, 0.5)").alias("intercept"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return m.crossJoin(F.broadcast(ic)).select(
+        "n_days",
+        "n_pairs",
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )

@@ -177,6 +177,10 @@ _BNL_JUSTIFIED = {
     "content_chunk_dedup",  # 1-row chunk/token totals broadcast
     "dp_quantile_release",  # 1-row total + 1-row true-median broadcasts
     "rowgroup_size_histogram",  # 1-row group-count broadcast
+    # reviewed round 6 (new operators)
+    "mann_kendall_trend",  # calendar-bounded daily self-join (days², not events²) + 1-row S/tie broadcasts
+    "theil_sen_trend",  # calendar-bounded daily slope pairs + 1-row median broadcasts
+    "priority_status_chi2",  # 1-row N total + margin-table broadcasts (cells ~ 15 rows)
 }
 
 
