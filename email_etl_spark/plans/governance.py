@@ -1239,3 +1239,178 @@ def rowgroup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# mv_refresh_delta — incremental materialized-view maintenance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mv_refresh_delta",
+    oracle="""
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(CASE WHEN doc_id > (SELECT m FROM mid) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta_docs
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc=(
+        "Incremental materialized-view refresh: the per-source stats "
+        "view is maintained as BASE STATE (docs up to the id midpoint "
+        "— yesterday's snapshot) merged with a DELTA aggregate (new "
+        "arrivals), never by rescanning history — the foundation of "
+        "every streaming-ingest dashboard at 100 TB (rescanning a "
+        "petabyte to add a day is not a refresh strategy; the "
+        "foreachBatch upsert sink in streaming/pipeline.py persists "
+        "exactly this mergeable state). All statistics here are "
+        "MERGEABLE (count/sum/max merge by sum/sum/max); the oracle "
+        "is the full recompute, so the gate PROVES base+delta == "
+        "scratch (SURVEY §2.H/§4)."
+    ),
+)
+def mv_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("m")
+    )
+    split = docs.crossJoin(F.broadcast(mid))
+
+    def agg_part(df: DataFrame, is_delta: int) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.lit(is_delta).alias("part_is_delta"),
+            F.count("*").alias("part_docs"),
+        )
+
+    base = agg_part(split.where(F.col("doc_id") <= F.col("m")), 0)
+    delta = agg_part(split.where(F.col("doc_id") > F.col("m")), 1)
+    # merge step: the ONLY work a refresh does at scale — state tables
+    # are source-sized, the delta aggregate is delta-sized
+    return (
+        base.unionByName(delta)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+            F.max("max_doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum(F.when(F.col("part_is_delta") == 1, F.col("part_docs")).otherwise(0))
+            .cast("bigint")
+            .alias("n_delta_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dp_topk_release — exponential-mechanism top-k selection.
+# ---------------------------------------------------------------------------
+
+DP_TOPK = 3
+_DP_TOPK_EPS_X10 = 10  # epsilon = 1.0 per selection round
+
+
+def _gumbel_duck(round_no: int) -> str:
+    """Deterministic md5-derived uniform -> Gumbel for (round, type),
+    DuckDB text: g = -ln(-ln(u)), u in (0,1) from the first 6 hex
+    digits (the _DP_U/_DP_U_DUCK twin-expression pattern)."""
+    h = f"md5('dptk:{round_no}:' || event_type)"
+    u = (
+        f"((65536 * (16 * (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f"          + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" + 256 * (16 * (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f"          + strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)"
+        f" + (16 * (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1)"
+        f"    + strpos('0123456789abcdef', substr({h}, 6, 1)) - 1))"
+        f" % 1000000 + 0.5) / 1000000.0"
+    )
+    return f"(0.0 - ln(0.0 - ln({u})))"
+
+
+def _gumbel_spark(round_no: int) -> str:
+    """Spark text of the SAME uniform: CONV(first 6 md5 hex, 16, 10)
+    mod 1e6 — value-identical to _gumbel_duck's digit polynomial."""
+    u = (
+        f"((CAST(CONV(SUBSTRING(MD5(CONCAT('dptk:{round_no}:', event_type)), 1, 6),"
+        f" 16, 10) AS BIGINT) % 1000000) + 0.5) / 1000000.0"
+    )
+    return f"(0.0 - LN(0.0 - LN({u})))"
+
+
+def _dp_topk_oracle() -> str:
+    eps = _DP_TOPK_EPS_X10 / 10.0
+    score = lambda r: (  # noqa: E731
+        f"ROUND({eps} * c / 2.0 + {_gumbel_duck(r)}, 6)"
+    )
+    return f"""
+WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+r1 AS (SELECT event_type, {score(1)} AS s FROM c
+       ORDER BY s DESC, event_type LIMIT 1),
+r2 AS (SELECT event_type, {score(2)} AS s FROM c
+       WHERE event_type NOT IN (SELECT event_type FROM r1)
+       ORDER BY s DESC, event_type LIMIT 1),
+r3 AS (SELECT event_type, {score(3)} AS s FROM c
+       WHERE event_type NOT IN (SELECT event_type FROM r1
+                                UNION ALL SELECT event_type FROM r2)
+       ORDER BY s DESC, event_type LIMIT 1)
+SELECT CAST(rk AS BIGINT) AS rank, event_type, s AS score
+FROM (SELECT 1 AS rk, * FROM r1 UNION ALL SELECT 2, * FROM r2
+      UNION ALL SELECT 3, * FROM r3)
+ORDER BY rank
+"""
+
+
+@register(
+    "dp_topk_release",
+    oracle=_dp_topk_oracle(),
+    doc=(
+        "Differentially-private top-k selection (k=3) of the most "
+        "active event types via PEELING EXPONENTIAL MECHANISM: each "
+        "round scores every unreleased candidate with eps*count/2 "
+        "plus Gumbel noise (the Gumbel-max trick IS the exponential "
+        "mechanism) and releases the argmax — identities only, never "
+        "counts; composes with dp_release_counts (Laplace counts) and "
+        "dp_quantile_release (exponential quantiles) to complete the "
+        "DP-release family. Noise is md5-derived and loudly NOT a "
+        "secure RNG — the right framing for a bit-checkable pipeline; "
+        "swap the hash for a seeded CSPRNG in production. Scores are "
+        "rounded to 6dp before the argmax so tie-breaks are "
+        "cross-engine stable; candidate table is type-sized "
+        "(SURVEY §2.L)."
+    ),
+)
+def dp_topk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    eps = _DP_TOPK_EPS_X10 / 10.0
+
+    def scored(df: DataFrame, r: int) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.expr(f"ROUND({eps} * c / 2.0 + {_gumbel_spark(r)}, 6)").alias("s"),
+        )
+
+    picked: list[DataFrame] = []
+    remaining = c
+    for r in range(1, DP_TOPK + 1):
+        win = (
+            scored(remaining, r)
+            .orderBy(F.desc("s"), "event_type")
+            .limit(1)
+            .select(F.lit(r).cast("bigint").alias("rank"), "event_type", "s")
+        )
+        picked.append(win)
+        remaining = remaining.join(
+            win.select("event_type"), "event_type", "left_anti"
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select("rank", "event_type", F.col("s").alias("score")).orderBy(
+        "rank"
+    )

@@ -5300,3 +5300,178 @@ def score_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top10_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interleaved_eval — balanced interleaving of the two search legs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interleaved_eval",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+u AS (
+  SELECT d.doc_id, {_TOKS_SQL} AS toks, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id <> {QUERY_VEC_ID}
+),
+sc AS (
+  SELECT u.doc_id,
+         {_COS.format(a="u.embedding", b="q.embedding")} AS sem,
+         {_TERM_RANK_SQL} AS lex
+  FROM u CROSS JOIN q
+),
+ts AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id) AS r
+  FROM sc ORDER BY sem DESC, doc_id LIMIT 10
+),
+tl AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS r
+  FROM sc ORDER BY lex DESC, doc_id LIMIT 10
+),
+uni AS (
+  SELECT doc_id, r * 2 AS k FROM ts
+  UNION ALL SELECT doc_id, r * 2 + 1 FROM tl
+),
+kept AS (SELECT doc_id, MIN(k) AS k FROM uni GROUP BY doc_id),
+final AS (SELECT doc_id, k FROM kept ORDER BY k LIMIT 10)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sem_credit,
+       CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lex_credit,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ts JOIN tl USING (doc_id)) AS n_overlap
+FROM final
+""",
+    doc=(
+        "Balanced interleaving of the semantic and lexical top-10 "
+        "lists — the ONLINE-eval primitive behind interleaved A/B "
+        "ranker tests (Joachims 2003 family): merge both rankings at "
+        "alternating priority (sort key rank*2+team), dedupe keeping "
+        "each doc's best slot, serve the first 10, and credit each "
+        "slot to the leg that contributed it. A lopsided credit says "
+        "one leg dominates the served page; n_overlap is the "
+        "agreement mass. Both legs are corpus-wide "
+        "TakeOrderedAndProject top-10s (never a global sort); the "
+        "interleave itself runs on 20 rows (SURVEY §2.C)."
+    ),
+)
+def interleaved_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.vectors import cosine_rounded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qvec = _qvec_list(spark, sf_dir)
+    q = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in qvec) + ")")
+    sc = (
+        docs.where(F.col("doc_id") != QUERY_VEC_ID)
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            cosine_rounded(F.col("embedding"), q).alias("sem"),
+            _term_rank(F.col("text")).alias("lex"),
+        )
+    )
+    ts = (
+        sc.orderBy(F.desc("sem"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "sem",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sem"), "doc_id"))
+            .alias("r"),
+        )
+        .select("doc_id", "r")
+    )
+    tl = (
+        sc.orderBy(F.desc("lex"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("lex"), "doc_id"))
+            .alias("r"),
+        )
+    )
+    uni = ts.select("doc_id", (F.col("r") * 2).alias("k")).unionByName(
+        tl.select("doc_id", (F.col("r") * 2 + 1).alias("k"))
+    )
+    kept = uni.groupBy("doc_id").agg(F.min("k").alias("k"))
+    final = kept.orderBy("k").limit(10)
+    overlap = ts.join(tl, "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return final.agg(
+        F.count("*").cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sem_credit"),
+        F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("lex_credit"),
+    ).crossJoin(F.broadcast(overlap))
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_profile — per-label L2-norm moments.
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "ROUND(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)), 6)"
+)
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+WITH n AS (
+  SELECT label, CAST({_NORM_SQL} AS DECIMAL(18,6)) AS nrm FROM embeddings
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+       CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM n GROUP BY label ORDER BY label
+""",
+    doc=(
+        "Per-label L2-norm moments of the embedding column — the "
+        "first thing to look at before ANY cosine pipeline: a label "
+        "whose norms collapse toward 0 poisons cosine (division by "
+        "~0), mixed norm scales mean someone concatenated two "
+        "embedding versions, and n_zero > 0 breaks normalization "
+        "outright (embedding_qa flags per-VECTOR pathologies; this "
+        "shows the per-label DISTRIBUTION). Norms are rounded to 6dp "
+        "then summed as DECIMAL(18,6) — exact, order-insensitive "
+        "distributed aggregation; one scan, label-sized rollup "
+        "(SURVEY §2.F)."
+    ),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+            F.round(F.sum("nrm").cast("double") / F.count("*"), 6).alias("mean_norm"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+        .orderBy("label")
+    )

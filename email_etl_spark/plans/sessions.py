@@ -3413,3 +3413,97 @@ def trigger_followup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trigger_type", "followup_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark_lateness_profile — how late do events arrive?
+# ---------------------------------------------------------------------------
+
+_LATE_BANDS_S = (60, 300, 1800)  # band edges for the lateness histogram
+
+
+def _late_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+  FROM events
+),
+l AS (
+  SELECT CASE WHEN prev_max IS NULL OR prev_max <= tus THEN 0
+              ELSE prev_max - tus END AS late_us
+  FROM a
+),
+b AS (
+  SELECT CASE WHEN late_us = 0 THEN '0_in_order'
+              WHEN late_us <= {_LATE_BANDS_S[0]} * 1000000 THEN '1_le_60s'
+              WHEN late_us <= {_LATE_BANDS_S[1]} * 1000000 THEN '2_le_300s'
+              WHEN late_us <= {_LATE_BANDS_S[2]} * 1000000 THEN '3_le_1800s'
+              ELSE '4_gt_1800s' END AS band,
+         late_us
+  FROM l
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) * 10000 // (SELECT COUNT(*) FROM b) AS BIGINT) AS share_bps,
+       CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_lateness_s
+FROM b GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "watermark_lateness_profile",
+    oracle=_late_oracle(),
+    doc=(
+        "Event-lateness histogram vs the per-user high-water mark: "
+        "for each event, how far behind the max timestamp ALREADY "
+        "ARRIVED for that user (arrival order = event_id) it lands — "
+        "THE measurement that picks a Structured Streaming "
+        "withWatermark() delay (share_bps beyond a band = exactly the "
+        "data a watermark of that width would drop from late-window "
+        "aggregates; streaming/pipeline.py's windows consume this). "
+        "Microsecond-exact integer arithmetic (epoch micros running "
+        "max, bands on pinned edges); one window over the user "
+        "partitioning, band-sized rollup (SURVEY §2.H)."
+    ),
+)
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tus = F.expr("unix_micros(cast(ts as timestamp))")
+    a = ev.select(
+        tus.alias("tus"), F.max(tus).over(w).alias("prev_max")
+    )
+    late = F.when(
+        F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("tus")), F.lit(0)
+    ).otherwise(F.col("prev_max") - F.col("tus"))
+    band = (
+        F.when(F.col("late_us") == 0, "0_in_order")
+        .when(F.col("late_us") <= _LATE_BANDS_S[0] * 1_000_000, "1_le_60s")
+        .when(F.col("late_us") <= _LATE_BANDS_S[1] * 1_000_000, "2_le_300s")
+        .when(F.col("late_us") <= _LATE_BANDS_S[2] * 1_000_000, "3_le_1800s")
+        .otherwise("4_gt_1800s")
+    )
+    b = a.select(late.alias("late_us")).select(band.alias("band"), "late_us")
+    tot = b.agg(F.count("*").alias("n_total"))
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr("max(late_us) div 1000000").cast("bigint").alias("max_lateness_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_events",
+            F.expr("n_events * 10000 div n_total").cast("bigint").alias("share_bps"),
+            "max_lateness_s",
+        )
+        .orderBy("band")
+    )
