@@ -36,61 +36,37 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # ---- round-5 driver window (first 50): this round's new
-    # operators, then never-driver-checked queries whose code or
-    # oracle changed this round (broadcast-hint removal, semdedup
-    # corpus-derived K), then parquet_skipping_stats (now oracle-
-    # backed; its r4 row was no_oracle), then backlog head ----
-    "lsh_bucket_skew",
-    "t_closeness_profile",
-    "bloom_fpr_report",
-    "epoch_allocation",
-    "filter_agreement_kappa",
-    "keyphrase_rake",
-    "bounce_rate_daily",
-    "weekday_anova",
-    "score_rank_corr",
-    "pacf_daily",
-    "simpson_diversity",
-    "lm_cross_source",
-    "collocation_llr",
-    "stratified_kfold_assign",
-    "slo_burn_rate",
-    "payload_partition_plan",
-    "asof_join_nearest",
-    "km_survival_gaps",
-    "attribution_time_decay",
-    "props_schema_drift",
-    "yule_k",
-    "good_turing_counts",
-    "content_chunk_dedup",
-    "trigger_followup_rates",
-    "minhash_index_integrity",
-    "dp_quantile_release",
-    "fleiss_kappa_filters",
-    "rowgroup_size_histogram",
-    "semdedup_prune",
-    "dedup_tiers",
-    "dedup_minhash_indexed",
-    "incremental_neardup",
-    "winnowing_dedup",
-    "dup_source_matrix",
-    "dup_pagerank",
-    "dup_quality_gap",
-    "lsh_band_curve",
-    "minhash_calibration",
-    "simhash_calibration",
-    "near_dup_rate_curve",
-    "reciprocal_best_match",
-    "ann_int8",
-    "crossencoder_rerank",
+    # ---- round-6 driver window (first 50) ----
+    # tier 1: this round's 12 NEW operators (never driver-checked)
+    "q14_promo_revenue",
+    "asof_join_tolerance",
+    "mann_kendall_trend",
+    "theil_sen_trend",
+    "priority_status_chi2",
+    "heaps_law_fit",
+    "gibberish_profile",
+    "interleaved_eval",
+    "embedding_norm_profile",
+    "watermark_lateness_profile",
+    "mv_refresh_delta",
+    "dp_topk_release",
+    # tier 2: the sketch tier, newly ORACLE-BACKED this round (their
+    # r3/r4 driver rows were no_oracle; re-gating closes VERDICT r5 #4)
+    "approx_user_counts",
+    "approx_value_quantiles",
+    "hll_rollup",
+    "heavy_hitters_mg",
+    # tier 3: never-checked queries whose code changed this round
+    # (star-edge closure consumers)
+    "dedup_savings",
+    "dup_cluster_size_hist",
+    # tier 4: semantics-bearing changes that were previously green —
+    # worth a driver re-gate (closure substitution; stat-string
+    # canonicalization)
+    "dedup_clusters",
+    "dedup_keep_best",
     "parquet_skipping_stats",
-    "ewma_anomaly",
-    "ref_integrity_profile",
-    "fd_profile",
-    "doc_keywords",
-    "retention_purge_audit",
-    "search_snippets",
+    # tier 5: never-checked backlog head (retired over rounds 5-7)
     "query_autocomplete",
     "split_leakage",
     "dim_ablation_recall",
@@ -110,9 +86,6 @@ _GATE_ORDER = (
     "langid_chargram",
     "perplexity_buckets",
     "vocab_coverage",
-    # ---- below the 50-query window: never-checked backlog for
-    # rounds 6-7, then changed-this-round re-verification, then
-    # the standing flagship surface; rest keep module order ----
     "charclass_profile",
     "dsir_weights",
     "contamination_by_benchmark",
@@ -123,11 +96,13 @@ _GATE_ORDER = (
     "ann_ivfpq_indexed",
     "cluster_exemplars",
     "pq_recall_eval",
+    # ---- below the 50-query window: remaining never-checked backlog
+    # (rounds 7+), then changed-but-sweep-green re-verification, then
+    # the standing flagship surface; rest keep module order ----
     "bm25_indexed",
     "hard_negatives",
     "ivf_recall_curve",
     "prefix_dup_rate",
-    "dup_cluster_size_hist",
     "image_resize_plan",
     "table_profile",
     "join_skew_report",
@@ -161,7 +136,6 @@ _GATE_ORDER = (
     "emb_dim_variance",
     "graph_triangles",
     "length_filter_curve",
-    "dedup_savings",
     "churn_risk",
     "copurchase_types",
     "returns_by_delay",
@@ -200,7 +174,16 @@ _GATE_ORDER = (
     "quality_length_corr",
     "ann_ivfpq",
     "cluster_top_terms",
+    # changed-this-round, previously green, sweep-verified at both SFs
+    # (numeric-overflow hardening; presentation-sort tails)
+    "score_rank_corr",
+    "collocation_llr",
+    "filter_agreement_kappa",
+    "minhash_index_integrity",
     "sessionize",
+    "tumbling_counts",
+    "image_decode_stats",
+    # standing flagship surface
     "join_size_estimate",
     "dedup_minhash",
     "fuzzy_decontaminate",
@@ -214,7 +197,6 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "q1_pricing_summary",
-    "tumbling_counts",
 )
 
 
