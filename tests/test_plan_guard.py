@@ -181,6 +181,8 @@ _BNL_JUSTIFIED = {
     "mann_kendall_trend",  # calendar-bounded daily self-join (days², not events²) + 1-row S/tie broadcasts
     "theil_sen_trend",  # calendar-bounded daily slope pairs + 1-row median broadcasts
     "priority_status_chi2",  # 1-row N total + margin-table broadcasts (cells ~ 15 rows)
+    "interleaved_eval",  # 1-row overlap-count broadcast onto the 1-row credit agg
+    "watermark_lateness_profile",  # 1-row total-events broadcast (share_bps denominator)
 }
 
 
