@@ -182,6 +182,7 @@ _BNL_JUSTIFIED = {
     "theil_sen_trend",  # calendar-bounded daily slope pairs + 1-row median broadcasts
     "priority_status_chi2",  # 1-row N total + margin-table broadcasts (cells ~ 15 rows)
     "interleaved_eval",  # 1-row overlap-count broadcast onto the 1-row credit agg
+    "mv_refresh_delta",  # 1-row id-midpoint broadcast (x2: base and delta branches)
     "watermark_lateness_profile",  # 1-row total-events broadcast (share_bps denominator)
 }
 
