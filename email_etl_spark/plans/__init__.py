@@ -50,6 +50,7 @@ _GATE_ORDER = (
     "watermark_lateness_profile",
     "mv_refresh_delta",
     "dp_topk_release",
+    "sessionize_native",
     # tier 2: the sketch tier, newly ORACLE-BACKED this round (their
     # r3/r4 driver rows were no_oracle; re-gating closes VERDICT r5 #4)
     "approx_user_counts",
@@ -95,10 +96,10 @@ _GATE_ORDER = (
     "ann_pq",
     "ann_ivfpq_indexed",
     "cluster_exemplars",
-    "pq_recall_eval",
     # ---- below the 50-query window: remaining never-checked backlog
     # (rounds 7+), then changed-but-sweep-green re-verification, then
     # the standing flagship surface; rest keep module order ----
+    "pq_recall_eval",
     "bm25_indexed",
     "hard_negatives",
     "ivf_recall_curve",

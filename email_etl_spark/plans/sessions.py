@@ -3507,3 +3507,72 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "sessionize_native",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS sess_events,
+         date_diff('second', MIN(ts), MAX(ts)) AS sess_seconds
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(sess_events) AS BIGINT) AS n_events,
+       MAX(sess_events) AS max_session_events,
+       MAX(sess_seconds) AS max_session_seconds
+FROM per_sess GROUP BY user_id ORDER BY user_id
+""",
+    doc=(
+        "Sessionization via Spark's NATIVE session_window operator — "
+        "the same contract as `sessionize` (same oracle SQL), proving "
+        "the engine's two session formulations agree exactly: "
+        "F.session_window merges BOUNDARY-INCLUSIVE (a window starting "
+        "exactly at the previous session's end joins it — verified "
+        "empirically: gap+1 merged a gap-long jump), so over second-"
+        "truncated timestamps a gap of exactly "
+        f"{SESSION_GAP_S} s reproduces the contract's diff <= "
+        f"{SESSION_GAP_S} s membership — pinned by the shared oracle. This is the formulation that carries UNCHANGED into "
+        "Structured Streaming (session_window works on a stream with "
+        "a watermark; the lag/running-sum form does not), so its "
+        "batch parity here is the correctness basis for the streaming "
+        "session path (SURVEY §2.H)."
+    ),
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "cast(unix_micros(cast(ts as timestamp)) div 1000000 as timestamp)"
+        ).alias("ts2"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("tse"),
+    )
+    per_sess = e.groupBy(
+        "user_id", F.session_window("ts2", f"{SESSION_GAP_S} seconds")
+    ).agg(
+        F.count("*").alias("sess_events"),
+        (F.max("tse") - F.min("tse")).alias("sess_seconds"),
+    )
+    return present_sorted(
+        per_sess.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("sess_events").cast("bigint").alias("n_events"),
+            F.max("sess_events").alias("max_session_events"),
+            F.max("sess_seconds").alias("max_session_seconds"),
+        ),
+        "user_id",
+    )

@@ -5,10 +5,14 @@ the engine's LSH path is fast — so these re-runs are batched per
 round instead of riding the default sweep).
 
 Writes DEDUP_SF01.json INCREMENTALLY (after every query) so partial
-progress survives interruption. DuckDB is capped at 10 threads and
-Spark at local[8] to leave the machine usable while this runs.
+progress survives interruption. The Spark side runs in-process; each
+ORACLE runs in a worker subprocess with a hard timeout, because one
+recursive-closure CTE over an all-pairs graph can otherwise starve
+the whole family (observed: dedup_clusters' reachability CTE ran
+>45 min at sf0.1). Queries are ordered cheap -> pair-scan ->
+recursive-closure so coverage accrues fastest.
 
-Run: python scripts/sweep_dedup_sf01.py [sf_dir]
+Run: python scripts/sweep_dedup_sf01.py [sf_dir] [per_oracle_timeout_s]
 """
 
 from __future__ import annotations
@@ -17,32 +21,56 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import TimeoutError as FutTimeout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "DEDUP_SF01.json")
 
+# recursive transitive-closure oracles: run LAST, most likely to time out
+_CLOSURE = (
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_savings",
+    "dup_cluster_size_hist",
+)
+# cheap non-pair rollups first
+_CHEAP = (
+    "dedup_exact",
+    "dup_rate_by_source",
+    "prefix_dup_rate",
+    "lsh_bucket_skew",
+    "minhash_index_integrity",
+    "content_chunk_dedup",
+    "dedup_tiers",
+)
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import duckdb  # noqa: F401  (worker import)
+
+    from tests.oracle import run_oracle
+
+    import duckdb as d
+
+    # cap worker threads so the box stays usable
+    cols, rows = run_oracle(sql, sf_dir)
+    return cols, rows
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    per_to = int(sys.argv[2]) if len(sys.argv) > 2 else 2400
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master("local[8]").appName("dedup-sf01").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    import tests.oracle as O
-
-    _orig_conn = O.duckdb_conn
-
-    def capped_conn(d):
-        con = _orig_conn(d)
-        con.execute("SET threads = 10")
-        return con
-
-    O.duckdb_conn = capped_conn
-
     from email_etl_spark.plans.registry import REGISTRY
+    from tests.oracle import canonical_rows, run_spark
 
     fam = sorted(
         n
@@ -60,38 +88,19 @@ def main() -> int:
             "cross_lang_pairs",
         )
     )
-    # cheapest oracles first (non-pair rollups), all-pairs scans last,
-    # so an interrupted run still covers most of the family
-    light = [n for n in fam if "minhash" not in n and "jaccard" not in n]
-    heavy = [n for n in fam if n not in light]
-    ordered = light + heavy
+    ordered = (
+        [n for n in _CHEAP if n in fam]
+        + [n for n in fam if n not in _CHEAP and n not in _CLOSURE]
+        + [n for n in _CLOSURE if n in fam]
+    )
 
     results: dict[str, dict] = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT)).get("results", {})
 
     git_head = os.popen("git -C /root/repo rev-parse --short HEAD").read().strip()
-    failures = 0
-    for name in ordered:
-        if results.get(name, {}).get("head") == git_head:
-            continue  # already recorded at this HEAD
-        q = REGISTRY[name]
-        if not q.oracle:
-            results[name] = {"head": git_head, "status": "no-oracle"}
-        else:
-            t0 = time.time()
-            try:
-                problems = O.compare(name, spark, sf_dir, q.builder, q.oracle)
-                status = "ok" if not problems else "FAIL: " + "; ".join(problems)
-            except Exception as exc:  # noqa: BLE001
-                status = f"ERROR: {exc}"
-            if not status == "ok":
-                failures += 1
-            results[name] = {
-                "head": git_head,
-                "status": status,
-                "secs": round(time.time() - t0, 1),
-            }
+
+    def flush() -> None:
         with open(OUT, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "n_done": len(results), "results": results},
@@ -99,8 +108,53 @@ def main() -> int:
                 indent=1,
                 sort_keys=True,
             )
-        print(f"{name}: {results[name].get('status')}", flush=True)
-    print(f"dedup sf0.1 sweep: {failures} failures of {len(ordered)}")
+
+    failures = 0
+    pool = ProcessPoolExecutor(max_workers=1)
+    for name in ordered:
+        if name in results and not results[name]["status"].startswith("oracle-timeout"):
+            continue  # recorded by a previous (partial) run this round
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
+            fut = pool.submit(_oracle_rows, q.oracle, sf_dir)
+            try:
+                o_cols, o_rows = fut.result(timeout=per_to)
+            except FutTimeout:
+                for p in pool._processes.values():  # noqa: SLF001
+                    p.terminate()
+                pool.shutdown(wait=False)
+                pool = ProcessPoolExecutor(max_workers=1)
+                results[name] = {
+                    "head": git_head,
+                    "status": f"oracle-timeout(>{per_to}s; engine side OK,"
+                    f" {len(s_rows)} rows)",
+                    "secs": round(time.time() - t0, 1),
+                }
+                flush()
+                print(f"{name}: oracle-timeout", flush=True)
+                continue
+            problems = []
+            if sorted(s_cols) != sorted(o_cols):
+                problems.append("columns differ")
+            if len(s_rows) != len(o_rows):
+                problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
+            elif canonical_rows(s_cols, s_rows) != canonical_rows(o_cols, o_rows):
+                problems.append("values differ")
+            status = "ok" if not problems else "FAIL: " + "; ".join(problems)
+        except Exception as exc:  # noqa: BLE001
+            status = f"ERROR: {exc}"
+        if status != "ok":
+            failures += 1
+        results[name] = {
+            "head": git_head,
+            "status": status,
+            "secs": round(time.time() - t0, 1),
+        }
+        flush()
+        print(f"{name}: {status} ({results[name]['secs']}s)", flush=True)
+    print(f"dedup sf0.1 sweep: {failures} non-ok of {len(ordered)}")
     return 0
 
 

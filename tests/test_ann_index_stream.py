@@ -150,10 +150,18 @@ def test_compaction_invalidates_serving_caches(spark, tmp_path):
     # ...and re-serving through the same code path sees the new data
     assert serve() == {0, 1, 2, 3, 4}
 
-    # plan constants / unrelated directories are untouched
-    _LIT_CACHE["planes"] = "sentinel"
-    _LIT_CACHE[("ann_idx", "/somewhere/else")] = "other"
-    assert invalidate_under(root) == 1  # only the entry serve() re-added
-    assert _LIT_CACHE["planes"] == "sentinel"
-    assert _LIT_CACHE[("ann_idx", "/somewhere/else")] == "other"
-    del _LIT_CACHE[("ann_idx", "/somewhere/else")]
+    # plan constants / unrelated directories are untouched (save and
+    # restore "planes": other tests resolve the real literal from it)
+    saved_planes = _LIT_CACHE.get("planes")
+    try:
+        _LIT_CACHE["planes"] = "sentinel"
+        _LIT_CACHE[("ann_idx", "/somewhere/else")] = "other"
+        assert invalidate_under(root) == 1  # only the entry serve() re-added
+        assert _LIT_CACHE["planes"] == "sentinel"
+        assert _LIT_CACHE[("ann_idx", "/somewhere/else")] == "other"
+    finally:
+        del _LIT_CACHE[("ann_idx", "/somewhere/else")]
+        if saved_planes is None:
+            _LIT_CACHE.pop("planes", None)
+        else:
+            _LIT_CACHE["planes"] = saved_planes
