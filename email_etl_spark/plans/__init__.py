@@ -51,6 +51,9 @@ _GATE_ORDER = (
     "mv_refresh_delta",
     "dp_topk_release",
     "sessionize_native",
+    "rocchio_expansion",
+    "hurst_exponent",
+    "burrows_delta",
     # tier 2: the sketch tier, newly ORACLE-BACKED this round (their
     # r3/r4 driver rows were no_oracle; re-gating closes VERDICT r5 #4)
     "approx_user_counts",
@@ -93,12 +96,12 @@ _GATE_ORDER = (
     "filter_ablation",
     "weighted_sample",
     "dataset_card",
-    "ann_pq",
-    "ann_ivfpq_indexed",
-    "cluster_exemplars",
     # ---- below the 50-query window: remaining never-checked backlog
     # (rounds 7+), then changed-but-sweep-green re-verification, then
     # the standing flagship surface; rest keep module order ----
+    "ann_pq",
+    "ann_ivfpq_indexed",
+    "cluster_exemplars",
     "pq_recall_eval",
     "bm25_indexed",
     "hard_negatives",

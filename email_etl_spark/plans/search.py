@@ -5475,3 +5475,119 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# rocchio_expansion — pseudo-relevance-feedback query expansion.
+# ---------------------------------------------------------------------------
+
+_PRF_DOCS = 10  # feedback set: top-k of the base ranking
+_PRF_TERMS = 5  # expansion terms taken from the feedback set
+_PRF_BETA = "0.5"  # Rocchio feedback weight (exact decimal string)
+
+
+def _rocchio_oracle() -> str:
+    from email_etl_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    qterms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks, {_TERM_RANK_SQL} AS base_score
+  FROM t
+),
+fb AS (SELECT * FROM base ORDER BY base_score DESC, doc_id LIMIT {_PRF_DOCS}),
+fbtok AS (SELECT u.tok FROM fb, unnest(fb.toks) AS u(tok)),
+exp_terms AS (
+  SELECT tok, COUNT(*) AS c FROM fbtok
+  WHERE tok NOT IN ({qterms}) AND tok NOT IN ({stop})
+  GROUP BY tok ORDER BY c DESC, tok LIMIT {_PRF_TERMS}
+),
+expanded AS (
+  SELECT b.doc_id, b.base_score,
+         ROUND(CAST((SELECT COALESCE(SUM(len(list_filter(b.toks, x -> x = e.tok))), 0)
+                     FROM exp_terms e) AS DOUBLE)
+               / (len(b.toks) + 1), 4) AS exp_tf
+  FROM base b
+)
+SELECT doc_id, base_score,
+       ROUND(base_score + {_PRF_BETA} * exp_tf, 4) AS expanded_score
+FROM expanded
+ORDER BY expanded_score DESC, doc_id LIMIT {_PRF_DOCS}
+""".replace("{qterms}", qterms)
+
+
+@register(
+    "rocchio_expansion",
+    oracle=_rocchio_oracle(),
+    doc=(
+        "Pseudo-relevance-feedback query expansion (Rocchio): rank on "
+        "the base query terms, mine the top-10 feedback docs for the "
+        f"{_PRF_TERMS} most frequent non-query non-stopword terms, "
+        "and rescore the corpus with base + 0.5×expansion-tf — the "
+        "classic recall lever when the user's wording misses the "
+        "corpus's (expanded_search substitutes synonyms; PRF LEARNS "
+        "the expansion from the corpus itself). Expansion terms are "
+        "a 5-row broadcast; both rankings are TakeOrderedAndProject; "
+        "two corpus scans total (SURVEY §2.C)."
+    ),
+)
+def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = t.select("doc_id", "toks", _term_rank_from_toks(F.col("toks")).alias("base_score"))
+    fb = base.orderBy(F.desc("base_score"), "doc_id").limit(_PRF_DOCS)
+    fbtok = fb.select(F.explode("toks").alias("tok"))
+    exp_terms = (
+        fbtok.where(
+            ~F.col("tok").isin(list(QUERY_TERMS)) & ~F.col("tok").isin(sorted(STOPWORDS))
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_PRF_TERMS)
+    )
+    hits = (
+        base.select("doc_id", "base_score", F.size("toks").alias("n_toks"), F.explode_outer("toks").alias("tok"))
+        .join(F.broadcast(exp_terms.select("tok")), "tok", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    expanded = (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "base_score",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.size("toks") + 1),
+                4,
+            ).alias("exp_tf"),
+        )
+    )
+    return (
+        expanded.select(
+            "doc_id",
+            "base_score",
+            F.round(
+                F.col("base_score") + F.lit(float(_PRF_BETA)) * F.col("exp_tf"), 4
+            ).alias("expanded_score"),
+        )
+        .orderBy(F.desc("expanded_score"), "doc_id")
+        .limit(_PRF_DOCS)
+    )
+
+
+def _term_rank_from_toks(toks):
+    """_term_rank over a prebuilt token array column."""
+    def eq(term):
+        return lambda x: x == term
+
+    tf = None
+    for term in QUERY_TERMS:
+        cnt = F.size(F.filter(toks, eq(term)))
+        tf = cnt if tf is None else tf + cnt
+    return F.round(tf.cast("double") / (F.size(toks) + F.lit(1)).cast("double"), 4)

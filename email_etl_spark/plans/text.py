@@ -3543,3 +3543,183 @@ def gibberish_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# burrows_delta — stylometric source distance.
+# ---------------------------------------------------------------------------
+
+_BD_TERMS = 20  # most-frequent-terms basis (Burrows' classic uses MFW)
+
+
+def _burrows_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, u.tok FROM (SELECT source, {_TOKS} AS toks FROM documents),
+       unnest(toks) AS u(tok)
+),
+top AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+                   ORDER BY c DESC, tok LIMIT {_BD_TERMS})
+),
+st AS (SELECT source, COUNT(*) AS n_tok FROM tok GROUP BY source),
+rf AS (
+  -- relative frequency in exact integer NANO-units (truncating
+  -- integer division): every later moment stays integer, because
+  -- ROUND(double, 9) is ulp-unstable across engines
+  SELECT t.source, t.tok,
+         CAST(COUNT(*) * 1000000000 // ANY_VALUE(st.n_tok) AS BIGINT) AS rf_nano
+  FROM tok t JOIN top USING (tok) JOIN st ON t.source = st.source
+  GROUP BY t.source, t.tok
+),
+grid AS (
+  SELECT s.source, tp.tok, COALESCE(rf.rf_nano, 0) AS rf_nano
+  FROM (SELECT source FROM st) s CROSS JOIN top tp
+  LEFT JOIN rf ON rf.source = s.source AND rf.tok = tp.tok
+),
+ns AS (SELECT COUNT(*) AS s FROM st),
+mu AS (
+  SELECT tok, CAST(SUM(rf_nano) // (SELECT s FROM ns) AS BIGINT) AS mu_nano
+  FROM grid GROUP BY tok
+),
+sig AS (
+  SELECT g.tok,
+         CAST(ROUND(SQRT(CAST(SUM(CAST(g.rf_nano - m.mu_nano AS DECIMAL(38,0))
+                                  * (g.rf_nano - m.mu_nano)) AS DOUBLE)
+              / (SELECT s FROM ns))) AS BIGINT) AS sig_nano
+  FROM grid g JOIN mu m USING (tok) GROUP BY g.tok
+),
+z AS (
+  -- z in exact integer MICRO-units: sign * (|diff_nano| * 1e6 //
+  -- sig_nano) — positive integer division is identical across
+  -- engines (ROUND(double, 6) is not: the same quotient can land on
+  -- different 6th digits under different half-rules)
+  SELECT g.source, g.tok,
+         CASE WHEN s.sig_nano > 0
+              THEN CASE WHEN g.rf_nano >= m.mu_nano THEN 1 ELSE -1 END
+                   * (ABS(g.rf_nano - m.mu_nano) * 1000000 // s.sig_nano)
+              ELSE 0 END AS z_micro
+  FROM grid g JOIN mu m USING (tok) JOIN sig s ON s.tok = g.tok
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(ABS(a.z_micro - b.z_micro)) // {_BD_TERMS} AS BIGINT)
+           AS delta_micro
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, delta_micro FROM pairs ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "burrows_delta",
+    oracle=_burrows_oracle(),
+    doc=(
+        "Burrows' Delta stylometric distance between sources: z-score "
+        "each source's relative frequency of the corpus's top-"
+        f"{_BD_TERMS} terms against the cross-source distribution, "
+        "distance = mean |z_a − z_b| — the standard authorship/"
+        "register-drift measure (two 'different' sources with near-"
+        "zero Delta are the same upstream crawl wearing two labels; "
+        "complements js_divergence with a function-word-weighted, "
+        "variance-normalized view; delta reported in exact integer "
+        "micro-units — ROUND(double,6) half-rules differ across "
+        "engines). All moments ride pre-rounded "
+        "DECIMALs (exact distributed sums); the z grid is "
+        "(sources×terms)-sized, the pair join sources²-sized "
+        "(SURVEY §2.D)."
+    ),
+)
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_BD_TERMS)
+        .select("tok")
+    )
+    st = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    rf = (
+        tok.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .join(st, "source")
+        .select(
+            "source",
+            "tok",
+            # exact integer NANO-units (truncating div): all later
+            # moments stay integer — ROUND(double, 9) is ulp-unstable
+            # across engines
+            F.expr("c * 1000000000L div n_tok").cast("bigint").alias("rf_nano"),
+        )
+    )
+    grid = (
+        st.select("source")
+        .crossJoin(F.broadcast(top))
+        .join(rf, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.coalesce(F.col("rf_nano"), F.lit(0)).cast("bigint").alias("rf_nano"),
+        )
+    )
+    ns = st.agg(F.count("*").alias("s"))
+    mu = (
+        grid.groupBy("tok")
+        .agg(F.sum("rf_nano").alias("srf"))
+        .crossJoin(F.broadcast(ns))
+        .select("tok", F.expr("srf div s").cast("bigint").alias("mu_nano"))
+    )
+    sig = (
+        grid.join(F.broadcast(mu), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(rf_nano - mu_nano AS DECIMAL(38,0)) * (rf_nano - mu_nano)"
+                )
+            ).alias("ss")
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "tok",
+            F.round(F.sqrt(F.col("ss").cast("double") / F.col("s")))
+            .cast("bigint")
+            .alias("sig_nano"),
+        )
+    )
+    # z in exact integer micro-units (see the oracle comment):
+    # positive integer division is cross-engine deterministic where
+    # ROUND(double, 6) is not
+    z = (
+        grid.join(F.broadcast(mu), "tok")
+        .join(F.broadcast(sig), "tok")
+        .select(
+            "source",
+            "tok",
+            F.when(
+                F.col("sig_nano") > 0,
+                F.when(F.col("rf_nano") >= F.col("mu_nano"), 1).otherwise(-1)
+                * F.expr("ABS(rf_nano - mu_nano) * 1000000 div sig_nano"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("z_micro"),
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "tok", F.col("z_micro").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "tok", F.col("z_micro").alias("zb"))
+    return (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr(f"sum(ABS(za - zb)) div {_BD_TERMS}")
+            .cast("bigint")
+            .alias("delta_micro")
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -750,3 +750,151 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope_per_day"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+_HURST_WINDOWS = (5, 10, 15)
+
+
+def _hurst_oracle() -> str:
+    per_w = []
+    for w in _HURST_WINDOWS:
+        per_w.append(f"""
+b{w} AS (
+  SELECT r // {w} AS blk, r % {w} AS pos, n
+  FROM idx WHERE r < ({w}) * ((SELECT COUNT(*) FROM idx) // {w})
+),
+m{w} AS (SELECT blk, CAST(SUM(n) AS DOUBLE) / {w} AS mu,
+                SQRT(SUM((n - CAST((SELECT SUM(n) FROM b{w} x WHERE x.blk = b{w}.blk) AS DOUBLE) / {w})
+                         * (n - CAST((SELECT SUM(n) FROM b{w} x WHERE x.blk = b{w}.blk) AS DOUBLE) / {w})) / {w}) AS s
+         FROM b{w} GROUP BY blk),
+z{w} AS (
+  SELECT b.blk,
+         SUM(b.n - m.mu) OVER (PARTITION BY b.blk ORDER BY b.pos) AS z
+  FROM b{w} b JOIN m{w} m USING (blk)
+),
+rs{w} AS (
+  SELECT z.blk,
+         CAST(ROUND((MAX(z.z) - MIN(z.z)) / ANY_VALUE(m.s), 9) AS DECIMAL(18,9)) AS rs
+  FROM z{w} z JOIN m{w} m USING (blk)
+  WHERE m.s > 0 GROUP BY z.blk
+),
+a{w} AS (SELECT COUNT(*) AS nb, ROUND(CAST(SUM(rs) AS DOUBLE) / COUNT(*), 6) AS mrs FROM rs{w})""")
+    ws = list(_HURST_WINDOWS)
+    # 3-point log-log OLS for H: slope of ln(mrs) on ln(w)
+    lx = [f"LN({w}.0)" for w in ws]
+    ly = [f"LN((SELECT mrs FROM a{w}))" for w in ws]
+    n = len(ws)
+    sx = " + ".join(lx)
+    sy = " + ".join(ly)
+    sxx = " + ".join(f"{x} * {x}" for x in lx)
+    sxy = " + ".join(f"{x} * {y}" for x, y in zip(lx, ly))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS r, n FROM daily),
+{", ".join(per_w).lstrip()}
+SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
+       (SELECT mrs FROM a5) AS mean_rs_w5,
+       (SELECT mrs FROM a10) AS mean_rs_w10,
+       (SELECT mrs FROM a15) AS mean_rs_w15,
+       ROUND(({n} * ({sxy}) - ({sx}) * ({sy}))
+             / ({n} * ({sxx}) - ({sx}) * ({sx})), 4) AS hurst
+"""
+
+
+@register(
+    "hurst_exponent",
+    oracle=_hurst_oracle(),
+    doc=(
+        "Hurst exponent of the daily event-count series via rescaled-"
+        "range (R/S) analysis over block sizes 5/10/15 days: H≈0.5 "
+        "means memoryless volume, H>0.5 long-range persistence (busy "
+        "days cluster — capacity must be sized for runs, not means), "
+        "H<0.5 mean-reversion; complements acf_daily (fixed-lag "
+        "correlation) with the scale-free view. Per-block R/S is "
+        "rounded to DECIMAL(18,9) before averaging (order-insensitive "
+        "sums); H is a 3-point log-log OLS in shared double "
+        "expressions. Everything after the one daily rollup is "
+        "calendar-bounded (SURVEY §2.H)."
+    ),
+)
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("r"), "n"
+    )
+    nd = idx.agg(F.count("*").alias("n_days"))
+    outs = []
+    for w in _HURST_WINDOWS:
+        b = (
+            idx.crossJoin(F.broadcast(nd))
+            .where(F.col("r") < w * F.floor(F.col("n_days") / w))
+            .select(
+                (F.col("r") / w).cast("long").alias("blk"),
+                (F.col("r") % w).alias("pos"),
+                "n",
+            )
+        )
+        m = b.groupBy("blk").agg((F.sum("n").cast("double") / w).alias("mu"))
+        bm = b.join(m, "blk")
+        s = bm.groupBy("blk").agg(
+            F.sqrt(
+                F.sum((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu"))) / w
+            ).alias("s")
+        )
+        z = bm.select(
+            "blk",
+            F.sum(F.col("n") - F.col("mu"))
+            .over(Window.partitionBy("blk").orderBy("pos"))
+            .alias("z"),
+        )
+        rs = (
+            z.groupBy("blk")
+            .agg((F.max("z") - F.min("z")).alias("range"))
+            .join(s, "blk")
+            .where(F.col("s") > 0)
+            .select(
+                F.round(F.col("range") / F.col("s"), 9)
+                .cast("decimal(18,9)")
+                .alias("rs")
+            )
+        )
+        outs.append(
+            rs.agg(
+                F.round(F.sum("rs").cast("double") / F.count("*"), 6).alias(
+                    f"mean_rs_w{w}"
+                )
+            )
+        )
+    row = nd.select(F.col("n_days").cast("bigint").alias("n_days"))
+    for o in outs:
+        row = row.crossJoin(F.broadcast(o))
+    import math
+
+    ws = list(_HURST_WINDOWS)
+    n = len(ws)
+    lxs = [math.log(float(w)) for w in ws]
+    sx = sum(lxs)
+    sxx = sum(x * x for x in lxs)
+    ly_cols = [F.log(F.col(f"mean_rs_w{w}")) for w in ws]
+    sy = ly_cols[0]
+    for c in ly_cols[1:]:
+        sy = sy + c
+    sxy = ly_cols[0] * F.lit(lxs[0])
+    for c, x in zip(ly_cols[1:], lxs[1:]):
+        sxy = sxy + c * F.lit(x)
+    hurst = F.round(
+        (F.lit(float(n)) * sxy - F.lit(sx) * sy)
+        / F.lit(float(n) * sxx - sx * sx),
+        4,
+    )
+    return row.select(
+        "n_days", "mean_rs_w5", "mean_rs_w10", "mean_rs_w15", hurst.alias("hurst")
+    )
