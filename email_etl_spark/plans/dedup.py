@@ -239,9 +239,15 @@ def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     star = mem.where(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    reps_sh = fp.join(
-        grp.select(F.col("rep").alias("doc_id")), "doc_id"
-    ).select("doc_id", "sh")
+    # cached for the same reason _shingle_table is: the rep table feeds
+    # three branches inside the verify pipeline (signature, verify-left,
+    # verify-right) — without the barrier each branch would recompute
+    # the fingerprint groupBy + join
+    reps_sh = (
+        fp.join(grp.select(F.col("rep").alias("doc_id")), "doc_id")
+        .select("doc_id", "sh")
+        .cache()
+    )
     rep_pairs = _verified_pairs_from_shingles(
         reps_sh, threshold, ordered=False
     ).select("doc_a", "doc_b")
