@@ -96,3 +96,21 @@ def test_salted_topk_two_phase(spark):
     plan = plan_of(spark, "salted_topk_users")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 phases
+
+
+def test_present_sorted_equals_order_by(spark):
+    """present_sorted must return the SAME rows in the SAME global
+    order as orderBy — it only removes the range-sampling exchange,
+    never changes the presentation contract."""
+    from email_etl_spark.io import load_table, present_sorted
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    agg = ev.groupBy("user_id").count()
+    via_order = [tuple(r) for r in agg.orderBy("user_id").collect()]
+    via_present = [tuple(r) for r in present_sorted(agg, "user_id").collect()]
+    assert via_present == via_order
+    # and the plan really has no RangePartitioning exchange
+    plan = (
+        present_sorted(agg, "user_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
