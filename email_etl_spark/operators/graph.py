@@ -5,12 +5,25 @@ duplicate group you need the transitive closure — A≈B, B≈C puts A,C
 in one cluster even if A,C never met a threshold. The reference dodges
 this by exact-message-id identity; a corpus-scale dedup cannot.
 
-Algorithm: iterative min-label propagation (the standard large-graph
-CC under Spark): every node starts as its own label; each round every
-node takes the min label in its neighborhood; converges in at most
-O(diameter) rounds — near-dup clusters are tiny cliques, so 2-3
-rounds in practice. The driver loop carries only a convergence count,
-never data; each round is one shuffle on node id.
+Algorithm: min-label propagation WITH POINTER JUMPING (label-of-label
+shortcutting, the path-halving idea behind large-star/small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond"):
+every node starts as its own label; each round every node takes the
+minimum of (its label, its neighbors' labels, its label's label).
+Plain neighbor propagation needs O(diameter) rounds — fine for
+near-dup cliques (2-3 rounds) but a version-chain corpus (crawl
+snapshots, serially edited boilerplate v1≈v2≈…≈v40) has diameter
+proportional to chain length. The label-of-label hop doubles the
+propagation distance per round, so convergence is O(log diameter):
+max_iter=20 covers diameters up to ~2^20 nodes. The driver loop
+carries only a convergence count, never data; each round is two
+shuffles on node id (neighbor min + label hop).
+
+Non-convergence is an ERROR, never a silent partial answer: a loop
+that exhausts max_iter with labels still changing would return split
+clusters that LOOK valid — the one plausible-wrong-answer shape a
+closure consumer can produce — so the operator raises instead
+(pinned by tests/test_graph_convergence.py).
 """
 
 from __future__ import annotations
@@ -19,12 +32,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation exhausts max_iter with labels
+    still changing — the result would be split (wrong) clusters."""
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
     id in the connected component. Nodes are the ids appearing in
-    edges; isolated nodes are the caller's concern."""
+    edges; isolated nodes are the caller's concern.
+
+    Raises ConvergenceError if max_iter rounds don't reach a fixpoint
+    (with pointer jumping that needs diameter > ~2^max_iter — a
+    pathological input worth failing loudly on, not absorbing).
+    Fixpoint implies exactness: at a fixpoint every node's label is
+    ≤ its neighbors' labels, so labels are constant along any path and
+    equal the component minimum (whose own label can never drop below
+    itself — labels only ever hold ids of nodes inside the component).
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -41,14 +68,31 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = labels.join(nbr_min, labels.node == nbr_min.node2, "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
-            (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component")).alias(
-                "changed"
-            ),
+        # pointer jump: my label's label. Every label value is the id
+        # of a node in my component (inductively: initial labels are
+        # node ids; propagated values come from neighbors' / labels'
+        # labels), so the self-join is total — left join is belt and
+        # braces against an isolated-node caller.
+        hop = labels.select(
+            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .join(hop, labels.component == hop.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.coalesce(F.col("pcomp"), F.col("component")),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
+            )
+            .select(
+                "node",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") < F.col("old_component")).alias("changed"),
+            )
         )
         # localCheckpoint truncates the lineage: without it each round
         # nests the previous round's plan and deep graphs (long chains)
@@ -58,5 +102,10 @@ def connected_components(
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.select("node", "component")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise ConvergenceError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(labels still changing); the graph's effective diameter "
+        f"exceeds ~2^{max_iter}. Raise max_iter — returning partial "
+        f"labels would silently split clusters."
+    )

@@ -5515,7 +5515,7 @@ SELECT doc_id, base_score,
        ROUND(base_score + {_PRF_BETA} * exp_tf, 4) AS expanded_score
 FROM expanded
 ORDER BY expanded_score DESC, doc_id LIMIT {_PRF_DOCS}
-""".replace("{qterms}", qterms)
+"""
 
 
 @register(
