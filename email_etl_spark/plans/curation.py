@@ -33,6 +33,16 @@ from email_etl_spark.plans.registry import register
 
 _TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+# fuzzy_decontaminate's cached (doc_id, sh, is_bench) table, memoized
+# per corpus dir so repeated calls in one long-lived session reuse one
+# pinned handle instead of accumulating them (ADVICE r6; same
+# discipline as plans/dedup.py _SH_CACHE). Invalidation unpersists.
+from email_etl_spark.cache import register_dir_cache as _reg_cache
+from email_etl_spark.cache import unpersist_value as _unpersist_value
+
+_DECON_SH_CACHE: dict = {}  # sf_dir -> cached shingle+flag DataFrame
+_reg_cache(_DECON_SH_CACHE, lambda key: key, on_drop=_unpersist_value)
+
 # hex-prefix thresholds: uniform md5 → first 2 hex chars < 'e6' keeps
 # 230/256 ≈ 89.8%, < 'f3' keeps 243/256 ≈ 94.9%.
 _TRAIN_HI = "e6"
@@ -301,15 +311,24 @@ ORDER BY train_id, bench_id
 def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from email_etl_spark.io import parallelize_scan
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    is_bench = (
-        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1)
-        == "0"
-    )
-    sh = toks.select(
-        "doc_id", H.shingles(F.col("toks"), k=3).alias("sh"), is_bench.alias("is_bench")
-    ).cache()
+    sh = _DECON_SH_CACHE.get(sf_dir)
+    if sh is None:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = parallelize_scan(docs).select(
+            "doc_id", T.tokens(F.col("text")).alias("toks")
+        )
+        is_bench = (
+            F.substring(
+                F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))), 1, 1
+            )
+            == "0"
+        )
+        sh = toks.select(
+            "doc_id",
+            H.shingles(F.col("toks"), k=3).alias("sh"),
+            is_bench.alias("is_bench"),
+        ).cache()
+        _DECON_SH_CACHE[sf_dir] = sh
 
     sig = H.with_minhash_sig(sh, "sh").drop("sh")
     sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]

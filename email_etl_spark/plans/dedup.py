@@ -31,6 +31,40 @@ MINHASH_THRESHOLD = 0.6   # 3-gram Jaccard
 NGRAM_THRESHOLD = 0.5     # 2-gram Jaccard
 EMB_THRESHOLD = 0.45      # cosine
 
+# Per-corpus memoized `.cache()` handles (ADVICE r6: a serving process
+# that runs the dedup family repeatedly must not accumulate pinned
+# storage per CALL — these bound it per corpus instead, and corpus-dir
+# invalidation both drops the entry and unpersists the blocks).
+from email_etl_spark.cache import register_dir_cache as _reg_cache
+from email_etl_spark.cache import unpersist_value as _unpersist_value
+
+_SH_CACHE: dict = {}       # (sf_dir, k) -> cached shingle DataFrame
+_CLOSURE_CACHE: dict = {}  # (sf_dir, k, threshold) -> (edges, reps_sh)
+_CC_CACHE: dict = {}       # (sf_dir, k, threshold) -> component labels
+_reg_cache(_SH_CACHE, lambda key: key[0], on_drop=_unpersist_value)
+_reg_cache(_CLOSURE_CACHE, lambda key: key[0], on_drop=_unpersist_value)
+_reg_cache(_CC_CACHE, lambda key: key[0], on_drop=_unpersist_value)
+
+
+def _closure_components(spark, sf_dir: str, k: int, threshold: float):
+    """Memoized transitive-closure labels for the closure-only
+    consumers (dedup_clusters / dedup_keep_best / dedup_savings /
+    dup_cluster_size_hist): one connected_components run per corpus,
+    shared by all four — the label-propagation loop localCheckpoints
+    each round, so re-running it per consumer call would both redo the
+    shuffles and pin fresh checkpoint blocks per call."""
+    from email_etl_spark.operators.graph import connected_components
+
+    key = (sf_dir, k, threshold)
+    comp = _CC_CACHE.get(key)
+    if comp is None:
+        edges = _closure_edges(
+            load_table(spark, sf_dir, "documents"), k=k, threshold=threshold, sf_dir=sf_dir
+        )
+        comp = connected_components(edges, src="doc_a", dst="doc_b")
+        _CC_CACHE[key] = comp
+    return comp
+
 _TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
@@ -83,20 +117,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _shingle_table(docs: DataFrame, k: int) -> DataFrame:
+def _shingle_table(docs: DataFrame, k: int, sf_dir: str | None = None) -> DataFrame:
     """(doc_id, sh) word-k-gram shingle SETS, cached: the table feeds
     three branches (signature, verify-left, verify-right) and caching
     also materializes the arrays, avoiding Spark's per-output-row
     re-evaluation of generator children (measured 10x on this corpus).
+
+    When the caller is a registry query over a corpus DIRECTORY it
+    passes `sf_dir` and the handle is MEMOIZED per (sf_dir, k) — a
+    long-lived serving process that runs the dedup family repeatedly
+    reuses one pinned table per corpus instead of accumulating a fresh
+    `.cache()` handle per call (storage bounded by distinct corpora,
+    not call count; pinned by tests/test_cache_lifecycle.py).
+    Invalidation drops AND unpersists via email_etl_spark.cache.
+    Ad-hoc DataFrames (tests, composed operators) omit sf_dir and keep
+    the per-call handle, relying on Spark's LRU block eviction.
     """
+    key = (sf_dir, k)
+    if sf_dir is not None and key in _SH_CACHE:
+        return _SH_CACHE[key]
     toks = parallelize_scan(docs).select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
-    return toks.select("doc_id", H.shingles(F.col("toks"), k=k).alias("sh")).cache()
+    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=k).alias("sh")).cache()
+    if sf_dir is not None:
+        _SH_CACHE[key] = sh
+    return sh
 
 
 def _lsh_verified_pairs(
-    docs: DataFrame, k: int, threshold: float, with_containment: bool = False
+    docs: DataFrame,
+    k: int,
+    threshold: float,
+    with_containment: bool = False,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Shared MinHash+LSH bucket-then-verify pipeline: word-k-gram
     shingles → N_LANES md5-derived minhash lanes → band buckets →
@@ -111,7 +165,7 @@ def _lsh_verified_pairs(
     is the worst case for inverted-index joins.
     """
     return _verified_pairs_from_shingles(
-        _shingle_table(docs, k), threshold, with_containment
+        _shingle_table(docs, k, sf_dir=sf_dir), threshold, with_containment
     )
 
 
@@ -199,7 +253,9 @@ def _verified_pairs_from_shingles(
     return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
-def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
+def _closure_edges(
+    docs: DataFrame, k: int, threshold: float, sf_dir: str | None = None
+) -> DataFrame:
     """Connectivity-sufficient near-dup edge stream (doc_a, doc_b) for
     the transitive-CLOSURE consumers (dedup_clusters / dedup_keep_best
     / dedup_savings / dup_cluster_size_hist) — NOT the full verified
@@ -227,8 +283,16 @@ def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     dominant template-copy blowup drops from quadratic to linear. Only
     near-but-NOT-identical shingle sets still pay pair cost — which
     exact closure semantics genuinely require.
+
+    Registry callers pass `sf_dir`: the edge stream (and its cached
+    rep-shingle table) is memoized per (sf_dir, k, threshold), since
+    dup_cluster_size_hist / dedup_savings re-derive clusters and would
+    otherwise re-pin a fresh reps_sh handle per call (ADVICE r6).
     """
-    sh = _shingle_table(docs, k)
+    memo_key = (sf_dir, k, threshold)
+    if sf_dir is not None and memo_key in _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[memo_key][0]
+    sh = _shingle_table(docs, k, sf_dir=sf_dir)
     fp = sh.select(
         "doc_id",
         "sh",
@@ -251,7 +315,10 @@ def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     rep_pairs = _verified_pairs_from_shingles(
         reps_sh, threshold, ordered=False
     ).select("doc_a", "doc_b")
-    return star.unionByName(rep_pairs)
+    edges = star.unionByName(rep_pairs)
+    if sf_dir is not None:
+        _CLOSURE_CACHE[memo_key] = (edges, reps_sh)
+    return edges
 
 
 @register(
@@ -260,7 +327,9 @@ def _closure_edges(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     doc="Word-2-gram Jaccard near-dup pairs via LSH bucket-then-verify (exact-verified; see _lsh_verified_pairs).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=2, threshold=NGRAM_THRESHOLD)
+    return _lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=2, threshold=NGRAM_THRESHOLD, sf_dir=sf_dir
+    )
 
 
 @register(
@@ -274,7 +343,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_verified_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD)
+    return _lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir
+    )
 
 
 # anchored at the repo root (not the caller's cwd) — see ANN_INDEX_ROOT
@@ -657,16 +728,11 @@ FROM reach GROUP BY node ORDER BY doc_id
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from email_etl_spark.operators.graph import connected_components
-
     # closure-only consumer: identical-shingle docs are collapsed to a
     # rep before pair generation (see _closure_edges) — components are
     # provably identical to the full verified-pair graph's, but the
     # B² hot-bucket pair stream becomes B−1 star edges
-    edges = _closure_edges(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=MINHASH_THRESHOLD
-    )
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    comp = _closure_components(spark, sf_dir, k=3, threshold=MINHASH_THRESHOLD)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
@@ -705,6 +771,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=2,
         threshold=NGRAM_THRESHOLD,
         with_containment=True,
+        sf_dir=sf_dir,
     )
 
 
@@ -900,12 +967,9 @@ def _quality_sql_fragment() -> str:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from email_etl_spark.operators.graph import connected_components
-
     docs = load_table(spark, sf_dir, "documents")
     # closure-only consumer — collapsed edge stream (see _closure_edges)
-    edges = _closure_edges(docs, k=3, threshold=MINHASH_THRESHOLD)
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    comp = _closure_components(spark, sf_dir, k=3, threshold=MINHASH_THRESHOLD)
     q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
     m = comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).join(
         q, "doc_id"
@@ -991,7 +1055,7 @@ FROM deg GROUP BY degree ORDER BY degree
 )
 def dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
     # explode BOTH endpoints from one projection — unionAll of two
     # selects builds (and runs) the whole LSH pair pipeline twice
     # (round-3 audit: 29 exchanges where ~15 suffice)
@@ -1096,7 +1160,7 @@ SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
 )
 def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lsh_pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+    lsh_pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir).select(
         "doc_a", "doc_b"
     )
     # deterministic md5 doc sample bounds the quadratic exact side
@@ -1304,7 +1368,7 @@ def near_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = _lsh_verified_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, sf_dir=sf_dir
     )
     band = (F.round(F.col("jaccard") * 10000).cast("bigint") / 1000).cast("bigint")
     hist = pairs.groupBy(band.alias("band")).agg(F.count("*").alias("n_pairs"))
@@ -1655,7 +1719,7 @@ def dup_quality_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from email_etl_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
     dup_ids = (
         pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
@@ -1719,7 +1783,7 @@ ORDER BY n_pairs DESC, source_x, source_y
 )
 def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -1788,7 +1852,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-nests the whole band-join pair-stream plan without it (~88
     # static exchanges); with it every branch roots at the
     # materialized edge RDD.
-    e = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+    e = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).localCheckpoint(eager=True)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -1880,7 +1944,7 @@ FROM b GROUP BY err_bucket ORDER BY err_bucket
 )
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD)
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
     toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
     sig = H.with_minhash_sig(sh, "sh").drop("sh")
@@ -2442,7 +2506,7 @@ ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOP}
 )
 def dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir).select(
         "doc_a", "doc_b"
     )
     # localCheckpoint truncates the LSH-pipeline lineage (the
@@ -2554,7 +2618,7 @@ FROM e GROUP BY jac_band ORDER BY jac_band
 )
 def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=0.5)
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=0.5, sf_dir=sf_dir)
     toks = docs.select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
     hashes = toks.select(
         "doc_id",
@@ -2623,7 +2687,7 @@ FROM lp GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
 )
 def cross_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD).select(
+    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir).select(
         "doc_a", "doc_b"
     )
     langs = docs.select("doc_id", "lang")

@@ -1,0 +1,60 @@
+"""Per-query `.cache()` handle lifecycle (VERDICT r6 #5 / ADVICE r6):
+repeated dedup-family / decontamination calls in one long-lived
+session must reuse memoized per-corpus handles, not accumulate a new
+pinned DataFrame per call; corpus-dir invalidation must unpersist.
+"""
+
+from __future__ import annotations
+
+from email_etl_spark.cache import invalidate_under
+from email_etl_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_dedup_family_repeat_calls_do_not_accumulate_storage(spark):
+    family = [
+        "dedup_minhash",
+        "dedup_clusters",
+        "dedup_savings",
+        "dup_cluster_size_hist",
+        "dedup_keep_best",
+        "fuzzy_decontaminate",
+    ]
+    for name in family:  # first pass populates the per-corpus memos
+        REGISTRY[name].builder(spark, SF).collect()
+    after_first = _n_persistent_rdds(spark)
+    for name in family:  # second pass must not pin anything new
+        REGISTRY[name].builder(spark, SF).collect()
+    after_second = _n_persistent_rdds(spark)
+    assert after_second == after_first, (
+        f"repeat dedup-family pass grew pinned storage "
+        f"{after_first} -> {after_second}"
+    )
+
+
+def test_invalidate_under_unpersists_corpus_handles(spark):
+    from email_etl_spark.plans import curation, dedup
+
+    REGISTRY["dedup_clusters"].builder(spark, SF).collect()
+    REGISTRY["fuzzy_decontaminate"].builder(spark, SF).collect()
+    assert any(k[0] == SF for k in dedup._SH_CACHE)
+    assert any(k[0] == SF for k in dedup._CLOSURE_CACHE)
+    assert SF in curation._DECON_SH_CACHE
+
+    sh = dedup._SH_CACHE[(SF, 3)]
+    decon = curation._DECON_SH_CACHE[SF]
+    assert sh.storageLevel.useMemory and decon.storageLevel.useMemory
+
+    dropped = invalidate_under(SF)
+    assert dropped >= 3
+    assert not any(k[0] == SF for k in dedup._SH_CACHE)
+    assert not any(k[0] == SF for k in dedup._CLOSURE_CACHE)
+    assert SF not in curation._DECON_SH_CACHE
+    # the blocks were actually released, not just the dict entries
+    assert not sh.storageLevel.useMemory
+    assert not decon.storageLevel.useMemory
