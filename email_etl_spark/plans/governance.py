@@ -15,6 +15,8 @@ Catalyst keeps scans pruned and aggregation map-side combined.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1245,6 +1247,47 @@ def rowgroup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mv_refresh_delta — incremental materialized-view maintenance.
 # ---------------------------------------------------------------------------
 
+MV_BASE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "mv_base",
+)
+
+
+def build_mv_base_snapshot(
+    spark: SparkSession, sf_dir: str, snapshot_dir: str | None = None
+) -> str:
+    """Materialize the per-source BASE STATE of the stats view —
+    aggregates over docs up to the id midpoint ("yesterday's
+    snapshot") plus the midpoint itself — the build-once discipline of
+    build_minhash_index (plans/dedup.py). At refresh time the history
+    is read from HERE, never rescanned: the query plan touches the
+    corpus only through the delta id-slice. Midpoint arithmetic is
+    integer `div` end to end (matching the oracle's floor division at
+    any magnitude — (min+max)/2 through DOUBLE loses exactness past
+    2^53). Idempotent per corpus dir."""
+    import os
+
+    snapshot_dir = snapshot_dir or os.path.join(
+        MV_BASE_ROOT, os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        row = docs.agg(
+            F.expr("(min(doc_id) + max(doc_id)) div 2").alias("m")
+        ).first()
+        m = row["m"] if row is not None else None
+        base = docs if m is None else docs.where(F.col("doc_id") <= F.lit(m))
+        snap = base.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.lit(m).cast("long").alias("m"),
+        )
+        # dimension-sized state: one file, no partition tree
+        snap.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
+    return snapshot_dir
+
 
 @register(
     "mv_refresh_delta",
@@ -1260,36 +1303,45 @@ FROM documents GROUP BY source ORDER BY source
 """,
     doc=(
         "Incremental materialized-view refresh: the per-source stats "
-        "view is maintained as BASE STATE (docs up to the id midpoint "
-        "— yesterday's snapshot) merged with a DELTA aggregate (new "
-        "arrivals), never by rescanning history — the foundation of "
-        "every streaming-ingest dashboard at 100 TB (rescanning a "
-        "petabyte to add a day is not a refresh strategy; the "
-        "foreachBatch upsert sink in streaming/pipeline.py persists "
-        "exactly this mergeable state). All statistics here are "
-        "MERGEABLE (count/sum/max merge by sum/sum/max); the oracle "
-        "is the full recompute, so the gate PROVES base+delta == "
-        "scratch (SURVEY §2.H/§4)."
+        "view is maintained as PERSISTED BASE STATE (docs up to the id "
+        "midpoint — yesterday's snapshot, written once by "
+        "build_mv_base_snapshot under spark-warehouse/mv_base) merged "
+        "with a DELTA aggregate over only the new id-slice — the plan "
+        "scans the corpus exactly once, with doc_id > m PUSHED to the "
+        "parquet scan (row-group pruning skips history), plus one read "
+        "of the dimension-sized snapshot. Rescanning a petabyte to add "
+        "a day is not a refresh strategy; the foreachBatch upsert sink "
+        "in streaming/pipeline.py persists exactly this mergeable "
+        "state. All statistics here are MERGEABLE (count/sum/max merge "
+        "by sum/sum/max); the oracle is the full recompute, so the "
+        "gate PROVES snapshot+delta == scratch (SURVEY §2.H/§4; plan "
+        "shape pinned by tests/test_mv_snapshot.py)."
     ),
 )
 def mv_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap_dir = build_mv_base_snapshot(spark, sf_dir)
+    snap = spark.read.parquet(snap_dir)
+    # the midpoint is snapshot metadata — one bounded value, a plan
+    # constant (the MLlib shape), NOT a runtime subquery: inlining it
+    # as a literal is what lets the delta predicate reach PushedFilters
+    row = snap.select("m").first()
+    m = row["m"] if row is not None else None
+
     docs = load_table(spark, sf_dir, "documents")
-    mid = docs.agg(
-        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("m")
+    delta_docs = docs if m is None else docs.where(F.col("doc_id") > F.lit(m))
+    delta = delta_docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count("*").alias("n_delta_docs"),
     )
-    split = docs.crossJoin(F.broadcast(mid))
-
-    def agg_part(df: DataFrame, is_delta: int) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.max("doc_id").alias("max_doc_id"),
-            F.lit(is_delta).alias("part_is_delta"),
-            F.count("*").alias("part_docs"),
-        )
-
-    base = agg_part(split.where(F.col("doc_id") <= F.col("m")), 0)
-    delta = agg_part(split.where(F.col("doc_id") > F.col("m")), 1)
+    base = snap.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "max_doc_id",
+        F.lit(0).cast("long").alias("n_delta_docs"),
+    )
     # merge step: the ONLY work a refresh does at scale — state tables
     # are source-sized, the delta aggregate is delta-sized
     return (
@@ -1299,9 +1351,7 @@ def mv_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("total_chars").cast("bigint").alias("total_chars"),
             F.max("max_doc_id").cast("bigint").alias("max_doc_id"),
-            F.sum(F.when(F.col("part_is_delta") == 1, F.col("part_docs")).otherwise(0))
-            .cast("bigint")
-            .alias("n_delta_docs"),
+            F.sum("n_delta_docs").cast("bigint").alias("n_delta_docs"),
         )
         .orderBy("source")
     )
