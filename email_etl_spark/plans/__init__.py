@@ -36,69 +36,20 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # ---- round-6 driver window (first 50) ----
-    # tier 1: this round's 12 NEW operators (never driver-checked)
-    "q14_promo_revenue",
-    "asof_join_tolerance",
-    "mann_kendall_trend",
-    "theil_sen_trend",
-    "priority_status_chi2",
-    "heaps_law_fit",
-    "gibberish_profile",
-    "interleaved_eval",
-    "embedding_norm_profile",
-    "watermark_lateness_profile",
-    "mv_refresh_delta",
-    "dp_topk_release",
-    "sessionize_native",
-    "rocchio_expansion",
-    "hurst_exponent",
-    "burrows_delta",
-    # tier 2: the sketch tier, newly ORACLE-BACKED this round (their
-    # r3/r4 driver rows were no_oracle; re-gating closes VERDICT r5 #4)
-    "approx_user_counts",
-    "approx_value_quantiles",
-    "hll_rollup",
-    "heavy_hitters_mg",
-    # tier 3: never-checked queries whose code changed this round
-    # (star-edge closure consumers)
-    "dedup_savings",
-    "dup_cluster_size_hist",
-    # tier 4: semantics-bearing changes that were previously green —
-    # worth a driver re-gate (closure substitution; stat-string
-    # canonicalization)
-    "dedup_clusters",
-    "dedup_keep_best",
-    "parquet_skipping_stats",
-    # tier 5: never-checked backlog head (retired over rounds 5-7)
-    "query_autocomplete",
-    "split_leakage",
-    "dim_ablation_recall",
-    "shot_boundaries",
-    "readability_fk",
-    "snapshot_diff",
-    "cdc_apply",
-    "expectations_report",
-    "winsorized_stats",
-    "k_anonymity_profile",
-    "ann_lsh_indexed",
-    "embedding_drift",
-    "gopher_quality",
-    "bigram_logprob",
-    "char_entropy",
-    "zipf_fit",
-    "langid_chargram",
-    "perplexity_buckets",
-    "vocab_coverage",
-    "charclass_profile",
-    "dsir_weights",
-    "contamination_by_benchmark",
-    "filter_ablation",
-    "weighted_sample",
-    "dataset_card",
-    # ---- below the 50-query window: remaining never-checked backlog
-    # (rounds 7+), then changed-but-sweep-green re-verification, then
-    # the standing flagship surface; rest keep module order ----
+    # ---- round-7 driver window (first 50) ----
+    # tier 1: this round's 5 NEW operators (never driver-checked)
+    "closure_edge_stats",
+    "minhash_est_error",
+    "dedup_method_agreement",
+    "dp_mean_release",
+    "ljung_box_daily",
+    # tier 2: never-checked backlog head — 45 slots. Round-7 policy
+    # decision: the queries whose CODE changed this round (the dedup
+    # family's memoized handles, the closure consumers' shared
+    # connected_components run, mv_refresh_delta's persisted snapshot)
+    # are re-verified OUTSIDE the window — full 2-SF sweep_delta plus
+    # the sf0.1 closure/dedup records — so every window slot retires
+    # never-driver-checked backlog (VERDICT r6 #2: union >= 329).
     "ann_pq",
     "ann_ivfpq_indexed",
     "cluster_exemplars",
@@ -144,6 +95,10 @@ _GATE_ORDER = (
     "copurchase_types",
     "returns_by_delay",
     "attribution_linear",
+    # ---- below the 50-query window: the 34-query backlog tail
+    # (round 8 retires it), then changed-this-round sweep-verified
+    # re-verification, then the standing flagship surface; everything
+    # else keeps module order ----
     "revenue_concentration",
     "first_order_ltv",
     "expanded_search",
@@ -178,22 +133,24 @@ _GATE_ORDER = (
     "quality_length_corr",
     "ann_ivfpq",
     "cluster_top_terms",
-    # changed-this-round, previously green, sweep-verified at both SFs
-    # (numeric-overflow hardening; presentation-sort tails)
-    "score_rank_corr",
-    "collocation_llr",
-    "filter_agreement_kappa",
-    "minhash_index_integrity",
-    "sessionize",
-    "tumbling_counts",
-    "image_decode_stats",
+    # changed-this-round, previously green, re-verified at both SFs by
+    # sweep_delta (memoized cache handles; shared closure components;
+    # snapshot-backed mv refresh; rocchio oracle cleanup)
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_savings",
+    "dup_cluster_size_hist",
+    "incremental_neardup",
+    "fuzzy_decontaminate",
+    "mv_refresh_delta",
+    "rocchio_expansion",
     # standing flagship surface
     "join_size_estimate",
-    "dedup_minhash",
-    "fuzzy_decontaminate",
     "knn_join",
     "dedup_embedding",
-    "dedup_ngram_jaccard",
     "hybrid_search",
     "semantic_topk",
     "ann_bruteforce",
@@ -201,6 +158,9 @@ _GATE_ORDER = (
     "ann_ivf",
     "rag_context",
     "q1_pricing_summary",
+    "sessionize",
+    "tumbling_counts",
+    "image_decode_stats",
 )
 
 

@@ -2986,3 +2986,386 @@ def minhash_index_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# closure_edge_stats — the star-edge collapse, made observable per corpus.
+# ---------------------------------------------------------------------------
+
+
+def _closure_edge_stats_oracle() -> str:
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    )
+    return f"""
+WITH {_shingle_cte(3)},
+fpt AS (
+  SELECT doc_id, sh, md5(array_to_string(list_sort(sh), chr(31))) AS fp FROM sh
+),
+grp AS (SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS b FROM fpt GROUP BY fp),
+g AS (
+  SELECT CAST(SUM(b) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_identity_groups,
+         CAST(SUM(b) - COUNT(*) AS BIGINT) AS star_edges,
+         CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS within_pairs
+  FROM grp
+),
+reps AS (SELECT f.doc_id, f.sh FROM fpt f JOIN grp g2 ON f.doc_id = g2.rep),
+rp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+  WHERE {jac} >= {MINHASH_THRESHOLD}
+),
+rps AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rep_pair_edges,
+         CAST(COALESCE(SUM(ga.b * gb.b), 0) AS BIGINT) AS cross_pairs
+  FROM rp JOIN grp ga ON ga.rep = rp.doc_a JOIN grp gb ON gb.rep = rp.doc_b
+)
+SELECT g.n_docs,
+       g.n_identity_groups,
+       g.star_edges,
+       rps.rep_pair_edges,
+       g.star_edges + rps.rep_pair_edges AS closure_edges,
+       g.within_pairs + rps.cross_pairs AS pair_equivalent_edges,
+       CASE WHEN g.within_pairs + rps.cross_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((g.within_pairs + rps.cross_pairs
+                       - g.star_edges - rps.rep_pair_edges) * 10000
+                      // (g.within_pairs + rps.cross_pairs) AS BIGINT)
+       END AS savings_bps
+FROM g CROSS JOIN rps
+"""
+
+
+@register(
+    "closure_edge_stats",
+    oracle=_closure_edge_stats_oracle(),
+    doc=(
+        "Star-edge collapse accounting (VERDICT r6 #6): per corpus, the "
+        "edges the closure consumers actually ride (star edges within "
+        "identical-shingle groups + verified rep pairs) vs the "
+        "PAIR-EQUIVALENT count the uncollapsed path would verify-emit "
+        "(sum of C(B,2) within groups + |X|*|Y| across near-dup group "
+        "pairs — exact, because J(x,y) = J(rep_x, rep_y) for equal "
+        "shingle sets). savings_bps makes the B-1-vs-B^2 win observable "
+        "per corpus instead of only proven in unit fixtures "
+        "(test_dedup_closure.py). Rides the memoized shingle table; the "
+        "corpus is never self-joined — only identity-group REPS are "
+        "(SURVEY §2.E)."
+    ),
+)
+def closure_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, 3, sf_dir=sf_dir)
+    fpt = sh.select(
+        "doc_id",
+        "sh",
+        F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("fp"),
+    )
+    grp = fpt.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("b")
+    )
+    g = grp.agg(
+        F.sum("b").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_identity_groups"),
+        (F.sum("b") - F.count("*")).cast("bigint").alias("star_edges"),
+        F.expr("sum(b * (b - 1) div 2)").cast("bigint").alias("within_pairs"),
+    )
+    reps_sh = fpt.join(
+        grp.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select("doc_id", "sh")
+    rp = _verified_pairs_from_shingles(
+        reps_sh, MINHASH_THRESHOLD, ordered=False
+    ).select("doc_a", "doc_b")
+    ga = grp.select(F.col("rep").alias("doc_a"), F.col("b").alias("ba"))
+    gb = grp.select(F.col("rep").alias("doc_b"), F.col("b").alias("bb"))
+    rps = (
+        rp.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("rep_pair_edges"),
+            F.coalesce(F.sum(F.col("ba") * F.col("bb")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_pairs"),
+        )
+    )
+    pair_equiv = F.col("within_pairs") + F.col("cross_pairs")
+    closure = F.col("star_edges") + F.col("rep_pair_edges")
+    return g.crossJoin(F.broadcast(rps)).select(
+        "n_docs",
+        "n_identity_groups",
+        "star_edges",
+        "rep_pair_edges",
+        closure.cast("bigint").alias("closure_edges"),
+        pair_equiv.cast("bigint").alias("pair_equivalent_edges"),
+        F.when(pair_equiv == 0, F.lit(0))
+        .otherwise(F.expr(
+            "(within_pairs + cross_pairs - star_edges - rep_pair_edges) * 10000"
+            " div (within_pairs + cross_pairs)"
+        ))
+        .cast("bigint")
+        .alias("savings_bps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_est_error — sketch-accuracy audit: lane estimate vs exact Jaccard.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_error_oracle() -> str:
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    )
+    lane = (
+        lambda l: "list_min(list_transform(sh, s -> "
+        f"substring(md5('{l // H.LANES_PER_GROUP}:' || s), {1 + 8 * (l % H.LANES_PER_GROUP)}, 8)))"
+    )
+    lanes = ", ".join(lane(l) for l in range(H.N_LANES))
+    return f"""
+WITH {_shingle_cte(3)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {jac} >= {MINHASH_THRESHOLD}
+),
+sig AS MATERIALIZED (SELECT doc_id, [{lanes}] AS lanes FROM sh),
+e AS (
+  SELECT CAST(ROUND(p.jaccard * 10000) AS BIGINT) AS j4i,
+         CAST(len(list_filter(range(1, {H.N_LANES + 1}),
+                              i -> sa.lanes[i] = sb.lanes[i])) AS BIGINT) AS m
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT CAST(j4i // 1000 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(ABS(10000 * m - {H.N_LANES} * j4i))
+             / (COUNT(*) * {H.N_LANES} * 10000.0), 6) AS mean_abs_err,
+       ROUND(MAX(ABS(10000 * m - {H.N_LANES} * j4i))
+             / ({H.N_LANES} * 10000.0), 6) AS max_abs_err
+FROM e GROUP BY 1 ORDER BY band
+"""
+
+
+@register(
+    "minhash_est_error",
+    oracle=_minhash_est_error_oracle(),
+    doc=(
+        "MinHash sketch-accuracy audit: for every exact-verified "
+        "near-dup pair, compare the 32-lane minhash ESTIMATE of Jaccard "
+        "(fraction of agreeing lanes — the quantity LSH banding actually "
+        "thresholds on) against the exact set Jaccard, summarized per "
+        "0.1-wide J band (mean/max absolute error). The per-lane-count "
+        "error floor is what sizes N_LANES: stderr ~ sqrt(J(1-J)/32). "
+        "All error terms live in integer space (|10000*m - 32*j4i|, "
+        "units of 1/320000) until the final division, so the "
+        "distributed aggregate is order-insensitive and hash-stable "
+        "cross-engine. Rides the memoized shingle table + the same "
+        "md5 lane replication the index-integrity oracle uses "
+        "(SURVEY §2.E)."
+    ),
+)
+def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, 3, sf_dir=sf_dir)
+    pairs = _verified_pairs_from_shingles(sh, MINHASH_THRESHOLD, ordered=False)
+    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.N_LANES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(H.N_LANES)],
+    )
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(H.N_LANES)
+    ).cast("bigint")
+    j4i = F.round(F.col("jaccard") * 10000).cast("bigint")
+    e = (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(j4i.alias("j4i"), m.alias("m"))
+    )
+    err = F.abs(10000 * F.col("m") - H.N_LANES * F.col("j4i"))
+    return (
+        e.groupBy(F.expr("j4i div 1000").cast("bigint").alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(err) / (F.count("*") * float(H.N_LANES * 10000)), 6
+            ).alias("mean_abs_err"),
+            F.round(F.max(err) / float(H.N_LANES * 10000), 6).alias("max_abs_err"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_agreement — do the dedup families flag the same docs?
+# ---------------------------------------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    def sh_cte(k: int) -> str:
+        return (
+            _shingle_cte(k)
+            .replace("tok AS", f"tok{k} AS")
+            .replace("FROM tok", f"FROM tok{k}")
+            .replace("sh AS", f"sh{k} AS")
+        )
+
+    def jac(k: int) -> str:
+        return (
+            "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+        )
+
+    return f"""
+WITH {sh_cte(2)},
+{sh_cte(3)},
+exa AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+exflag AS (
+  SELECT DISTINCT doc_id FROM exa
+  WHERE fp IN (SELECT fp FROM exa GROUP BY fp HAVING COUNT(*) > 1)
+),
+ngp AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+  WHERE {jac(2)} >= {NGRAM_THRESHOLD}
+),
+ngflag AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT da AS doc_id FROM ngp UNION ALL SELECT db FROM ngp) t
+),
+mhp AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+  WHERE {jac(3)} >= {MINHASH_THRESHOLD}
+),
+mhflag AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT da AS doc_id FROM mhp UNION ALL SELECT db FROM mhp) t
+),
+flags AS (
+  SELECT 'exact' AS method, doc_id FROM exflag
+  UNION ALL SELECT 'ngram2', doc_id FROM ngflag
+  UNION ALL SELECT 'minhash3', doc_id FROM mhflag
+),
+counts AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n FROM flags GROUP BY method),
+skel AS (
+  SELECT * FROM (VALUES ('exact', 'minhash3'), ('exact', 'ngram2'),
+                        ('minhash3', 'ngram2')) AS v(method_a, method_b)
+),
+ovl AS (
+  SELECT a.method AS method_a, b.method AS method_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.method < b.method
+  GROUP BY 1, 2
+)
+SELECT s.method_a, s.method_b,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
+       COALESCE(ROUND(CAST(COALESCE(o.n_both, 0) AS DOUBLE)
+                      / NULLIF(COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                               - COALESCE(o.n_both, 0), 0), 4), 0.0) AS agreement
+FROM skel s
+LEFT JOIN counts ca ON ca.method = s.method_a
+LEFT JOIN counts cb ON cb.method = s.method_b
+LEFT JOIN ovl o ON o.method_a = s.method_a AND o.method_b = s.method_b
+ORDER BY s.method_a, s.method_b
+"""
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    doc=(
+        "Method-agreement matrix for the dedup families: which docs do "
+        "exact fingerprinting, 2-gram Jaccard (t=0.5) and 3-gram "
+        "MinHash (t=0.6) each FLAG as duplicates, and how much do the "
+        "flag sets overlap (set Jaccard per method pair)? The report a "
+        "pipeline owner reads before choosing a tier ladder "
+        "(dedup_tiers): high exact~minhash agreement means the fuzzy "
+        "pass mostly rediscovers byte-dupes; low ngram~minhash "
+        "agreement means shingle size materially changes the corpus "
+        "slice removed. Flag sets ride the memoized pair pipelines; "
+        "the 3-row method skeleton is a plan constant "
+        "(SURVEY §2.E)."
+    ),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fpd = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    dup_fp = fpd.groupBy("fp").agg(F.count("*").alias("nc")).where(F.col("nc") > 1)
+    exflag = fpd.join(dup_fp, "fp").select("doc_id")
+
+    def flag_of(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+
+    ngflag = flag_of(
+        _lsh_verified_pairs(docs, k=2, threshold=NGRAM_THRESHOLD, sf_dir=sf_dir)
+    )
+    mhflag = flag_of(
+        _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
+    )
+    flags = (
+        exflag.select(F.lit("exact").alias("method"), "doc_id")
+        .unionByName(ngflag.select(F.lit("ngram2").alias("method"), "doc_id"))
+        .unionByName(mhflag.select(F.lit("minhash3").alias("method"), "doc_id"))
+    )
+    counts = flags.groupBy("method").agg(F.count("*").cast("bigint").alias("n"))
+    skel = spark.createDataFrame(
+        [("exact", "minhash3"), ("exact", "ngram2"), ("minhash3", "ngram2")],
+        "method_a string, method_b string",
+    )
+    fa, fb = flags.alias("fa"), flags.alias("fb")
+    ovl = (
+        fa.join(
+            fb,
+            (F.col("fa.doc_id") == F.col("fb.doc_id"))
+            & (F.col("fa.method") < F.col("fb.method")),
+        )
+        .groupBy(
+            F.col("fa.method").alias("method_a"), F.col("fb.method").alias("method_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ca = counts.select(F.col("method").alias("method_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("method").alias("method_b"), F.col("n").alias("nb"))
+    j = (
+        skel.join(F.broadcast(ca), "method_a", "left")
+        .join(F.broadcast(cb), "method_b", "left")
+        .join(F.broadcast(ovl), ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_b"),
+            F.coalesce("n_both", F.lit(0)).cast("bigint").alias("n_both"),
+        )
+    )
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return j.select(
+        "method_a",
+        "method_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.coalesce(
+            F.round(
+                F.col("n_both").cast("double") / F.when(denom != 0, denom), 4
+            ),
+            F.lit(0.0),
+        ).alias("agreement"),
+    ).orderBy("method_a", "method_b")

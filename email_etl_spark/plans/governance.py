@@ -1464,3 +1464,116 @@ def dp_topk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "event_type", F.col("s").alias("score")).orderBy(
         "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# dp_mean_release — Laplace mean with contribution clipping.
+# ---------------------------------------------------------------------------
+
+DP_MEAN_CLIP = 100.0  # per-event value clip bound (sensitivity of the sum)
+
+
+def _dp_mean_u_duck(prefix: str) -> str:
+    h = f"md5('{prefix}:' || event_type)"
+    return (
+        f"((65536 * (16 * (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f"          + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" + 256 * (16 * (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f"          + strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)"
+        f" + (16 * (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1)"
+        f"    + strpos('0123456789abcdef', substr({h}, 6, 1)) - 1))"
+        f" % 1000000 + 0.5) / 1000000.0"
+    )
+
+
+def _dp_mean_u_spark(prefix: str) -> str:
+    return (
+        f"((CAST(CONV(SUBSTRING(MD5(CONCAT('{prefix}:', event_type)), 1, 6),"
+        f" 16, 10) AS BIGINT) % 1000000) + 0.5) / 1000000.0"
+    )
+
+
+def _lap_duck(u: str, scale: float) -> str:
+    return (
+        f"ROUND(-{scale} * CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END"
+        f" * LN(1.0 - 2.0 * ABS({u} - 0.5)), 4)"
+    )
+
+
+def _dp_mean_oracle() -> str:
+    c = DP_MEAN_CLIP
+    # eps=1 split evenly: Laplace(2C/eps) on the clipped sum,
+    # Laplace(2/eps) on the count
+    n_sum = _lap_duck(_dp_mean_u_duck("dpm_s"), 2.0 * c)
+    n_cnt = _lap_duck(_dp_mean_u_duck("dpm_n"), 2.0)
+    return f"""
+WITH a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(LEAST(GREATEST(value, 0.0), {c}), 4)
+                  AS DECIMAL(18,4))) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       {n_sum} AS noise_sum,
+       {n_cnt} AS noise_count,
+       ROUND((CAST(s AS DOUBLE) + {n_sum})
+             / GREATEST(1.0, n + {n_cnt}), 4) AS released_mean,
+       {c} AS clip,
+       1.0 AS epsilon
+FROM a ORDER BY event_type
+"""
+
+
+@register(
+    "dp_mean_release",
+    oracle=_dp_mean_oracle(),
+    doc=(
+        "Differentially-private MEAN release per event type — the "
+        "fourth mechanism in the DP family (Laplace counts, exponential "
+        "quantile, peeling top-k, now clipped mean): per-event values "
+        "are clipped to [0, C] so the sum's sensitivity is C, then "
+        "Laplace(2C/eps) noises the clipped sum and Laplace(2/eps) the "
+        "count (eps=1 split evenly, sequential composition), and the "
+        "release is noisy_sum / max(1, noisy_count). Clipped values are "
+        "rounded to 4 dp and summed through DECIMAL(18,4) so the "
+        "distributed sum is exact and order-insensitive; noise draws "
+        "are md5-derived and loudly NOT a secure RNG (the engine's "
+        "bit-checkable convention — production swaps in a seeded "
+        "CSPRNG and changes nothing else). One map-side-combined "
+        "aggregate over the stream; noise is per-group arithmetic "
+        "(SURVEY §2.L)."
+    ),
+)
+def dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = DP_MEAN_CLIP
+    ev = load_table(spark, sf_dir, "events")
+    clipped = F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(c)), 4)
+    a = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(clipped.cast("decimal(18,4)")).alias("s"),
+    )
+
+    def lap(prefix: str, scale: float):
+        u = F.expr(_dp_mean_u_spark(prefix))
+        return F.round(
+            -scale
+            * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+            4,
+        )
+
+    noise_sum = lap("dpm_s", 2.0 * c)
+    noise_cnt = lap("dpm_n", 2.0)
+    return a.select(
+        "event_type",
+        noise_sum.alias("noise_sum"),
+        noise_cnt.alias("noise_count"),
+        F.round(
+            (F.col("s").cast("double") + noise_sum)
+            / F.greatest(F.lit(1.0), F.col("n") + noise_cnt),
+            4,
+        ).alias("released_mean"),
+        F.lit(c).alias("clip"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("event_type")

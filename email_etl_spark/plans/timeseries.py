@@ -898,3 +898,123 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         "n_days", "mean_rs_w5", "mean_rs_w10", "mean_rs_w15", hurst.alias("hurst")
     )
+
+
+# ---------------------------------------------------------------------------
+# ljung_box_daily — portmanteau white-noise test on the daily series.
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical values for df = 1..ACF_MAX_LAG (plan
+# constants, identical literals in both engines)
+_CHI2_95 = (3.8415, 5.9915, 7.8147, 9.4877, 11.0705, 12.5916, 14.0671)
+
+
+def _ljung_box_oracle() -> str:
+    leads = ", ".join(
+        f"LEAD(ctd, {k}) OVER (ORDER BY d) AS l{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, ctd * l{k} AS prod, l{k} IS NOT NULL AS ok FROM w"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    crit = " ".join(
+        f"WHEN {k} THEN {_CHI2_95[k - 1]}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH {_DAILY_SQL},
+cd AS (SELECT d, CAST(ct AS DECIMAL(19,0)) AS ctd FROM c),
+w AS (SELECT d, ctd, {leads} FROM cd),
+den AS (SELECT SUM(ctd * ctd) AS dd FROM cd),
+nn AS (SELECT nd FROM st),
+arms AS ({arms}),
+rr AS (
+  SELECT lag,
+         CASE WHEN dd = 0 THEN 0.0
+              ELSE ROUND(CAST(SUM(CASE WHEN ok THEN prod ELSE 0.0 END) AS DOUBLE)
+                         / CAST(dd AS DOUBLE), 6)
+         END AS r
+  FROM arms CROSS JOIN den GROUP BY lag, dd
+),
+q AS (
+  SELECT lag, r, nd,
+         SUM(r * r / (nd - lag)) OVER (ORDER BY lag) AS acc
+  FROM rr CROSS JOIN nn
+)
+SELECT CAST(lag AS INT) AS lag,
+       r AS acf,
+       ROUND(nd * (nd + 2.0) * acc, 4) AS q_stat,
+       CASE lag {crit} END AS crit_95,
+       ROUND(nd * (nd + 2.0) * acc, 4) > CASE lag {crit} END AS reject
+FROM q ORDER BY lag
+"""
+
+
+@register(
+    "ljung_box_daily",
+    oracle=_ljung_box_oracle(),
+    doc=(
+        "Ljung-Box portmanteau test on the daily event-count series: "
+        "Q(h) = N(N+2) * sum_k r_k^2/(N-k) for h = 1..7, against the "
+        "chi-square 95% critical value at df = h — the formal "
+        "is-this-white-noise companion to acf_daily (a rejected lag-7 "
+        "Q is the statistical signature of weekly rhythm; a flat "
+        "accepted Q means volume anomaly baselines can assume i.i.d.). "
+        "Autocorrelations reuse the exact-integer centered-count path "
+        "(r_k exact until one ROUND(int/int, 6)); the cumulative sum "
+        "runs ascending over 7 ordered rows in both engines, so the "
+        "double arithmetic is bit-identical. One event-stream "
+        "aggregate, one O(days) window pass, dimension-sized "
+        "everything after (SURVEY §2.H)."
+    ),
+)
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _daily_centered(spark, sf_dir).select(
+        "d", "nd", F.col("ct").cast("decimal(19,0)").alias("ctd")
+    )
+    w = Window.orderBy("d")
+    leads = [F.lead("ctd", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    wd = c.select("d", "ctd", *leads)
+    den = c.agg(
+        F.sum(F.col("ctd") * F.col("ctd")).alias("dd"), F.max("nd").alias("nd")
+    )
+    arms = wd.select(
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    (F.col("ctd") * F.col(f"l{k}")).alias("prod"),
+                    F.col(f"l{k}").isNotNull().alias("ok"),
+                )
+                for k in range(1, ACF_MAX_LAG + 1)
+            ])
+        ).alias("pos", "a")
+    ).select((F.col("pos") + 1).alias("lag"), "a.prod", "a.ok")
+    rr = (
+        arms.groupBy("lag")
+        .agg(F.sum(F.when(F.col("ok"), F.col("prod")).otherwise(0)).alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "nd",
+            F.when(F.col("dd") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("num").cast("double") / F.col("dd").cast("double"), 6)
+            )
+            .alias("r"),
+        )
+    )
+    cum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in _CHI2_95]), F.col("lag").cast("int")
+    )
+    q = F.round(
+        F.col("nd") * (F.col("nd") + 2.0)
+        * F.sum(F.col("r") * F.col("r") / (F.col("nd") - F.col("lag"))).over(cum),
+        4,
+    )
+    return rr.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("r").alias("acf"),
+        q.alias("q_stat"),
+        crit.alias("crit_95"),
+        (q > crit).alias("reject"),
+    ).orderBy("lag")

@@ -182,11 +182,13 @@ _BNL_JUSTIFIED = {
     "theil_sen_trend",  # calendar-bounded daily slope pairs + 1-row median broadcasts
     "priority_status_chi2",  # 1-row N total + margin-table broadcasts (cells ~ 15 rows)
     "interleaved_eval",  # 1-row overlap-count broadcast onto the 1-row credit agg
-    "mv_refresh_delta",  # 1-row id-midpoint broadcast (x2: base and delta branches)
     "hurst_exponent",  # 1-row day-count + per-window 1-row mean-RS broadcasts
     "burrows_delta",  # 20-row top-terms + 1-row source-count broadcasts
     "rocchio_expansion",  # 5-row expansion-term broadcast
     "watermark_lateness_profile",  # 1-row total-events broadcast (share_bps denominator)
+    # reviewed round 7 (new operators)
+    "closure_edge_stats",  # 1-row group-stats × 1-row rep-pair-stats broadcast
+    "ljung_box_daily",  # 1-row (dd, nd) daily-totals broadcast, reused per lag arm
 }
 
 
