@@ -62,30 +62,34 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        # pointer jump: my label's label. Every label value is the id
-        # of a node in my component (inductively: initial labels are
-        # node ids; propagated values come from neighbors' / labels'
-        # labels), so the self-join is total — left join is belt and
-        # braces against an isolated-node caller.
-        hop = labels.select(
-            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
-        )
+        joined = labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+        candidates = [
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        ]
+        if it > 0:
+            # pointer jump: my label's label. Every label value is the
+            # id of a node in my component (inductively: initial labels
+            # are node ids; propagated values come from neighbors' /
+            # labels' labels), so the self-join is total — left join is
+            # belt and braces against an isolated-node caller. Skipped
+            # in round 1, where labels are still the identity map and
+            # label-of-label is a no-op join over the full node set.
+            hop = labels.select(
+                F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+            )
+            joined = joined.join(hop, F.col("component") == hop.pnode, "left")
+            candidates.append(F.coalesce(F.col("pcomp"), F.col("component")))
         updated = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .join(hop, labels.component == hop.pnode, "left")
-            .select(
+            joined.select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                    F.coalesce(F.col("pcomp"), F.col("component")),
-                ).alias("new_component"),
+                F.least(*candidates).alias("new_component"),
                 F.col("component").alias("old_component"),
             )
             .select(
