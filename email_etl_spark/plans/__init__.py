@@ -95,10 +95,14 @@ _GATE_ORDER = (
     "copurchase_types",
     "returns_by_delay",
     "attribution_linear",
-    # ---- below the 50-query window: the 34-query backlog tail
-    # (round 8 retires it), then changed-this-round sweep-verified
-    # re-verification, then the standing flagship surface; everything
-    # else keeps module order ----
+    # ---- below the 50-query window ----
+    # round-7 LATE additions (sweep-verified at both SFs this round;
+    # round-8 tier-1 gate candidates per the new-ops-first policy)
+    "mannwhitney_value",
+    "periodogram_daily",
+    # the 34-query backlog tail (round 8 retires it), then
+    # changed-this-round sweep-verified re-verification, then the
+    # standing flagship surface; everything else keeps module order
     "revenue_concentration",
     "first_order_ltv",
     "expanded_search",

@@ -442,3 +442,122 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_value — rank-sum distribution comparison (purchase vs view).
+# ---------------------------------------------------------------------------
+
+_MW_A, _MW_B = "purchase", "view"
+
+
+def _mannwhitney_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT value AS v, event_type = '{_MW_A}' AS is_a
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+g AS (
+  SELECT v,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM base GROUP BY v
+),
+w AS (
+  SELECT v, t, ta,
+         COALESCE(SUM(t) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+s AS (
+  SELECT CAST(SUM(ta) AS BIGINT) AS n1,
+         CAST(SUM(t - ta) AS BIGINT) AS n2,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(ta * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM w
+)
+SELECT n1 AS n_{_MW_A},
+       n2 AS n_{_MW_B},
+       r2a - n1 * (n1 + 1) AS u_stat_x2,
+       ROUND((r2a - n1 * (n1 + 1) - n1 * n2)
+             / (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                           * ((n + 1.0) - CAST(ties AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1.0))))), 4) AS z,
+       ABS(ROUND((r2a - n1 * (n1 + 1) - n1 * n2)
+             / (2.0 * SQRT((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                           * ((n + 1.0) - CAST(ties AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1.0))))), 4)) > 1.96
+         AS reject_95
+FROM s
+"""
+
+
+@register(
+    "mannwhitney_value",
+    oracle=_mannwhitney_oracle(),
+    doc=(
+        "Mann-Whitney U rank-sum test: do purchase and view events draw "
+        "their `value` from the same distribution? The distribution-free "
+        "companion to weekday_anova's means test — robust to the heavy "
+        "right tail that makes t-tests lie about revenue-like columns. "
+        "Tied values get average ranks kept INTEGER by working with "
+        "2x rank sums (2*avg_rank = 2*cum_before + t + 1), the U "
+        "statistic is reported as 2U (exact bigint), and the normal "
+        "approximation includes the exact tie correction sum(t^3 - t); "
+        "every aggregate is an integer until the single final z "
+        "expression, shared verbatim by both engines. One groupBy on "
+        "distinct values + one O(distinct) window pass "
+        "(SURVEY §2.L)."
+    ),
+)
+def mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ta"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "t", "ta", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_before")
+    )
+    s = ranked.agg(
+        F.sum("ta").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("ta")).cast("bigint").alias("n2"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("ta") * (2 * F.col("cum_before") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    z = F.round(
+        (F.col("r2a") - F.col("n1") * (F.col("n1") + 1) - F.col("n1") * F.col("n2"))
+        / (
+            2.0
+            * F.sqrt(
+                (F.col("n1").cast("double") * F.col("n2") / 12.0)
+                * (
+                    (F.col("n") + 1.0)
+                    - F.col("ties").cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1.0))
+                )
+            )
+        ),
+        4,
+    )
+    return s.select(
+        F.col("n1").alias(f"n_{_MW_A}"),
+        F.col("n2").alias(f"n_{_MW_B}"),
+        (F.col("r2a") - F.col("n1") * (F.col("n1") + 1)).alias("u_stat_x2"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("reject_95"),
+    )

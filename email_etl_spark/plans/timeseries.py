@@ -1018,3 +1018,138 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_95"),
         (q > crit).alias("reject"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# periodogram_daily — spectral period detection with plan-constant trig.
+# ---------------------------------------------------------------------------
+
+_PG_PERIODS = tuple(range(2, 15))  # candidate periods in days
+_PG_SCALE = 10**9
+
+
+def _pg_tables() -> dict[int, tuple[list[int], list[int]]]:
+    """Per-period (cos, sin) tables at phase 2*pi*r/p, scaled to
+    integers at 1e9. Computed ONCE in Python and inlined as literals
+    into BOTH engines' plans, so no cross-engine libm last-ulp
+    divergence can ever reach the data path."""
+    import math
+
+    out: dict[int, tuple[list[int], list[int]]] = {}
+    for p in _PG_PERIODS:
+        cs = [round(math.cos(2.0 * math.pi * r / p) * _PG_SCALE) for r in range(p)]
+        sn = [round(math.sin(2.0 * math.pi * r / p) * _PG_SCALE) for r in range(p)]
+        out[p] = (cs, sn)
+    return out
+
+
+def _periodogram_oracle() -> str:
+    tabs = _pg_tables()
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {p} AS period, "
+        f"CAST([{', '.join(map(str, tabs[p][0]))}][(di % {p}) + 1] AS DECIMAL(10,0)) AS tc, "
+        f"CAST([{', '.join(map(str, tabs[p][1]))}][(di % {p}) + 1] AS DECIMAL(10,0)) AS ts_, "
+        f"ctd FROM cd"
+        for p in _PG_PERIODS
+    )
+    return f"""
+WITH {_DAILY_SQL},
+cd AS (
+  SELECT (d - DATE '1970-01-01') AS di, CAST(ct AS DECIMAL(19,0)) AS ctd FROM c
+),
+den AS (SELECT SUM(ctd * ctd) AS dd FROM cd),
+arms AS ({arms}),
+pw AS (
+  SELECT period,
+         SUM(ctd * tc) AS cs,
+         SUM(ctd * ts_) AS ss
+  FROM arms GROUP BY period
+),
+p2 AS (
+  SELECT period,
+         CASE WHEN dd = 0 THEN 0.0
+              ELSE ROUND(((CAST(cs AS DOUBLE) / {_PG_SCALE}.0)
+                          * (CAST(cs AS DOUBLE) / {_PG_SCALE}.0)
+                          + (CAST(ss AS DOUBLE) / {_PG_SCALE}.0)
+                          * (CAST(ss AS DOUBLE) / {_PG_SCALE}.0))
+                         / CAST(dd AS DOUBLE), 6)
+         END AS power
+  FROM pw CROSS JOIN den
+)
+SELECT CAST(period AS INT) AS period, power,
+       ROW_NUMBER() OVER (ORDER BY power DESC, period) = 1 AS is_top
+FROM p2 ORDER BY period
+"""
+
+
+@register(
+    "periodogram_daily",
+    oracle=_periodogram_oracle(),
+    doc=(
+        "Daily-series periodogram over candidate periods 2..14 days: "
+        "normalized spectral power (C_p^2 + S_p^2)/sum(c^2) of the "
+        "mean-centered daily counts, with is_top marking the dominant "
+        "period — the direct period DETECTOR next to acf_daily's "
+        "correlogram (a weekly product rhythm lights up period 7 "
+        "without the analyst reading 7 acf rows). The cos/sin tables "
+        "are computed once in Python, integer-scaled at 1e9, and "
+        "inlined as identical literals in both engines — no libm call "
+        "on either data path, so C/S are exact DECIMAL dot products "
+        "(centered counts are already exact integers); one double "
+        "division + ROUND(6) at the end. Shape: one daily rollup, one "
+        "posexplode over 13 periods, one dimension-sized aggregate "
+        "(SURVEY §2.H)."
+    ),
+)
+def periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = _pg_tables()
+    cd = _daily_centered(spark, sf_dir).select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("di"),
+        F.col("ct").cast("decimal(19,0)").alias("ctd"),
+    )
+    den = cd.agg(F.sum(F.col("ctd") * F.col("ctd")).alias("dd"))
+    arms = cd.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("period"),
+                    F.element_at(
+                        F.array(*[F.lit(v) for v in tabs[p][0]]),
+                        (F.col("di") % p + 1).cast("int"),
+                    )
+                    .cast("decimal(10,0)")
+                    .alias("tc"),
+                    F.element_at(
+                        F.array(*[F.lit(v) for v in tabs[p][1]]),
+                        (F.col("di") % p + 1).cast("int"),
+                    )
+                    .cast("decimal(10,0)")
+                    .alias("ts_"),
+                )
+                for p in _PG_PERIODS
+            ])
+        ).alias("a"),
+        "ctd",
+    ).select("a.period", "a.tc", "a.ts_", "ctd")
+    pw = arms.groupBy("period").agg(
+        F.sum(F.col("ctd") * F.col("tc")).alias("cs"),
+        F.sum(F.col("ctd") * F.col("ts_")).alias("ss"),
+    )
+    sc = float(_PG_SCALE)
+    power = F.when(F.col("dd") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (
+                (F.col("cs").cast("double") / sc) * (F.col("cs").cast("double") / sc)
+                + (F.col("ss").cast("double") / sc) * (F.col("ss").cast("double") / sc)
+            )
+            / F.col("dd").cast("double"),
+            6,
+        )
+    )
+    p2 = pw.crossJoin(F.broadcast(den)).select(
+        F.col("period").cast("int").alias("period"), power.alias("power")
+    )
+    w = Window.orderBy(F.desc("power"), "period")
+    return p2.select(
+        "period", "power", (F.row_number().over(w) == 1).alias("is_top")
+    ).orderBy("period")

@@ -189,6 +189,7 @@ _BNL_JUSTIFIED = {
     # reviewed round 7 (new operators)
     "closure_edge_stats",  # 1-row group-stats × 1-row rep-pair-stats broadcast
     "ljung_box_daily",  # 1-row (dd, nd) daily-totals broadcast, reused per lag arm
+    "periodogram_daily",  # 1-row sum(ct^2) denominator broadcast
 }
 
 
