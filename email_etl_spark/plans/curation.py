@@ -312,6 +312,8 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from email_etl_spark.io import parallelize_scan
 
     sh = _DECON_SH_CACHE.get(sf_dir)
+    if sh is not None and sh.sparkSession is not spark:
+        sh = None  # handle from a stopped/replaced session: rebuild
     if sh is None:
         docs = load_table(spark, sf_dir, "documents")
         toks = parallelize_scan(docs).select(

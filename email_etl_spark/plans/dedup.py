@@ -57,6 +57,8 @@ def _closure_components(spark, sf_dir: str, k: int, threshold: float):
 
     key = (sf_dir, k, threshold)
     comp = _CC_CACHE.get(key)
+    if comp is not None and comp.sparkSession is not spark:
+        comp = None  # handle from a stopped/replaced session: rebuild
     if comp is None:
         edges = _closure_edges(
             load_table(spark, sf_dir, "documents"), k=k, threshold=threshold, sf_dir=sf_dir
@@ -134,8 +136,9 @@ def _shingle_table(docs: DataFrame, k: int, sf_dir: str | None = None) -> DataFr
     the per-call handle, relying on Spark's LRU block eviction.
     """
     key = (sf_dir, k)
-    if sf_dir is not None and key in _SH_CACHE:
-        return _SH_CACHE[key]
+    cached = _SH_CACHE.get(key) if sf_dir is not None else None
+    if cached is not None and cached.sparkSession is docs.sparkSession:
+        return cached  # stale-session handles are rebuilt, not returned
     toks = parallelize_scan(docs).select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     )
@@ -290,8 +293,9 @@ def _closure_edges(
     otherwise re-pin a fresh reps_sh handle per call (ADVICE r6).
     """
     memo_key = (sf_dir, k, threshold)
-    if sf_dir is not None and memo_key in _CLOSURE_CACHE:
-        return _CLOSURE_CACHE[memo_key][0]
+    cached = _CLOSURE_CACHE.get(memo_key) if sf_dir is not None else None
+    if cached is not None and cached[0].sparkSession is docs.sparkSession:
+        return cached[0]  # stale-session handles are rebuilt, not returned
     sh = _shingle_table(docs, k, sf_dir=sf_dir)
     fp = sh.select(
         "doc_id",
