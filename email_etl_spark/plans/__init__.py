@@ -100,6 +100,8 @@ _GATE_ORDER = (
     # round-8 tier-1 gate candidates per the new-ops-first policy)
     "mannwhitney_value",
     "periodogram_daily",
+    "embedding_isotropy",
+    "temperature_sampling_weights",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

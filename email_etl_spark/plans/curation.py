@@ -1963,3 +1963,66 @@ def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(CAST(agree_num AS DOUBLE) / (6.0 * n) - {pe}) / (1.0 - {pe})"
         ).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature_sampling_weights — sqrt-temperature source mixing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle="""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS nn FROM c),
+s AS (
+  SELECT source, n,
+         CAST(ROUND(SQRT(ROUND(CAST(n AS DOUBLE) / nn, 9)) * 1000000000) AS BIGINT) AS s9
+  FROM c CROSS JOIN tot
+),
+w AS (SELECT SUM(s9) AS ws FROM s)
+SELECT source, n AS n_docs,
+       CAST(s9 * 1000000 // ws AS BIGINT) AS weight_ppm,
+       ROUND((CAST(s9 AS DOUBLE) / ws) * (SELECT nn FROM tot) / n, 4) AS eff_epochs
+FROM s CROSS JOIN w ORDER BY source
+""",
+    doc=(
+        "Temperature-based source mixing weights at T = 2 (alpha = "
+        "1/2): w_i ∝ p_i^(1/2), the multilingual-LM standard "
+        "(mBERT/mT5 style) that UPSAMPLES small sources relative to "
+        "proportional mixing without letting any source dominate — "
+        "the smooth counterpart to mixture_weights' floor/cap rule and "
+        "epoch_allocation's budgeted epochs; eff_epochs says how many "
+        "passes over each source the mix implies (>1 = repeated data, "
+        "the overfit-risk flag). alpha = 1/2 is deliberately a DYADIC "
+        "exponent: p^alpha is a single IEEE SQRT — correctly rounded "
+        "in every engine, unlike libm POWER — and the normalizing sum "
+        "runs over integer-scaled sqrt values, so the report is "
+        "bit-stable cross-engine. One map-side-combined source count; "
+        "everything after is source-cardinality (SURVEY §2.L)."
+    ),
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").alias("nn"))
+    s9 = F.round(
+        F.sqrt(F.round(F.col("n").cast("double") / F.col("nn"), 9)) * 1000000000
+    ).cast("bigint")
+    s = c.crossJoin(F.broadcast(tot)).select("source", "n", "nn", s9.alias("s9"))
+    w = s.agg(F.sum("s9").alias("ws"))
+    return (
+        s.crossJoin(F.broadcast(w))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.expr("s9 * 1000000 div ws").cast("bigint").alias("weight_ppm"),
+            F.round(
+                (F.col("s9").cast("double") / F.col("ws"))
+                * F.col("nn")
+                / F.col("n"),
+                4,
+            ).alias("eff_epochs"),
+        )
+        .orderBy("source")
+    )

@@ -5591,3 +5591,81 @@ def _term_rank_from_toks(toks):
         cnt = F.size(F.filter(toks, eq(term)))
         tf = cnt if tf is None else tf + cnt
     return F.round(tf.cast("double") / (F.size(toks) + F.lit(1)).cast("double"), 4)
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy — centroid-offset anisotropy of the embedding cloud.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_isotropy",
+    oracle=f"""
+WITH d AS (
+  SELECT u.i - 1 AS dim,
+         CAST(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM embeddings, UNNEST(range(1, {EMB_DIM} + 1)) AS u(i)
+),
+g AS (
+  SELECT dim, COUNT(*) AS n, SUM(vm) AS sm, SUM(vm * vm) AS ssq
+  FROM d GROUP BY dim
+),
+t AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(sm AS DECIMAL(19,0)) * CAST(sm AS DECIMAL(19,0))) AS s2,
+         SUM(CAST(ssq AS DECIMAL(38,0))) AS q
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       ROUND(SQRT(CAST(s2 AS DOUBLE)) / (n * 1000000.0), 6) AS centroid_norm,
+       ROUND(SQRT(CAST(q AS DOUBLE) / n) / 1000000.0, 6) AS rms_norm,
+       ROUND(CAST(s2 AS DOUBLE) / (n * CAST(q AS DOUBLE)), 6) AS anisotropy_ratio
+FROM t
+""",
+    doc=(
+        "Embedding-cloud isotropy screen (Mu & Viswanath 2018, "
+        "'All-but-the-Top'): ||centroid||^2 / E||v||^2 — the share of "
+        "total second moment sitting in the common-mean direction. A "
+        "ratio near 0 is an isotropic cloud; a large ratio means every "
+        "cosine is inflated by a shared offset and retrieval should "
+        "mean-center first (the single-number companion to "
+        "pca_power_top1's dominant direction and emb_dim_variance's "
+        "per-axis profile). Identity: ||sum v||^2 = sum_d S_d^2 and "
+        "E||v||^2 = sum_d ssq_d / n, so the whole statistic reduces to "
+        "the SAME per-dim integer-micro aggregates emb_dim_variance "
+        "uses — exact order-insensitive sums (squares through "
+        "DECIMAL(38,0)), three doubles at the end (SURVEY §2.F)."
+    ),
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    vm = (
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)") * 1000000
+    ).cast("bigint")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", vm.alias("vm")
+    )
+    g = d.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("sm"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("ssq"),
+    )
+    t = g.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("sm").cast("decimal(19,0)") * F.col("sm").cast("decimal(19,0)")
+        ).alias("s2"),
+        F.sum(F.col("ssq").cast("decimal(38,0)")).alias("q"),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sqrt(F.col("s2").cast("double")) / (F.col("n") * 1000000.0), 6
+        ).alias("centroid_norm"),
+        F.round(
+            F.sqrt(F.col("q").cast("double") / F.col("n")) / 1000000.0, 6
+        ).alias("rms_norm"),
+        F.round(
+            F.col("s2").cast("double") / (F.col("n") * F.col("q").cast("double")), 6
+        ).alias("anisotropy_ratio"),
+    )

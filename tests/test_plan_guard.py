@@ -190,6 +190,7 @@ _BNL_JUSTIFIED = {
     "closure_edge_stats",  # 1-row group-stats × 1-row rep-pair-stats broadcast
     "ljung_box_daily",  # 1-row (dd, nd) daily-totals broadcast, reused per lag arm
     "periodogram_daily",  # 1-row sum(ct^2) denominator broadcast
+    "temperature_sampling_weights",  # 1-row corpus-total + 1-row weight-sum broadcasts
 }
 
 
