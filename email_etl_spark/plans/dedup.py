@@ -722,13 +722,17 @@ FROM reach GROUP BY node ORDER BY doc_id
 """.replace("{_pairs}", "(" + _pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "") + ")"),
     doc=(
         "Duplicate clusters: transitive closure over near-dup pairs via "
-        "iterative min-label propagation (operators/graph.py) — keeps one "
-        "representative per duplicate GROUP, not per pair. Closure-only "
-        "consumer: identical-shingle docs are collapsed to a rep before "
-        "pair generation (_closure_edges), so the hot-bucket B² pair "
-        "stream becomes B−1 star edges with provably identical "
-        "components. Oracle computes the same closure with a recursive "
-        "CTE over the exact all-pairs graph (SURVEY §2.E)."
+        "min-label propagation WITH pointer jumping (operators/graph.py: "
+        "O(log diameter) rounds, and a loud ConvergenceError instead of "
+        "silent partial labels if max_iter is ever exhausted) — keeps "
+        "one representative per duplicate GROUP, not per pair. "
+        "Closure-only consumer: identical-shingle docs are collapsed to "
+        "a rep before pair generation (_closure_edges), so the "
+        "hot-bucket B² pair stream becomes B−1 star edges with provably "
+        "identical components; all four closure consumers share ONE "
+        "memoized components run per corpus (_closure_components). "
+        "Oracle computes the same closure with a recursive CTE over the "
+        "exact all-pairs graph (SURVEY §2.E)."
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
