@@ -102,6 +102,10 @@ _GATE_ORDER = (
     "periodogram_daily",
     "embedding_isotropy",
     "temperature_sampling_weights",
+    "kruskal_wallis_value",
+    "levene_value",
+    "poisson_dispersion_daily",
+    "runs_test_daily",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

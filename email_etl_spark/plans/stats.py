@@ -561,3 +561,250 @@ def mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis_value — k-group rank test (all event types at once).
+# ---------------------------------------------------------------------------
+
+# chi-square 0.05 critical value for dof = 4 (the 5-type events schema;
+# the doc string pins the schema dependency)
+_KW_CRIT_DOF4 = 9.4877
+
+
+def _kruskal_oracle() -> str:
+    return f"""
+WITH base AS (SELECT value AS v, event_type AS g FROM events),
+gv AS (
+  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v, g
+),
+tv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY v
+),
+w AS (
+  SELECT v, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM tv
+),
+tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM w
+),
+r AS (
+  SELECT gv.g,
+         CAST(SUM(gv.c) AS BIGINT) AS ng,
+         CAST(SUM(gv.c * (2 * w.cum_before + w.t + 1)) AS BIGINT) AS r2g
+  FROM gv JOIN w ON gv.v = w.v
+  GROUP BY gv.g
+),
+terms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(ROUND(CAST(r2g AS DOUBLE) * r2g
+                        / (4.0 * ng * (SELECT n FROM tot)
+                           * ((SELECT n FROM tot) + 1)), 6)
+                  AS DECIMAL(18,6))) AS tsum
+  FROM r
+)
+SELECT (SELECT n FROM tot) AS n_events,
+       k AS k_groups,
+       k - 1 AS dof,
+       ROUND((12.0 * CAST(tsum AS DOUBLE) - 3.0 * ((SELECT n FROM tot) + 1))
+             / (1.0 - CAST((SELECT ties FROM tot) AS DOUBLE)
+                      / (CAST((SELECT n FROM tot) AS DOUBLE)
+                         * (SELECT n FROM tot) * (SELECT n FROM tot)
+                         - (SELECT n FROM tot))), 4) AS h_stat,
+       (12.0 * CAST(tsum AS DOUBLE) - 3.0 * ((SELECT n FROM tot) + 1))
+         / (1.0 - CAST((SELECT ties FROM tot) AS DOUBLE)
+                  / (CAST((SELECT n FROM tot) AS DOUBLE)
+                     * (SELECT n FROM tot) * (SELECT n FROM tot)
+                     - (SELECT n FROM tot))) > {_KW_CRIT_DOF4}
+         AS reject_95
+FROM terms
+"""
+
+
+@register(
+    "kruskal_wallis_value",
+    oracle=_kruskal_oracle(),
+    doc=(
+        "Kruskal-Wallis H test: do the k event types draw `value` from "
+        "one distribution? The k-group generalization of "
+        "mannwhitney_value (same tie-corrected average-rank machinery, "
+        "kept integer via 2x rank sums), and the rank-based complement "
+        "to weekday_anova's F on means. Per-group rank sums come off a "
+        "(value, type)-rollup joined to the distinct-value cumulative "
+        "table, so the only ordered pass is O(distinct values); the "
+        "k normalized between terms (2R_g)^2/(4 n_g N (N+1)) are "
+        "pre-rounded to DECIMAL(18,6) so their sum is order-insensitive "
+        "(weekday_anova convention — magnitude ~N/4, decimal-safe past "
+        "sf100). reject_95 compares against the dof=4 chi-square "
+        "critical value 9.4877 — pinned to the 5-type events schema "
+        "(SURVEY §2.L)."
+    ),
+)
+def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"), F.col("event_type").alias("g")
+    )
+    gv = ev.groupBy("v", "g").agg(F.count("*").cast("bigint").alias("c"))
+    tv = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    w = tv.select(
+        "v",
+        "t",
+        F.coalesce(
+            F.sum("t").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("ties"),
+        )
+    )
+    r = (
+        gv.join(w.select("v", "t", "cum_before"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(F.col("c") * (2 * F.col("cum_before") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2g"),
+        )
+    )
+    terms = (
+        r.crossJoin(tot)
+        .select(
+            "n",
+            "ties",
+            F.expr(
+                "CAST(ROUND(CAST(r2g AS DOUBLE) * r2g"
+                " / (4.0 * ng * n * (n + 1)), 6) AS DECIMAL(18,6))"
+            ).alias("term"),
+        )
+        .groupBy("n", "ties")
+        .agg(F.count("*").cast("bigint").alias("k"), F.sum("term").alias("tsum"))
+    )
+    h = F.expr(
+        "(12.0 * CAST(tsum AS DOUBLE) - 3.0 * (n + 1))"
+        " / (1.0 - CAST(ties AS DOUBLE)"
+        "          / (CAST(n AS DOUBLE) * n * n - n))"
+    )
+    return terms.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(h, 4).alias("h_stat"),
+        (h > _KW_CRIT_DOF4).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# levene_value — Brown–Forsythe variance-homogeneity test across types.
+# ---------------------------------------------------------------------------
+
+
+def _levene_oracle() -> str:
+    return """
+WITH med AS (
+  SELECT event_type AS g, median(value) AS md FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type AS g,
+         CAST(ROUND(ABS(e.value - m.md) * 1000) AS BIGINT) AS zm
+  FROM events e JOIN med m ON e.event_type = m.g
+),
+gs AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(zm) AS BIGINT) AS s,
+         SUM(CAST(zm AS DECIMAL(38,0)) * zm) AS q,
+         CAST(ROUND(CAST(SUM(zm) AS DOUBLE) * SUM(zm)
+                    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6)
+              AS DECIMAL(26,6)) AS term
+  FROM z GROUP BY g
+),
+s AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(s) AS BIGINT) AS s_all,
+         CAST(SUM(q) AS DOUBLE) / 1000000.0 AS q_all,
+         CAST(SUM(term) AS DOUBLE) AS t
+  FROM gs
+)
+SELECT n AS n_events, k AS k_groups,
+       k - 1 AS df1, n - k AS df2,
+       ROUND(((t - CAST(s_all AS DOUBLE) * s_all / (CAST(n AS DOUBLE) * 1000000.0))
+              / (k - 1))
+             / ((q_all - t) / (n - k)), 4) AS w_stat
+FROM s
+"""
+
+
+@register(
+    "levene_value",
+    oracle=_levene_oracle(),
+    doc=(
+        "Brown–Forsythe test (Levene with group MEDIANS — the "
+        "robust-to-skew variant): do the k event types have equal "
+        "`value` spread? Equal-means tests (weekday_anova) assume it; "
+        "this is the diagnostic that says whether that assumption "
+        "holds. Per-group medians land in a k-row broadcast dim; the "
+        "absolute deviations are kept exact as BIGINT milli-units, so "
+        "every sufficient statistic (S_g, Q_g as DECIMAL(38,0)) is "
+        "order-insensitive; the k between terms S_g^2/(n_g 1e6) are "
+        "pre-rounded to DECIMAL(26,6) (sf100-safe magnitude) and the "
+        "final W is one shared double expression. One events scan + "
+        "one k-row broadcast join + one groupBy (SURVEY §2.L)."
+    ),
+)
+def levene_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.expr("median(value)").alias("md")
+    )
+    z = ev.join(
+        F.broadcast(med), ev["event_type"] == med["g"], "inner"
+    ).select(
+        "g",
+        F.round(F.abs(F.col("value") - F.col("md")) * 1000)
+        .cast("bigint")
+        .alias("zm"),
+    )
+    gs = z.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("zm").cast("bigint").alias("s"),
+        F.sum(F.col("zm").cast("decimal(38,0)") * F.col("zm")).alias("q"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(zm) AS DOUBLE) * SUM(zm)"
+            " / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS DECIMAL(26,6))"
+        ).alias("term"),
+    )
+    s = gs.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("s_all"),
+        (F.sum("q").cast("double") / 1000000.0).alias("q_all"),
+        F.sum("term").cast("double").alias("t"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        F.round(
+            F.expr(
+                "((t - CAST(s_all AS DOUBLE) * s_all"
+                "  / (CAST(n AS DOUBLE) * 1000000.0)) / (k - 1))"
+                " / ((q_all - t) / (n - k))"
+            ),
+            4,
+        ).alias("w_stat"),
+    )

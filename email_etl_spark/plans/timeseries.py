@@ -1153,3 +1153,184 @@ def periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p2.select(
         "period", "power", (F.row_number().over(w) == 1).alias("is_top")
     ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# poisson_dispersion_daily — overdispersion index of the daily counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "poisson_dispersion_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily
+)
+SELECT nd AS n_days, s AS total_events,
+       CAST(s * 1000 // nd AS BIGINT) AS mean_milli,
+       ROUND(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / (nd - 1))
+             / (CAST(s AS DOUBLE) / nd), 4) AS dispersion_index,
+       ROUND((CAST(nd AS DOUBLE) * q - CAST(s AS DOUBLE) * s) / s, 4) AS chi2,
+       nd - 1 AS dof,
+       ((CAST(nd AS DOUBLE) * q - CAST(s AS DOUBLE) * s) / s - (nd - 1))
+         / SQRT(2.0 * (nd - 1)) > 1.6449 AS overdispersed_95
+FROM s
+""",
+    doc=(
+        "Poisson overdispersion check on the daily event-count series: "
+        "the variance-to-mean ratio (= 1 under a homogeneous Poisson "
+        "arrival process) plus the classical chi-square dispersion "
+        "statistic sum((c-mean)^2)/mean and its one-sided normal "
+        "approximation z = (chi2 - dof)/sqrt(2 dof) at the 95% level. "
+        "The load-model gate behind capacity planning (peak_concurrency) "
+        "and anomaly thresholds (anomaly_zscore assumes the variance it "
+        "estimates is stable): burstiness means Poisson SLO math is "
+        "wrong. Sufficient statistics are three exact integers off the "
+        "day rollup (n, sum, sum-of-squares) — one events scan, one "
+        "O(days) reduce, doubles only in the two final shared "
+        "expressions (SURVEY §2.H)."
+    ),
+)
+def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    chi2 = F.expr("(CAST(nd AS DOUBLE) * q - CAST(s AS DOUBLE) * s) / s")
+    return s.select(
+        F.col("nd").alias("n_days"),
+        F.col("s").alias("total_events"),
+        F.expr("s * 1000 div nd").cast("bigint").alias("mean_milli"),
+        F.round(
+            F.expr(
+                "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / (nd - 1))"
+                " / (CAST(s AS DOUBLE) / nd)"
+            ),
+            4,
+        ).alias("dispersion_index"),
+        F.round(chi2, 4).alias("chi2"),
+        (F.col("nd") - 1).cast("bigint").alias("dof"),
+        ((chi2 - (F.col("nd") - 1)) / F.sqrt(2.0 * (F.col("nd") - 1)) > 1.6449).alias(
+            "overdispersed_95"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs_test_daily — Wald–Wolfowitz randomness test on the daily series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runs_test_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+m AS (SELECT CAST(ROUND(2 * median(c)) AS BIGINT) AS m2 FROM daily),
+sgn AS (
+  SELECT d, 2 * c > m.m2 AS above
+  FROM daily CROSS JOIN m
+  WHERE 2 * c <> m.m2
+),
+seq AS (
+  SELECT d, above, LAG(above) OVER (ORDER BY d) AS prev FROM sgn
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN prev IS NULL OR above <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM seq
+)
+SELECT n1 + n2 AS n_days_used, n1 AS n_above, n2 AS n_below, runs,
+       ROUND((CAST(runs AS DOUBLE)
+              - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))),
+             4) AS z,
+       ABS((CAST(runs AS DOUBLE)
+            - (2.0 * n1 * n2 / (n1 + n2) + 1))
+           / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))))
+         > 1.96 AS reject_95
+FROM s
+""",
+    doc=(
+        "Wald–Wolfowitz runs test on the daily event-count series: are "
+        "above-/below-median days randomly interleaved, or do they "
+        "clump (trend / regime persistence) or alternate (negative "
+        "autocorrelation)? The distribution-free companion to acf_daily "
+        "— it needs no moment assumptions at all. Days are compared as "
+        "2*count vs 2*median so the split threshold stays an exact "
+        "BIGINT even when the median of an even day-count interpolates "
+        "to x.5; exactly-at-median days are excluded (the standard "
+        "treatment). The only ordered pass (LAG for run boundaries) is "
+        "over the O(days) rollup — dimension-sized at any corpus scale; "
+        "run/above/below tallies are exact integers and z is one shared "
+        "double expression (SURVEY §2.H)."
+    ),
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = daily.agg(
+        F.round(2 * F.expr("median(c)")).cast("bigint").alias("m2")
+    )
+    sgn = (
+        daily.crossJoin(F.broadcast(m))
+        .where(2 * F.col("c") != F.col("m2"))
+        .select("d", (2 * F.col("c") > F.col("m2")).alias("above"))
+    )
+    seq = sgn.select(
+        "above", F.lag("above").over(Window.orderBy("d")).alias("prev")
+    )
+    s = seq.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("above") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    z = (
+        F.col("runs").cast("double")
+        - (2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1)
+    ) / F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2")).cast("double")
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return s.select(
+        (F.col("n1") + F.col("n2")).cast("bigint").alias("n_days_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_95"),
+    )

@@ -191,6 +191,8 @@ _BNL_JUSTIFIED = {
     "ljung_box_daily",  # 1-row (dd, nd) daily-totals broadcast, reused per lag arm
     "periodogram_daily",  # 1-row sum(ct^2) denominator broadcast
     "temperature_sampling_weights",  # 1-row corpus-total + 1-row weight-sum broadcasts
+    "kruskal_wallis_value",  # 1-row (N, tie-sum) totals broadcast
+    "runs_test_daily",  # 1-row doubled-median threshold broadcast
 }
 
 
