@@ -106,6 +106,9 @@ _GATE_ORDER = (
     "levene_value",
     "poisson_dispersion_daily",
     "runs_test_daily",
+    "bm25f_search",
+    "readability_ari_cli",
+    "word_length_profile",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

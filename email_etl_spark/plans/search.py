@@ -5669,3 +5669,139 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2").cast("double") / (F.col("n") * F.col("q").cast("double")), 6
         ).alias("anisotropy_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25f_search — two-field (lead/body) BM25F ranking.
+# ---------------------------------------------------------------------------
+
+# field weights / length-normalization slopes (Robertson & Zaragoza
+# 2009 simplified BM25F): the lead field counts double and is
+# normalized more gently than the body
+_BM25F_W_T, _BM25F_W_B = 2.0, 1.0
+_BM25F_LEAD = 8  # lead field = first 8 tokens (headline/subject proxy)
+
+
+def _bm25f_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks_{fld}, x -> x = '{t}')) AS tf_{t}_{fld}"
+        for t in QUERY_TERMS
+        for fld in ("t", "b")
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf_{t}_t + tf_{t}_b > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in QUERY_TERMS
+    )
+    norm_t = "(0.5 + 0.5 * (CAST(lt * n_total AS DOUBLE) / sum_lt))"
+    norm_b = "(0.25 + 0.75 * (CAST(lb * n_total AS DOUBLE) / sum_lb))"
+    per_term = " + ".join(
+        f"CASE WHEN tf_{t}_t + tf_{t}_b > 0 THEN "
+        f"ln(1.0 + (CAST(n_total - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((tf_{t}_t * {_BM25F_W_T}::DOUBLE) / {norm_t}"
+        f"    + (tf_{t}_b * {_BM25F_W_B}::DOUBLE) / {norm_b})"
+        f" / (1.2::DOUBLE + (tf_{t}_t * {_BM25F_W_T}::DOUBLE) / {norm_t}"
+        f"    + (tf_{t}_b * {_BM25F_W_B}::DOUBLE) / {norm_b}) ELSE 0.0 END"
+        for t in QUERY_TERMS
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id, toks[1:{_BM25F_LEAD}] AS toks_t,
+         toks[{_BM25F_LEAD} + 1:] AS toks_b
+  FROM f
+),
+t AS (
+  SELECT doc_id, len(toks_t) AS lt, len(toks_b) AS lb, {tf_cols} FROM sp
+),
+stats AS (
+  SELECT COUNT(*) AS n_total, SUM(lt) AS sum_lt, SUM(lb) AS sum_lb, {dfs} FROM t
+)
+SELECT doc_id, ROUND({per_term}, 4) AS bm25f
+FROM t CROSS JOIN stats
+WHERE {per_term} > 0
+ORDER BY bm25f DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "bm25f_search",
+    oracle=_bm25f_oracle(),
+    doc=(
+        f"BM25F two-field ranking (lead = the first {_BM25F_LEAD} "
+        "tokens, weight 2.0, b=0.5; body = the remainder, weight 1.0, "
+        "b=0.75): field-weighted term frequencies are length-"
+        "normalized PER FIELD, summed, and pushed through one shared "
+        "K1 saturation — the structured-document ranker (subject-vs-"
+        "body email search) that flat bm25_search cannot express, per "
+        "Robertson & Zaragoza 2009. Same scale shape as bm25_search: "
+        "one corpus scan computes per-field tfs and lengths, one 1-row "
+        "stats aggregate (N, per-field length sums, whole-doc dfs) "
+        "broadcast back, per-field dl/avgdl folded to (l*N)/sum_l "
+        "exact integer products with ONE double division each, top-20 "
+        "via TakeOrderedAndProject (SURVEY §2.C)."
+    ),
+)
+def bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    split = toks_df.select(
+        "doc_id",
+        F.slice(F.col("toks"), 1, _BM25F_LEAD).alias("toks_t"),
+        F.expr(f"slice(toks, {_BM25F_LEAD} + 1, greatest(size(toks) - {_BM25F_LEAD}, 0))").alias(
+            "toks_b"
+        ),
+    )
+
+    def eq(term):
+        return lambda x: x == term
+
+    with_tf = split.select(
+        "doc_id",
+        F.size("toks_t").alias("lt"),
+        F.size("toks_b").alias("lb"),
+        *[
+            F.size(F.filter(F.col(f"toks_{fld}"), eq(t))).alias(f"tf_{t}_{fld}")
+            for t in QUERY_TERMS
+            for fld in ("t", "b")
+        ],
+    )
+    stats = with_tf.agg(
+        F.count("*").alias("n_total"),
+        F.sum("lt").alias("sum_lt"),
+        F.sum("lb").alias("sum_lb"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{t}_t") + F.col(f"tf_{t}_b") > 0, 1).otherwise(0)
+            ).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    norm_t = F.lit(0.5) + F.lit(0.5) * (
+        (F.col("lt") * F.col("n_total")).cast("double") / F.col("sum_lt")
+    )
+    norm_b = F.lit(0.25) + F.lit(0.75) * (
+        (F.col("lb") * F.col("n_total")).cast("double") / F.col("sum_lb")
+    )
+    score = None
+    for t in QUERY_TERMS:
+        tft, tfb = F.col(f"tf_{t}_t"), F.col(f"tf_{t}_b")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_total") - F.col(f"df_{t}")).cast("double") + F.lit(0.5))
+            / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        )
+        tfw = (tft * F.lit(_BM25F_W_T)) / norm_t + (tfb * F.lit(_BM25F_W_B)) / norm_b
+        term_score = F.when(tft + tfb > 0, idf * tfw / (F.lit(1.2) + tfw)).otherwise(
+            F.lit(0.0)
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .where(score > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25f"))
+        .orderBy(F.desc("bm25f"), "doc_id")
+        .limit(20)
+    )

@@ -3723,3 +3723,167 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# readability_ari_cli — letter/char-based readability (no syllables).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "readability_ari_cli",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source,
+         CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) AS c
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_words,
+       CAST(SUM(s) AS BIGINT) AS sum_sentences,
+       CAST(SUM(l) AS BIGINT) AS sum_letters,
+       CAST(SUM(c) AS BIGINT) AS sum_chars,
+       CAST(4710 * SUM(c) // SUM(w) + 500 * SUM(w) // SUM(s) - 21430 AS BIGINT)
+           AS ari_milli,
+       CAST(5880 * SUM(l) // SUM(w) - 29600 * SUM(s) // SUM(w) - 15800 AS BIGINT)
+           AS cli_milli
+FROM d WHERE w > 0
+GROUP BY lang, source ORDER BY lang, source
+""",
+    doc=(
+        "Automated Readability Index + Coleman-Liau per (lang, source) "
+        "— the two classic CHARACTER-based readability grades (ARI "
+        "1967: 4.71*chars/word + 0.5*words/sentence - 21.43; "
+        "Coleman-Liau 1975: 5.88*letters/word - 29.6*sentences/word "
+        "- 15.8). They need no syllable heuristic, so alongside "
+        "readability_fk the pair gives a syllable-free second opinion "
+        "the curation funnel can cross-check (vowel-run counting is "
+        "the noisiest part of FK on OCR'd or code-mixed text). "
+        "Everything is exact integers: letter/char tallies are regexp "
+        "counts, both grades are reported in milli-units over BIGINT "
+        "sums with integer division, sentences floor at 1 per doc "
+        "(readability_fk convention). One scan + one map-side-combined "
+        "groupBy(lang, source) — embarrassingly parallel at 100 TB "
+        "(SURVEY §2.D)."
+    ),
+)
+def readability_ari_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        T.token_count(F.col("text")).cast("bigint").alias("w"),
+        F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+        .cast("bigint")
+        .alias("s"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).cast("bigint").alias("l"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]")).cast("bigint").alias("c"),
+    ).where(F.col("w") > 0)
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_words"),
+            F.sum("s").cast("bigint").alias("sum_sentences"),
+            F.sum("l").cast("bigint").alias("sum_letters"),
+            F.sum("c").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_words",
+            "sum_sentences",
+            "sum_letters",
+            "sum_chars",
+            F.expr("4710 * sum_chars div sum_words + 500 * sum_words div sum_sentences - 21430")
+            .cast("bigint")
+            .alias("ari_milli"),
+            F.expr("5880 * sum_letters div sum_words - 29600 * sum_sentences div sum_words - 15800")
+            .cast("bigint")
+            .alias("cli_milli"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word_length_profile — character-length distribution of the tokens.
+# ---------------------------------------------------------------------------
+
+_WLP_LONG = 7  # tokens with >= 7 chars count as "long"
+
+
+@register(
+    "word_length_profile",
+    oracle=f"""
+WITH t AS (SELECT lang, UNNEST({_TOKS}) AS tok FROM documents),
+d AS (SELECT lang, CAST(len(tok) AS BIGINT) AS wl FROM t)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(wl) AS BIGINT) AS min_len,
+       CAST(MAX(wl) AS BIGINT) AS max_len,
+       CAST(SUM(wl) * 100 // COUNT(*) AS BIGINT) AS mean_len_centi,
+       ROUND(SQRT((CAST(SUM(wl * wl) AS DOUBLE) * COUNT(*)
+                   - CAST(SUM(wl) AS DOUBLE) * SUM(wl))
+                  / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))), 4) AS std_len,
+       CAST(SUM(CASE WHEN wl >= {_WLP_LONG} THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS long_share_bps
+FROM d GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Word-length distribution per language: token count, min/max/"
+        "mean/std character length and the share of long (>=7-char) "
+        "tokens. The classic stylometric axis (Mendenhall's "
+        "characteristic curves) and a cheap tokenizer-health signal — "
+        "a language whose mean word length or long-token share drifts "
+        "between snapshots usually changed tokenization or picked up "
+        "boilerplate, before perplexity moves (complements vocab_stats' "
+        "type-level view with a TOKEN-level one, and charclass_profile's "
+        "char classes with LENGTHS). Integer moments (sum, sum-of-"
+        "squares off the explode) feed one shared std expression; "
+        "one scan + one groupBy(lang) — the explode carries only "
+        "(lang, len) pairs, never token strings (SURVEY §2.D)."
+    ),
+)
+def word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    d = toks.select(
+        "lang", F.explode(F.transform("toks", F.length)).alias("wl")
+    ).select("lang", F.col("wl").cast("bigint").alias("wl"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.min("wl").cast("bigint").alias("min_len"),
+            F.max("wl").cast("bigint").alias("max_len"),
+            F.sum("wl").cast("bigint").alias("s"),
+            F.sum(F.col("wl") * F.col("wl")).cast("bigint").alias("q"),
+            F.sum(F.when(F.col("wl") >= _WLP_LONG, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "min_len",
+            "max_len",
+            F.expr("s * 100 div n_tokens").cast("bigint").alias("mean_len_centi"),
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "(CAST(q AS DOUBLE) * n_tokens - CAST(s AS DOUBLE) * s)"
+                        " / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))"
+                    )
+                ),
+                4,
+            ).alias("std_len"),
+            F.expr("nl * 10000 div n_tokens").cast("bigint").alias("long_share_bps"),
+        )
+        .orderBy("lang")
+    )

@@ -193,6 +193,7 @@ _BNL_JUSTIFIED = {
     "temperature_sampling_weights",  # 1-row corpus-total + 1-row weight-sum broadcasts
     "kruskal_wallis_value",  # 1-row (N, tie-sum) totals broadcast
     "runs_test_daily",  # 1-row doubled-median threshold broadcast
+    "bm25f_search",  # 1-row (N, field-length sums, dfs) stats broadcast
 }
 
 
