@@ -109,6 +109,9 @@ _GATE_ORDER = (
     "bm25f_search",
     "readability_ari_cli",
     "word_length_profile",
+    "silhouette_centroid",
+    "davies_bouldin",
+    "knn_confusion",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

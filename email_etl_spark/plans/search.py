@@ -5805,3 +5805,333 @@ def bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25f"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality family: centroid silhouette + Davies–Bouldin index.
+# Shared basis: exact micro-unit per-label centroids (the
+# embedding_outliers round-to-DECIMAL(18,6)-before-sum convention), so
+# every distance downstream is a fold over identical doubles in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_CENT_CTE = f"""
+e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cs AS (
+  SELECT label, d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i], 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+  GROUP BY label, d.i
+),
+cf AS (
+  SELECT label, dim, n,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS cval
+  FROM cs
+),
+c AS (SELECT label, MAX(n) AS n_vectors, list(cval ORDER BY dim) AS v FROM cf GROUP BY label)"""
+
+
+def _collect_label_centroids(spark: SparkSession, sf_dir: str):
+    """[(label, [64 centroid doubles])] — exact micro-unit per-label
+    centroids, collected ONCE as plan constants (the MLlib-codebook
+    shape, embedding_outliers discipline): one corpus scan total, so
+    consumers that reference the codebook k times don't re-derive the
+    aggregate k times."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cf = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "pos", F.expr(_micro_mean_expr(6)).alias("microv"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cf:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = (
+            int(r["microv"]) / 1000000.0
+        )
+    return [
+        (lbl, [dims[p] for p in sorted(dims)]) for lbl, dims in sorted(by_label.items())
+    ]
+
+
+def _centroid_codebook_df(spark: SparkSession, cents) -> DataFrame:
+    """k-row (cl, cent) codebook DataFrame from the collected plan
+    constants (LocalTableScan — no corpus scan behind it)."""
+    return spark.createDataFrame(
+        [(int(lbl), [float(x) for x in vec]) for lbl, vec in cents],
+        "cl int, cent array<double>",
+    )
+
+
+def _fold_sqdist(vec_col, cent_col):
+    """Sequential squared-L2 fold (bit-identical to _km_dist_sql)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col, cent_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "silhouette_centroid",
+    oracle=f"""
+WITH {_CENT_CTE},
+d AS (
+  SELECT e.vec_id, e.label AS own, c.label AS cl,
+         {_km_dist_sql('e.v', 'c.v')} AS sq
+  FROM e CROSS JOIN c
+),
+ab AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN cl = own THEN SQRT(sq) END) AS a,
+         MIN(CASE WHEN cl <> own THEN SQRT(sq) END) AS b
+  FROM d GROUP BY vec_id, own
+),
+s AS (
+  SELECT own AS label,
+         CAST(CASE WHEN GREATEST(a, b) = 0 THEN 0
+              ELSE ROUND((b - a) / GREATEST(a, b), 6) END AS DECIMAL(18,6)) AS sil
+  FROM ab
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 4) AS mean_silhouette,
+       CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM s GROUP BY label ORDER BY label
+""",
+    doc=(
+        "Per-label centroid silhouette (the medoid-free variant that "
+        "scales: a = distance to OWN centroid, b = distance to the "
+        "nearest OTHER centroid, s = (b-a)/max(a,b)): how separable "
+        "the label clusters are in embedding space, label by label — "
+        "the summary gate before trusting labels for linear_probe or "
+        "label_noise_knn (whose per-vector kNN view it complements at "
+        "k-row cost instead of pair cost). Centroids are exact "
+        "micro-unit means (embedding_outliers convention), every "
+        "vector meets only the k-row centroid codebook (n x k, never "
+        "n x n), per-vector silhouettes are pre-rounded to "
+        "DECIMAL(18,6) so label means are order-insensitive. "
+        "n_negative counts probably-mislabeled vectors (closer to a "
+        "foreign centroid than their own) (SURVEY §2.F)."
+    ),
+)
+def silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cents = _centroid_codebook_df(spark, _collect_label_centroids(spark, sf_dir))
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cl",
+        _fold_sqdist(F.col("embedding"), F.col("cent")).alias("sq"),
+    )
+    ab = d.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.sqrt("sq"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.sqrt("sq"))).alias("b"),
+    )
+    s = ab.select(
+        F.col("own").alias("label"),
+        F.when(F.greatest("a", "b") == 0, F.lit(0).cast("decimal(18,6)"))
+        .otherwise(
+            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("sil").cast("double") / F.count("*"), 4).alias(
+                "mean_silhouette"
+            ),
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "davies_bouldin",
+    oracle=f"""
+WITH {_CENT_CTE},
+oe AS (
+  SELECT e.label, SQRT({_km_dist_sql('e.v', 'c.v')}) AS dist
+  FROM e JOIN c ON e.label = c.label
+),
+sig AS (
+  SELECT label,
+         CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM oe GROUP BY label
+),
+sigma AS (
+  SELECT label,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                   ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1000000.0 AS sg
+  FROM sig
+),
+r AS (
+  SELECT i.label AS li,
+         MAX(ROUND((si.sg + sj.sg) / SQRT({_km_dist_sql('i.v', 'j.v')}), 6)) AS d_i
+  FROM c i JOIN c j ON i.label <> j.label
+  JOIN sigma si ON si.label = i.label
+  JOIN sigma sj ON sj.label = j.label
+  GROUP BY i.label
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_labels,
+       ROUND(CAST(SUM(CAST(d_i AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+           AS db_index
+FROM r
+""",
+    doc=(
+        "Davies–Bouldin index over the label clustering: mean over "
+        "labels of max_j (sigma_i + sigma_j) / d(c_i, c_j) — the "
+        "single-number separation score (lower = tighter, farther-"
+        "apart clusters) complementing silhouette_centroid's per-label "
+        "view; the standard k-selection criterion if the labels came "
+        "from clustering. Scatter sigma_i is the exact micro-unit mean "
+        "of per-vector centroid distances (one corpus scan, k-row "
+        "broadcast equi-join); everything after is k^2 arithmetic on "
+        "the k-row centroid codebook — worst-pair ratios pre-rounded "
+        "to 6 dp before the max, the k per-label maxima summed as "
+        "DECIMAL(18,6) (SURVEY §2.F)."
+    ),
+)
+def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cents = _centroid_codebook_df(spark, _collect_label_centroids(spark, sf_dir))
+    own = cents
+    oe = emb.join(F.broadcast(own), emb["label"] == own["cl"]).select(
+        "label", F.sqrt(_fold_sqdist(F.col("embedding"), F.col("cent"))).alias("dist")
+    )
+    # scatter sigma_i is a k-row exact-integer aggregate — collect it
+    # as plan constants (absorption_within_k discipline) so the k^2
+    # ratio stage never re-derives the corpus aggregate per branch
+    sig_rows = (
+        oe.groupBy("label")
+        .agg(
+            (F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", F.expr(_micro_mean_expr(6)).alias("microv"))
+        .collect()
+    )
+    sgmap = F.expr(
+        "map("
+        + ",".join(
+            f"{int(r['label'])}, {int(r['microv']) / 1000000.0!r}D" for r in sig_rows
+        )
+        + ")"
+    )
+    ci = cents.select(F.col("cl").alias("li"), F.col("cent").alias("vi"))
+    cj = cents.select(F.col("cl").alias("lj"), F.col("cent").alias("vj"))
+    pairs = (
+        ci.crossJoin(F.broadcast(cj))
+        .where(F.col("li") != F.col("lj"))
+        .select(
+            "li",
+            F.round(
+                (
+                    F.element_at(sgmap, F.col("li").cast("int"))
+                    + F.element_at(sgmap, F.col("lj").cast("int"))
+                )
+                / F.sqrt(_fold_sqdist(F.col("vi"), F.col("vj"))),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    r = pairs.groupBy("li").agg(F.max("ratio").alias("d_i"))
+    return r.agg(
+        F.count("*").cast("bigint").alias("k_labels"),
+        F.round(
+            F.sum(F.col("d_i").cast("decimal(18,6)")).cast("double") / F.count("*"), 4
+        ).alias("db_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_confusion — leave-one-out kNN label prediction confusion matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_confusion",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS q, b.vec_id AS n, b.label AS nb_label,
+         {duckdb_cosine('a.embedding', 'b.embedding')} AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT q, nb_label, ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+  FROM pairs
+),
+votes AS (
+  SELECT q, nb_label, COUNT(*) AS cnt
+  FROM ranked WHERE rk <= {_KNN_K} GROUP BY q, nb_label
+),
+pred AS (
+  SELECT q, nb_label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY cnt DESC, nb_label) AS vr
+  FROM votes
+)
+SELECT e.label AS true_label, p.pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM pred p JOIN embeddings e ON p.q = e.vec_id
+WHERE p.vr = 1
+GROUP BY e.label, p.pred_label
+ORDER BY true_label, pred_label
+""",
+    doc=(
+        "Leave-one-out kNN classification confusion matrix: each "
+        f"vector's label is predicted by majority vote over its top-"
+        f"{_KNN_K} cosine neighbors (ties split by count desc, then "
+        "smaller label — fully deterministic), and the (true, "
+        "predicted) cells are counted. The aggregate companion to "
+        "label_noise_knn: that query flags individual suspects, this "
+        "one shows WHICH classes bleed into which — the confusion "
+        "structure that decides whether labels are usable for "
+        "classifier-filtered curation (linear_probe). Rides the "
+        "block-tiled knn_join pipeline (O(P*k) shuffle per vector, "
+        "no all-pairs materialization); the vote and matrix are two "
+        "integer groupBys over the k*n neighbor rows (SURVEY §2.F)."
+    ),
+)
+def knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbrs = knn_join(spark, sf_dir)
+    nb = nbrs.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")
+        ),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("vec_id", "nb_label").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("vec_id", F.col("nb_label").alias("pred_label"))
+    )
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -194,6 +194,8 @@ _BNL_JUSTIFIED = {
     "kruskal_wallis_value",  # 1-row (N, tie-sum) totals broadcast
     "runs_test_daily",  # 1-row doubled-median threshold broadcast
     "bm25f_search",  # 1-row (N, field-length sums, dfs) stats broadcast
+    "silhouette_centroid",  # k-row centroid codebook broadcast (k labels)
+    "davies_bouldin",  # k-row centroid/scatter codebook broadcasts (k^2 pairs)
 }
 
 
