@@ -112,6 +112,8 @@ _GATE_ORDER = (
     "silhouette_centroid",
     "davies_bouldin",
     "knn_confusion",
+    "attribution_first_touch",
+    "pack_efficiency_curve",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

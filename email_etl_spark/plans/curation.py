@@ -2026,3 +2026,83 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_efficiency_curve — packing/padding economics across context sizes.
+# ---------------------------------------------------------------------------
+
+_PACK_LENGTHS = (128, 256, 512, 1024)
+
+
+@register(
+    "pack_efficiency_curve",
+    oracle=f"""
+WITH t AS (SELECT len({{toks}}) AS n FROM documents),
+l AS (SELECT UNNEST(ARRAY{list(_PACK_LENGTHS)}) AS ctx),
+x AS (SELECT l.ctx, t.n FROM t CROSS JOIN l)
+SELECT CAST(ctx AS BIGINT) AS ctx_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(CEIL(CAST(SUM(n) AS DOUBLE) / ctx) AS BIGINT) AS n_seqs_packed,
+       CAST(SUM(CAST(CEIL(CAST(n AS DOUBLE) / ctx) AS BIGINT)) AS BIGINT)
+           AS n_seqs_padded,
+       CAST(SUM(n) * 10000
+            // (SUM(CAST(CEIL(CAST(n AS DOUBLE) / ctx) AS BIGINT)) * ctx)
+            AS BIGINT) AS padded_util_bps,
+       CAST(SUM(LEAST(n, ctx)) * 10000 // SUM(n) AS BIGINT) AS trunc_keep_bps
+FROM x GROUP BY ctx ORDER BY ctx_len
+""".replace("{toks}", _TOKS),
+    doc=(
+        "Sequence-packing efficiency curve across candidate context "
+        "lengths (128/256/512/1024): for each, the concatenation lower "
+        "bound on sequence count, the one-doc-per-sequence padded "
+        "count, the padded slot utilization in bps (how much compute a "
+        "naive batcher wastes), and the token share a truncate-to-"
+        "context policy keeps. Generalizes seq_pack_estimate's single "
+        "256 budget into the curve that actually picks the training "
+        "context length / packing strategy trade-off. One scan: doc "
+        "token counts explode over the 4-length literal and partial "
+        "aggregation collapses to 4 rows per task before the shuffle "
+        "(SURVEY §2.L)."
+    ),
+)
+def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(T.token_count(F.col("text")).cast("bigint").alias("n"))
+    x = t.select(
+        "n",
+        F.explode(F.array(*[F.lit(c) for c in _PACK_LENGTHS])).alias("ctx"),
+    )
+    return (
+        x.groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n").cast("double") / F.col("ctx").cast("double"))
+            .cast("bigint")
+            .alias("n_seqs_packed"),
+            F.sum(F.ceil(F.col("n").cast("double") / F.col("ctx").cast("double")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_seqs_padded"),
+            F.expr(
+                "SUM(n) * 10000 div"
+                " (SUM(CAST(CEIL(CAST(n AS DOUBLE) / ctx) AS BIGINT)) * ctx)"
+            )
+            .cast("bigint")
+            .alias("padded_util_bps"),
+            F.expr("SUM(LEAST(n, ctx)) * 10000 div SUM(n)")
+            .cast("bigint")
+            .alias("trunc_keep_bps"),
+        )
+        .select(
+            F.col("ctx").cast("bigint").alias("ctx_len"),
+            "n_docs",
+            "total_tokens",
+            "n_seqs_packed",
+            "n_seqs_padded",
+            "padded_util_bps",
+            "trunc_keep_bps",
+        )
+        .orderBy("ctx_len")
+    )

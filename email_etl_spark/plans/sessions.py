@@ -3576,3 +3576,71 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "user_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_first_touch — journey-origin credit assignment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+t AS (
+  SELECT user_id, event_type,
+         FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tse, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM e
+)
+SELECT COALESCE(touch, 'direct') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+    doc=(
+        "First-touch conversion attribution: each purchase credits the "
+        "user's EARLIEST prior non-purchase event — the journey-origin "
+        "counterpart to attribution_last_touch (acquisition channels "
+        "look strong under first-touch, closing channels under "
+        "last-touch; running all four models — first/last/linear/"
+        "time-decay — and comparing IS the standard analysis). First "
+        "touch means journey origin, so no lookback window applies "
+        "(deliberate contrast with last_touch's 7-day recency rule); "
+        "'direct' = converted with no prior interaction at all. Same "
+        "scale shape as the siblings: one user-partitioned ordered "
+        "window (the sessionize shuffle), first(ignorenulls) over "
+        "preceding rows, no self-join; output is touch-type-"
+        "cardinality rows (SURVEY §2.H)."
+    ),
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    t = e.withColumn("touch", touch).where(F.col("event_type") == "purchase")
+    return (
+        t.select(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("touch_type")
+    )
