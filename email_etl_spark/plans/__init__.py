@@ -114,6 +114,11 @@ _GATE_ORDER = (
     "knn_confusion",
     "attribution_first_touch",
     "pack_efficiency_curve",
+    "calinski_harabasz",
+    "ks_uniform_hour",
+    "spearman_value_hour",
+    "cohens_d_value",
+    "new_vs_returning_daily",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

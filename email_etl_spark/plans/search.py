@@ -6135,3 +6135,132 @@ def knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# calinski_harabasz — variance-ratio cluster validity index.
+# ---------------------------------------------------------------------------
+
+_MICRO_INT = _micro_mean_expr(6)  # integer micro-unit rounded mean over (s, n)
+
+
+@register(
+    "calinski_harabasz",
+    oracle=f"""
+WITH {_CENT_CTE},
+ci AS (
+  SELECT label, dim, n, CAST({_MICRO_INT.replace('div', '//')} AS BIGINT) AS cm
+  FROM cs
+),
+gi AS (
+  SELECT dim,
+         CAST({_MICRO_INT.replace('div', '//')} AS BIGINT) AS gm
+  FROM (SELECT dim, CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+        FROM cs GROUP BY dim)
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cs WHERE dim = 1
+),
+bl AS (
+  SELECT ci.label, MAX(ci.n) AS n_l,
+         CAST(SUM((ci.cm - gi.gm) * (ci.cm - gi.gm)) AS BIGINT) AS sd
+  FROM ci JOIN gi USING (dim) GROUP BY ci.label
+),
+bint AS (
+  SELECT SUM(CAST(n_l AS DECIMAL(38,0)) * sd) AS b FROM bl
+),
+wss AS (
+  SELECT SUM(CAST(ROUND({_km_dist_sql('e.v', 'c.v')}, 6) AS DECIMAL(18,6))) AS w
+  FROM e JOIN c ON e.label = c.label
+)
+SELECT t.n_total AS n_vectors, t.k AS k_labels,
+       ROUND(((CAST(b.b AS DOUBLE) / 1000000000000.0) / (t.k - 1))
+             / (CAST(w.w AS DOUBLE) / (t.n_total - t.k)), 4) AS ch_index
+FROM tot t CROSS JOIN bint b CROSS JOIN wss w
+""",
+    doc=(
+        "Calinski–Harabasz variance-ratio index over the label "
+        "clustering: (between-cluster SS / (k-1)) / (within-cluster "
+        "SS / (n-k)) — higher = denser, better-separated clusters; "
+        "with silhouette_centroid (per-label) and davies_bouldin "
+        "(worst-pair) this completes the three standard internal "
+        "validity criteria. Label centroids AND the global centroid "
+        "derive from one (label, dim) exact micro-unit sum aggregate "
+        "(the global mean is the weighted merge of the label sums — "
+        "no second corpus pass), and the between-SS is computed "
+        "entirely on INTEGER micro units — (c_micro - g_micro)^2 "
+        "cross-products, order-free by construction; within-SS is one "
+        "scan with per-vector squared distances pre-rounded to "
+        "DECIMAL(18,6) (SURVEY §2.F)."
+    ),
+)
+def calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+
+    def micro_int(s: int, n: int) -> int:
+        if s >= 0:
+            return (2 * s + n) // (2 * n)
+        return -((2 * (-s) + n) // (2 * n))
+
+    by_label: dict = {}
+    counts: dict = {}
+    gacc: dict = {}
+    for r in rows:
+        lbl, pos, s, n = int(r["label"]), int(r["pos"]), int(r["s"]), int(r["n"])
+        by_label.setdefault(lbl, {})[pos] = micro_int(s, n)
+        counts[lbl] = n
+        acc = gacc.setdefault(pos, [0, 0])
+        acc[0] += s
+        acc[1] += n
+    n_total = sum(counts.values())
+    k = len(counts)
+    gm = {pos: micro_int(s, n) for pos, (s, n) in gacc.items()}
+    b_int = sum(
+        counts[lbl] * sum((cm - gm[pos]) ** 2 for pos, cm in dims.items())
+        for lbl, dims in by_label.items()
+    )
+    centmap = F.expr(
+        "map("
+        + ",".join(
+            f"{lbl}, array("
+            + ",".join(f"{dims[p] / 1000000.0!r}D" for p in sorted(dims))
+            + ")"
+            for lbl, dims in sorted(by_label.items())
+        )
+        + ")"
+    )
+    wss = emb.agg(
+        F.sum(
+            F.round(
+                _fold_sqdist(
+                    F.col("embedding"),
+                    F.element_at(centmap, F.col("label").cast("int")),
+                ),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("w")
+    )
+    return wss.select(
+        F.lit(n_total).cast("bigint").alias("n_vectors"),
+        F.lit(k).cast("bigint").alias("k_labels"),
+        F.round(
+            F.expr(
+                f"((CAST({b_int} AS DOUBLE) / 1000000000000.0) / ({k} - 1))"
+                f" / (CAST(w AS DOUBLE) / ({n_total} - {k}))"
+            ),
+            4,
+        ).alias("ch_index"),
+    )

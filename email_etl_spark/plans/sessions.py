@@ -3644,3 +3644,61 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# new_vs_returning_daily — acquisition-vs-retention daily split.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+fu AS (
+  SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id
+)
+SELECT ud.d AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN ud.d = fu.first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN ud.d = fu.first_d THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_returning,
+       CAST(SUM(CASE WHEN ud.d = fu.first_d THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS new_share_bps
+FROM ud JOIN fu USING (user_id)
+GROUP BY ud.d ORDER BY day
+""",
+    doc=(
+        "Daily new-vs-returning active-user split: each (user, day) "
+        "activity row is classified by whether it is that user's "
+        "first-ever active day — the acquisition/retention composition "
+        "behind every growth dashboard, complementing dau_wau (volume) "
+        "and daily_retention (cohort decay). Two shuffles total, both "
+        "key-bounded: the (user, day) distinct rollup, then a first-"
+        "day min-aggregate joined back ON USER (co-partitioned with "
+        "the rollup — AQE plans it off the same exchange) and a day "
+        "rollup; all counts exact integers, share in bps "
+        "(SURVEY §2.H)."
+    ),
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    fu = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    is_new = (F.col("d") == F.col("first_d")).cast("bigint")
+    return (
+        ud.join(fu, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.sum(is_new).cast("bigint").alias("n_new"),
+            F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+            F.expr(
+                "CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) * 10000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("new_share_bps"),
+        )
+        .orderBy("day")
+    )

@@ -808,3 +808,209 @@ def levene_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spearman_value_hour — rank correlation between value and hour of day.
+# ---------------------------------------------------------------------------
+
+
+def _spearman_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT value AS x, EXTRACT(hour FROM ts) AS y FROM events
+),
+rx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY x
+),
+wx AS (
+  SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS r2x
+  FROM rx
+),
+ry AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY y
+),
+wy AS (
+  SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS r2y
+  FROM ry
+),
+j AS (
+  SELECT wx.r2x, wy.r2y
+  FROM base JOIN wx ON base.x = wx.x JOIN wy ON base.y = wy.y
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r2x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(r2y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(r2x AS DECIMAL(38,0)) * r2x) AS sxx,
+         SUM(CAST(r2y AS DECIMAL(38,0)) * r2y) AS syy,
+         SUM(CAST(r2x AS DECIMAL(38,0)) * r2y) AS sxy
+  FROM j
+)
+SELECT n AS n_events,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS rho
+FROM s
+"""
+
+
+@register(
+    "spearman_value_hour",
+    oracle=_spearman_oracle(),
+    doc=(
+        "Spearman rank correlation between event `value` and hour of "
+        "day: do high-value events concentrate at particular times? "
+        "Monotone-robust where corr_matrix's Pearson is linear-only, "
+        "and the effect-SIZE companion to ks_uniform_hour's existence "
+        "test. Tied ranks stay exact integers via the doubled-average-"
+        "rank trick (2r = 2*cum_before + t + 1, mannwhitney "
+        "convention) on BOTH variables; the five cross-moments "
+        "accumulate in DECIMAL(38,0) (order-insensitive, overflow-"
+        "safe past sf100) and rho is one shared double expression — "
+        "Pearson on ranks, the textbook tie-corrected Spearman. "
+        "Ordered passes are O(distinct values) and O(24) only "
+        "(SURVEY §2.L)."
+    ),
+)
+def spearman_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("x"), F.hour("ts").alias("y")
+    )
+    rx = ev.groupBy("x").agg(F.count("*").cast("bigint").alias("t"))
+    wpre = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    wx = rx.select(
+        "x",
+        (2 * F.coalesce(F.sum("t").over(wpre), F.lit(0)) + F.col("t") + 1).alias(
+            "r2x"
+        ),
+    )
+    ry = ev.groupBy("y").agg(F.count("*").cast("bigint").alias("t"))
+    wprey = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    wy = ry.select(
+        "y",
+        (2 * F.coalesce(F.sum("t").over(wprey), F.lit(0)) + F.col("t") + 1).alias(
+            "r2y"
+        ),
+    )
+    j = ev.join(wx, "x").join(F.broadcast(wy), "y").select("r2x", "r2y")
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("r2x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x").cast("decimal(38,0)") * F.col("r2y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ),
+            4,
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohens_d_value — standardized effect size, purchase vs view value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohens_d_value",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN vc ELSE 0 END) AS BIGINT) AS s2,
+         SUM(CASE WHEN event_type = '{_MW_A}'
+                  THEN CAST(vc AS DECIMAL(38,0)) * vc ELSE 0 END) AS q1,
+         SUM(CASE WHEN event_type = '{_MW_B}'
+                  THEN CAST(vc AS DECIMAL(38,0)) * vc ELSE 0 END) AS q2
+  FROM b
+)
+SELECT n1 AS n_{_MW_A}, n2 AS n_{_MW_B},
+       CAST(s1 * 10 // n1 - s2 * 10 // n2 AS BIGINT) AS mean_diff_milli,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                    / (n1 + n2 - 2)), 4) AS cohens_d,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+                    / (n1 + n2 - 2))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 4) AS hedges_g
+FROM s
+""",
+    doc=(
+        "Cohen's d (+ Hedges' g small-sample correction) for the "
+        "purchase-vs-view `value` gap: the standardized effect SIZE "
+        "companion to mannwhitney_value's significance — at 100 TB "
+        "row counts everything is 'significant', so the magnitude "
+        "number is the one that matters for decisions. The 2-decimal "
+        "value column is exact in centi-units, so n/S/Q sufficient "
+        "statistics are pure integers (Q in DECIMAL(38,0)) off ONE "
+        "conditional-aggregate scan — no per-group pass, no join; "
+        "d and g are single shared double expressions, the mean gap "
+        "also reported in exact integer milli-units (SURVEY §2.L)."
+    ),
+)
+def cohens_d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    b = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    is1 = F.col("event_type") == _MW_A
+    is2 = F.col("event_type") == _MW_B
+    s = b.agg(
+        F.sum(is1.cast("bigint")).cast("bigint").alias("n1"),
+        F.sum(is2.cast("bigint")).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, F.col("vc")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is2, F.col("vc")).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(
+            F.when(is1, F.col("vc").cast("decimal(38,0)") * F.col("vc")).otherwise(0)
+        ).alias("q1"),
+        F.sum(
+            F.when(is2, F.col("vc").cast("decimal(38,0)") * F.col("vc")).otherwise(0)
+        ).alias("q2"),
+    )
+    d = F.expr(
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+        " / SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+        "         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))"
+        "        / (n1 + n2 - 2))"
+    )
+    return s.select(
+        F.col("n1").alias(f"n_{_MW_A}"),
+        F.col("n2").alias(f"n_{_MW_B}"),
+        F.expr("s1 * 10 div n1 - s2 * 10 div n2")
+        .cast("bigint")
+        .alias("mean_diff_milli"),
+        F.round(d, 4).alias("cohens_d"),
+        F.round(d * F.expr("1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)"), 4).alias(
+            "hedges_g"
+        ),
+    )

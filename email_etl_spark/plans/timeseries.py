@@ -1334,3 +1334,79 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ks_uniform_hour — one-sample KS test of hour-of-day uniformity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_uniform_hour",
+    oracle="""
+WITH hc AS (
+  SELECT EXTRACT(hour FROM ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+cal AS (SELECT UNNEST(range(24)) AS h),
+f AS (
+  SELECT cal.h, COALESCE(hc.c, 0) AS c FROM cal LEFT JOIN hc ON cal.h = hc.h
+),
+w AS (
+  SELECT h, SUM(c) OVER (ORDER BY h) AS cum,
+         SUM(c) OVER () AS n
+  FROM f
+),
+s AS (
+  SELECT MAX(ABS(24 * cum - (h + 1) * n)) AS d_int, MAX(n) AS n FROM w
+)
+SELECT n AS n_events,
+       ROUND(CAST(d_int AS DOUBLE) / (24.0 * n), 6) AS d_stat,
+       ROUND(CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE)), 4)
+           AS ks_stat,
+       CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE)) > 1.358
+           AS reject_95
+FROM s
+""",
+    doc=(
+        "One-sample Kolmogorov-Smirnov test of hour-of-day uniformity: "
+        "max ECDF gap against the discrete uniform CDF, evaluated at "
+        "the 24 hour atoms (post-jump convention) — IS there a "
+        "time-of-day effect at all, before hourly_histogram shows its "
+        "shape and peak_load_report sizes for it; the one-sample "
+        "companion to value_ks_drift's two-sample D. The gap is kept "
+        "as the exact integer |24*cum - (h+1)*N| (no per-atom "
+        "division), so D and the sqrt(N)-scaled statistic are two "
+        "final shared double expressions over integers; the only "
+        "ordered pass is a 24-row cumulative window off the hour "
+        "rollup (SURVEY §2.H)."
+    ),
+)
+def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.hour("ts").alias("h")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cal = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    f = cal.join(hc, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = f.select(
+        "h",
+        F.sum("c").over(Window.orderBy("h")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    s = w.agg(
+        F.max(F.abs(24 * F.col("cum") - (F.col("h") + 1) * F.col("n"))).alias("d_int"),
+        F.max("n").alias("n"),
+    )
+    d = F.col("d_int").cast("double") / (24.0 * F.col("n"))
+    ks = d * F.sqrt(F.col("n").cast("double"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(ks, 4).alias("ks_stat"),
+        (ks > 1.358).alias("reject_95"),
+    )
