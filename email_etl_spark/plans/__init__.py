@@ -119,6 +119,9 @@ _GATE_ORDER = (
     "spearman_value_hour",
     "cohens_d_value",
     "new_vs_returning_daily",
+    "holt_linear_forecast",
+    "iqr_outlier_days",
+    "welch_t_value",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -1014,3 +1014,104 @@ def cohens_d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hedges_g"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# welch_t_value — unequal-variance t-test, purchase vs view value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_t_value",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN vc ELSE 0 END) AS BIGINT) AS s2,
+         SUM(CASE WHEN event_type = '{_MW_A}'
+                  THEN CAST(vc AS DECIMAL(38,0)) * vc ELSE 0 END) AS q1,
+         SUM(CASE WHEN event_type = '{_MW_B}'
+                  THEN CAST(vc AS DECIMAL(38,0)) * vc ELSE 0 END) AS q2
+  FROM b
+),
+v AS (
+  SELECT n1, n2,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS va,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS vb,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+  FROM s
+)
+SELECT n1 AS n_{_MW_A}, n2 AS n_{_MW_B},
+       ROUND(md / SQRT(va + vb), 4) AS t_stat,
+       ROUND((va + vb) * (va + vb)
+             / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 2) AS welch_dof,
+       ABS(md / SQRT(va + vb)) > 1.96 AS reject_95
+FROM v
+""",
+    doc=(
+        "Welch's unequal-variance t-test on the purchase-vs-view "
+        "`value` gap, with the Welch-Satterthwaite effective dof — "
+        "the parametric significance member of the two-sample "
+        "triangle (mannwhitney_value: distribution-free significance; "
+        "cohens_d_value: magnitude). Welch never assumes the equal "
+        "spread levene_value tests for — that is exactly when it "
+        "replaces Student's t. Same exact centi-unit integer "
+        "sufficient statistics off ONE conditional-aggregate scan as "
+        "cohens_d_value (Q in DECIMAL(38,0)); t and dof are single "
+        "shared double expressions, the z critical value applies at "
+        "these dof (SURVEY §2.L)."
+    ),
+)
+def welch_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    b = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    is1 = F.col("event_type") == _MW_A
+    is2 = F.col("event_type") == _MW_B
+    s = b.agg(
+        F.sum(is1.cast("bigint")).cast("bigint").alias("n1"),
+        F.sum(is2.cast("bigint")).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, F.col("vc")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is2, F.col("vc")).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(
+            F.when(is1, F.col("vc").cast("decimal(38,0)") * F.col("vc")).otherwise(0)
+        ).alias("q1"),
+        F.sum(
+            F.when(is2, F.col("vc").cast("decimal(38,0)") * F.col("vc")).otherwise(0)
+        ).alias("q2"),
+    )
+    v = s.select(
+        "n1",
+        "n2",
+        F.expr(
+            "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1"
+        ).alias("va"),
+        F.expr(
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2"
+        ).alias("vb"),
+        F.expr("CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2").alias("md"),
+    )
+    t = F.col("md") / F.sqrt(F.col("va") + F.col("vb"))
+    return v.select(
+        F.col("n1").alias(f"n_{_MW_A}"),
+        F.col("n2").alias(f"n_{_MW_B}"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(
+            (F.col("va") + F.col("vb"))
+            * (F.col("va") + F.col("vb"))
+            / (
+                F.col("va") * F.col("va") / (F.col("n1") - 1)
+                + F.col("vb") * F.col("vb") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_dof"),
+        (F.abs(t) > 1.96).alias("reject_95"),
+    )

@@ -1410,3 +1410,214 @@ def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks, 4).alias("ks_stat"),
         (ks > 1.358).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_forecast — double exponential smoothing on the daily series.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.3, 0.1, 7
+
+# one smoothing step as a shared expression template: l' = a*x + (1-a)(l+b),
+# b' = beta*(l' - l) + (1-beta)*b, with l' re-derived textually inside b'
+# so both engines run the identical IEEE op tree
+def _holt_step(acc_l: str, acc_b: str, x: str) -> tuple[str, str]:
+    lnew = (
+        f"(CAST({_HOLT_ALPHA} AS DOUBLE) * {x}"
+        f" + (CAST(1 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE))"
+        f" * ({acc_l} + {acc_b}))"
+    )
+    bnew = (
+        f"(CAST({_HOLT_BETA} AS DOUBLE) * ({lnew} - {acc_l})"
+        f" + (CAST(1 AS DOUBLE) - CAST({_HOLT_BETA} AS DOUBLE)) * {acc_b})"
+    )
+    return lnew, bnew
+
+
+@register(
+    "holt_linear_forecast",
+    # accumulator is a 2-list [level, trend], NOT a struct: DuckDB
+    # 1.0's list_reduce mis-evaluates multi-field STRUCT accumulators
+    # across iterations (verified: single application correct, chained
+    # fold drifts); list accumulators fold correctly in both engines
+    oracle=(lambda: (lambda lnew, bnew: f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(n ORDER BY d) AS ys, COUNT(*) AS nd FROM daily),
+fit AS (
+  SELECT nd,
+         list_reduce(
+           list_prepend(
+             [ys[1], ys[2] - ys[1]],
+             list_transform(ys[3:], v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE)])),
+           (acc, x) -> [{lnew}, {bnew}]) AS st
+  FROM arr
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND(st[1], 4) AS level,
+       ROUND(st[2], 4) AS trend,
+       ROUND(st[1] + {_HOLT_H} * st[2], 4) AS forecast_7d
+FROM fit
+""")(*_holt_step("acc[1]", "acc[2]", "x[1]")))(),
+    doc=(
+        "Holt's linear-trend double exponential smoothing of the daily "
+        "event counts (alpha=0.3, beta=0.1, classic init l1=y1, "
+        "b1=y2-y1) with the h=7 forecast l+7b — the trend-aware "
+        "forecaster next to seasonal_forecast's weekday-profile model "
+        "and ewma_anomaly's level-only filter. The recursion is a "
+        "SEQUENTIAL fold, so it runs as one higher-order fold over the "
+        "day-ordered array (O(days) state, dimension-sized at any "
+        "corpus scale — the timeseries.py contract); the per-step op "
+        "tree is one shared expression template in both engines, so "
+        "the smoothed state is bit-identical with no per-step "
+        "rounding (SURVEY §2.H)."
+    ),
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("n")))),
+            lambda st: st["n"],
+        ).alias("ys"),
+        F.count("*").alias("nd"),
+    )
+    # NB: Spark [] subscripts are 0-based (DuckDB's are 1-based)
+    lnew, bnew = _holt_step("acc[0]", "acc[1]", "x")
+    fit = arr.select(
+        "nd",
+        F.expr(
+            f"aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),"
+            f" array(ys[0], ys[1] - ys[0]),"
+            f" (acc, x) -> array({lnew}, {bnew}))"
+        ).alias("st"),
+    )
+    return fit.select(
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round(F.expr("st[0]"), 4).alias("level"),
+        F.round(F.expr("st[1]"), 4).alias("trend"),
+        F.round(F.expr("st[0]") + _HOLT_H * F.expr("st[1]"), 4).alias("forecast_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# iqr_outlier_days — Tukey-fence outlier days, exact integer quartiles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "iqr_outlier_days",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n
+  FROM daily
+),
+pick AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN c END) AS y1,
+         MAX(CASE WHEN rn = (n - 1) // 4 + 2 THEN c END) AS y1p,
+         MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN c END) AS y3,
+         MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN c END) AS y3p
+  FROM rk
+),
+q AS (
+  SELECT n,
+         4 * y1 + ((n - 1) % 4) * (COALESCE(y1p, y1) - y1) AS q1x4,
+         4 * y3 + ((3 * (n - 1)) % 4) * (COALESCE(y3p, y3) - y3) AS q3x4
+  FROM pick
+)
+SELECT CAST(q.n AS BIGINT) AS n_days,
+       CAST(q1x4 AS BIGINT) AS q1_x4,
+       CAST(q3x4 AS BIGINT) AS q3_x4,
+       CAST(q3x4 - q1x4 AS BIGINT) AS iqr_x4,
+       CAST(SUM(CASE WHEN 8 * daily.c < 2 * q1x4 - 3 * (q3x4 - q1x4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 8 * daily.c > 2 * q3x4 + 3 * (q3x4 - q1x4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM daily CROSS JOIN q
+GROUP BY q.n, q1x4, q3x4
+""",
+    doc=(
+        "Tukey-fence outlier screen on the daily event counts: "
+        "linear-interpolated quartiles kept EXACT as 4x integers "
+        "(the interpolation fraction at (n-1)/4 is always a quarter, "
+        "so 4*Q is integer), fences compared as the cross-multiplied "
+        "integer predicates 8c < 2*Q1x4 - 3*IQRx4 / 8c > 2*Q3x4 + "
+        "3*IQRx4 — no float ever materializes, no percentile-"
+        "interpolation knife edge between engines. The box-plot "
+        "robust alternative to anomaly_zscore's mean/std gates "
+        "(which an outlier inflates) and the global-series companion "
+        "to robust_zscore_mad. All windows run over the O(days) "
+        "rollup (SURVEY §2.H)."
+    ),
+)
+def iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rk = daily.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    pick = rk.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.expr("rn = (n - 1) div 4 + 1"), F.col("c"))).alias("y1"),
+        F.max(
+            F.when(F.expr("rn = (n - 1) div 4 + 2"), F.col("c"))
+        ).alias("y1p"),
+        F.max(
+            F.when(F.expr("rn = (3 * (n - 1)) div 4 + 1"), F.col("c"))
+        ).alias("y3"),
+        F.max(
+            F.when(F.expr("rn = (3 * (n - 1)) div 4 + 2"), F.col("c"))
+        ).alias("y3p"),
+    ).select(
+        "n",
+        F.expr("4 * y1 + ((n - 1) % 4) * (COALESCE(y1p, y1) - y1)").alias("q1x4"),
+        F.expr("4 * y3 + ((3 * (n - 1)) % 4) * (COALESCE(y3p, y3) - y3)").alias(
+            "q3x4"
+        ),
+    )
+    return (
+        daily.crossJoin(F.broadcast(pick))
+        .groupBy("n", "q1x4", "q3x4")
+        .agg(
+            F.sum(
+                F.when(
+                    8 * F.col("c") < 2 * F.col("q1x4") - 3 * (F.col("q3x4") - F.col("q1x4")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    8 * F.col("c") > 2 * F.col("q3x4") + 3 * (F.col("q3x4") - F.col("q1x4")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("q1x4").cast("bigint").alias("q1_x4"),
+            F.col("q3x4").cast("bigint").alias("q3_x4"),
+            (F.col("q3x4") - F.col("q1x4")).cast("bigint").alias("iqr_x4"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )

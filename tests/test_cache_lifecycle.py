@@ -31,7 +31,11 @@ def test_dedup_family_repeat_calls_do_not_accumulate_storage(spark):
     for name in family:  # second pass must not pin anything new
         REGISTRY[name].builder(spark, SF).collect()
     after_second = _n_persistent_rdds(spark)
-    assert after_second == after_first, (
+    # <= not ==: the leak being pinned is GROWTH; Spark's ContextCleaner
+    # may concurrently unpersist entries whose handles were GC'd (other
+    # tests share this session), so the count can legitimately shrink
+    # between the two measurements (observed 5 -> 4 in a full-suite run)
+    assert after_second <= after_first, (
         f"repeat dedup-family pass grew pinned storage "
         f"{after_first} -> {after_second}"
     )

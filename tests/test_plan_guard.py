@@ -196,6 +196,7 @@ _BNL_JUSTIFIED = {
     "bm25f_search",  # 1-row (N, field-length sums, dfs) stats broadcast
     "silhouette_centroid",  # k-row centroid codebook broadcast (k labels)
     "davies_bouldin",  # k-row centroid/scatter codebook broadcasts (k^2 pairs)
+    "iqr_outlier_days",  # 1-row quartile-fence broadcast onto the day rollup
 }
 
 
