@@ -122,6 +122,8 @@ _GATE_ORDER = (
     "holt_linear_forecast",
     "iqr_outlier_days",
     "welch_t_value",
+    "smog_readability",
+    "rolling_7d_active_users",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -3702,3 +3702,83 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling_7d_active_users — sliding-window distinct users.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+cov AS (
+  SELECT DISTINCT ud.user_id, ud.d + CAST(x.i AS INTEGER) AS day
+  FROM ud CROSS JOIN (SELECT UNNEST(range(7)) AS i) x
+),
+r AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_7d
+  FROM cov GROUP BY day
+),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_1d FROM ud GROUP BY d)
+SELECT r.day, r.active_7d, COALESCE(dau.active_1d, 0) AS active_1d,
+       CAST(COALESCE(dau.active_1d, 0) * 10000 // r.active_7d AS BIGINT)
+           AS stickiness_bps
+FROM r LEFT JOIN dau USING (day), bounds
+WHERE r.day >= bounds.lo + 6 AND r.day <= bounds.hi
+ORDER BY r.day
+""",
+    doc=(
+        "Rolling 7-day distinct active users per day (+ same-day DAU "
+        "and the DAU/WAU-rolling stickiness ratio in bps): the "
+        "smoothed engagement trend dashboards actually plot — dau_wau "
+        "uses fixed calendar weeks, which saw-tooths at week "
+        "boundaries. Distinct counts cannot be summed across a "
+        "sliding window, so each (user, day) activity row is exploded "
+        "to the 7 window-END days it covers and deduplicated — the "
+        "standard scale-out rewrite: cost is a bounded 7x of the "
+        "(user, day) rollup (itself << events), all shuffles "
+        "key-partitioned, no per-day DISTINCT re-scan of the corpus; "
+        "output trimmed to fully-covered days (SURVEY §2.H)."
+    ),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    bounds = ud.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cov = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("i")).alias("day"))
+        .distinct()
+    )
+    r = cov.groupBy("day").agg(F.count("*").cast("bigint").alias("active_7d"))
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").cast("bigint").alias("active_1d")
+    )
+    return (
+        r.join(dau, "day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.date_add(F.col("lo"), 6))
+            & (F.col("day") <= F.col("hi"))
+        )
+        .select(
+            "day",
+            "active_7d",
+            F.coalesce(F.col("active_1d"), F.lit(0)).alias("active_1d"),
+            F.expr("COALESCE(active_1d, 0) * 10000 div active_7d")
+            .cast("bigint")
+            .alias("stickiness_bps"),
+        )
+        .orderBy("day")
+    )

@@ -3887,3 +3887,103 @@ def word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# smog_readability — polysyllable-based readability grade.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "smog_readability",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(COALESCE(len(list_filter({_TOKS},
+             x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)), 0) AS BIGINT) AS p,
+         CAST(len({_TOKS}) AS BIGINT) AS w
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS BIGINT) AS sum_sentences,
+       CAST(SUM(p) AS BIGINT) AS sum_polysyllables,
+       CAST(SUM(p) * 10000 // SUM(w) AS BIGINT) AS polysyllable_share_bps,
+       ROUND(1.043 * SQRT(30.0 * CAST(SUM(p) AS DOUBLE) / SUM(s)) + 3.1291, 4)
+           AS smog_grade
+FROM d WHERE w > 0
+GROUP BY lang, source ORDER BY lang, source
+""",
+    doc=(
+        "SMOG readability grade per (lang, source) (McLaughlin 1969, "
+        "public formula: 1.043*sqrt(30*polysyllables/sentences) + "
+        "3.1291): the POLYSYLLABLE-count member of the readability "
+        "battery — FK weights mean syllable load, ARI/CLI count "
+        "characters, SMOG counts only hard words (>=3 vowel-run "
+        "syllables), which tracks comprehension-test scores best on "
+        "health/legal text. Polysyllable and sentence tallies are "
+        "exact integers off one scan (same vowel-run heuristic and "
+        "min-1-sentence floor as readability_fk); the grade is ONE "
+        "shared sqrt expression over the two BIGINT sums, plus the "
+        "hard-word share in exact bps. Map-side-combined "
+        "groupBy(lang, source) (SURVEY §2.D)."
+    ),
+)
+def smog_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+        .cast("bigint")
+        .alias("s"),
+        T.tokens(F.col("text")).alias("toks"),
+    )
+    d = toks.select(
+        "lang",
+        "source",
+        "s",
+        F.size("toks").cast("bigint").alias("w"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.col("toks"),
+                    lambda x: F.regexp_count(x, F.lit("[aeiouy]+")) >= 3,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p"),
+    ).where(F.col("w") > 0)
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("s").cast("bigint").alias("sum_sentences"),
+            F.sum("p").cast("bigint").alias("sum_polysyllables"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_sentences",
+            "sum_polysyllables",
+            F.expr("sum_polysyllables * 10000 div sw")
+            .cast("bigint")
+            .alias("polysyllable_share_bps"),
+            F.round(
+                1.043
+                * F.sqrt(
+                    30.0
+                    * F.col("sum_polysyllables").cast("double")
+                    / F.col("sum_sentences")
+                )
+                + 3.1291,
+                4,
+            ).alias("smog_grade"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -197,6 +197,7 @@ _BNL_JUSTIFIED = {
     "silhouette_centroid",  # k-row centroid codebook broadcast (k labels)
     "davies_bouldin",  # k-row centroid/scatter codebook broadcasts (k^2 pairs)
     "iqr_outlier_days",  # 1-row quartile-fence broadcast onto the day rollup
+    "rolling_7d_active_users",  # 1-row calendar-bounds broadcast
 }
 
 
