@@ -124,6 +124,9 @@ _GATE_ORDER = (
     "welch_t_value",
     "smog_readability",
     "rolling_7d_active_users",
+    "returns_odds_ratio",
+    "cochran_q_filters",
+    "value_quartiles_by_type",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -2106,3 +2106,90 @@ def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# cochran_q_filters — do the curation filters PASS at different rates?
+# ---------------------------------------------------------------------------
+
+
+def _cochran_oracle() -> str:
+    from email_etl_spark.plans.dedup import _quality_sql_fragment
+    from email_etl_spark.plans.text import _stop_sql
+
+    q = _quality_sql_fragment()
+    stop = _stop_sql(T.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT CAST(CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS fq,
+         CAST(CASE WHEN len({_TOKS}) >= {_KAPPA_MINLEN} THEN 1 ELSE 0 END AS BIGINT) AS fm,
+         CAST(CASE WHEN {stop} * {_KAPPA_STOPX} >= len({_TOKS}) THEN 1 ELSE 0 END AS BIGINT) AS fs
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(fq) AS BIGINT) AS gq,
+         CAST(SUM(fm) AS BIGINT) AS gm,
+         CAST(SUM(fs) AS BIGINT) AS gs,
+         CAST(SUM((fq + fm + fs) * (fq + fm + fs)) AS BIGINT) AS l2
+  FROM f
+)
+SELECT n AS n_docs, gq AS n_pass_quality, gm AS n_pass_minlen, gs AS n_pass_stopword,
+       ROUND(2.0 * (3.0 * (CAST(gq AS DOUBLE) * gq + CAST(gm AS DOUBLE) * gm
+                           + CAST(gs AS DOUBLE) * gs)
+                    - CAST(gq + gm + gs AS DOUBLE) * (gq + gm + gs))
+             / (3.0 * (gq + gm + gs) - l2), 4) AS q_stat,
+       2.0 * (3.0 * (CAST(gq AS DOUBLE) * gq + CAST(gm AS DOUBLE) * gm
+                     + CAST(gs AS DOUBLE) * gs)
+              - CAST(gq + gm + gs AS DOUBLE) * (gq + gm + gs))
+         / (3.0 * (gq + gm + gs) - l2) > 5.9915 AS reject_95
+FROM s
+"""
+
+
+@register(
+    "cochran_q_filters",
+    oracle=_cochran_oracle(),
+    doc=(
+        "Cochran's Q test across the three binary curation filters "
+        "(quality >= 0.5, min 50 tokens, stopword floor — the "
+        "filter_agreement_kappa battery): do the filters PASS at "
+        "different rates on the same documents? Kappa/Fleiss measure "
+        "whether filters AGREE; Q tests whether their marginal "
+        "strictness differs — the related-samples complement that "
+        "says which knob actually gates the funnel. Q(k=3) = "
+        "2*(3*sum(G_j^2) - T^2)/(3T - sum(L_i^2)) from five exact "
+        "integers off ONE conditional-aggregate scan (per-doc pass "
+        "count L and per-filter totals G share the pass); chi-square "
+        "dof=2 critical 5.9915 (SURVEY §2.L)."
+    ),
+)
+def cochran_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_n = T.token_count(F.col("text"))
+    fq = F.when(T.quality_score(F.col("text")) >= 0.5, 1).otherwise(0)
+    fm = F.when(toks_n >= _KAPPA_MINLEN, 1).otherwise(0)
+    fs = F.when(
+        T.stopword_count(F.col("text")) * _KAPPA_STOPX >= toks_n, 1
+    ).otherwise(0)
+    s = docs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(fq).cast("bigint").alias("gq"),
+        F.sum(fm).cast("bigint").alias("gm"),
+        F.sum(fs).cast("bigint").alias("gs"),
+        F.sum((fq + fm + fs) * (fq + fm + fs)).cast("bigint").alias("l2"),
+    )
+    qexpr = F.expr(
+        "2.0 * (3.0 * (CAST(gq AS DOUBLE) * gq + CAST(gm AS DOUBLE) * gm"
+        "              + CAST(gs AS DOUBLE) * gs)"
+        "       - CAST(gq + gm + gs AS DOUBLE) * (gq + gm + gs))"
+        " / (3.0 * (gq + gm + gs) - l2)"
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("gq").alias("n_pass_quality"),
+        F.col("gm").alias("n_pass_minlen"),
+        F.col("gs").alias("n_pass_stopword"),
+        F.round(qexpr, 4).alias("q_stat"),
+        (qexpr > 5.9915).alias("reject_95"),
+    )

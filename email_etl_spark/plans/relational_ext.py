@@ -2790,3 +2790,75 @@ def bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("fp_count * 10000 div n_probe").cast("bigint").alias("fpr_bps"),
         F.expr(_BF_THEORY).alias("fpr_theory_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# returns_odds_ratio — 2x2 odds ratio: high-discount exposure vs returns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returns_odds_ratio",
+    oracle="""
+WITH s AS (
+  SELECT CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem
+)
+SELECT a AS n_exposed_returned, b AS n_exposed_kept,
+       c AS n_unexposed_returned, d AS n_unexposed_kept,
+       ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 4) AS odds_ratio,
+       ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4) AS ci95_low,
+       ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4) AS ci95_high,
+       (ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)) > 0
+       OR (ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+           + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)) < 0 AS significant_95
+FROM s
+""",
+    doc=(
+        "2x2 odds ratio with the Woolf logit 95% CI: are high-discount "
+        "line items (>= 5%) more likely to come back as returns "
+        "(l_returnflag = 'R')? The case-control-style effect measure "
+        "behind promotion-abuse and margin-leak questions — "
+        "q10_returned_items ranks who returns, this says whether the "
+        "discount lever CAUSES it (associationally). Four exact "
+        "integer cells off ONE conditional-aggregate scan; OR, the "
+        "log-scale CI bounds, and the significance flag (CI excludes "
+        "1) are single shared double expressions (SURVEY §2.L)."
+    ),
+)
+def returns_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    exp_ = F.col("l_discount") >= 0.05
+    ret = F.col("l_returnflag") == "R"
+    s = li.agg(
+        F.sum((exp_ & ret).cast("bigint")).cast("bigint").alias("a"),
+        F.sum((exp_ & ~ret).cast("bigint")).cast("bigint").alias("b"),
+        F.sum((~exp_ & ret).cast("bigint")).cast("bigint").alias("c"),
+        F.sum((~exp_ & ~ret).cast("bigint")).cast("bigint").alias("d"),
+    )
+    lor = F.log(
+        F.col("a").cast("double") * F.col("d") / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return s.select(
+        F.col("a").alias("n_exposed_returned"),
+        F.col("b").alias("n_exposed_kept"),
+        F.col("c").alias("n_unexposed_returned"),
+        F.col("d").alias("n_unexposed_kept"),
+        F.round(F.exp(lor), 4).alias("odds_ratio"),
+        F.round(F.exp(lor - 1.96 * se), 4).alias("ci95_low"),
+        F.round(F.exp(lor + 1.96 * se), 4).alias("ci95_high"),
+        ((lor - 1.96 * se > 0) | (lor + 1.96 * se < 0)).alias("significant_95"),
+    )

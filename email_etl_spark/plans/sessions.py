@@ -3782,3 +3782,100 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# value_quartiles_by_type — EXACT per-group quartiles, integer-safe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_quartiles_by_type",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+),
+rk AS (
+  SELECT g, vc,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM b
+),
+pick AS (
+  SELECT g, MAX(n) AS n,
+         MIN(vc) AS vmin, MAX(vc) AS vmax,
+         MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN vc END) AS y1,
+         MAX(CASE WHEN rn = (n - 1) // 4 + 2 THEN vc END) AS y1p,
+         MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN vc END) AS y2,
+         MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 2 THEN vc END) AS y2p,
+         MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN vc END) AS y3,
+         MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN vc END) AS y3p
+  FROM rk GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(vmin AS BIGINT) AS min_centi,
+       CAST(4 * y1 + ((n - 1) % 4) * (COALESCE(y1p, y1) - y1) AS BIGINT) AS q1_centi_x4,
+       CAST(4 * y2 + ((2 * (n - 1)) % 4) * (COALESCE(y2p, y2) - y2) AS BIGINT) AS median_centi_x4,
+       CAST(4 * y3 + ((3 * (n - 1)) % 4) * (COALESCE(y3p, y3) - y3) AS BIGINT) AS q3_centi_x4,
+       CAST(vmax AS BIGINT) AS max_centi
+FROM pick ORDER BY event_type
+""",
+    doc=(
+        "EXACT per-event-type value quartiles with zero float "
+        "interpolation: the 2-decimal value column is exact in "
+        "centi-units and the quartile positions land on quarter "
+        "fractions, so 4*Q is always an integer (iqr_outlier_days "
+        "convention, here per group) — the exact companion to "
+        "approx_value_quantiles' GK sketches (the documented 100 TB "
+        "path; THIS query is the auditor you run on a slice to "
+        "certify the sketch). Cost shape: one value-ordered window "
+        "per type partition — a distributed sort co-partitioned by "
+        "the group key, the unavoidable price of exactness "
+        "(SURVEY §2.H)."
+    ),
+)
+def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("g").orderBy("vc")
+    rk = b.select(
+        "g",
+        "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"),
+    )
+
+    def at(pos_expr: str) -> F.Column:
+        return F.max(F.when(F.expr(f"rn = {pos_expr}"), F.col("vc")))
+
+    pick = rk.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.min("vc").alias("vmin"),
+        F.max("vc").alias("vmax"),
+        at("(n - 1) div 4 + 1").alias("y1"),
+        at("(n - 1) div 4 + 2").alias("y1p"),
+        at("(2 * (n - 1)) div 4 + 1").alias("y2"),
+        at("(2 * (n - 1)) div 4 + 2").alias("y2p"),
+        at("(3 * (n - 1)) div 4 + 1").alias("y3"),
+        at("(3 * (n - 1)) div 4 + 2").alias("y3p"),
+    )
+    return pick.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("vmin").cast("bigint").alias("min_centi"),
+        F.expr("4 * y1 + ((n - 1) % 4) * (COALESCE(y1p, y1) - y1)")
+        .cast("bigint")
+        .alias("q1_centi_x4"),
+        F.expr("4 * y2 + ((2 * (n - 1)) % 4) * (COALESCE(y2p, y2) - y2)")
+        .cast("bigint")
+        .alias("median_centi_x4"),
+        F.expr("4 * y3 + ((3 * (n - 1)) % 4) * (COALESCE(y3p, y3) - y3)")
+        .cast("bigint")
+        .alias("q3_centi_x4"),
+        F.col("vmax").cast("bigint").alias("max_centi"),
+    ).orderBy("event_type")
