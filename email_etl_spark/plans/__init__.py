@@ -127,6 +127,9 @@ _GATE_ORDER = (
     "returns_odds_ratio",
     "cochran_q_filters",
     "value_quartiles_by_type",
+    "ab_srm_check",
+    "capture_recapture_users",
+    "price_elasticity_loglog",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -3879,3 +3879,150 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q3_centi_x4"),
         F.col("vmax").cast("bigint").alias("max_centi"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ab_srm_check — sample-ratio-mismatch gate for the A/B assignment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_srm_check",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       CAST(n_a * 10000 // (n_a + n_b) AS BIGINT) AS share_a_bps,
+       ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 4) AS chi2,
+       CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.8415
+           AS srm_detected
+FROM s
+""",
+    doc=(
+        "Sample-ratio-mismatch check on ab_test_lift's deterministic "
+        "50/50 hash assignment: chi-square of the observed arm split "
+        "against the designed ratio — for a two-arm even split it "
+        "collapses to the exact integer form (n_a - n_b)^2 / N, dof=1 "
+        "critical 3.8415. THE standard pre-read gate of every "
+        "experimentation platform: a significant SRM means the "
+        "assignment or logging is broken and the lift number must not "
+        "be read (Fabijan et al. 2019 diagnostics practice). One "
+        "user rollup, two integers, one shared double division "
+        "(SURVEY §2.H)."
+    ),
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1)
+            < "8"
+        ).alias("arm_a")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("n_a * 10000 div (n_a + n_b)").cast("bigint").alias("share_a_bps"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.8415).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture_users — Chapman population estimate from two halves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_users",
+    oracle="""
+WITH b AS (
+  SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS lo,
+         MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS hi
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN 2 * date_diff('second', TIMESTAMP '1970-01-01', ts)
+                       < (SELECT lo + hi FROM b) THEN 1 ELSE 0 END) AS s1,
+         MAX(CASE WHEN 2 * date_diff('second', TIMESTAMP '1970-01-01', ts)
+                       >= (SELECT lo + hi FROM b) THEN 1 ELSE 0 END) AS s2
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+         CAST(SUM(s2) AS BIGINT) AS n2,
+         CAST(SUM(s1 * s2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS seen
+  FROM u
+)
+SELECT n1 AS n_first_half, n2 AS n_second_half, m AS n_both, seen AS n_seen,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_estimate,
+       CAST(seen * 10000 // ((n1 + 1) * (n2 + 1) // (m + 1) - 1) AS BIGINT)
+           AS coverage_bps
+FROM s
+""",
+    doc=(
+        "Chapman capture-recapture estimate of the TOTAL user "
+        "population (seen + unseen) from the overlap between first- "
+        "and second-half-of-period user sets: N-hat = "
+        "(n1+1)(n2+1)/(m+1) - 1 — the ecology mark-recapture "
+        "estimator applied to audience sizing (how many users exist "
+        "that we never logged?), with the observed-coverage share in "
+        "bps. The period midpoint is the exact integer epoch-second "
+        "comparison 2*t < lo+hi (no /2 truncation drift); per-user "
+        "half-membership flags come off one user rollup and the "
+        "estimator is pure integer arithmetic end-to-end "
+        "(SURVEY §2.H)."
+    ),
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("tse")
+    )
+    b = ev.agg(
+        F.min("tse").alias("lo"), F.max("tse").alias("hi")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(2 * F.col("tse") < F.col("lo") + F.col("hi"), 1).otherwise(0)).alias("s1"),
+            F.max(F.when(2 * F.col("tse") >= F.col("lo") + F.col("hi"), 1).otherwise(0)).alias("s2"),
+        )
+    )
+    s = u.agg(
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("seen"),
+    )
+    return s.select(
+        F.col("n1").alias("n_first_half"),
+        F.col("n2").alias("n_second_half"),
+        F.col("m").alias("n_both"),
+        F.col("seen").alias("n_seen"),
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1")
+        .cast("bigint")
+        .alias("chapman_estimate"),
+        F.expr("seen * 10000 div ((n1 + 1) * (n2 + 1) div (m + 1) - 1)")
+        .cast("bigint")
+        .alias("coverage_bps"),
+    )

@@ -1115,3 +1115,114 @@ def welch_t_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_dof"),
         (F.abs(t) > 1.96).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# price_elasticity_loglog — log-log OLS demand elasticity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_elasticity_loglog",
+    oracle="""
+WITH t AS (
+  SELECT CAST(ROUND(ln(CAST(l_extendedprice AS DOUBLE) / l_quantity), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(CAST(l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM t
+)
+SELECT n AS n_lineitems,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity,
+       ROUND((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) / n, 4)
+           AS intercept,
+       ROUND(POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+FROM s
+""",
+    doc=(
+        "Own-price demand elasticity via log-log OLS: slope of "
+        "ln(quantity) on ln(unit price) across line items — the "
+        "econometric constant-elasticity read on the pricing data, "
+        "complementing ols_price_size's LEVEL-space per-brand fits "
+        "(a -1.2 slope means 1% price up, 1.2% volume down). Unit "
+        "price is one shared double division; both ln terms are "
+        "pre-rounded to DECIMAL(18,6) (the unigram_logprob ln "
+        "convention) so all five cross-moments are order-insensitive "
+        "exact decimal sums; slope/intercept/R^2 are single shared "
+        "double expressions. One scan, one reduce (SURVEY §2.L)."
+    ),
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    t = li.select(
+        F.round(
+            F.log(F.col("l_extendedprice").cast("double") / F.col("l_quantity")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("l_quantity").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return s.select(
+        F.col("n").alias("n_lineitems"),
+        F.round(slope, 4).alias("elasticity"),
+        F.round(
+            (F.expr("CAST(sy AS DOUBLE)") - F.expr("CAST(sx AS DOUBLE)") * slope)
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+        F.round(
+            F.pow(
+                F.expr(
+                    "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+                ),
+                2,
+            )
+            / (
+                F.expr(
+                    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                )
+                * F.expr(
+                    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+                )
+            ),
+            4,
+        ).alias("r2"),
+    )

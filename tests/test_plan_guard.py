@@ -198,6 +198,7 @@ _BNL_JUSTIFIED = {
     "davies_bouldin",  # k-row centroid/scatter codebook broadcasts (k^2 pairs)
     "iqr_outlier_days",  # 1-row quartile-fence broadcast onto the day rollup
     "rolling_7d_active_users",  # 1-row calendar-bounds broadcast
+    "capture_recapture_users",  # 1-row (lo, hi) epoch-bounds broadcast
 }
 
 
