@@ -84,3 +84,52 @@ def skippable_outside_window(lo_date: str, hi_date: str):
 
     hi_end = hi_date + " 23:59:59.999999999"
     return ~((F.col("stat_min") <= F.lit(hi_end)) & (F.col("stat_max") >= F.lit(lo_date)))
+
+
+COLUMN_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rg_idx", T.IntegerType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("compressed_bytes", T.LongType()),
+        T.StructField("uncompressed_bytes", T.LongType()),
+    ]
+)
+
+
+def parquet_column_chunks(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One row per (row group, column chunk) with codec and
+    compressed/uncompressed byte sizes — the layout-economics layer of
+    the footer (same paths-distributed / footers-executor-side shape
+    as parquet_rowgroup_stats)."""
+    files = spark.createDataFrame([(p,) for p in paths], "file string").repartition(
+        min(len(paths), 32)
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["file"]:
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        out.append(
+                            {
+                                "file": path,
+                                "rg_idx": rg,
+                                "column": col.path_in_schema,
+                                "codec": col.compression,
+                                "compressed_bytes": col.total_compressed_size,
+                                "uncompressed_bytes": col.total_uncompressed_size,
+                            }
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in COLUMN_CHUNK_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(read_footers, schema=COLUMN_CHUNK_SCHEMA)

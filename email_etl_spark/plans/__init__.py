@@ -130,6 +130,8 @@ _GATE_ORDER = (
     "ab_srm_check",
     "capture_recapture_users",
     "price_elasticity_loglog",
+    "parquet_compression_profile",
+    "source_gini_tokens",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -2193,3 +2193,65 @@ def cochran_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qexpr, 4).alias("q_stat"),
         (qexpr > 5.9915).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_gini_tokens — token-mass concentration across sources.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_gini_tokens",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT tok,
+         ROW_NUMBER() OVER (ORDER BY tok, source) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(tok) OVER () AS tot
+  FROM s
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+       CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM((2 * i - n - 1) * tok) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * MAX(tot)), 4) AS gini
+FROM r
+""",
+    doc=(
+        "Gini coefficient of token mass across sources: one number "
+        "for how lopsided the corpus mixture is (0 = every source "
+        "contributes equally, ->1 = one source dominates) — the "
+        "inequality summary behind mixture_weights and "
+        "temperature_sampling_weights (both exist to FLATTEN exactly "
+        "this curve; this is the metric that says how much flattening "
+        "is needed and whether a re-weight actually moved it). Exact "
+        "integer Gini numerator sum((2i-n-1)*x_i) over the source "
+        "rollup sorted with a deterministic (tok, source) tiebreak; "
+        "the only window runs over |sources| rows (SURVEY §2.L)."
+    ),
+)
+def source_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("tok")
+    )
+    r = s.select(
+        "tok",
+        F.row_number().over(Window.orderBy("tok", "source")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("tok").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.max("tot").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("tok")).cast("double")
+            / (F.max("n").cast("double") * F.max("tot")),
+            4,
+        ).alias("gini"),
+    )

@@ -1577,3 +1577,62 @@ def dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(c).alias("clip"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# parquet_compression_profile — column-chunk compression economics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_compression_profile",
+    oracle="""
+SELECT path_in_schema AS column_name,
+       MAX(compression) AS codec,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+       CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+       CAST(SUM(total_compressed_size) * 10000 // SUM(total_uncompressed_size)
+            AS BIGINT) AS ratio_bps
+FROM parquet_metadata('__SF_DIR__/documents.parquet')
+GROUP BY path_in_schema
+ORDER BY column_name
+""",
+    doc=(
+        "Column-chunk compression profile of the documents table from "
+        "parquet FOOTERS only: per column, codec and compressed vs "
+        "uncompressed byte totals with the ratio in bps — the storage-"
+        "economics companion to parquet_skipping_stats (skip planning) "
+        "and rowgroup_size_histogram (group sizing): at 100 TB, the "
+        "columns that don't compress are where the storage bill and "
+        "the scan seconds live, and an incompressible text column is "
+        "the first candidate for dictionary/zstd re-encoding in "
+        "zorder_layout's rewrite. Same scale shape as its siblings: "
+        "paths distributed, footers (kilobytes) read executor-side in "
+        "mapInPandas (operators/metadata.parquet_column_chunks), one "
+        "metadata-parallel pass for a million-file lake; pyarrow and "
+        "DuckDB read the identical thrift fields (SURVEY §4)."
+    ),
+)
+def parquet_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from email_etl_spark.operators.metadata import parquet_column_chunks
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    chunks = parquet_column_chunks(spark, [path])
+    return (
+        chunks.groupBy(F.col("column").alias("column_name"))
+        .agg(
+            F.max("codec").alias("codec"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("compressed_bytes").cast("bigint").alias("compressed_bytes"),
+            F.sum("uncompressed_bytes").cast("bigint").alias("uncompressed_bytes"),
+            F.expr(
+                "SUM(compressed_bytes) * 10000 div SUM(uncompressed_bytes)"
+            )
+            .cast("bigint")
+            .alias("ratio_bps"),
+        )
+        .orderBy("column_name")
+    )
