@@ -132,6 +132,8 @@ _GATE_ORDER = (
     "price_elasticity_loglog",
     "parquet_compression_profile",
     "source_gini_tokens",
+    "join_estimate_qerror",
+    "deseasonalized_acf",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

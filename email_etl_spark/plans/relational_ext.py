@@ -2862,3 +2862,110 @@ def returns_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(lor + 1.96 * se), 4).alias("ci95_high"),
         ((lor - 1.96 * se > 0) | (lor + 1.96 * se < 0)).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_estimate_qerror — how wrong is the uniform-key cardinality model?
+# ---------------------------------------------------------------------------
+
+
+def _qerror_sql(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+SELECT '{name}' AS join_name,
+       CAST(na AS BIGINT) AS n_left, CAST(nb AS BIGINT) AS n_right,
+       CAST(da AS BIGINT) AS ndv_left, CAST(db AS BIGINT) AS ndv_right,
+       CAST(actual AS BIGINT) AS actual_rows,
+       CAST(na * nb // GREATEST(da, db) AS BIGINT) AS uniform_estimate,
+       ROUND(GREATEST(CAST(na * nb // GREATEST(da, db) AS DOUBLE) / actual,
+                      CAST(actual AS DOUBLE)
+                      / (na * nb // GREATEST(da, db))), 4) AS q_error
+FROM (
+  SELECT (SELECT COUNT(*) FROM {ta} WHERE {ka} IS NOT NULL) AS na,
+         (SELECT COUNT(*) FROM {tb} WHERE {kb} IS NOT NULL) AS nb,
+         (SELECT COUNT(DISTINCT {ka}) FROM {ta}) AS da,
+         (SELECT COUNT(DISTINCT {kb}) FROM {tb}) AS db,
+         (SELECT COALESCE(SUM(ca * cb), 0) FROM
+            (SELECT {ka} AS k, COUNT(*) AS ca FROM {ta}
+             WHERE {ka} IS NOT NULL GROUP BY 1) a
+            JOIN
+            (SELECT {kb} AS k, COUNT(*) AS cb FROM {tb}
+             WHERE {kb} IS NOT NULL GROUP BY 1) b USING (k)) AS actual
+)"""
+
+
+@register(
+    "join_estimate_qerror",
+    oracle="\nUNION ALL\n".join(_qerror_sql(*s) for s in _JOIN_SIZE_SPECS)
+    + "\nORDER BY join_name",
+    doc=(
+        "Q-error audit of the textbook uniform-key join-cardinality "
+        "model: for each equi-join, the System-R estimate "
+        "|A|*|B|/max(ndv_A, ndv_B) vs the EXACT output size from the "
+        "key-count product (join_size_estimate's machinery), with "
+        "q-error = max(est/actual, actual/est) — the optimizer-"
+        "observability number (Leis et al., 'How Good Are Query "
+        "Optimizers, Really?', VLDB 2015) that says whether "
+        "independence-assumption planning can be trusted on THIS "
+        "data or the engine must rely on runtime AQE re-planning. "
+        "All counts exact integers off per-table key rollups (no "
+        "join materialized); q-error is one shared double expression "
+        "(SURVEY §2.G)."
+    ),
+)
+def join_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str, ta: str, ka: str, tb: str, kb: str) -> DataFrame:
+        a = (
+            load_table(spark, sf_dir, ta)
+            .where(F.col(ka).isNotNull())
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").alias("ca"))
+        )
+        b = (
+            load_table(spark, sf_dir, tb)
+            .where(F.col(kb).isNotNull())
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").alias("cb"))
+        )
+        stats_a = a.agg(
+            F.sum("ca").cast("bigint").alias("na"),
+            F.count("*").cast("bigint").alias("da"),
+        )
+        stats_b = b.agg(
+            F.sum("cb").cast("bigint").alias("nb"),
+            F.count("*").cast("bigint").alias("db"),
+        )
+        actual = (
+            a.join(b, "k")
+            .agg(
+                F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+                .cast("bigint")
+                .alias("actual")
+            )
+        )
+        est = "na * nb div GREATEST(da, db)"
+        return (
+            stats_a.crossJoin(F.broadcast(stats_b))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("na").alias("n_left"),
+                F.col("nb").alias("n_right"),
+                F.col("da").alias("ndv_left"),
+                F.col("db").alias("ndv_right"),
+                F.col("actual").alias("actual_rows"),
+                F.expr(est).cast("bigint").alias("uniform_estimate"),
+                F.round(
+                    F.greatest(
+                        F.expr(f"CAST({est} AS DOUBLE) / actual"),
+                        F.expr(f"CAST(actual AS DOUBLE) / ({est})"),
+                    ),
+                    4,
+                ).alias("q_error"),
+            )
+        )
+
+    out = None
+    for spec in _JOIN_SIZE_SPECS:
+        df = one(*spec)
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("join_name")

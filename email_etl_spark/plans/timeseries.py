@@ -1621,3 +1621,136 @@ def iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deseasonalized_acf — autocorrelation AFTER removing the weekday rhythm.
+# ---------------------------------------------------------------------------
+
+_DESEAS_MAX_LAG = 7
+
+
+def _deseas_oracle() -> str:
+    leads = ", ".join(
+        f"LEAD(r, {k}) OVER (ORDER BY day_idx) AS l{k}"
+        for k in range(1, _DESEAS_MAX_LAG + 1)
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, r * l{k} AS prod, l{k} IS NOT NULL AS ok FROM w"
+        for k in range(1, _DESEAS_MAX_LAG + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT (day_idx + 4) % 7 AS wd,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS m
+  FROM d GROUP BY 1
+),
+gm AS (
+  SELECT wd, CAST((2 * s * 1000000 + m) // (2 * m) AS BIGINT) AS mean_micro
+  FROM g
+),
+res AS (
+  SELECT d.day_idx,
+         CAST(d.c * 1000000 - gm.mean_micro AS DECIMAL(19,0)) AS r
+  FROM d JOIN gm ON (d.day_idx + 4) % 7 = gm.wd
+),
+w AS (SELECT day_idx, r, {leads} FROM res),
+den AS (SELECT SUM(r * r) AS dd FROM res),
+arms AS ({arms})
+SELECT CAST(lag AS INT) AS lag,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CASE WHEN dd = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(CASE WHEN ok THEN prod ELSE 0.0 END) AS DOUBLE)
+                       / CAST(dd AS DOUBLE), 6)
+       END AS acf
+FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
+"""
+
+
+@register(
+    "deseasonalized_acf",
+    oracle=_deseas_oracle(),
+    doc=(
+        "Autocorrelation of the WEEKDAY-DESEASONALIZED daily series "
+        "(lags 1-7): acf_daily on raw counts mostly re-detects the "
+        "weekly rhythm; subtracting each day's weekday mean first "
+        "answers the question that matters for anomaly baselines — "
+        "is there structure BEYOND the weekly cycle (trend momentum, "
+        "multi-day bursts)? A flat deseasonalized ACF certifies "
+        "ewma_anomaly's weekday-blind residual assumption. Residuals "
+        "are exact micro-unit integers (c*1e6 - weekday mean-micro, "
+        "the half-away-from-zero integer mean), lag products "
+        "accumulate in DECIMAL, one O(days) LEAD pass — the acf_daily "
+        "scale shape with a 7-row weekday dim join in front "
+        "(SURVEY §2.H)."
+    ),
+)
+def deseasonalized_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 86400"
+            ).alias("day_idx")
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g = d.groupBy(((F.col("day_idx") + 4) % 7).alias("wd")).agg(
+        F.sum("c").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("m")
+    )
+    gm = g.select(
+        "wd",
+        F.expr("(2 * s * 1000000 + m) div (2 * m)").cast("bigint").alias(
+            "mean_micro"
+        ),
+    )
+    res = (
+        d.join(F.broadcast(gm), ((F.col("day_idx") + 4) % 7) == F.col("wd"))
+        .select(
+            "day_idx",
+            (F.col("c") * 1000000 - F.col("mean_micro"))
+            .cast("decimal(19,0)")
+            .alias("r"),
+        )
+    )
+    w_ord = Window.orderBy("day_idx")
+    leads = res.select(
+        "r",
+        *[
+            F.lead("r", k).over(w_ord).alias(f"l{k}")
+            for k in range(1, _DESEAS_MAX_LAG + 1)
+        ],
+    )
+    den = res.agg(F.sum(F.col("r") * F.col("r")).alias("dd"))
+    arm = None
+    for k in range(1, _DESEAS_MAX_LAG + 1):
+        piece = leads.select(
+            F.lit(k).alias("lag"),
+            (F.col("r") * F.col(f"l{k}")).alias("prod"),
+            F.col(f"l{k}").isNotNull().alias("ok"),
+        )
+        arm = piece if arm is None else arm.unionByName(piece)
+    return (
+        arm.crossJoin(F.broadcast(den))
+        .groupBy("lag", "dd")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("ok"), F.col("prod")).otherwise(F.lit(0.0))).alias("sp"),
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(F.col("dd") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("sp").cast("double") / F.col("dd").cast("double"), 6))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )

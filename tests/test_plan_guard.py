@@ -199,6 +199,8 @@ _BNL_JUSTIFIED = {
     "iqr_outlier_days",  # 1-row quartile-fence broadcast onto the day rollup
     "rolling_7d_active_users",  # 1-row calendar-bounds broadcast
     "capture_recapture_users",  # 1-row (lo, hi) epoch-bounds broadcast
+    "join_estimate_qerror",  # 1-row stats/actual broadcasts per join spec
+    "deseasonalized_acf",  # 1-row residual-denominator broadcast
 }
 
 
