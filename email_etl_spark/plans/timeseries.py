@@ -1721,6 +1721,9 @@ def deseasonalized_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     )
+    # lag arms via ONE posexplode over the lead row (acf_daily shape),
+    # not a 7-way union — a union re-derives the residual lineage per
+    # arm (7x the scans in the plan)
     w_ord = Window.orderBy("day_idx")
     leads = res.select(
         "r",
@@ -1730,23 +1733,28 @@ def deseasonalized_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     den = res.agg(F.sum(F.col("r") * F.col("r")).alias("dd"))
-    arm = None
-    for k in range(1, _DESEAS_MAX_LAG + 1):
-        piece = leads.select(
-            F.lit(k).alias("lag"),
-            (F.col("r") * F.col(f"l{k}")).alias("prod"),
-            F.col(f"l{k}").isNotNull().alias("ok"),
-        )
-        arm = piece if arm is None else arm.unionByName(piece)
+    arms = leads.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("r") * F.col(f"l{k}")).alias("prod"),
+                        F.col(f"l{k}").isNotNull().alias("ok"),
+                    )
+                    for k in range(1, _DESEAS_MAX_LAG + 1)
+                ]
+            )
+        ).alias("pos", "a")
+    ).select((F.col("pos") + 1).alias("lag"), "a.prod", "a.ok")
     return (
-        arm.crossJoin(F.broadcast(den))
-        .groupBy("lag", "dd")
+        arms.groupBy(F.col("lag").cast("int").alias("lag"))
         .agg(
             F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_pairs"),
-            F.sum(F.when(F.col("ok"), F.col("prod")).otherwise(F.lit(0.0))).alias("sp"),
+            F.sum(F.when(F.col("ok"), F.col("prod")).otherwise(0)).alias("sp"),
         )
+        .crossJoin(F.broadcast(den))
         .select(
-            F.col("lag").cast("int").alias("lag"),
+            "lag",
             "n_pairs",
             F.when(F.col("dd") == 0, F.lit(0.0))
             .otherwise(F.round(F.col("sp").cast("double") / F.col("dd").cast("double"), 6))
