@@ -134,6 +134,8 @@ _GATE_ORDER = (
     "source_gini_tokens",
     "join_estimate_qerror",
     "deseasonalized_acf",
+    "unigram_noise_table",
+    "friedman_weekday",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

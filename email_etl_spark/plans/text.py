@@ -3987,3 +3987,67 @@ def smog_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram_noise_table — word2vec-style negative-sampling distribution.
+# ---------------------------------------------------------------------------
+
+_NOISE_TOP = 50
+_NOISE_POW = 0.75
+
+
+@register(
+    "unigram_noise_table",
+    oracle=f"""
+WITH t AS (SELECT UNNEST({_TOKS}) AS tok FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+p AS (
+  SELECT tok, c,
+         CAST(ROUND(POW(CAST(c AS DOUBLE), {_NOISE_POW}), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM f
+),
+s AS (SELECT SUM(w) AS tot FROM p)
+SELECT tok, c AS freq,
+       ROUND(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS noise_p
+FROM p CROSS JOIN s
+ORDER BY c DESC, tok LIMIT {_NOISE_TOP}
+""",
+    doc=(
+        "Negative-sampling noise distribution (word2vec convention, "
+        "Mikolov et al. 2013): unigram frequency raised to 0.75, "
+        f"normalized — top-{_NOISE_TOP} table. The 3/4 power is the "
+        "published flattening that keeps frequent words from "
+        "dominating the noise draws; skipgram_pairs generates the "
+        "positive pairs, THIS is the companion artifact a trainer "
+        "samples negatives from. Per-token powered weights are "
+        "pre-rounded to DECIMAL(18,6) so the normalizer is an exact "
+        "order-insensitive sum; one tokenize scan + one vocab rollup, "
+        "top-K via TakeOrderedAndProject (SURVEY §2.D)."
+    ),
+)
+def unigram_noise_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    f = t.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    p = f.select(
+        "tok",
+        "c",
+        F.round(F.pow(F.col("c").cast("double"), _NOISE_POW), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    s = p.agg(F.sum("w").alias("tot"))
+    return (
+        p.crossJoin(F.broadcast(s))
+        .select(
+            "tok",
+            F.col("c").alias("freq"),
+            F.round(F.col("w").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "noise_p"
+            ),
+        )
+        .orderBy(F.desc("freq"), "tok")
+        .limit(_NOISE_TOP)
+    )

@@ -1762,3 +1762,111 @@ def deseasonalized_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# friedman_weekday — is the weekday effect consistent across weeks?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_weekday",
+    oracle="""
+WITH d AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT day_idx // 7 AS week, (day_idx + 4) % 7 AS wd, c,
+         COUNT(*) OVER (PARTITION BY day_idx // 7) AS wdays
+  FROM d
+),
+full_weeks AS (SELECT week, wd, c FROM wk WHERE wdays = 7),
+rk AS (
+  SELECT week, wd,
+         2 * (RANK() OVER (PARTITION BY week ORDER BY c) - 1)
+           + COUNT(*) OVER (PARTITION BY week, c) + 1 AS r2
+  FROM full_weeks
+),
+g AS (
+  SELECT wd, CAST(SUM(r2) AS BIGINT) AS r2sum,
+         CAST(COUNT(*) AS BIGINT) AS nblocks
+  FROM rk GROUP BY wd
+),
+s AS (
+  SELECT MAX(nblocks) AS n,
+         CAST(SUM(CAST(r2sum AS DECIMAL(38,0)) * r2sum) AS DECIMAL(38,0)) AS q2
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_weeks,
+       CAST(7 AS BIGINT) AS k_weekdays,
+       ROUND(3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8)
+             - 3.0 * n * 8, 4) AS friedman_chi2,
+       3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8) - 3.0 * n * 8
+         > 12.5916 AS reject_95
+FROM s
+""",
+    doc=(
+        "Friedman rank test with weeks as blocks: rank the 7 weekdays "
+        "WITHIN each complete week, then test whether the weekday "
+        "rank profile is consistent — the nonparametric repeated-"
+        "measures complement to weekday_anova (which pools all days "
+        "and can be fooled by a few huge weeks; Friedman asks if the "
+        "weekly SHAPE itself repeats). Average ranks stay exact "
+        "integers via the doubled form 2r = 2(rank-1) + ties + 1 "
+        "(mannwhitney convention inside 7-row partitions); "
+        "chi2_F = 12/(n k(k+1)) * sum(R_j^2) - 3n(k+1) is evaluated "
+        "on the 2x sums as 3*sum(R2_j^2)/(n*7*8) - 3n*8, one shared "
+        "double expression over DECIMAL(38,0) integers; dof=6 "
+        "critical 12.5916. Incomplete edge weeks are excluded "
+        "(standard complete-block requirement). All windows run "
+        "over the O(days) rollup (SURVEY §2.H)."
+    ),
+)
+def friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 86400"
+            ).alias("day_idx")
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wk = d.select(
+        F.expr("day_idx div 7").alias("week"),
+        ((F.col("day_idx") + 4) % 7).alias("wd"),
+        "c",
+        F.count("*").over(Window.partitionBy(F.expr("day_idx div 7"))).alias("wdays"),
+    )
+    full_weeks = wk.where(F.col("wdays") == 7).select("week", "wd", "c")
+    rk = full_weeks.select(
+        "week",
+        "wd",
+        (
+            2 * (F.rank().over(Window.partitionBy("week").orderBy("c")) - 1)
+            + F.count("*").over(Window.partitionBy("week", "c"))
+            + 1
+        ).alias("r2"),
+    )
+    g = rk.groupBy("wd").agg(
+        F.sum("r2").cast("bigint").alias("r2sum"),
+        F.count("*").cast("bigint").alias("nblocks"),
+    )
+    s = g.agg(
+        F.max("nblocks").alias("n"),
+        F.sum(F.col("r2sum").cast("decimal(38,0)") * F.col("r2sum")).alias("q2"),
+    )
+    chi2 = F.expr(
+        "3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8) - 3.0 * n * 8"
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_weeks"),
+        F.lit(7).cast("bigint").alias("k_weekdays"),
+        F.round(chi2, 4).alias("friedman_chi2"),
+        (chi2 > 12.5916).alias("reject_95"),
+    )

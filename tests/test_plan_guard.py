@@ -201,6 +201,7 @@ _BNL_JUSTIFIED = {
     "capture_recapture_users",  # 1-row (lo, hi) epoch-bounds broadcast
     "join_estimate_qerror",  # 1-row stats/actual broadcasts per join spec
     "deseasonalized_acf",  # 1-row residual-denominator broadcast
+    "unigram_noise_table",  # 1-row powered-weight normalizer broadcast
 }
 
 
