@@ -136,6 +136,8 @@ _GATE_ORDER = (
     "deseasonalized_acf",
     "unigram_noise_table",
     "friedman_weekday",
+    "event_id_gap_audit",
+    "dup_rate_by_ingest_bucket",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

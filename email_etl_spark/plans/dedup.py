@@ -3377,3 +3377,70 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("agreement"),
     ).orderBy("method_a", "method_b")
+
+
+# ---------------------------------------------------------------------------
+# dup_rate_by_ingest_bucket — is duplication growing over the crawl?
+# ---------------------------------------------------------------------------
+
+_INGEST_BUCKET = 100  # doc_id div 100: ingest-order cohorts
+
+
+@register(
+    "dup_rate_by_ingest_bucket",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(text) AS f FROM documents
+),
+firsts AS (
+  SELECT f, MIN(doc_id) AS first_id FROM fp GROUP BY f
+),
+flagged AS (
+  SELECT fp.doc_id // {_INGEST_BUCKET} AS bucket,
+         CASE WHEN fp.doc_id <> fi.first_id THEN 1 ELSE 0 END AS is_dup
+  FROM fp JOIN firsts fi ON fp.f = fi.f
+)
+SELECT CAST(bucket AS BIGINT) AS ingest_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       CAST(SUM(is_dup) * 10000 // COUNT(*) AS BIGINT) AS dup_rate_bps
+FROM flagged GROUP BY bucket ORDER BY ingest_bucket
+""",
+    doc=(
+        "Exact-duplicate rate per ingest-order cohort (doc_id div "
+        f"{_INGEST_BUCKET}): is the crawl picking up MORE duplicates "
+        "over time? — the temporal axis of duplication, next to "
+        "dup_rate_by_source's provenance axis; a rising curve means "
+        "the frontier is re-crawling covered ground and the dedup "
+        "budget should shift earlier in the pipeline "
+        "(incremental_neardup's online screen). First-seen owner per "
+        "content hash via one fingerprint groupBy joined back on the "
+        "hash key — both shuffles key-partitioned, no windows "
+        "(SURVEY §2.E)."
+    ),
+)
+def dup_rate_by_ingest_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("f"))
+    firsts = fp.groupBy("f").agg(F.min("doc_id").alias("first_id"))
+    flagged = fp.join(firsts, "f").select(
+        F.expr(f"doc_id div {_INGEST_BUCKET}").alias("bucket"),
+        F.when(F.col("doc_id") != F.col("first_id"), 1).otherwise(0).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+            F.expr("SUM(is_dup) * 10000 div COUNT(*)")
+            .cast("bigint")
+            .alias("dup_rate_bps"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("ingest_bucket"),
+            "n_docs",
+            "n_dups",
+            "dup_rate_bps",
+        )
+        .orderBy("ingest_bucket")
+    )

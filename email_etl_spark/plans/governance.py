@@ -1636,3 +1636,68 @@ def parquet_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_id_gap_audit — lost-event detection over the id sequence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_id_gap_audit",
+    oracle="""
+WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+s AS (
+  SELECT CAST(MIN(id) AS BIGINT) AS lo, CAST(MAX(id) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ids
+),
+runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_runs
+  FROM ids a LEFT JOIN ids b ON a.id = b.id + 1
+  WHERE b.id IS NULL
+)
+SELECT s.lo AS min_id, s.hi AS max_id, s.n AS n_ids,
+       s.hi - s.lo + 1 - s.n AS n_missing,
+       runs.n_runs AS n_contiguous_runs,
+       runs.n_runs - 1 AS n_gaps
+FROM s CROSS JOIN runs
+""",
+    doc=(
+        "Lost-event audit over the event_id sequence: how many ids "
+        "are missing between min and max, and in how many gaps — the "
+        "ingestion-integrity check behind exactly-once claims "
+        "(incremental_sync's cursor assumes a dense upstream "
+        "sequence; this measures how false that is). Deliberately "
+        "NO sorted-adjacency pass: run starts are ids with no id-1 "
+        "present, counted via a distributed LEFT ANTI equi-join of "
+        "the id set against itself shifted by one — every stage is "
+        "key-partitioned, no global sort, no single-partition window, "
+        "so the audit scales to any id volume; missing total is pure "
+        "arithmetic off (min, max, count) (SURVEY §2.A)."
+    ),
+)
+def event_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select(F.col("event_id").alias("id")).distinct()
+    s = ids.agg(
+        F.min("id").cast("bigint").alias("lo"),
+        F.max("id").cast("bigint").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    shifted = ids.select((F.col("id") + 1).alias("id"))
+    run_starts = ids.join(shifted, "id", "left_anti")
+    runs = run_starts.agg(F.count("*").cast("bigint").alias("n_runs"))
+    return (
+        s.crossJoin(F.broadcast(runs))
+        .select(
+            F.col("lo").alias("min_id"),
+            F.col("hi").alias("max_id"),
+            F.col("n").alias("n_ids"),
+            (F.col("hi") - F.col("lo") + 1 - F.col("n"))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.col("n_runs").alias("n_contiguous_runs"),
+            (F.col("n_runs") - 1).cast("bigint").alias("n_gaps"),
+        )
+    )

@@ -202,6 +202,7 @@ _BNL_JUSTIFIED = {
     "join_estimate_qerror",  # 1-row stats/actual broadcasts per join spec
     "deseasonalized_acf",  # 1-row residual-denominator broadcast
     "unigram_noise_table",  # 1-row powered-weight normalizer broadcast
+    "event_id_gap_audit",  # 1-row run-count broadcast onto the 1-row stats agg
 }
 
 
