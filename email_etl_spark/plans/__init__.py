@@ -138,6 +138,8 @@ _GATE_ORDER = (
     "friedman_weekday",
     "event_id_gap_audit",
     "dup_rate_by_ingest_bucket",
+    "pii_density_by_source",
+    "shuffle_partition_plan",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -1701,3 +1701,86 @@ def event_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_runs") - 1).cast("bigint").alias("n_gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle_partition_plan — footer-driven shuffle sizing per table.
+# ---------------------------------------------------------------------------
+
+_SHUF_TABLES = ("documents", "events", "lineitem", "orders")
+_SHUF_TARGET = 128 * 1024 * 1024  # bytes per shuffle partition
+
+
+def _shuffle_plan_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name,
+       (SELECT COUNT(*) FROM {t}) AS n_rows,
+       (SELECT CAST(SUM(total_uncompressed_size) AS BIGINT)
+        FROM parquet_metadata('__SF_DIR__/{t}.parquet')) AS uncompressed_bytes"""
+        for t in _SHUF_TABLES
+    )
+    return f"""
+WITH base AS ({arms})
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows, uncompressed_bytes,
+       CAST(uncompressed_bytes // n_rows AS BIGINT) AS avg_row_bytes,
+       CAST(GREATEST(1, CAST(CEIL(CAST(uncompressed_bytes AS DOUBLE)
+                                  / {_SHUF_TARGET}) AS BIGINT)) AS BIGINT)
+           AS partitions_128mb,
+       CAST(n_rows // GREATEST(1, CAST(CEIL(CAST(uncompressed_bytes AS DOUBLE)
+                                            / {_SHUF_TARGET}) AS BIGINT)) AS BIGINT)
+           AS rows_per_partition
+FROM base ORDER BY table_name
+"""
+
+
+@register(
+    "shuffle_partition_plan",
+    oracle=_shuffle_plan_sql(),
+    doc=(
+        "Shuffle-sizing plan from parquet footers: per table, row "
+        "count, UNCOMPRESSED byte total (the in-memory proxy shuffle "
+        "sizing actually needs — compressed size undersizes partitions "
+        "3-5x on text), average row width, and the partition count "
+        "that lands ~128 MB per partition with the resulting "
+        "rows-per-partition — the number you set "
+        "spark.sql.shuffle.partitions / maxPartitionBytes from "
+        "BEFORE running the 100 TB job, derived the same way the "
+        "footer family derives everything: kilobyte metadata reads "
+        "(operators/metadata.parquet_column_chunks), never a data "
+        "scan for the byte totals (row counts are one count(*) per "
+        "table — metadata-only in parquet). Exact integer arithmetic "
+        "throughout except the one shared CEIL (SURVEY §4)."
+    ),
+)
+def shuffle_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from email_etl_spark.operators.metadata import parquet_column_chunks
+
+    out = None
+    for t in _SHUF_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        n = load_table(spark, sf_dir, t).count()
+        byt = parquet_column_chunks(spark, [path]).agg(
+            F.sum("uncompressed_bytes").cast("bigint").alias("uncompressed_bytes")
+        )
+        row = byt.select(
+            F.lit(t).alias("table_name"),
+            F.lit(n).cast("bigint").alias("n_rows"),
+            "uncompressed_bytes",
+            F.expr(f"uncompressed_bytes div {n}").cast("bigint").alias("avg_row_bytes"),
+            F.expr(
+                f"GREATEST(1, CAST(CEIL(CAST(uncompressed_bytes AS DOUBLE)"
+                f" / {_SHUF_TARGET}) AS BIGINT))"
+            )
+            .cast("bigint")
+            .alias("partitions_128mb"),
+            F.expr(
+                f"{n} div GREATEST(1, CAST(CEIL(CAST(uncompressed_bytes AS DOUBLE)"
+                f" / {_SHUF_TARGET}) AS BIGINT))"
+            )
+            .cast("bigint")
+            .alias("rows_per_partition"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")

@@ -4051,3 +4051,94 @@ def unigram_noise_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "tok")
         .limit(_NOISE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_density_by_source — PII exposure monitoring rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_density_by_source",
+    oracle=f"""
+WITH seeded AS (
+  SELECT source,
+         CASE WHEN substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE text END AS body
+  FROM documents
+),
+counted AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(body, '{_PII_EMAIL}')) AS BIGINT) AS ne,
+         CAST(len(regexp_extract_all(body, '{_PII_PHONE}')) AS BIGINT) AS np,
+         CAST(len(regexp_extract_all(body, '{_PII_IP}')) AS BIGINT) AS ni
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS pii_doc_share_bps,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(ni) AS BIGINT) AS n_ips
+FROM counted GROUP BY source ORDER BY source
+""",
+    doc=(
+        "PII exposure rollup per source (emails / phones / IPv4s and "
+        "the share of documents carrying ANY, in bps): the monitoring "
+        "dashboard over pii_scrub's detectors — scrub transforms "
+        "documents one at a time, THIS is the view a privacy review "
+        "reads to rank which ingestion sources leak and whether a "
+        "release gate should block one (release_gate's privacy row). "
+        "Same deterministic md5-gated seeding as pii_scrub (the "
+        "synthetic corpus has no natural PII; the check must stay "
+        "non-vacuous), same JVM regexes, one scan + one map-side-"
+        "combined groupBy(source) (SURVEY §2.D)."
+    ),
+)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    seeded = F.substring(
+        F.md5(F.concat(F.lit("pii:"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin("0", "1", "2", "3")
+    body = F.when(seeded, F.concat(F.col("text"), footer)).otherwise(F.col("text"))
+    counted = docs.select(
+        "source",
+        F.regexp_count(body, F.lit(_PII_EMAIL)).cast("bigint").alias("ne"),
+        F.regexp_count(body, F.lit(_PII_PHONE)).cast("bigint").alias("np"),
+        F.regexp_count(body, F.lit(_PII_IP)).cast("bigint").alias("ni"),
+    )
+    any_pii = (F.col("ne") + F.col("np") + F.col("ni") > 0).cast("bigint")
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(any_pii).cast("bigint").alias("n_docs_with_pii"),
+            F.expr(
+                "SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) * 10000"
+                " div COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("pii_doc_share_bps"),
+            F.sum("ne").cast("bigint").alias("n_emails"),
+            F.sum("np").cast("bigint").alias("n_phones"),
+            F.sum("ni").cast("bigint").alias("n_ips"),
+        )
+        .orderBy("source")
+    )
