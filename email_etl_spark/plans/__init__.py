@@ -140,6 +140,8 @@ _GATE_ORDER = (
     "dup_rate_by_ingest_bucket",
     "pii_density_by_source",
     "shuffle_partition_plan",
+    "session_gap_sensitivity",
+    "mixture_anneal_schedule",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

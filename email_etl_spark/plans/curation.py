@@ -2255,3 +2255,71 @@ def source_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_anneal_schedule — natural→uniform mixture interpolation plan.
+# ---------------------------------------------------------------------------
+
+_ANNEAL_EPOCHS = 4
+
+
+@register(
+    "mixture_anneal_schedule",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({{toks}})) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM s),
+e AS (SELECT UNNEST(range(1, {_ANNEAL_EPOCHS} + 1)) AS epoch)
+SELECT CAST(e.epoch AS BIGINT) AS epoch, s.source,
+       CAST(
+         ((({_ANNEAL_EPOCHS} - e.epoch) * (s.tok * 1000000 // tot.t)
+           + (e.epoch - 1) * (1000000 // tot.k))
+          // ({_ANNEAL_EPOCHS} - 1)) AS BIGINT) AS weight_micro
+FROM s CROSS JOIN tot CROSS JOIN e
+ORDER BY epoch, source
+""".replace("{toks}", _TOKS),
+    doc=(
+        "Multi-epoch mixture annealing schedule: per epoch 1..4, "
+        "per-source sampling weights linearly interpolated from the "
+        "NATURAL token mixture (epoch 1 — gradient-friendly start) to "
+        "the UNIFORM mixture (epoch 4 — tail-source coverage), the "
+        "curriculum-annealing recipe for multi-source pretraining "
+        "runs; mixture_weights and temperature_sampling_weights give "
+        "single snapshots, this is the full training plan. Both "
+        "endpoints are exact integer micro-unit shares (tok*1e6 div "
+        "total, 1e6 div k) and the interpolation is pure integer "
+        "arithmetic — bit-stable at any corpus size; one tokenize "
+        "scan + a |sources| x 4 literal expansion (SURVEY §2.L)."
+    ),
+)
+def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("tok")
+    )
+    tot = s.agg(
+        F.sum("tok").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    e = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        "t",
+        "k",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _ANNEAL_EPOCHS + 1)])
+        ).alias("epoch"),
+    )
+    return e.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "source",
+        F.expr(
+            f"(({_ANNEAL_EPOCHS} - epoch) * (tok * 1000000 div t)"
+            f" + (epoch - 1) * (1000000 div k)) div ({_ANNEAL_EPOCHS} - 1)"
+        )
+        .cast("bigint")
+        .alias("weight_micro"),
+    ).orderBy("epoch", "source")

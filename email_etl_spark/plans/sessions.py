@@ -4026,3 +4026,87 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session_gap_sensitivity — session counts across gap thresholds.
+# ---------------------------------------------------------------------------
+
+_GAP_THRESHOLDS_S = (300, 900, 1800, 3600)
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse,
+         event_id
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         tse - LAG(tse) OVER (PARTITION BY user_id ORDER BY tse, event_id)
+           AS gap
+  FROM e
+),
+t AS (SELECT UNNEST(ARRAY{list(_GAP_THRESHOLDS_S)}) AS thr),
+x AS (
+  SELECT t.thr,
+         CASE WHEN g.gap IS NULL OR g.gap > t.thr THEN 1 ELSE 0 END AS starts
+  FROM g CROSS JOIN t
+)
+SELECT CAST(thr AS BIGINT) AS gap_threshold_s,
+       CAST(SUM(starts) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) * 1000 // SUM(starts) AS BIGINT) AS events_per_session_milli
+FROM x GROUP BY thr ORDER BY gap_threshold_s
+""",
+    doc=(
+        "Session-count sensitivity to the inactivity-gap threshold "
+        "(5/15/30/60 min): sessionize hardcodes one gap; THIS is the "
+        "calibration curve that says whether the session count is "
+        "stable around the chosen value or sitting on a cliff (the "
+        "parameter-sensitivity discipline near_dup_rate_curve applies "
+        "to dedup thresholds, applied to sessionization). ONE "
+        "user-keyed ordered window computes each event's gap once; "
+        "the 4 thresholds explode off that gap column and collapse "
+        "via map-side partial aggregation — no re-sort per threshold "
+        "(SURVEY §2.H)."
+    ),
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("tse"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    g = e.select((F.col("tse") - F.lag("tse").over(w)).alias("gap"))
+    x = g.select(
+        "gap",
+        F.explode(F.array(*[F.lit(t) for t in _GAP_THRESHOLDS_S])).alias("thr"),
+    ).select(
+        "thr",
+        F.when(F.col("gap").isNull() | (F.col("gap") > F.col("thr")), 1)
+        .otherwise(0)
+        .alias("starts"),
+    )
+    return (
+        x.groupBy("thr")
+        .agg(
+            F.sum("starts").cast("bigint").alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr("COUNT(*) * 1000 div SUM(starts)")
+            .cast("bigint")
+            .alias("events_per_session_milli"),
+        )
+        .select(
+            F.col("thr").cast("bigint").alias("gap_threshold_s"),
+            "n_sessions",
+            "n_events",
+            "events_per_session_milli",
+        )
+        .orderBy("gap_threshold_s")
+    )

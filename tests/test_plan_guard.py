@@ -203,6 +203,7 @@ _BNL_JUSTIFIED = {
     "deseasonalized_acf",  # 1-row residual-denominator broadcast
     "unigram_noise_table",  # 1-row powered-weight normalizer broadcast
     "event_id_gap_audit",  # 1-row run-count broadcast onto the 1-row stats agg
+    "mixture_anneal_schedule",  # 1-row (total, k) broadcast onto the source dim
 }
 
 
