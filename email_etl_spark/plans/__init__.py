@@ -142,6 +142,8 @@ _GATE_ORDER = (
     "shuffle_partition_plan",
     "session_gap_sensitivity",
     "mixture_anneal_schedule",
+    "cluster_source_span",
+    "predicate_selectivity_report",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

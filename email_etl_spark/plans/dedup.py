@@ -3444,3 +3444,79 @@ def dup_rate_by_ingest_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ingest_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_source_span — cross-source contamination inside dup clusters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cluster_source_span",
+    oracle=f"""
+WITH RECURSIVE {_shingle_cte(3)},
+pairs AS {{_pairs}},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS reachable FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(reachable) AS cluster_id
+  FROM reach GROUP BY node
+),
+spans AS (
+  SELECT c.cluster_id,
+         COUNT(*) AS cluster_size,
+         COUNT(DISTINCT d.source) AS n_sources
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources_in_cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM spans GROUP BY n_sources ORDER BY n_sources_in_cluster
+""".replace("{_pairs}", "(" + _pairs_sql(MINHASH_THRESHOLD).replace("ORDER BY doc_a, doc_b", "") + ")"),
+    doc=(
+        "Cross-source span of near-duplicate clusters: for each "
+        "cluster, how many DISTINCT sources its members came from, "
+        "histogrammed — multi-source clusters are syndicated/mirrored "
+        "content (dedup before mixture weighting or the weights "
+        "double-count it), single-source clusters are within-crawl "
+        "repetition (fix the frontier instead). The cluster-level "
+        "completion of dup_source_matrix's pairwise view, riding the "
+        "SAME memoized min-label-propagation closure as "
+        "dedup_clusters (no extra pair generation), plus one "
+        "key-equality join to documents for source and two rollups "
+        "(SURVEY §2.E)."
+    ),
+)
+def cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    spans = (
+        base.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    return (
+        spans.groupBy("n_sources")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources_in_cluster"),
+            "n_clusters",
+            "n_docs",
+        )
+        .orderBy("n_sources_in_cluster")
+    )

@@ -2969,3 +2969,119 @@ def join_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = one(*spec)
         out = df if out is None else out.unionByName(df)
     return out.orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# predicate_selectivity_report — selectivity of the standard pushed filters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "predicate_selectivity_report",
+    oracle="""
+WITH li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_shipdate <= DATE '1998-09-02' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_shipdate,
+         CAST(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07
+                        AND l_quantity < 24 THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_q6,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_returns
+  FROM lineitem
+),
+o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                        AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_year,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS p_priority
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'lineitem' AS table_name, 'l_shipdate <= 1998-09-02' AS predicate,
+         n AS n_total, p_shipdate AS n_matching,
+         CAST(p_shipdate * 10000 // n AS BIGINT) AS selectivity_bps FROM li
+  UNION ALL
+  SELECT 'lineitem', 'q6 discount band + qty < 24', n, p_q6,
+         CAST(p_q6 * 10000 // n AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'lineitem', 'l_returnflag = R', n, p_returns,
+         CAST(p_returns * 10000 // n AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'orders', 'o_orderdate in 1995', n, p_year,
+         CAST(p_year * 10000 // n AS BIGINT) FROM o
+  UNION ALL
+  SELECT 'orders', 'priority URGENT/HIGH', n, p_priority,
+         CAST(p_priority * 10000 // n AS BIGINT) FROM o
+) ORDER BY table_name, predicate
+""",
+    doc=(
+        "Selectivity report for the engine's standard pushed "
+        "predicates (the q1 shipdate ceiling, the q6 discount/qty "
+        "band, returns, the 1995 order-date year, urgent/high "
+        "priority): observed match counts and selectivity in exact "
+        "bps — the observability layer for pushdown value (a "
+        "predicate at 9,900 bps prunes nothing: drop the filter-first "
+        "plan; one at 200 bps is the partition-pruning candidate "
+        "range_partition_plan should key on). Each table contributes "
+        "ONE conditional-aggregate scan (5 predicates, 2 scans); "
+        "pure integer arithmetic (SURVEY §2.G)."
+    ),
+)
+def predicate_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p_shipdate"),
+        F.sum(
+            F.when(
+                F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p_q6"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("p_returns"),
+    )
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p_year"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p_priority"),
+    )
+
+    def row(src, name, pred_col):
+        return src.select(
+            F.lit(name.split("|")[0]).alias("table_name"),
+            F.lit(name.split("|")[1]).alias("predicate"),
+            F.col("n").alias("n_total"),
+            F.col(pred_col).alias("n_matching"),
+            F.expr(f"{pred_col} * 10000 div n").cast("bigint").alias("selectivity_bps"),
+        )
+
+    out = (
+        row(li, "lineitem|l_shipdate <= 1998-09-02", "p_shipdate")
+        .unionByName(row(li, "lineitem|q6 discount band + qty < 24", "p_q6"))
+        .unionByName(row(li, "lineitem|l_returnflag = R", "p_returns"))
+        .unionByName(row(o, "orders|o_orderdate in 1995", "p_year"))
+        .unionByName(row(o, "orders|priority URGENT/HIGH", "p_priority"))
+    )
+    return out.orderBy("table_name", "predicate")
