@@ -144,6 +144,8 @@ _GATE_ORDER = (
     "mixture_anneal_schedule",
     "cluster_source_span",
     "predicate_selectivity_report",
+    "pca_top2_loadings",
+    "pca_explained_variance",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -6264,3 +6264,233 @@ def calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ch_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 PCA via projection deflation: the second principal direction and
+# the explained-variance split. Every 64-length reduction is an ORDERED
+# sequential fold (Python loop <-> DuckDB list_reduce over a dim-sorted
+# list), so no mid-stream rounding is needed — both engines run the
+# identical IEEE op sequence; corpus passes keep the
+# round-to-DECIMAL(18,6)-before-sum convention.
+# ---------------------------------------------------------------------------
+
+
+def _pca_mv_collect(spark: SparkSession, sf_dir: str, vec: list) -> list:
+    """One exact A^T(A v) corpus pass, collected as plan constants."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    vlit = F.expr("array(" + ",".join(f"{v!r}D" for v in vec) + ")")
+    s = F.aggregate(
+        F.zip_with(F.col("embedding"), vlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"), s.alias("s"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * F.col("s"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    )
+    byp = {int(r["pos"]): float(r["m"]) for r in rows}
+    return [byp[p] for p in sorted(byp)]
+
+
+def _seq_dot(a: list, b: list) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _pca_top2_state(spark: SparkSession, sf_dir: str):
+    """(v1u, w1, w2, lam1, lam2): unnormalized-iteration state shared by
+    the top-2 loadings and explained-variance queries."""
+    v0 = [_PCA_V0] * EMB_DIM
+    v1 = _pca_mv_collect(spark, sf_dir, v0)
+    v2 = _pca_mv_collect(spark, sf_dir, v1)
+    import math
+
+    nrm2 = math.sqrt(_seq_dot(v2, v2))
+    v1u = [x / nrm2 for x in v2]
+    lam1 = _seq_dot(v1, v2) / _seq_dot(v1, v1)
+    d0 = _seq_dot(v1u, v0)
+    w0 = [x - d0 * u for x, u in zip(v0, v1u)]
+    m3 = _pca_mv_collect(spark, sf_dir, w0)
+    d3 = _seq_dot(m3, v1u)
+    w1 = [x - d3 * u for x, u in zip(m3, v1u)]
+    m4 = _pca_mv_collect(spark, sf_dir, w1)
+    d4 = _seq_dot(m4, v1u)
+    w2 = [x - d4 * u for x, u in zip(m4, v1u)]
+    lam2 = _seq_dot(w1, m4) / _seq_dot(w1, w1)
+    return v1u, w1, w2, lam1, lam2
+
+
+def _pca2_ctes() -> str:
+    """The shared CTE chain: v1 rounds, normalize, deflation rounds —
+    the SQL twin of _pca_top2_state (same fold orders)."""
+    v0 = "[" + ", ".join(str(_PCA_V0) for _ in range(EMB_DIM)) + "]::DOUBLE[]"
+    return f"""
+e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+p1 AS (SELECT v, {_pca_dot_sql('v', v0)} AS s FROM e),
+m1 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p1 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c1 AS (SELECT list(m ORDER BY dim) AS v1 FROM m1),
+p2 AS (SELECT e.v, {_pca_dot_sql('e.v', 'c1.v1')} AS s FROM e CROSS JOIN c1),
+m2 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p2 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c2 AS (SELECT list(m ORDER BY dim) AS v2 FROM m2),
+u1 AS (
+  SELECT list_transform(v2, x -> x / sqrt({_pca_dot_sql('v2', 'v2')})) AS u
+  FROM c2
+),
+w0 AS (
+  SELECT list_transform(range(1, {EMB_DIM} + 1),
+           i -> {_PCA_V0} - {_pca_dot_sql('u1.u', v0)} * u1.u[i]) AS w
+  FROM u1
+),
+p3 AS (SELECT e.v, {_pca_dot_sql('e.v', 'w0.w')} AS s FROM e CROSS JOIN w0),
+m3 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p3 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c3 AS (SELECT list(m ORDER BY dim) AS m3 FROM m3),
+w1 AS (
+  SELECT list_transform(range(1, {EMB_DIM} + 1),
+           i -> c3.m3[i] - {_pca_dot_sql('c3.m3', 'u1.u')} * u1.u[i]) AS w
+  FROM c3 CROSS JOIN u1
+),
+p4 AS (SELECT e.v, {_pca_dot_sql('e.v', 'w1.w')} AS s FROM e CROSS JOIN w1),
+m4 AS (
+  SELECT d.i AS dim,
+         CAST(SUM(CAST(ROUND(v[d.i] * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
+  FROM p4 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
+),
+c4 AS (SELECT list(m ORDER BY dim) AS m4 FROM m4),
+w2 AS (
+  SELECT list_transform(range(1, {EMB_DIM} + 1),
+           i -> c4.m4[i] - {_pca_dot_sql('c4.m4', 'u1.u')} * u1.u[i]) AS w
+  FROM c4 CROSS JOIN u1
+)"""
+
+
+@register(
+    "pca_top2_loadings",
+    oracle=f"""
+WITH {_pca2_ctes()}
+SELECT CAST(d.i AS BIGINT) AS dim,
+       ROUND(u1.u[d.i], 6) AS loading1,
+       ROUND(w2.w[d.i] / sqrt({_pca_dot_sql('w2.w', 'w2.w')}), 6) AS loading2
+FROM u1 CROSS JOIN w2 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+ORDER BY dim
+""",
+    doc=(
+        "Top TWO principal directions of the embedding cloud via "
+        "power iteration + projection deflation (Hotelling): the "
+        "second component is iterated on the Gram operator with the "
+        "first direction projected out after every matvec — PC2 is "
+        "where anisotropy hides once embedding_isotropy flags a "
+        "dominant common direction (Mu & Viswanath 2018 remove the "
+        "top FEW, not one). Four exact-decimal corpus passes total "
+        "(two per component, the pca_power_top1 recipe); every "
+        "64-length reduction (norms, projection coefficients) is an "
+        "ORDERED sequential fold run identically in both engines — "
+        "no mid-stream rounding anywhere, only the final loadings "
+        "round (SURVEY §2.F)."
+    ),
+)
+def pca_top2_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1u, _, w2, _, _ = _pca_top2_state(spark, sf_dir)
+    u_lit = F.expr("array(" + ",".join(f"{v!r}D" for v in v1u) + ")")
+    w_lit = F.expr("array(" + ",".join(f"{v!r}D" for v in w2) + ")")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(w_lit, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    packed = spark.range(1).select(u_lit.alias("u"), w_lit.alias("w"), nrm.alias("n"))
+    return (
+        packed.select(
+            F.posexplode(F.col("u")).alias("pos", "l1"),
+            F.col("w"),
+            F.col("n"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("l1"), 6).alias("loading1"),
+            F.round(
+                F.element_at(F.col("w"), F.col("pos") + 1) / F.col("n"), 6
+            ).alias("loading2"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "pca_explained_variance",
+    oracle=f"""
+WITH {_pca2_ctes()},
+lam AS (
+  SELECT ({_pca_dot_sql('c1.v1', 'c2.v2')}) / ({_pca_dot_sql('c1.v1', 'c1.v1')}) AS l1,
+         ({_pca_dot_sql('w1.w', 'c4.m4')}) / ({_pca_dot_sql('w1.w', 'w1.w')}) AS l2
+  FROM c1 CROSS JOIN c2 CROSS JOIN w1 CROSS JOIN c4
+),
+tr AS (
+  SELECT CAST(SUM(CAST(ROUND(v[d.i] * v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS t
+  FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
+)
+SELECT component, ROUND(eigenvalue, 4) AS eigenvalue,
+       CAST(FLOOR(eigenvalue * 10000 / t) AS BIGINT) AS var_share_bps
+FROM (
+  SELECT 1 AS component, l1 AS eigenvalue FROM lam
+  UNION ALL
+  SELECT 2, l2 FROM lam
+) CROSS JOIN tr
+ORDER BY component
+""",
+    doc=(
+        "Explained-variance split of the top two principal components: "
+        "Rayleigh-quotient eigenvalues off the SAME deflation "
+        "iterates as pca_top2_loadings, each as a share of the total "
+        "(uncentred) second moment trace(A^T A) in bps — the number "
+        "that says whether mean-centering / top-k direction removal "
+        "is worth it (a 4,000-bps PC1 = one axis carries 40% of all "
+        "energy) and the k-selection signal for dim_ablation_recall. "
+        "Trace is one exact-decimal corpus aggregate; eigenvalues are "
+        "ordered-fold arithmetic on collected plan constants "
+        "(SURVEY §2.F)."
+    ),
+)
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1u, w1, w2, lam1, lam2 = _pca_top2_state(spark, sf_dir)
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    tr = emb.select(F.posexplode("embedding").alias("pos", "x")).agg(
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("t")
+    )
+    rows = None
+    for comp, lam in ((1, lam1), (2, lam2)):
+        row = tr.select(
+            F.lit(comp).cast("bigint").alias("component"),
+            F.round(F.lit(lam), 4).alias("eigenvalue"),
+            F.expr(f"CAST(FLOOR({lam!r} * 10000 / t) AS BIGINT)").alias(
+                "var_share_bps"
+            ),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("component")

@@ -204,6 +204,7 @@ _BNL_JUSTIFIED = {
     "unigram_noise_table",  # 1-row powered-weight normalizer broadcast
     "event_id_gap_audit",  # 1-row run-count broadcast onto the 1-row stats agg
     "mixture_anneal_schedule",  # 1-row (total, k) broadcast onto the source dim
+    "pca_explained_variance",  # 1-row trace aggregate under two literal rows
 }
 
 
