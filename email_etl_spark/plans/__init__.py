@@ -146,6 +146,7 @@ _GATE_ORDER = (
     "predicate_selectivity_report",
     "pca_top2_loadings",
     "pca_explained_variance",
+    "burst_days_kleinberg",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

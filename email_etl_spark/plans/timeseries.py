@@ -1870,3 +1870,125 @@ def friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("friedman_chi2"),
         (chi2 > 12.5916).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# burst_days_kleinberg — two-state burst model over the daily series.
+# ---------------------------------------------------------------------------
+
+_BURST_S = 2.0     # burst-state rate multiplier
+_BURST_INF = 1e18  # "cannot start in burst" sentinel cost
+
+
+def _burst_step(a0: str, n0: str, a1: str, n1: str, x: str) -> tuple[str, ...]:
+    """One Viterbi step of the 2-state automaton, as shared expression
+    templates (lam0/lam1/tcost are in-scope column references):
+    base-state and burst-state best costs plus the burst-day count
+    carried along each best path."""
+    cost0 = f"(lam0 - {x} * ln(lam0))"
+    cost1 = f"(lam1 - {x} * ln(lam1))"
+    return (
+        f"(LEAST({a0}, {a1}) + {cost0})",
+        f"(CASE WHEN {a0} <= {a1} THEN {n0} ELSE {n1} END)",
+        f"(LEAST({a0} + tcost, {a1}) + {cost1})",
+        f"((CASE WHEN {a0} + tcost <= {a1} THEN {n0} ELSE {n1} END)"
+        f" + CAST(1 AS DOUBLE))",
+    )
+
+
+@register(
+    "burst_days_kleinberg",
+    oracle=(lambda: (lambda s0, s1, s2, s3: f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+arr AS (
+  SELECT list(c ORDER BY d) AS ys, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(c) AS DOUBLE) AS n
+  FROM daily
+),
+prm AS (
+  SELECT ys, nd, n / nd AS lam0, {_BURST_S} * (n / nd) AS lam1,
+         ln(CAST(nd AS DOUBLE)) AS tcost
+  FROM arr
+),
+fit AS (
+  SELECT nd, lam0, lam1,
+         list_reduce(
+           list_prepend(
+             [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), {_BURST_INF}, CAST(0 AS DOUBLE)],
+             list_transform(ys, v -> [v, CAST(0 AS DOUBLE),
+                                      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+           (acc, x) -> [{s0}, {s1}, {s2}, {s3}]) AS st
+  FROM prm
+)
+SELECT nd AS n_days,
+       ROUND(LEAST(st[1], st[3]), 4) AS total_cost,
+       CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
+           AS n_burst_days,
+       CAST(CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
+            * 10000 // nd AS BIGINT) AS burst_share_bps
+FROM fit
+""")(*_burst_step("acc[1]", "acc[2]", "acc[3]", "acc[4]", "x[1]")))(),
+    doc=(
+        "Kleinberg-style two-state burst detection on the daily event "
+        "counts (Kleinberg 2002, batch variant): a Viterbi pass over "
+        "a base-rate state and a 2x-rate burst state with Poisson "
+        "negative-log-likelihood emission costs (the shared ln(c!) "
+        "term cancels between states) and a ln(D) entry toll — "
+        "reports how many days the OPTIMAL state path spends in "
+        "burst. The principled burstiness read next to "
+        "poisson_dispersion_daily's single dispersion index and "
+        "error_bursts' fixed thresholds. The recursion is ONE "
+        "higher-order fold over the day-ordered array (holt's 4-list "
+        "accumulator pattern: two state costs + the burst-day count "
+        "carried along each best path), identical op trees in both "
+        "engines, ties broken toward the base state (SURVEY §2.H)."
+    ),
+)
+def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("c")))),
+            lambda st: st["c"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    prm = arr.select(
+        "ys",
+        "nd",
+        (F.col("n") / F.col("nd")).alias("lam0"),
+        (F.lit(_BURST_S) * (F.col("n") / F.col("nd"))).alias("lam1"),
+        F.log(F.col("nd").cast("double")).alias("tcost"),
+    )
+    # NB: Spark [] subscripts are 0-based (DuckDB's are 1-based)
+    s0, s1, s2, s3 = _burst_step("acc[0]", "acc[1]", "acc[2]", "acc[3]", "x")
+    fit = prm.select(
+        "nd",
+        F.expr(
+            f"aggregate(ys,"
+            f" array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),"
+            f"       CAST({_BURST_INF} AS DOUBLE), CAST(0 AS DOUBLE)),"
+            f" (acc, x) -> array({s0}, {s1}, {s2}, {s3}))"
+        ).alias("st"),
+    )
+    nburst = F.expr(
+        "CAST(CASE WHEN st[0] <= st[2] THEN st[1] ELSE st[3] END AS BIGINT)"
+    )
+    return fit.select(
+        F.col("nd").alias("n_days"),
+        F.round(F.expr("LEAST(st[0], st[2])"), 4).alias("total_cost"),
+        nburst.alias("n_burst_days"),
+        F.expr(
+            "CAST(CASE WHEN st[0] <= st[2] THEN st[1] ELSE st[3] END AS BIGINT)"
+            " * 10000 div nd"
+        )
+        .cast("bigint")
+        .alias("burst_share_bps"),
+    )
