@@ -147,6 +147,8 @@ _GATE_ORDER = (
     "pca_top2_loadings",
     "pca_explained_variance",
     "burst_days_kleinberg",
+    "wasserstein_value_drift",
+    "discord_weeks",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -1992,3 +1992,131 @@ def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("burst_share_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# discord_weeks — matrix-profile discord discovery over weekly windows.
+# ---------------------------------------------------------------------------
+
+_DISCORD_W = 7    # window length (days)
+_DISCORD_TOP = 3  # discords reported
+
+
+def _disc_fold_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_DISCORD_W} + 1), "
+        f"i -> {expr})), (a, b) -> a + b)"
+    )
+
+
+@register(
+    "discord_weeks",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(c ORDER BY d) AS ys, CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+win AS (
+  SELECT s.s, arr.ys[s.s:s.s + {_DISCORD_W} - 1] AS w
+  FROM arr CROSS JOIN (SELECT UNNEST(range(1, (SELECT nd FROM arr) - {_DISCORD_W} + 2)) AS s) s
+),
+zn AS (
+  SELECT s,
+         list_transform(w, x -> CASE
+           WHEN sqrt({_disc_fold_sql('(w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W}) * (w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W})')} / {_DISCORD_W}) = 0
+           THEN 0.0
+           ELSE (x - ({_disc_fold_sql('w[i]')}) / {_DISCORD_W})
+                / sqrt({_disc_fold_sql('(w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W}) * (w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W})')} / {_DISCORD_W})
+         END) AS z
+  FROM win
+),
+pairs AS (
+  SELECT a.s,
+         sqrt({_disc_fold_sql('(a.z[i] - b.z[i]) * (a.z[i] - b.z[i])')}) AS dist
+  FROM zn a JOIN zn b ON ABS(a.s - b.s) >= {_DISCORD_W}
+),
+prof AS (SELECT s, MIN(dist) AS profile FROM pairs GROUP BY s)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY profile DESC, s) AS BIGINT) AS rank,
+       CAST(s AS BIGINT) AS start_day_index,
+       ROUND(profile, 4) AS discord_distance
+FROM prof
+ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
+""",
+    doc=(
+        "Matrix-profile discord discovery over z-normalized 7-day "
+        "windows of the daily series (Yeh et al. 2016, ICDM): each "
+        "window's profile = distance to its nearest NON-OVERLAPPING "
+        "neighbor window; the windows whose nearest neighbor is "
+        "farthest are the discords — the weeks shaped like no other "
+        "week, the anomaly primitive that finds what threshold "
+        "detectors (anomaly_zscore, iqr_outlier_days) structurally "
+        "cannot: a normal-volume week with an abnormal SHAPE. "
+        "Everything runs over the O(days) rollup: ~|days| windows, "
+        "z-normalization and distances as ordered sequential folds "
+        "(identical op trees both engines, sd=0 windows map to zero "
+        "vectors), the window-pair join is dimension-sized by "
+        "construction, top-3 via the profile ranking "
+        "(SURVEY §2.H)."
+    ),
+)
+def discord_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("c")))),
+            lambda st: st["c"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    win = arr.select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("nd").cast("int") - _DISCORD_W + 1)
+        ).alias("s"),
+        F.col("ys"),
+    ).select("s", F.expr(f"slice(ys, s, {_DISCORD_W})").alias("w"))
+    mean_sql = f"aggregate(w, 0D, (a, x) -> a + x) / {_DISCORD_W}"
+    var_sql = (
+        f"aggregate(w, 0D, (a, x) -> a + (x - ({mean_sql})) * (x - ({mean_sql})))"
+        f" / {_DISCORD_W}"
+    )
+    zn = win.select(
+        "s",
+        F.expr(
+            f"transform(w, x -> CASE WHEN sqrt({var_sql}) = 0 THEN 0.0"
+            f" ELSE (x - ({mean_sql})) / sqrt({var_sql}) END)"
+        ).alias("z"),
+    )
+    a = zn.select(F.col("s"), F.col("z"))
+    bz = zn.select(F.col("s").alias("t"), F.col("z").alias("zt"))
+    pairs = (
+        a.crossJoin(F.broadcast(bz))
+        .where(F.abs(F.col("s") - F.col("t")) >= _DISCORD_W)
+        .select(
+            "s",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(z, zt, (x, y) -> (x - y) * (x - y)),"
+                    " 0D, (a, b) -> a + b)"
+                )
+            ).alias("dist"),
+        )
+    )
+    prof = pairs.groupBy("s").agg(F.min("dist").alias("profile"))
+    wrank = Window.orderBy(F.desc("profile"), "s")
+    return (
+        prof.orderBy(F.desc("profile"), "s")
+        .limit(_DISCORD_TOP)
+        .withColumn("rank", F.row_number().over(wrank).cast("bigint"))
+        .select(
+            "rank",
+            F.col("s").cast("bigint").alias("start_day_index"),
+            F.round("profile", 4).alias("discord_distance"),
+        )
+        .orderBy(F.desc("discord_distance"), "start_day_index")
+    )

@@ -205,6 +205,8 @@ _BNL_JUSTIFIED = {
     "event_id_gap_audit",  # 1-row run-count broadcast onto the 1-row stats agg
     "mixture_anneal_schedule",  # 1-row (total, k) broadcast onto the source dim
     "pca_explained_variance",  # 1-row trace aggregate under two literal rows
+    "wasserstein_value_drift",  # 1-row epoch-bounds + totals broadcasts
+    "discord_weeks",  # ~|days|-row z-window table broadcast (dimension-sized)
 }
 
 
