@@ -149,6 +149,7 @@ _GATE_ORDER = (
     "burst_days_kleinberg",
     "wasserstein_value_drift",
     "discord_weeks",
+    "motif_weeks",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -2120,3 +2120,118 @@ def discord_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("discord_distance"), "start_day_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# motif_weeks — the recurring-shape twin of discord_weeks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "motif_weeks",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(c ORDER BY d) AS ys, CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+win AS (
+  SELECT s.s, arr.ys[s.s:s.s + {_DISCORD_W} - 1] AS w
+  FROM arr CROSS JOIN (SELECT UNNEST(range(1, (SELECT nd FROM arr) - {_DISCORD_W} + 2)) AS s) s
+),
+zn AS (
+  SELECT s,
+         list_transform(w, x -> CASE
+           WHEN sqrt({_disc_fold_sql('(w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W}) * (w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W})')} / {_DISCORD_W}) = 0
+           THEN 0.0
+           ELSE (x - ({_disc_fold_sql('w[i]')}) / {_DISCORD_W})
+                / sqrt({_disc_fold_sql('(w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W}) * (w[i] - (' + _disc_fold_sql('w[i]') + f') / {_DISCORD_W})')} / {_DISCORD_W})
+         END) AS z
+  FROM win
+),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2,
+         sqrt({_disc_fold_sql('(a.z[i] - b.z[i]) * (a.z[i] - b.z[i])')}) AS dist
+  FROM zn a JOIN zn b ON b.s - a.s >= {_DISCORD_W}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, s1, s2) AS BIGINT) AS rank,
+       CAST(s1 AS BIGINT) AS start_day_a,
+       CAST(s2 AS BIGINT) AS start_day_b,
+       ROUND(dist, 4) AS motif_distance
+FROM pairs
+ORDER BY dist, s1, s2 LIMIT {_DISCORD_TOP}
+""",
+    doc=(
+        "Matrix-profile motif discovery: the top-3 CLOSEST pairs of "
+        "non-overlapping z-normalized 7-day windows — the recurring "
+        "shapes of the series (the repeated launch-week or "
+        "incident-recovery signature), the complement of "
+        "discord_weeks' loners from the same machinery (Yeh et al. "
+        "2016). Identical ordered-fold z-normalization and distance "
+        "op trees; the pair stream keeps only s2 - s1 >= window so "
+        "each unordered pair appears once; top-3 via "
+        "TakeOrderedAndProject over the dimension-sized pair table "
+        "(SURVEY §2.H)."
+    ),
+)
+def motif_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("c")))),
+            lambda st: st["c"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    win = arr.select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("nd").cast("int") - _DISCORD_W + 1)
+        ).alias("s"),
+        F.col("ys"),
+    ).select("s", F.expr(f"slice(ys, s, {_DISCORD_W})").alias("w"))
+    mean_sql = f"aggregate(w, 0D, (a, x) -> a + x) / {_DISCORD_W}"
+    var_sql = (
+        f"aggregate(w, 0D, (a, x) -> a + (x - ({mean_sql})) * (x - ({mean_sql})))"
+        f" / {_DISCORD_W}"
+    )
+    zn = win.select(
+        "s",
+        F.expr(
+            f"transform(w, x -> CASE WHEN sqrt({var_sql}) = 0 THEN 0.0"
+            f" ELSE (x - ({mean_sql})) / sqrt({var_sql}) END)"
+        ).alias("z"),
+    )
+    a = zn.select(F.col("s").alias("s1"), F.col("z"))
+    bz = zn.select(F.col("s").alias("s2"), F.col("z").alias("zt"))
+    pairs = (
+        a.crossJoin(F.broadcast(bz))
+        .where(F.col("s2") - F.col("s1") >= _DISCORD_W)
+        .select(
+            "s1",
+            "s2",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(z, zt, (x, y) -> (x - y) * (x - y)),"
+                    " 0D, (a, b) -> a + b)"
+                )
+            ).alias("dist"),
+        )
+    )
+    wrank = Window.orderBy("dist", "s1", "s2")
+    return (
+        pairs.orderBy("dist", "s1", "s2")
+        .limit(_DISCORD_TOP)
+        .withColumn("rank", F.row_number().over(wrank).cast("bigint"))
+        .select(
+            "rank",
+            F.col("s1").cast("bigint").alias("start_day_a"),
+            F.col("s2").cast("bigint").alias("start_day_b"),
+            F.round("dist", 4).alias("motif_distance"),
+        )
+        .orderBy("motif_distance", "start_day_a", "start_day_b")
+    )

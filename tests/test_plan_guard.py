@@ -207,6 +207,7 @@ _BNL_JUSTIFIED = {
     "pca_explained_variance",  # 1-row trace aggregate under two literal rows
     "wasserstein_value_drift",  # 1-row epoch-bounds + totals broadcasts
     "discord_weeks",  # ~|days|-row z-window table broadcast (dimension-sized)
+    "motif_weeks",  # same dimension-sized z-window broadcast as discord_weeks
 }
 
 
