@@ -150,6 +150,9 @@ _GATE_ORDER = (
     "wasserstein_value_drift",
     "discord_weeks",
     "motif_weeks",
+    "term_burstiness_topk",
+    "revenue_yoy",
+    "quantile_drift_table",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

@@ -3085,3 +3085,77 @@ def predicate_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(o, "orders|priority URGENT/HIGH", "p_priority"))
     )
     return out.orderBy("table_name", "predicate")
+
+
+# ---------------------------------------------------------------------------
+# revenue_yoy — year-over-year monthly revenue growth.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_yoy",
+    oracle="""
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mo,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_centi
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT cur.yr, cur.mo, cur.rev_centi,
+         prev.rev_centi AS prev_rev_centi
+  FROM m cur LEFT JOIN m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+)
+SELECT CAST(yr AS BIGINT) AS year, CAST(mo AS BIGINT) AS month,
+       rev_centi, prev_rev_centi,
+       CASE WHEN prev_rev_centi IS NULL OR prev_rev_centi = 0 THEN NULL
+            ELSE CAST(CASE WHEN rev_centi >= prev_rev_centi
+                      THEN (rev_centi - prev_rev_centi) * 10000 // prev_rev_centi
+                      ELSE -((prev_rev_centi - rev_centi) * 10000 // prev_rev_centi)
+                      END AS BIGINT) END AS yoy_growth_bps
+FROM j ORDER BY year, month
+""",
+    doc=(
+        "Year-over-year monthly revenue growth: each (year, month) "
+        "against the same month one year earlier — the "
+        "seasonality-immune growth read (revenue_mom's month-over-"
+        "month number conflates growth with the seasonal cycle; YoY "
+        "cancels it). Exact centi-unit integer revenue, growth in "
+        "sign-split exact integer bps (the ab_test_lift convention — "
+        "integer division truncates toward zero on both engines only "
+        "via the split), NULL where no prior year exists. One orders "
+        "scan + one (year-1)-shifted self-join of the ~84-row month "
+        "rollup (SURVEY §2.G)."
+    ),
+)
+def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_centi")
+    )
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("rev_centi").alias("prev_rev_centi"),
+    )
+    j = m.join(F.broadcast(prev), ["yr", "mo"], "left")
+    growth = F.when(
+        F.col("prev_rev_centi").isNull() | (F.col("prev_rev_centi") == 0), F.lit(None)
+    ).otherwise(
+        F.expr(
+            "CASE WHEN rev_centi >= prev_rev_centi"
+            " THEN (rev_centi - prev_rev_centi) * 10000 div prev_rev_centi"
+            " ELSE -((prev_rev_centi - rev_centi) * 10000 div prev_rev_centi) END"
+        ).cast("bigint")
+    )
+    return j.select(
+        F.col("yr").cast("bigint").alias("year"),
+        F.col("mo").cast("bigint").alias("month"),
+        "rev_centi",
+        "prev_rev_centi",
+        growth.alias("yoy_growth_bps"),
+    ).orderBy("year", "month")

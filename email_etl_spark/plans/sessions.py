@@ -4218,3 +4218,118 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_distance",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile_drift_table — decile-by-decile drift between period halves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_drift_table",
+    oracle="""
+WITH b AS (
+  SELECT MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS lo,
+         MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS hi
+  FROM events
+),
+v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         CASE WHEN 2 * date_diff('second', TIMESTAMP '1970-01-01', ts)
+                   < (SELECT lo + hi FROM b) THEN 1 ELSE 0 END AS h1
+  FROM events
+),
+rk AS (
+  SELECT vc, h1,
+         ROW_NUMBER() OVER (PARTITION BY h1 ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY h1) AS n
+  FROM v
+),
+d AS (SELECT UNNEST(range(1, 10)) AS dec),
+pick AS (
+  SELECT d.dec, rk.h1,
+         MAX(CASE WHEN rk.rn = (d.dec * (rk.n - 1)) // 10 + 1 THEN rk.vc END) AS ylo,
+         MAX(CASE WHEN rk.rn = (d.dec * (rk.n - 1)) // 10 + 2 THEN rk.vc END) AS yhi,
+         MAX((d.dec * (rk.n - 1)) % 10) AS frac10
+  FROM rk CROSS JOIN d GROUP BY d.dec, rk.h1
+),
+q AS (
+  SELECT dec, h1,
+         10 * ylo + frac10 * (COALESCE(yhi, ylo) - ylo) AS q_x10
+  FROM pick
+)
+SELECT CAST(a.dec * 10 AS BIGINT) AS percentile,
+       CAST(a.q_x10 AS BIGINT) AS first_half_centi_x10,
+       CAST(bq.q_x10 AS BIGINT) AS second_half_centi_x10,
+       CAST(bq.q_x10 - a.q_x10 AS BIGINT) AS drift_centi_x10
+FROM q a JOIN q bq ON a.dec = bq.dec AND a.h1 = 1 AND bq.h1 = 0
+ORDER BY percentile
+""",
+    doc=(
+        "Decile-by-decile drift table between period halves: exact "
+        "interpolated p10..p90 of `value` for each half and their "
+        "gaps — WHERE in the distribution the drift lives (tail-only "
+        "drift means pricing outliers; uniform shift means mix "
+        "change), the location detail behind wasserstein_value_drift's "
+        "single magnitude and value_ks_drift's single sup gap. "
+        "Decile positions interpolate on tenth fractions over "
+        "centi-unit integers, so 10*Q is EXACT (the "
+        "value_quartiles_by_type discipline at decile granularity) — "
+        "no float percentile knife edge; one value-ordered window "
+        "per half (SURVEY §2.H)."
+    ),
+)
+def quantile_drift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.unix_timestamp("ts").alias("tse"),
+    )
+    b = ev.agg(F.min("tse").alias("lo"), F.max("tse").alias("hi"))
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "vc",
+        F.when(2 * F.col("tse") < F.col("lo") + F.col("hi"), 1)
+        .otherwise(0)
+        .alias("h1"),
+    )
+    w = Window.partitionBy("h1").orderBy("vc")
+    rk = v.select(
+        "vc",
+        "h1",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("h1")).alias("n"),
+    )
+    d = rk.select(
+        "vc",
+        "h1",
+        "rn",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("dec"),
+    )
+    pick = d.groupBy("dec", "h1").agg(
+        F.max(
+            F.when(F.expr("rn = (dec * (n - 1)) div 10 + 1"), F.col("vc"))
+        ).alias("ylo"),
+        F.max(
+            F.when(F.expr("rn = (dec * (n - 1)) div 10 + 2"), F.col("vc"))
+        ).alias("yhi"),
+        F.max(F.expr("(dec * (n - 1)) % 10")).alias("frac10"),
+    )
+    q = pick.select(
+        "dec",
+        "h1",
+        F.expr("10 * ylo + frac10 * (COALESCE(yhi, ylo) - ylo)").alias("q_x10"),
+    )
+    a = q.where(F.col("h1") == 1).select("dec", F.col("q_x10").alias("qa"))
+    b2 = q.where(F.col("h1") == 0).select("dec", F.col("q_x10").alias("qb"))
+    return (
+        a.join(b2, "dec")
+        .select(
+            (F.col("dec") * 10).cast("bigint").alias("percentile"),
+            F.col("qa").cast("bigint").alias("first_half_centi_x10"),
+            F.col("qb").cast("bigint").alias("second_half_centi_x10"),
+            (F.col("qb") - F.col("qa")).cast("bigint").alias("drift_centi_x10"),
+        )
+        .orderBy("percentile")
+    )

@@ -4142,3 +4142,63 @@ def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness_topk — Church–Gale per-term burstiness.
+# ---------------------------------------------------------------------------
+
+_TB_TOP = 30
+
+
+@register(
+    "term_burstiness_topk",
+    oracle=f"""
+WITH t AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+f AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT tok, cf AS collection_freq, df AS doc_freq,
+       CAST(cf * 1000 // df AS BIGINT) AS burstiness_milli,
+       CAST(df * 10000 // n.nd AS BIGINT) AS doc_share_bps
+FROM f CROSS JOIN n
+ORDER BY cf DESC, tok LIMIT {_TB_TOP}
+""",
+    doc=(
+        "Church–Gale term burstiness for the top-30 terms: collection "
+        "frequency over document frequency — how many times a term "
+        "repeats WITHIN the documents that contain it (burstiness "
+        "~1.0 = function-word-like even spread; high = topical/"
+        "template terms that clump). The term-level companion to the "
+        "doc-level burstiness query, and the signal behind BM25-style "
+        "saturation constants and stopword-list audits (a 'stopword' "
+        "with high burstiness is actually topical). Exact integer "
+        "milli/bps ratios off one tokenize scan + one vocab rollup "
+        "(the distinct-doc count shuffles (tok, doc) pairs once), "
+        "top-K via TakeOrderedAndProject (SURVEY §2.D)."
+    ),
+)
+def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    f = t.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    return (
+        f.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.col("cf").alias("collection_freq"),
+            F.col("df").alias("doc_freq"),
+            F.expr("cf * 1000 div df").cast("bigint").alias("burstiness_milli"),
+            F.expr("df * 10000 div nd").cast("bigint").alias("doc_share_bps"),
+        )
+        .orderBy(F.desc("collection_freq"), "tok")
+        .limit(_TB_TOP)
+    )

@@ -208,6 +208,8 @@ _BNL_JUSTIFIED = {
     "wasserstein_value_drift",  # 1-row epoch-bounds + totals broadcasts
     "discord_weeks",  # ~|days|-row z-window table broadcast (dimension-sized)
     "motif_weeks",  # same dimension-sized z-window broadcast as discord_weeks
+    "term_burstiness_topk",  # 1-row doc-count broadcast
+    "quantile_drift_table",  # 1-row epoch-bounds broadcast
 }
 
 
