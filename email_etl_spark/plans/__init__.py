@@ -153,6 +153,7 @@ _GATE_ORDER = (
     "term_burstiness_topk",
     "revenue_yoy",
     "quantile_drift_table",
+    "ab_power_mde",
     # the 34-query backlog tail (round 8 retires it), then
     # changed-this-round sweep-verified re-verification, then the
     # standing flagship surface; everything else keeps module order

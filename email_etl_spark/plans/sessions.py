@@ -4333,3 +4333,81 @@ def quantile_drift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("percentile")
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_power_mde — minimum detectable effect for the A/B setup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_power_mde",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u
+)
+SELECT n_a, n_b,
+       CAST(conv * 10000 // (n_a + n_b) AS BIGINT) AS base_rate_bps,
+       ROUND((1.96 + 0.8416)
+             * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
+                    * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_abs,
+       CAST(FLOOR((1.96 + 0.8416)
+             * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
+                    * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))
+             / (CAST(conv AS DOUBLE) / (n_a + n_b)) * 10000) AS BIGINT)
+           AS mde_relative_bps
+FROM s
+""",
+    doc=(
+        "Minimum detectable effect for ab_test_lift's current sample: "
+        "the smallest absolute (and relative, in bps) conversion-rate "
+        "lift the two-proportion z-test can detect at alpha=0.05 "
+        "two-sided with 80% power (z 1.96 + 0.8416), given the "
+        "observed arm sizes and pooled base rate — the pre-experiment "
+        "honesty check every platform pairs with the lift report: if "
+        "the effect you hope for is below the MDE, the test cannot "
+        "see it and running it is theater. Same one-scan user rollup "
+        "as ab_test_lift/ab_srm_check; exact integers into two shared "
+        "double expressions (SURVEY §2.H)."
+    ),
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+            )
+            < "8"
+        ).alias("arm_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    p = F.col("conv").cast("double") / (F.col("n_a") + F.col("n_b"))
+    mde = (1.96 + 0.8416) * F.sqrt(
+        p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("conv * 10000 div (n_a + n_b)").cast("bigint").alias("base_rate_bps"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.floor(mde / p * 10000).cast("bigint").alias("mde_relative_bps"),
+    )
