@@ -1,0 +1,83 @@
+"""Physical-plan pins for the round-7 second-session operators: each
+assertion is a scale property the doc strings claim — one ordered
+pass where one is promised, window-free rewrites staying window-free,
+dimension-sized broadcasts staying broadcasts (SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import re
+
+from email_etl_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _n_window_nodes(plan: str) -> int:
+    # formatted plans print each operator twice (tree + detail); the
+    # detail header "(N) Window" appears once per physical node
+    return len(re.findall(r"^\(\d+\) Window$", plan, re.M))
+
+
+def test_session_gap_sensitivity_single_ordered_pass(spark):
+    # the gap is computed by ONE user-keyed window; the 4 thresholds
+    # must ride an explode, never add sorts/windows of their own
+    plan = _plan(spark, "session_gap_sensitivity")
+    assert _n_window_nodes(plan) == 1, plan
+    assert "Generate" in plan, plan
+
+
+def test_attribution_first_touch_single_window(spark):
+    plan = _plan(spark, "attribution_first_touch")
+    assert _n_window_nodes(plan) == 1, plan
+
+
+def test_rolling_7d_active_users_window_free(spark):
+    # sliding distinct = explode-to-window-end rewrite; a Window here
+    # would mean someone reintroduced the unscalable formulation
+    plan = _plan(spark, "rolling_7d_active_users")
+    assert not re.search(r"\bWindow\b", plan), plan
+
+
+def test_event_id_gap_audit_no_sort_no_window(spark):
+    # run starts are counted via a LEFT ANTI equi-join — the audit
+    # must never acquire a sorted-adjacency pass
+    plan = _plan(spark, "event_id_gap_audit")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_pack_efficiency_curve_partial_agg(spark):
+    # the 4-length explode must collapse map-side before the shuffle
+    plan = _plan(spark, "pack_efficiency_curve")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Generate" in plan, plan
+
+
+def test_discord_weeks_no_cartesian(spark):
+    # the window-pair join is a reviewed dimension-sized broadcast,
+    # never a CartesianProduct
+    plan = _plan(spark, "discord_weeks")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_levene_median_dim_broadcast(spark):
+    # the k-row group-median table must broadcast, not shuffle the
+    # corpus against it
+    plan = _plan(spark, "levene_value")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_confusion_rides_block_tiling(spark):
+    # the confusion matrix must reuse knn_join's tiled pipeline, not
+    # introduce an all-pairs join of its own
+    plan = _plan(spark, "knn_confusion")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
