@@ -36,68 +36,14 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # ---- round-7 driver window (first 50) ----
-    # tier 1: this round's 5 NEW operators (never driver-checked)
-    "closure_edge_stats",
-    "minhash_est_error",
-    "dedup_method_agreement",
-    "dp_mean_release",
-    "ljung_box_daily",
-    # tier 2: never-checked backlog head — 45 slots. Round-7 policy
-    # decision: the queries whose CODE changed this round (the dedup
-    # family's memoized handles, the closure consumers' shared
-    # connected_components run, mv_refresh_delta's persisted snapshot)
-    # are re-verified OUTSIDE the window — full 2-SF sweep_delta plus
-    # the sf0.1 closure/dedup records — so every window slot retires
-    # never-driver-checked backlog (VERDICT r6 #2: union >= 329).
-    "ann_pq",
-    "ann_ivfpq_indexed",
-    "cluster_exemplars",
-    "pq_recall_eval",
-    "bm25_indexed",
-    "hard_negatives",
-    "ivf_recall_curve",
-    "prefix_dup_rate",
-    "image_resize_plan",
-    "table_profile",
-    "join_skew_report",
-    "ship_delay_profile",
-    "corr_matrix",
-    "benford_fit",
-    "cube_status_priority",
-    "revenue_mom",
-    "pareto_customers",
-    "segment_share_trend",
-    "supplier_hhi",
-    "markov_transitions",
-    "error_bursts",
-    "seasonal_forecast",
-    "latency_slo_report",
-    "topk_movers",
-    "user_affinity_jaccard",
-    "ordered_funnel",
-    "dau_wau",
-    "session_paths",
-    "attribution_last_touch",
-    "rfm_segments",
-    "engagement_scores",
-    "ann_index_stats",
-    "maxsim_search",
-    "kwic_contexts",
-    "bootstrap_mean_ci",
-    "ab_test_lift",
-    "code_switch_report",
-    "activity_punchcard",
-    "emb_dim_variance",
-    "graph_triangles",
-    "length_filter_curve",
-    "churn_risk",
-    "copurchase_types",
-    "returns_by_delay",
-    "attribution_linear",
-    # ---- below the 50-query window ----
-    # round-7 LATE additions (sweep-verified at both SFs this round;
-    # round-8 tier-1 gate candidates per the new-ops-first policy)
+    # ---- round-8 driver window (first 50) ----
+    # tier 1: never-driver-checked queries whose SHARED CODE changed
+    # this round (_km_assign gained the bounded-K broadcast-DataFrame
+    # path; these two route through the helper)
+    "cluster_top_terms",
+    "label_purity",
+    # tier 2: never-checked backlog head — 48 slots, retiring the
+    # r7 late batch in registration order (VERDICT r7 #2)
     "mannwhitney_value",
     "periodogram_daily",
     "embedding_isotropy",
@@ -146,6 +92,8 @@ _GATE_ORDER = (
     "predicate_selectivity_report",
     "pca_top2_loadings",
     "pca_explained_variance",
+    # ---- below the 50-query window ----
+    # never-checked backlog tail (round 9 retires it: 40 queries)
     "burst_days_kleinberg",
     "wasserstein_value_drift",
     "discord_weeks",
@@ -154,9 +102,6 @@ _GATE_ORDER = (
     "revenue_yoy",
     "quantile_drift_table",
     "ab_power_mde",
-    # the 34-query backlog tail (round 8 retires it), then
-    # changed-this-round sweep-verified re-verification, then the
-    # standing flagship surface; everything else keeps module order
     "revenue_concentration",
     "first_order_ltv",
     "expanded_search",
@@ -173,7 +118,6 @@ _GATE_ORDER = (
     "ngram_novelty",
     "burstiness",
     "topic_coherence",
-    "label_purity",
     "user_entropy",
     "value_ks_drift",
     "text_index_stats",
@@ -190,10 +134,64 @@ _GATE_ORDER = (
     "vocab_growth",
     "quality_length_corr",
     "ann_ivfpq",
-    "cluster_top_terms",
-    # changed-this-round, previously green, re-verified at both SFs by
-    # sweep_delta (memoized cache handles; shared closure components;
-    # snapshot-backed mv refresh; rocchio oracle cleanup)
+    # changed-this-round, previously green, re-verified at both SFs
+    # by sweep_delta + the sf0.1 records (the _km_assign bounded-K
+    # rework touches semdedup_prune's join path and the K=8 literal
+    # consumers' shared helper)
+    "semdedup_prune",
+    "kmeans_codebook",
+    "cluster_exemplars",
+    # round-7 driver window (all green in CORRECTNESS_r07.json)
+    "closure_edge_stats",
+    "minhash_est_error",
+    "dedup_method_agreement",
+    "dp_mean_release",
+    "ljung_box_daily",
+    "ann_pq",
+    "ann_ivfpq_indexed",
+    "pq_recall_eval",
+    "bm25_indexed",
+    "hard_negatives",
+    "ivf_recall_curve",
+    "prefix_dup_rate",
+    "image_resize_plan",
+    "table_profile",
+    "join_skew_report",
+    "ship_delay_profile",
+    "corr_matrix",
+    "benford_fit",
+    "cube_status_priority",
+    "revenue_mom",
+    "pareto_customers",
+    "segment_share_trend",
+    "supplier_hhi",
+    "markov_transitions",
+    "error_bursts",
+    "seasonal_forecast",
+    "latency_slo_report",
+    "topk_movers",
+    "user_affinity_jaccard",
+    "ordered_funnel",
+    "dau_wau",
+    "session_paths",
+    "attribution_last_touch",
+    "rfm_segments",
+    "engagement_scores",
+    "ann_index_stats",
+    "maxsim_search",
+    "kwic_contexts",
+    "bootstrap_mean_ci",
+    "ab_test_lift",
+    "code_switch_report",
+    "activity_punchcard",
+    "emb_dim_variance",
+    "graph_triangles",
+    "length_filter_curve",
+    "churn_risk",
+    "copurchase_types",
+    "returns_by_delay",
+    "attribution_linear",
+    # prior-round changed-set re-verification (green r7, unchanged r8)
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_containment",
@@ -205,7 +203,6 @@ _GATE_ORDER = (
     "fuzzy_decontaminate",
     "mv_refresh_delta",
     "rocchio_expansion",
-    # standing flagship surface
     "join_size_estimate",
     "knn_join",
     "dedup_embedding",
