@@ -1284,9 +1284,12 @@ FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
     doc=(
         "SemDeDup-style semantic pruning (Abbas et al. 2023, public "
         "paper): assign every embedding to its nearest coarse centroid "
-        "(the kmeans_codebook convention — broadcast plan-constant "
-        "codebook seeded from the first K vectors, bit-identical L2 "
-        "folds), then search near-duplicates ONLY within each cluster "
+        "(the kmeans_codebook convention — codebook seeded from the "
+        "first K vectors, bit-identical L2 folds; because K here is "
+        "corpus-derived it exceeds KM_LITERAL_MAX_K and _km_assign "
+        "ships the codebook as a broadcast DATAFRAME, K-independent "
+        "plan size, map-side-partial argmin), then search "
+        "near-duplicates ONLY within each cluster "
         "and prune every vector that has a smaller-id cluster peer at "
         "cosine >= threshold, reporting its keeper. Cluster bounding "
         "is the scale story: pair work is sum of per-cluster squares, "
