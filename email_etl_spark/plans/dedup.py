@@ -1280,6 +1280,7 @@ FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
 
 @register(
     "semdedup_prune",
+    headline=True,
     oracle=_semdedup_oracle(),
     doc=(
         "SemDeDup-style semantic pruning (Abbas et al. 2023, public "

@@ -1291,6 +1291,7 @@ def build_mv_base_snapshot(
 
 @register(
     "mv_refresh_delta",
+    headline=True,
     oracle="""
 WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents)
 SELECT source,

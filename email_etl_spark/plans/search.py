@@ -5819,6 +5819,7 @@ LIMIT 20
 @register(
     "bm25f_search",
     oracle=_bm25f_oracle(),
+    headline=True,
     doc=(
         f"BM25F two-field ranking (lead = the first {_BM25F_LEAD} "
         "tokens, weight 2.0, b=0.5; body = the remainder, weight 1.0, "

@@ -3711,6 +3711,7 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling_7d_active_users",
+    headline=True,
     oracle="""
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

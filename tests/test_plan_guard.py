@@ -29,6 +29,9 @@ _BNL_ALLOWED = {
     "fuzzy_decontaminate",
     "dedup_minhash",
     "image_decode_stats",
+    # round-8 headline additions (same reviewed BNLs as _BNL_JUSTIFIED)
+    "bm25f_search",  # 1-row (N, field-length sums, dfs) stats broadcast
+    "rolling_7d_active_users",  # 1-row calendar-bounds broadcast
 }
 
 
