@@ -1472,7 +1472,11 @@ FROM fit
         "corpus scale — the timeseries.py contract); the per-step op "
         "tree is one shared expression template in both engines, so "
         "the smoothed state is bit-identical with no per-step "
-        "rounding (SURVEY §2.H)."
+        "rounding. BOUND: after the distributed daily rollup the "
+        "series collapses to ONE array folded in ONE task — O(days) "
+        "memory and work, ~37 KB/century of doubles; the bound grows "
+        "with calendar time, never with corpus size (SURVEY §4) "
+        "(SURVEY §2.H)."
     ),
 )
 def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,7 +2060,11 @@ ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
         "z-normalization and distances as ordered sequential folds "
         "(identical op trees both engines, sd=0 windows map to zero "
         "vectors), the window-pair join is dimension-sized by "
-        "construction, top-3 via the profile ranking "
+        "construction, top-3 via the profile ranking. BOUND: after "
+        "the distributed daily rollup the series collapses to ONE "
+        "array built in ONE task, and the pair space is O(days^2) "
+        "over that dimension table (~13 M pairs/decade) — both grow "
+        "with calendar time, never with corpus size (SURVEY §4) "
         "(SURVEY §2.H)."
     ),
 )
@@ -2170,8 +2178,11 @@ ORDER BY dist, s1, s2 LIMIT {_DISCORD_TOP}
         "2016). Identical ordered-fold z-normalization and distance "
         "op trees; the pair stream keeps only s2 - s1 >= window so "
         "each unordered pair appears once; top-3 via "
-        "TakeOrderedAndProject over the dimension-sized pair table "
-        "(SURVEY §2.H)."
+        "TakeOrderedAndProject over the dimension-sized pair table. "
+        "BOUND: same as discord_weeks — the daily series collapses "
+        "to ONE array in ONE task after the distributed rollup, pair "
+        "space O(days^2) over the dimension table; calendar-bounded, "
+        "corpus-independent (SURVEY §4) (SURVEY §2.H)."
     ),
 )
 def motif_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
