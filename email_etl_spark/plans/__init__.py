@@ -37,9 +37,15 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-8 driver window (first 50) ----
+    # tier 0: this round's 5 NEW operators (never driver-checked)
+    "yule_k_by_source",
+    "mattr_diversity",
+    "ann_range_search",
+    "page_hinkley_drift",
+    "holt_winters_forecast",
     # tier 1: never-driver-checked queries whose SHARED CODE changed
-    # this round (_km_assign gained the bounded-K broadcast-DataFrame
-    # path; these two route through the helper)
+    # this round (_km_assign gained the bounded-K Arrow-kernel path;
+    # these two route through the helper)
     "cluster_top_terms",
     "label_purity",
     # tier 2: never-checked backlog head — 48 slots, retiring the

@@ -6585,3 +6585,59 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+# ann_range_search (round 8): radius similarity search — the pgvector
+# `embedding <=> q < r` surface (ref: src/database.py semantic search
+# path) the top-k family doesn't cover: "everything within tau",
+# result size data-driven rather than fixed-k.
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.30  # cosine radius; 5-query deterministic batch
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {_COS.format(a="e.embedding", b="q.qvec")} AS similarity
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, similarity
+FROM scored WHERE similarity >= {_RANGE_TAU}
+ORDER BY query_id, similarity DESC, vec_id
+""",
+    doc=(
+        f"Radius (range) similarity search at cosine >= {_RANGE_TAU} "
+        "for a broadcast 5-query batch — the unbounded-result "
+        "companion to ann_bruteforce's top-k (pgvector's distance-"
+        "threshold WHERE clause; recall@radius ground truth for the "
+        "LSH/IVF approximate paths). Same scale shape as the batch "
+        "ANN family: the query side is a plan-bounded broadcast "
+        "(reviewed BNL), the corpus side streams map-only through the "
+        "similarity filter — no shuffle at all until the presentation "
+        "sort; exact DECIMAL(6,4) similarities make the threshold "
+        "edge deterministic cross-engine (SURVEY §2.F)."
+    ),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .where(F.col("similarity") >= _RANGE_TAU)
+        .orderBy("query_id", F.desc("similarity"), "vec_id")
+    )

@@ -4202,3 +4202,159 @@ def term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("collection_freq"), "tok")
         .limit(_TB_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity family (round 8): Yule's K and MATTR — the
+# curation signals behind "is this corpus template spam or real
+# language" (ref: the reference's quality scoring surface,
+# src/embeddings.py prepare/quality path, re-expressed as corpus
+# statistics). Both are exact-integer formulations: no doubles until
+# the final presentation column.
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25  # window tokens; docs shorter than W are excluded
+
+
+@register(
+    "yule_k_by_source",
+    oracle=f"""
+WITH t AS (SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+g AS (SELECT source, tok, COUNT(*) AS f FROM t GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n, COUNT(*) AS v,
+             SUM(CAST(f AS HUGEINT) * f) AS sf2
+      FROM g GROUP BY source)
+SELECT source, n AS n_tokens, CAST(v AS BIGINT) AS n_types,
+       CAST(sf2 AS BIGINT) AS sum_f2,
+       CAST((10000000::HUGEINT * (sf2 - n)) // (CAST(n AS HUGEINT) * n)
+            AS BIGINT) AS yule_k_milli
+FROM s ORDER BY source
+""",
+    doc=(
+        "Yule's K vocabulary-richness characteristic per source "
+        "(Yule 1944): K = 10^4 (sum_m m^2 V_m - N) / N^2 over the "
+        "term-frequency spectrum — length-invariant where raw TTR "
+        "(vocab_stats) is not, so it compares sources with different "
+        "document sizes; high K = repetitive/template text, the "
+        "boilerplate-source signal for curation. Two-level aggregation "
+        "(the (source, token) shuffle is map-side combined, the "
+        "source rollup touches distinct types only); sum f^2 kept in "
+        "DECIMAL(38,0)/HUGEINT and K floored in pure integer "
+        "milli-units — no double knife-edge at any corpus size "
+        "(SURVEY §2.L)."
+    ),
+)
+def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    g = t.groupBy("source", "tok").agg(F.count("*").alias("f"))
+    s = g.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f")).alias("sf2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("sf2").cast("bigint").alias("sum_f2"),
+        F.expr(
+            "cast((cast(10000000 as decimal(38,0)) * (sf2 - n))"
+            " div (cast(n as decimal(38,0)) * n) as bigint)"
+        ).alias("yule_k_milli"),
+    ).orderBy("source")
+
+
+@register(
+    "mattr_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, UNNEST({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents
+),
+n AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY 1),
+p AS (
+  SELECT doc_id, pos,
+         COALESCE(LAG(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos), -1) AS prev
+  FROM t
+),
+c AS (
+  SELECT p.doc_id,
+         SUM(GREATEST(LEAST(pos, nt - {_MATTR_W}) -
+                      GREATEST(pos - {_MATTR_W} + 1, prev + 1, 0) + 1, 0)) AS s
+  FROM p JOIN n ON p.doc_id = n.doc_id WHERE nt >= {_MATTR_W} GROUP BY 1
+),
+m AS (
+  SELECT c.doc_id,
+         (10000 * s) // ((nt - {_MATTR_W} + 1) * {_MATTR_W}) AS bps
+  FROM c JOIN n USING (doc_id)
+),
+j AS (SELECT m.doc_id, bps, d.source FROM m JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bps) // COUNT(*) AS BIGINT) AS avg_mattr_bps,
+       CAST(MIN(bps) AS BIGINT) AS min_mattr_bps,
+       CAST(MAX(bps) AS BIGINT) AS max_mattr_bps
+FROM j GROUP BY source ORDER BY source
+""",
+    doc=(
+        f"MATTR moving-average type-token ratio (Covington & McFall "
+        f"2010), window W={_MATTR_W}: mean TTR over every W-token "
+        "window — the length-robust per-document diversity score raw "
+        "TTR inflates for short docs. Distributed formulation: instead "
+        "of materializing windows (O(positions x W)), each token "
+        "occurrence counts the windows where it is the FIRST in-window "
+        "occurrence of its type — #windows = |[max(pos-W+1, prev+1, 0), "
+        "min(pos, n-W)]| off ONE lag window over the (doc, token) "
+        "stream, so the whole statistic is one posexplode + one keyed "
+        "window + two rollups, exact integer bps end to end (the "
+        "sum over occurrences telescopes to sum of per-window distinct "
+        "counts — the standard distinct-in-sliding-window identity). "
+        f"Docs under {_MATTR_W} tokens are excluded (documented "
+        "contract) (SURVEY §2.L)."
+    ),
+)
+def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = _MATTR_W
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.tokens(F.col("text"))).alias("nt"),  # free: no window
+        F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"),
+    ).where(F.col("nt") >= W)
+    lw = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    p = t.select(
+        "doc_id",
+        "source",
+        "pos",
+        "nt",
+        F.coalesce(F.lag("pos").over(lw), F.lit(-1)).alias("prev"),
+    )
+    contrib = F.greatest(
+        F.least(F.col("pos"), F.col("nt") - W)
+        - F.greatest(F.col("pos") - W + 1, F.col("prev") + 1, F.lit(0))
+        + 1,
+        F.lit(0),
+    )
+    c = p.groupBy("doc_id", "source").agg(
+        F.sum(contrib).alias("s"), F.first("nt").alias("nt")
+    )
+    m = c.select(
+        "doc_id",
+        "source",
+        F.expr(f"(10000 * s) div ((nt - {W} + 1) * {W})").alias("bps"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("sum(bps) div count(*)").cast("bigint").alias("avg_mattr_bps"),
+            F.min("bps").cast("bigint").alias("min_mattr_bps"),
+            F.max("bps").cast("bigint").alias("max_mattr_bps"),
+        )
+        .orderBy("source")
+    )

@@ -2246,3 +2246,232 @@ def motif_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("motif_distance", "start_day_a", "start_day_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift + Holt-Winters seasonal forecast (round 8): two
+# more members of the single-array sequential-fold family (same
+# BOUND as holt_linear_forecast: the corpus-sized work is the daily
+# rollup; the day-ordered series then collapses to ONE array folded in
+# ONE task — O(days), calendar-bounded, corpus-independent).
+# ---------------------------------------------------------------------------
+
+_PH_DELTA, _PH_LAMBDA = 0.005, 0.1
+
+
+def _ph_step(acc, x: str, nd: str, total: str) -> list[str]:
+    """Shared Page-Hinkley step template: acc is an engine-specific
+    1-based index formatter (Spark shifts to 0-based), x the raw daily
+    count expr. State = [n, sum, m, min_m, alarm_day]; the mean-share
+    normalization x*nd/total makes the statistic scale-free."""
+    xn = f"({x} * {nd} / {total})"
+    n1 = f"({acc(1)} + 1)"
+    s1 = f"({acc(2)} + {xn})"
+    m1 = f"({acc(3)} + ({xn} - (({s1}) / ({n1})) - CAST({_PH_DELTA} AS DOUBLE)))"
+    minm1 = f"least({acc(4)}, {m1})"
+    alarm1 = (
+        f"CASE WHEN {acc(5)} >= 0 THEN {acc(5)} "
+        f"WHEN (({m1}) - ({minm1})) > CAST({_PH_LAMBDA} AS DOUBLE) "
+        f"THEN {n1} ELSE CAST(-1 AS DOUBLE) END"
+    )
+    return [n1, s1, m1, minm1, alarm1]
+
+
+def _ph_oracle() -> str:
+    acc = lambda i: f"acc[{i}]"  # noqa: E731
+    st = ",\n        ".join(_ph_step(acc, "e[1]", "nd", "total"))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(c ORDER BY d) AS ys, CAST(COUNT(*) AS BIGINT) AS nd,
+               SUM(c) AS total
+        FROM daily),
+fit AS (
+  SELECT nd,
+    list_reduce(
+      list_prepend([CAST(0 AS DOUBLE), 0, 0, 0, -1],
+                   list_transform(ys, v -> [v, 0, 0, 0, 0])),
+      (acc, e) -> [
+        {st}
+      ]) AS st
+  FROM arr
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND(st[3] - st[4], 4) AS ph_stat,
+       CAST(st[5] AS BIGINT) AS drift_day,
+       CAST(CASE WHEN st[5] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM fit
+"""
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=_ph_oracle(),
+    doc=(
+        f"Page-Hinkley sequential drift test on the daily event volume "
+        f"(Page 1954; the streaming-drift standard in river/MOA): "
+        f"cumulative deviation from the RUNNING mean m_t, alarm when "
+        f"m_t - min(m) exceeds lambda={_PH_LAMBDA} (delta={_PH_DELTA}); "
+        "counts are normalized to mean-shares (x*D/N) so the statistic "
+        "is scale-free — the same corpus at 1000x volume gives the "
+        "same curve. The recursion is a sequential fold over the "
+        "day-ordered array (one shared step template in both engines, "
+        "bit-identical state); reports the FIRST alarm day. BOUND: "
+        "like holt_linear_forecast — distributed daily rollup, then "
+        "ONE O(days) array folded in ONE task; calendar-bounded, "
+        "corpus-independent (SURVEY §4) (SURVEY §2.H)."
+    ),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("c")))),
+            lambda st: st["c"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("c").alias("total"),  # integer-valued doubles: order-exact
+    )
+    acc = lambda i: f"acc[{i - 1}]"  # noqa: E731  (Spark is 0-based)
+    st = ", ".join(_ph_step(acc, "x", "nd", "total"))
+    fit = arr.select(
+        "nd",
+        F.expr(
+            "aggregate(ys,"
+            " array(cast(0 as double), 0d, 0d, 0d, -1d),"
+            f" (acc, x) -> array({st}))"
+        ).alias("st"),
+    )
+    return fit.select(
+        F.col("nd").alias("n_days"),
+        F.round(F.expr("st[2] - st[3]"), 4).alias("ph_stat"),
+        F.expr("cast(st[4] as bigint)").alias("drift_day"),
+        F.expr("cast(case when st[4] >= 0 then 1 else 0 end as bigint)").alias(
+            "drifted"
+        ),
+    )
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M = 0.3, 0.1, 0.2, 7
+
+
+def _hw_step(l: str, b: str, s1: str, y: str) -> tuple[str, str, str]:
+    """Shared Holt-Winters additive step: l/b/s1 are accumulator refs
+    (s1 = the seasonal for the CURRENT day), y the observation; snew
+    re-derives lnew textually so both engines run one IEEE op tree."""
+    a, bb, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    lnew = (
+        f"(CAST({a} AS DOUBLE) * ({y} - {s1})"
+        f" + (CAST(1 AS DOUBLE) - CAST({a} AS DOUBLE)) * ({l} + {b}))"
+    )
+    bnew = (
+        f"(CAST({bb} AS DOUBLE) * ({lnew} - {l})"
+        f" + (CAST(1 AS DOUBLE) - CAST({bb} AS DOUBLE)) * {b})"
+    )
+    snew = (
+        f"(CAST({g} AS DOUBLE) * ({y} - {lnew})"
+        f" + (CAST(1 AS DOUBLE) - CAST({g} AS DOUBLE)) * {s1})"
+    )
+    return lnew, bnew, snew
+
+
+def _hw_mean7(el) -> str:
+    """Sequential 7-term mean (same op order both engines); el maps a
+    1-based day index to the engine's array subscript."""
+    s = el(1)
+    for i in range(2, 8):
+        s = f"({s} + {el(i)})"
+    return f"({s} / 7)"
+
+
+def _hw_oracle() -> str:
+    m1 = _hw_mean7(lambda i: f"ys[{i}]")
+    m2 = _hw_mean7(lambda i: f"ys[{i + 7}]")
+    lnew, bnew, snew = _hw_step("acc[1]", "acc[2]", "acc[3]", "x[1]")
+    rot = ", ".join(f"acc[{i}]" for i in range(4, 10))
+    init_s = ", ".join(f"ys[{i}] - {m1}" for i in range(1, 8))
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list(n ORDER BY d) AS ys, CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+fit AS (
+  SELECT nd,
+         list_reduce(
+           list_prepend(
+             [{m1}, ({m2} - {m1}) / 7, {init_s}],
+             list_transform(ys[15:], v -> [CAST(v AS DOUBLE), 0, 0, 0, 0, 0, 0, 0, 0])),
+           (acc, x) -> [{lnew}, {bnew}, {rot}, {snew}]) AS st
+  FROM arr WHERE nd >= 15
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND(st[1], 4) AS level,
+       ROUND(st[2], 4) AS trend,
+       ROUND(st[3], 4) AS seasonal_next,
+       ROUND(st[1] + 7 * st[2] + st[9], 4) AS forecast_7d
+FROM fit
+"""
+
+
+@register(
+    "holt_winters_forecast",
+    oracle=_hw_oracle(),
+    doc=(
+        f"Holt-Winters ADDITIVE triple exponential smoothing of daily "
+        f"event counts (alpha={_HW_ALPHA}, beta={_HW_BETA}, "
+        f"gamma={_HW_GAMMA}, weekly season m={_HW_M}; classic init "
+        "l=mean(week1), b=(mean(week2)-mean(week1))/7, s_i=y_i-l): "
+        "completes the smoothing ladder — ewma (level), "
+        "holt_linear_forecast (level+trend), this (level+trend+"
+        "season) — and forecasts h=7 as l + 7b + s. The 9-value state "
+        "[l, b, s1..s7] rides a single higher-order fold with the "
+        "seasonal ring rotated per step; one shared step template in "
+        "both engines (lnew re-derived textually inside bnew/snew), so "
+        "the state is bit-identical with no per-step rounding. The "
+        "DuckDB side uses a LIST accumulator — multi-field STRUCT "
+        "accumulators mis-evaluate across list_reduce iterations in "
+        "DuckDB 1.0 (holt_linear_forecast's documented finding). "
+        "BOUND: distributed daily rollup, then ONE O(days) array in "
+        "ONE task; calendar-bounded, corpus-independent (SURVEY §4) "
+        "(SURVEY §2.H)."
+    ),
+)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("n")))),
+            lambda st: st["n"],
+        ).alias("ys"),
+        F.count("*").cast("bigint").alias("nd"),
+    ).where(F.col("nd") >= 15)
+    # Spark [] subscripts are 0-based (DuckDB's are 1-based)
+    m1 = _hw_mean7(lambda i: f"ys[{i - 1}]")
+    m2 = _hw_mean7(lambda i: f"ys[{i + 6}]")
+    lnew, bnew, snew = _hw_step("acc[0]", "acc[1]", "acc[2]", "x")
+    rot = ", ".join(f"acc[{i}]" for i in range(3, 9))
+    init_s = ", ".join(f"ys[{i - 1}] - {m1}" for i in range(1, 8))
+    fit = arr.select(
+        "nd",
+        F.expr(
+            f"aggregate(slice(ys, 15, greatest(size(ys) - 14, 0)),"
+            f" array({m1}, ({m2} - {m1}) / 7, {init_s}),"
+            f" (acc, x) -> array({lnew}, {bnew}, {rot}, {snew}))"
+        ).alias("st"),
+    )
+    return fit.select(
+        F.col("nd").alias("n_days"),
+        F.round(F.expr("st[0]"), 4).alias("level"),
+        F.round(F.expr("st[1]"), 4).alias("trend"),
+        F.round(F.expr("st[2]"), 4).alias("seasonal_next"),
+        F.round(F.expr("st[0] + 7 * st[1] + st[8]"), 4).alias("forecast_7d"),
+    )

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Targeted sf0.1 oracle-parity sweep for the round-7 late batch —
+the ~90 queries that had only sf0.001/sf0.01 sweep evidence (VERDICT
+r7 #4). sf0.1 is the SF where docs-without-embeddings exist, the
+exact class where the r3 advisor found a latent ranking-universe bug,
+so the documents⋈embeddings rankers (knn_confusion, silhouette /
+davies-bouldin / calinski, embedding_isotropy, the pca_* family) run
+FIRST; the rest follow in registration order.
+
+Writes LATE_SF01.json INCREMENTALLY (after every query) so partial
+progress survives interruption; each oracle runs in a worker
+subprocess with a hard timeout (sweep_dedup_sf01.py pattern).
+
+Run: python scripts/sweep_late_sf01.py [sf_dir] [per_oracle_timeout_s]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import TimeoutError as FutTimeout
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "LATE_SF01.json")
+
+# documents⋈embeddings ranking universe first (the risk class at sf0.1)
+_PRIORITY = (
+    "knn_confusion",
+    "silhouette_centroid",
+    "davies_bouldin",
+    "calinski_harabasz",
+    "embedding_isotropy",
+    "pca_top2_loadings",
+    "pca_explained_variance",
+    "pca_projection_hist",
+    "hub_vectors",
+    "int8_quant_report",
+    "linear_probe",
+    "cluster_source_span",
+    "ann_ivfpq",
+)
+
+
+def _late_batch() -> list[str]:
+    """The never-driver-sampled set = union of CORRECTNESS_r*.json keys
+    complemented against the registry (the same definition VERDICT
+    uses for the backlog)."""
+    import glob
+
+    from email_etl_spark.plans.registry import REGISTRY
+
+    sampled: set[str] = set()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        sampled |= set(json.load(open(f)).keys())
+    return [n for n in REGISTRY if n not in sampled]
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tests.oracle import run_oracle
+
+    return run_oracle(sql, sf_dir)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    per_to = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").appName("late-sf01").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from email_etl_spark.plans.registry import REGISTRY
+    from tests.oracle import canonical_rows, run_spark
+
+    batch = _late_batch()
+    ordered = [n for n in _PRIORITY if n in batch] + [
+        n for n in batch if n not in _PRIORITY
+    ]
+
+    results: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT)).get("results", {})
+
+    git_head = os.popen("git -C /root/repo rev-parse --short HEAD").read().strip()
+
+    def flush() -> None:
+        with open(OUT, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_done": len(results), "results": results},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+
+    failures = 0
+    pool = ProcessPoolExecutor(max_workers=1)
+    for name in ordered:
+        if name in results and not results[name]["status"].startswith("oracle-timeout"):
+            continue
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
+            fut = pool.submit(_oracle_rows, q.oracle, sf_dir)
+            try:
+                o_cols, o_rows = fut.result(timeout=per_to)
+            except FutTimeout:
+                for p in pool._processes.values():  # noqa: SLF001
+                    p.terminate()
+                pool.shutdown(wait=False)
+                pool = ProcessPoolExecutor(max_workers=1)
+                results[name] = {
+                    "head": git_head,
+                    "status": f"oracle-timeout(>{per_to}s; engine side OK,"
+                    f" {len(s_rows)} rows)",
+                    "secs": round(time.time() - t0, 1),
+                }
+                flush()
+                print(f"{name}: oracle-timeout", flush=True)
+                continue
+            problems = []
+            if sorted(s_cols) != sorted(o_cols):
+                problems.append("columns differ")
+            if len(s_rows) != len(o_rows):
+                problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
+            elif canonical_rows(s_cols, s_rows) != canonical_rows(o_cols, o_rows):
+                problems.append("values differ")
+            status = "ok" if not problems else "FAIL: " + "; ".join(problems)
+        except Exception as exc:  # noqa: BLE001
+            status = f"ERROR: {exc}"
+        if status != "ok":
+            failures += 1
+        results[name] = {
+            "head": git_head,
+            "status": status,
+            "secs": round(time.time() - t0, 1),
+        }
+        flush()
+        print(f"{name}: {status} ({results[name]['secs']}s)", flush=True)
+    print(f"late-batch sf0.1 sweep: {failures} non-ok of {len(ordered)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,45 @@ def test_knn_confusion_rides_block_tiling(spark):
     plan = _plan(spark, "knn_confusion")
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------------
+
+
+def test_mattr_single_window_pass(spark):
+    # per-doc token length comes from size() BEFORE the explode; the
+    # only Window is the (doc, token) lag — a second (doc-count)
+    # window here would mean the free formulation regressed
+    plan = _plan(spark, "mattr_diversity")
+    assert _n_window_nodes(plan) == 1, plan
+    assert "Generate" in plan, plan
+
+
+def test_yule_k_two_level_agg_no_window(spark):
+    plan = _plan(spark, "yule_k_by_source")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_single_array_folds_stay_window_free(spark):
+    # page_hinkley_drift / holt_winters_forecast are single-array
+    # sequential folds: the distributed part is the daily rollup; a
+    # Window or a join anywhere means the formulation regressed
+    for name in ("page_hinkley_drift", "holt_winters_forecast"):
+        plan = _plan(spark, name)
+        assert not re.search(r"\bWindow\b", plan), (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_ann_range_search_map_only_corpus_side(spark):
+    # the query batch broadcasts (reviewed BNL); the corpus side must
+    # not shuffle before the presentation sort — no aggregate, no
+    # window, exactly the broadcast join
+    plan = _plan(spark, "ann_range_search")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "HashAggregate" not in plan, plan

@@ -213,6 +213,8 @@ _BNL_JUSTIFIED = {
     "motif_weeks",  # same dimension-sized z-window broadcast as discord_weeks
     "term_burstiness_topk",  # 1-row doc-count broadcast
     "quantile_drift_table",  # 1-row epoch-bounds broadcast
+    # reviewed round 8 (new operators)
+    "ann_range_search",  # 5-row query-batch broadcast (ann_bruteforce shape)
 }
 
 
