@@ -37,12 +37,15 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-8 driver window (first 50) ----
-    # tier 0: this round's 5 NEW operators (never driver-checked)
+    # tier 0: this round's 8 NEW operators (never driver-checked)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
     "page_hinkley_drift",
     "holt_winters_forecast",
+    "gunning_fog",
+    "bigram_entropy_rate",
+    "rbo_rankers",
     # tier 1: never-driver-checked queries whose SHARED CODE changed
     # this round (_km_assign gained the bounded-K Arrow-kernel path;
     # these two route through the helper)

@@ -6641,3 +6641,122 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("similarity") >= _RANGE_TAU)
         .orderBy("query_id", F.desc("similarity"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# rbo_rankers (round 8): rank-biased overlap between the exact-cosine
+# and dot-product rankers — metric-choice sensitivity in RANK space
+# (score_rank_corr correlates scores; RBO compares the lists users
+# actually see, top-weighted).
+# ---------------------------------------------------------------------------
+
+_RBO_P, _RBO_K = 0.9, 20
+
+
+def _rbo_weights() -> list[str]:
+    """w(m) = (1-p) * sum_{d=m..K} p^(d-1)/d, rounded to 6dp — the
+    per-document RBO contribution for agreement depth m = max(rank_a,
+    rank_b). Computed once in Python and injected as the SAME decimal
+    literals into both engines, so the sum is exact and order-free."""
+    ws = []
+    for m in range(1, _RBO_K + 1):
+        w = (1 - _RBO_P) * sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
+        ws.append(f"{round(w, 6):.6f}")
+    return ws
+
+
+def _rbo_oracle() -> str:
+    from email_etl_spark.functions.vectors import _duckdb_dot
+
+    dot_sql = _duckdb_dot("e.embedding", "q.qvec")
+    wlits = ", ".join(_rbo_weights())
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY {_COS.format(a="e.embedding", b="q.qvec")} DESC, e.vec_id) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY ROUND({dot_sql}, 4) DESC, e.vec_id) AS r_dot
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+agree AS (
+  SELECT query_id, GREATEST(r_cos, r_dot) AS m
+  FROM scored WHERE r_cos <= {_RBO_K} AND r_dot <= {_RBO_K}
+),
+w AS (
+  SELECT query_id, COUNT(*) AS n_common,
+         SUM(CAST([{wlits}][m] AS DECIMAL(18,6))) AS s
+  FROM agree GROUP BY query_id
+)
+SELECT q.query_id, CAST(COALESCE(w.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(w.s, 0) AS DOUBLE), 4) AS rbo
+FROM q LEFT JOIN w ON q.query_id = w.query_id
+ORDER BY q.query_id
+"""
+
+
+@register(
+    "rbo_rankers",
+    oracle=_rbo_oracle(),
+    doc=(
+        f"Rank-biased overlap (Webber et al. 2010) at p={_RBO_P}, "
+        f"depth K={_RBO_K}, between the exact-cosine and dot-product "
+        "rankers per query — does skipping normalization (the cheap "
+        "serving shortcut) change what the top of the list looks "
+        "like? Top-weighted where Spearman/Kendall are not, and "
+        "defined on partial lists. Distributed identity: RBO_trunc = "
+        "sum over common docs of w(max(rank_a, rank_b)) with w a "
+        "K-entry plan-constant table — the per-depth overlap sum "
+        "telescopes per document, so no per-depth pass; identical "
+        "6dp-decimal weight literals injected into both engines make "
+        "the per-query sum exact and order-free. Rankings are two "
+        "windows over the same broadcast-query scored stream "
+        "(one scan) (SURVEY §2.F)."
+    ),
+)
+def rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.vectors import dot
+
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("cos4"),
+            F.round(dot(F.col("embedding"), F.col("qvec")), 4).alias("dot4"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cos4"), "vec_id")
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot4"), "vec_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wc).alias("r_cos"),
+        F.row_number().over(wd).alias("r_dot"),
+    )
+    wlits = ", ".join(_rbo_weights())
+    both = ranked.where(
+        (F.col("r_cos") <= _RBO_K) & (F.col("r_dot") <= _RBO_K)
+    ).select("query_id", F.greatest("r_cos", "r_dot").alias("m"))
+    w = both.groupBy("query_id").agg(
+        F.count("*").alias("n_common"),
+        F.sum(
+            F.expr(f"cast(array({wlits})[m - 1] as decimal(18,6))")
+        ).alias("s"),
+    )
+    return (
+        q.select("query_id")
+        .join(w, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(F.coalesce(F.col("s"), F.lit(0)).cast("double"), 4).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )

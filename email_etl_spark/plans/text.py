@@ -4358,3 +4358,163 @@ def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "gunning_fog",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(COALESCE(len(list_filter({_TOKS},
+             x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)), 0) AS BIGINT) AS p,
+         CAST(len({_TOKS}) AS BIGINT) AS w
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_words,
+       CAST(SUM(s) AS BIGINT) AS sum_sentences,
+       CAST(SUM(p) AS BIGINT) AS sum_complex,
+       ROUND(0.4 * (CAST(SUM(w) AS DOUBLE) / SUM(s)
+                    + 100.0 * CAST(SUM(p) AS DOUBLE) / SUM(w)), 4) AS fog_index
+FROM d WHERE w > 0
+GROUP BY lang, source ORDER BY lang, source
+""",
+    doc=(
+        "Gunning fog index per (lang, source) (Gunning 1952, public "
+        "formula: 0.4*(words/sentences + 100*complex/words)): the "
+        "fourth member of the readability battery — unlike SMOG it "
+        "weights BOTH sentence length and hard-word share, the "
+        "classic editorial readability target (fog ~12 = broad-"
+        "audience prose). Same exact-integer sentence and >=3-vowel-"
+        "run complex-word tallies as smog_readability off one scan; "
+        "the index is ONE shared double expression over three BIGINT "
+        "sums. Map-side-combined groupBy(lang, source) (SURVEY §2.D)."
+    ),
+)
+def gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+        .cast("bigint")
+        .alias("s"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("w"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    T.tokens(F.col("text")),
+                    lambda x: F.regexp_count(x, F.lit("[aeiouy]+")) >= 3,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p"),
+    ).where(F.col("w") > 0)
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_words"),
+            F.sum("s").cast("bigint").alias("sum_sentences"),
+            F.sum("p").cast("bigint").alias("sum_complex"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_words",
+            "sum_sentences",
+            "sum_complex",
+            F.round(
+                0.4
+                * (
+                    F.col("sum_words").cast("double") / F.col("sum_sentences")
+                    + 100.0 * F.col("sum_complex").cast("double") / F.col("sum_words")
+                ),
+                4,
+            ).alias("fog_index"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "bigram_entropy_rate",
+    oracle=f"""
+WITH tokd AS (SELECT lang, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT lang, UNNEST(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM tokd
+),
+c2 AS (SELECT lang, bg, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT lang, str_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+       FROM c2 GROUP BY 1, 2),
+t AS (
+  SELECT c2.lang, c2.c2,
+         CAST(ROUND(LN(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS DECIMAL(18,6)) AS lp
+  FROM c2 JOIN c1 ON c2.lang = c1.lang AND str_split(c2.bg, ' ')[1] = c1.w1
+)
+SELECT lang,
+       CAST(SUM(c2) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+       ROUND(-CAST(SUM(c2 * lp) AS DOUBLE) / SUM(c2), 4) AS entropy_rate_nats
+FROM t GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "Bigram conditional entropy rate H(w2|w1) per language "
+        "(Shannon 1951's n-gram entropy ladder, one rung above "
+        "char_entropy / the unigram family): -sum c12*ln(c12/c1) / N "
+        "— the sequence-predictability signal that separates real "
+        "language (~4-6 nats) from shuffled or template text, and the "
+        "statistic behind perplexity-based quality filtering at the "
+        "bigram order. Per-bigram ln terms pre-rounded to "
+        "DECIMAL(18,6) then summed exactly (order-insensitive, the "
+        "unigram_logprob convention); context counts derive from the "
+        "vocab-sized bigram rollup, never a second corpus pass; token "
+        "arrays materialize BEFORE the per-position lambda "
+        "(functions/hashing.py pitfall) (SURVEY §2.D)."
+    ),
+)
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bt = tokd.select("lang", F.explode(bgs).alias("bg"))
+    c2 = bt.groupBy("lang", "bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        c2.select("lang", F.substring_index(F.col("bg"), " ", 1).alias("w1"), "c2")
+        .groupBy("lang", "w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    t = c2.select(
+        "lang", F.substring_index(F.col("bg"), " ", 1).alias("w1"), "c2"
+    ).join(c1, ["lang", "w1"])
+    lp = F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        t.select("lang", "c2", lp.alias("lp"))
+        .groupBy("lang")
+        .agg(
+            F.sum("c2").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_bigram_types"),
+            F.round(
+                -F.sum(F.col("c2") * F.col("lp")).cast("double") / F.sum("c2"), 4
+            ).alias("entropy_rate_nats"),
+        )
+        .orderBy("lang")
+    )

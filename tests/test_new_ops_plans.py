@@ -123,3 +123,31 @@ def test_ann_range_search_map_only_corpus_side(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert not re.search(r"\bWindow\b", plan), plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_gunning_fog_single_scan(spark):
+    plan = _plan(spark, "gunning_fog")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combined
+
+
+def test_bigram_entropy_no_second_corpus_pass(spark):
+    # context counts derive from the vocab-sized bigram rollup; the
+    # static plan prints both branches, but at runtime AQE must reuse
+    # the c2 aggregate exchange so the corpus explode runs ONCE (the
+    # bigram_logprob convention)
+    df = REGISTRY["bigram_entropy_rate"].builder(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, executed
+
+
+def test_rbo_two_windows_one_scan(spark):
+    # both rankings ride the same broadcast-query scored stream: two
+    # Window nodes, no CartesianProduct, the BNL is the reviewed
+    # query-batch broadcast
+    plan = _plan(spark, "rbo_rankers")
+    assert _n_window_nodes(plan) == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

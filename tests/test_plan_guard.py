@@ -215,6 +215,7 @@ _BNL_JUSTIFIED = {
     "quantile_drift_table",  # 1-row epoch-bounds broadcast
     # reviewed round 8 (new operators)
     "ann_range_search",  # 5-row query-batch broadcast (ann_bruteforce shape)
+    "rbo_rankers",  # 5-row query-batch broadcast (ann_bruteforce shape)
 }
 
 
