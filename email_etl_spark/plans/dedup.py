@@ -1231,6 +1231,38 @@ def _semdedup_k(n: int) -> int:
     return max(KM_K, math.isqrt(n))
 
 
+# per-corpus memoized, .cache()d coarse assignment (vec_id, embedding,
+# cid): the within-cluster pair stage self-joins the assignment, and
+# without a barrier BOTH sides re-run the Arrow assign kernel and the
+# corpus scan (measured ~2x wall at sf0.1). Materializing the
+# assignment is the published SemDeDup shape (cluster once, then prune
+# per cluster); MEMORY_AND_DISK spills rather than OOMs at corpus
+# scale, and the dir-cache registration unpersists on invalidation
+# (the _SH_CACHE convention).
+_SEMDEDUP_CACHE: dict = {}
+_reg_cache(_SEMDEDUP_CACHE, lambda key: key[0], on_drop=_unpersist_value)
+
+
+def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.plans.search import _km_assign
+
+    key = (sf_dir,)
+    if key in _SEMDEDUP_CACHE:
+        return _SEMDEDUP_CACHE[key]
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    k = _semdedup_k(emb.count())
+    init = (
+        emb.where(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+    a = _km_assign(emb, cents).select("vec_id", "embedding", "cid").cache()
+    _SEMDEDUP_CACHE[key] = a
+    return a
+
+
 def _semdedup_k_sql() -> str:
     """DuckDB twin of _semdedup_k, computed from the same corpus."""
     from email_etl_spark.plans.search import KM_K
@@ -1304,18 +1336,7 @@ FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from email_etl_spark.plans.search import _km_assign
-
-    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    k = _semdedup_k(emb.count())
-    init = (
-        emb.where(F.col("vec_id") < k)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
-    a = _km_assign(emb, cents).select("vec_id", "embedding", "cid")
+    a = _semdedup_assignment(spark, sf_dir)
     keep = a.select(
         F.col("cid").alias("k_cid"),
         F.col("vec_id").alias("keeper_id"),

@@ -463,3 +463,88 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# band_join_events (round 8): the symmetric-tolerance temporal
+# proximity join, via BUCKETIZATION — the third member of the
+# temporal-join family (asof_join_forward = nearest-after via the
+# union-merge window; sessionize = gap grouping; this = ALL pairs
+# within +/-band).
+# ---------------------------------------------------------------------------
+
+BAND_S = 900  # +/- 15 minutes
+
+
+@register(
+    "band_join_events",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+a AS (SELECT * FROM e WHERE event_type = 'error'),
+b AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT a.event_id AS error_event_id,
+       b.event_id AS purchase_event_id,
+       CAST(b.tse - a.tse AS BIGINT) AS delta_s
+FROM a JOIN b ON a.user_id = b.user_id AND ABS(a.tse - b.tse) <= {BAND_S}
+ORDER BY error_event_id, purchase_event_id
+""",
+    doc=(
+        f"Band (interval-tolerance) join: every (error, purchase) pair "
+        f"by the same user within +/-{BAND_S}s — the symmetric "
+        "proximity question asof_join_forward's nearest-after contract "
+        "cannot answer (root-causing needs ALL nearby purchases, not "
+        "one). Scale story is the classic BUCKETIZED band join: a "
+        "naive |t1-t2|<=band predicate on top of the user equi-join "
+        "degrades to per-user quadratic filtering on power users; "
+        "instead each probe row explodes to its 3 adjacent band-width "
+        "time buckets and the join runs as a pure EQUI-join on "
+        "(user_id, bucket) + exact band filter — each build row has "
+        "ONE bucket so no dedup pass is needed, pair work is bounded "
+        "by true temporal co-location, and the shuffle key (user, "
+        "bucket) splits power users across time. The bucket explode "
+        "is x3, not x(corpus) (SURVEY §2.H)."
+    ),
+)
+def band_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    a = (
+        e.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("tse").alias("a_tse"),
+            F.explode(
+                F.array(
+                    F.expr(f"(tse div {BAND_S}) - 1"),
+                    F.expr(f"tse div {BAND_S}"),
+                    F.expr(f"(tse div {BAND_S}) + 1"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("tse").alias("b_tse"),
+        F.expr(f"tse div {BAND_S}").alias("bucket"),
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .where(F.abs(F.col("a_tse") - F.col("b_tse")) <= BAND_S)
+        .select(
+            "error_event_id",
+            "purchase_event_id",
+            (F.col("b_tse") - F.col("a_tse")).cast("bigint").alias("delta_s"),
+        )
+        .orderBy("error_event_id", "purchase_event_id")
+    )

@@ -62,3 +62,17 @@ def test_invalidate_under_unpersists_corpus_handles(spark):
     # the blocks were actually released, not just the dict entries
     assert not sh.storageLevel.useMemory
     assert not decon.storageLevel.useMemory
+
+
+def test_semdedup_assignment_memoized_and_invalidated(spark):
+    from email_etl_spark.plans import dedup
+
+    REGISTRY["semdedup_prune"].builder(spark, SF).collect()
+    assert (SF,) in dedup._SEMDEDUP_CACHE
+    a = dedup._SEMDEDUP_CACHE[(SF,)]
+    assert a.storageLevel.useMemory
+    n = _n_persistent_rdds(spark)
+    REGISTRY["semdedup_prune"].builder(spark, SF).collect()  # reuses
+    assert _n_persistent_rdds(spark) <= n
+    invalidate_under(SF)
+    assert (SF,) not in dedup._SEMDEDUP_CACHE

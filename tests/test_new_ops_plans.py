@@ -151,3 +151,16 @@ def test_rbo_two_windows_one_scan(spark):
     assert _n_window_nodes(plan) == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_band_join_is_pure_equi_join(spark):
+    # the bucketized band join must plan as an equi-join on
+    # (user, bucket) — an inequality-only join here (BNL/Cartesian)
+    # means the bucketization regressed to the quadratic form
+    plan = _plan(spark, "band_join_events")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert len(re.findall(r"^\(\d+\) Generate$", plan, re.M)) == 1, plan
