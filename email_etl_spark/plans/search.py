@@ -1298,6 +1298,11 @@ def _micro_mean_expr(p: int) -> str:
 # broadcast path at ALL tested SFs (K = 22 at sf0.001).
 KM_LITERAL_MAX_K = 16
 
+# kernel row-chunking budget: ~n_chunk*K doubles of distances held at
+# once (32 MB default). Module-level so tests can shrink it and drive
+# the multi-chunk path on small corpora.
+KM_KERNEL_CHUNK_DOUBLES = 1 << 22
+
 
 def _km_assign(df: DataFrame, cents: list) -> DataFrame:
     """Nearest-centroid assignment with lowest-cid tiebreak. Two
@@ -1380,6 +1385,7 @@ def _km_assign_bcast(df: DataFrame, cents: list) -> DataFrame:
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     sc = df.sparkSession.sparkContext
     b_cb, b_cids = sc.broadcast(cb), sc.broadcast(cids)
+    chunk_doubles = KM_KERNEL_CHUNK_DOUBLES  # captured at build time
 
     @F.pandas_udf("struct<cid: bigint, dist: double>")
     def _assign(emb):
@@ -1389,7 +1395,7 @@ def _km_assign_bcast(df: DataFrame, cents: list) -> DataFrame:
         n = x.shape[0]
         out_cid = np.empty(n, dtype=np.int64)
         out_dist = np.empty(n, dtype=np.float64)
-        step = max(1, (1 << 22) // max(k, 1))  # ~32 MB of n_chunk*K doubles
+        step = max(1, chunk_doubles // max(k, 1))
         for lo in range(0, n, step):
             xc = x[lo : lo + step]
             acc = np.zeros((xc.shape[0], k), dtype=np.float64)

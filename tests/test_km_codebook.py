@@ -123,3 +123,15 @@ def test_semdedup_plan_is_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(re.findall(r"-?\d+\.\d{6,}", plan)) == 0, plan[:2000]
+
+
+def test_kernel_multi_chunk_path_identical(spark, monkeypatch):
+    # shrink the chunk budget so a 500-row corpus spans many chunks:
+    # the chunked loop must be a pure refactor of the single-chunk fold
+    import email_etl_spark.plans.search as S
+
+    emb, cents = _emb_and_cents(spark, 22)
+    single = {r["vec_id"]: (r["cid"], r["dist"]) for r in _km_assign_bcast(emb, cents).collect()}
+    monkeypatch.setattr(S, "KM_KERNEL_CHUNK_DOUBLES", 22 * 7)  # 7 rows/chunk
+    chunked = {r["vec_id"]: (r["cid"], r["dist"]) for r in S._km_assign_bcast(emb, cents).collect()}
+    assert chunked == single
