@@ -3545,3 +3545,68 @@ def cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_sources_in_cluster")
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        >= {MINHASH_THRESHOLD}
+),
+s AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(ROUND(j * 10000) AS BIGINT) AS j_bps
+  FROM p JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(j_bps) // COUNT(*) AS BIGINT) AS avg_jaccard_bps
+FROM s GROUP BY source_a, source_b
+ORDER BY n_pairs DESC, source_a, source_b
+""",
+    doc=(
+        "Cross-source duplication matrix: verified near-dup pair "
+        "counts (the dedup_minhash family's 3-gram Jaccard >= 0.6) "
+        "rolled up to unordered (source, source) cells — WHICH sources "
+        "copy from which, the provenance view behind mirror detection "
+        "and per-source dedup budgeting (dup_rate_by_source says how "
+        "much; this says with whom). Rides the shared memoized shingle "
+        "cache and the LSH bucket-then-verify pair stream (no new scan "
+        "when the family already ran); the source join is two "
+        "id-keyed equi-joins and the rollup is source^2-bounded — "
+        "dimension-sized at any corpus scale. Exact bps Jaccard means "
+        "(integer sums, floor div) (SURVEY §2.E)."
+    ),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(
+        docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir
+    )
+    src = docs.select("doc_id", "source")
+    s = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_bps"),
+        )
+    )
+    return (
+        s.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("sum(j_bps) div count(*)").cast("bigint").alias("avg_jaccard_bps"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )

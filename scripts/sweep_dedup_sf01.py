@@ -86,6 +86,7 @@ def main() -> int:
             "prefix_dup_rate",
             "graph_triangles",
             "cross_lang_pairs",
+            "cross_source_dup_matrix",
             "closure_edge_stats",
         )
     )
