@@ -37,7 +37,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-8 driver window (first 50) ----
-    # tier 0: this round's 10 NEW operators (never driver-checked)
+    # tier 0: this round's 11 NEW operators (never driver-checked)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
@@ -48,6 +48,7 @@ _GATE_ORDER = (
     "rbo_rankers",
     "band_join_events",
     "cross_source_dup_matrix",
+    "range_lsh_recall",
     # tier 1: never-driver-checked queries whose SHARED CODE changed
     # this round (_km_assign gained the bounded-K Arrow-kernel path;
     # these two route through the helper)

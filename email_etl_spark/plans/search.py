@@ -6766,3 +6766,126 @@ def rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _range_lsh_oracle() -> str:
+    sig_cols_e = ", ".join(
+        f"{_sig_sql('embedding', t)} AS sig{t}" for t in range(LSH_TABLES)
+    )
+    collide = " OR ".join(f"e.sig{t} = q.sig{t}" for t in range(LSH_TABLES))
+    cos = _COS.format(a="e.embedding", b="q.qvec")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {sig_cols_e} FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, {sig_cols_e.replace("embedding", "embedding")}
+      FROM embeddings WHERE vec_id < 5),
+exact AS (
+  SELECT q.query_id, COUNT(*) AS n_exact
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND {cos} >= {_RANGE_TAU}
+  GROUP BY q.query_id
+),
+cand AS (
+  SELECT q.query_id, e.vec_id, {cos} AS sim
+  FROM e JOIN q ON ({collide})
+  WHERE e.vec_id <> q.query_id
+),
+found AS (
+  SELECT query_id, COUNT(*) AS n_candidates,
+         COUNT(*) FILTER (WHERE sim >= {_RANGE_TAU}) AS n_found
+  FROM cand GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(exact.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(found.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(found.n_found, 0) AS BIGINT) AS n_found,
+       CAST(CASE WHEN COALESCE(exact.n_exact, 0) = 0 THEN 10000
+            ELSE COALESCE(found.n_found, 0) * 10000 // exact.n_exact END AS BIGINT)
+           AS recall_bps
+FROM q LEFT JOIN exact ON q.query_id = exact.query_id
+       LEFT JOIN found ON q.query_id = found.query_id
+ORDER BY q.query_id
+"""
+
+
+@register(
+    "range_lsh_recall",
+    oracle=_range_lsh_oracle(),
+    doc=(
+        f"Recall@radius of the sign-LSH bucket index against "
+        f"ann_range_search's exact ground truth (cosine >= {_RANGE_TAU}, "
+        "5-query batch): candidates = vectors sharing ANY of the 4 "
+        "table signatures with the query (the ann_lsh convention), "
+        "verified inside the collided set — reported per query as "
+        "exact-set size, candidate volume, found count and exact-bps "
+        "recall. This is the eval that says whether the bucket-"
+        "partitioned range path can replace the brute-force scan on a "
+        "given corpus. Candidate discovery is the same (t, key) "
+        "equality join as ann_lsh (bucket-pruned reads at scale, "
+        "never a corpus scan); only the tiny ground-truth side uses "
+        "the reviewed broadcast-batch BNL (SURVEY §2.F)."
+    ),
+)
+def range_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
+        "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
+    qb = buckets.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "t", "key"
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(qb), ["t", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    exact = (
+        scored.where(F.col("sim") >= _RANGE_TAU)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    found = (
+        cand_ids.join(scored, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("sim") >= _RANGE_TAU, 1).otherwise(0)
+            ).alias("n_found"),
+        )
+    )
+    return (
+        q.select("query_id")
+        .join(exact, "query_id", "left")
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+            F.expr(
+                "cast(case when coalesce(n_exact, 0) = 0 then 10000 "
+                "else coalesce(n_found, 0) * 10000 div n_exact end as bigint)"
+            ).alias("recall_bps"),
+        )
+        .orderBy("query_id")
+    )

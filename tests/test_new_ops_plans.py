@@ -164,3 +164,12 @@ def test_band_join_is_pure_equi_join(spark):
         "ShuffledHashJoin" in plan
     ), plan
     assert len(re.findall(r"^\(\d+\) Generate$", plan, re.M)) == 1, plan
+
+
+def test_range_lsh_recall_candidates_via_equality_join(spark):
+    # candidate discovery must be the (t, key) bucket equality join —
+    # a BroadcastHashJoin — with the BNL confined to the 5-row
+    # ground-truth broadcast
+    plan = _plan(spark, "range_lsh_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -216,6 +216,7 @@ _BNL_JUSTIFIED = {
     # reviewed round 8 (new operators)
     "ann_range_search",  # 5-row query-batch broadcast (ann_bruteforce shape)
     "rbo_rankers",  # 5-row query-batch broadcast (ann_bruteforce shape)
+    "range_lsh_recall",  # 5-row query-batch broadcast (ground-truth side only)
 }
 
 
