@@ -54,7 +54,8 @@ _GATE_ORDER = (
     # these two route through the helper)
     "cluster_top_terms",
     "label_purity",
-    # tier 2: never-checked backlog head — 48 slots, retiring the
+    # tier 2: never-checked backlog head — 37 slots (11 new ops +
+    # 2 changed-helper queries fill the rest of the 50), retiring the
     # r7 late batch in registration order (VERDICT r7 #2)
     "mannwhitney_value",
     "periodogram_daily",
@@ -93,6 +94,9 @@ _GATE_ORDER = (
     "join_estimate_qerror",
     "deseasonalized_acf",
     "unigram_noise_table",
+    # ---- below the 50-query window ----
+    # never-checked backlog tail (round 9 retires it: 51 queries —
+    # the 11 displaced by this round's new-ops tier, then the 40)
     "friedman_weekday",
     "event_id_gap_audit",
     "dup_rate_by_ingest_bucket",
@@ -104,8 +108,6 @@ _GATE_ORDER = (
     "predicate_selectivity_report",
     "pca_top2_loadings",
     "pca_explained_variance",
-    # ---- below the 50-query window ----
-    # never-checked backlog tail (round 9 retires it: 40 queries)
     "burst_days_kleinberg",
     "wasserstein_value_drift",
     "discord_weeks",

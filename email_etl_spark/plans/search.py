@@ -6776,7 +6776,7 @@ def _range_lsh_oracle() -> str:
     cos = _COS.format(a="e.embedding", b="q.qvec")
     return f"""
 WITH e AS (SELECT vec_id, embedding, {sig_cols_e} FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qvec, {sig_cols_e.replace("embedding", "embedding")}
+q AS (SELECT vec_id AS query_id, embedding AS qvec, {sig_cols_e}
       FROM embeddings WHERE vec_id < 5),
 exact AS (
   SELECT q.query_id, COUNT(*) AS n_exact

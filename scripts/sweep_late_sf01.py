@@ -55,7 +55,7 @@ def _late_batch() -> list[str]:
 
     sampled: set[str] = set()
     root = os.path.join(os.path.dirname(__file__), "..")
-    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         sampled |= set(json.load(open(f)).keys())
     return [n for n in REGISTRY if n not in sampled]
 
@@ -102,7 +102,9 @@ def main() -> int:
     failures = 0
     pool = ProcessPoolExecutor(max_workers=1)
     for name in ordered:
-        if name in results and not results[name]["status"].startswith("oracle-timeout"):
+        # reuse only green rows (each carries the head it was recorded
+        # at); FAIL/ERROR/timeout rows always retry so a fix is recleared
+        if results.get(name, {}).get("status") == "ok":
             continue
         q = REGISTRY[name]
         t0 = time.time()

@@ -33,3 +33,20 @@ def test_every_registered_query_has_a_survey_line():
         f"{len(missing)} registered queries lack a '- [x]' SURVEY §2 "
         f"line: {missing}"
     )
+
+
+def test_gate_window_is_exactly_fifty():
+    """The driver samples the first 50 registered queries; the
+    _GATE_ORDER section above the 'below the 50-query window' marker
+    IS that window and must hold exactly 50 names (round 8 shipped 61
+    for a while — 11 queries silently fell out of the ledger)."""
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "email_etl_spark", "plans", "__init__.py"
+    )
+    src = open(path).read()
+    start = src.index("_GATE_ORDER = (")
+    marker = src.index("below the 50-query window")
+    names = re.findall(r'^    "([a-z0-9_]+)",$', src[start:marker], re.M)
+    assert len(names) == 50, f"gate window has {len(names)} entries, want 50"
