@@ -37,7 +37,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-8 driver window (first 50) ----
-    # tier 0: this round's 11 NEW operators (never driver-checked)
+    # tier 0: this round's 12 NEW operators (never driver-checked)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
@@ -49,12 +49,13 @@ _GATE_ORDER = (
     "band_join_events",
     "cross_source_dup_matrix",
     "range_lsh_recall",
+    "theil_index_tokens",
     # tier 1: never-driver-checked queries whose SHARED CODE changed
     # this round (_km_assign gained the bounded-K Arrow-kernel path;
     # these two route through the helper)
     "cluster_top_terms",
     "label_purity",
-    # tier 2: never-checked backlog head — 37 slots (11 new ops +
+    # tier 2: never-checked backlog head — 36 slots (12 new ops +
     # 2 changed-helper queries fill the rest of the 50), retiring the
     # r7 late batch in registration order (VERDICT r7 #2)
     "mannwhitney_value",
@@ -93,10 +94,10 @@ _GATE_ORDER = (
     "source_gini_tokens",
     "join_estimate_qerror",
     "deseasonalized_acf",
-    "unigram_noise_table",
     # ---- below the 50-query window ----
-    # never-checked backlog tail (round 9 retires it: 51 queries —
-    # the 11 displaced by this round's new-ops tier, then the 40)
+    # never-checked backlog tail (round 9 retires it: 52 queries —
+    # the 12 displaced by this round's new-ops tier, then the 40)
+    "unigram_noise_table",
     "friedman_weekday",
     "event_id_gap_audit",
     "dup_rate_by_ingest_bucket",

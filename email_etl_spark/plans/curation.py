@@ -2323,3 +2323,100 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_micro"),
     ).orderBy("epoch", "source")
+
+
+@register(
+    "theil_index_tokens",
+    oracle=f"""
+WITH d AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS c
+  FROM documents WHERE len({_TOKS}) > 0
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS x FROM d),
+bc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc FROM d GROUP BY c),
+tt AS (
+  SELECT SUM(CAST(c * nc AS DECIMAL(18,0)) *
+             CAST(ROUND(LN(CAST(c AS DOUBLE) * n / x), 6) AS DECIMAL(18,6))) AS num
+  FROM bc CROSS JOIN tot
+),
+bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(c) AS BIGINT) AS xs
+       FROM d GROUP BY source),
+tb AS (
+  SELECT SUM(CAST(xs AS DECIMAL(18,0)) *
+             CAST(ROUND(LN((CAST(xs AS DOUBLE) * n) / (CAST(x AS DOUBLE) * ns)), 6)
+                  AS DECIMAL(18,6))) AS num2
+  FROM bs CROSS JOIN tot
+)
+SELECT tot.n AS n_docs, tot.x AS n_tokens,
+       ROUND(CAST(tt.num AS DOUBLE) / tot.x, 6) AS theil_total,
+       ROUND(CAST(tb.num2 AS DOUBLE) / tot.x, 6) AS theil_between,
+       ROUND(CAST(tt.num AS DOUBLE) / tot.x
+             - CAST(tb.num2 AS DOUBLE) / tot.x, 6) AS theil_within
+FROM tot CROSS JOIN tt CROSS JOIN tb
+""",
+    doc=(
+        "Theil T inequality index of per-document token mass, "
+        "DECOMPOSED into between-source and within-source components "
+        "(Theil 1967 — the decomposability Gini lacks): "
+        "source_gini_tokens says HOW unequal the corpus is, this says "
+        "WHERE the inequality lives — a high between share means "
+        "re-weighting sources fixes it (mixture_weights' lever), a "
+        "high within share means per-source length filtering is the "
+        "lever. Doc token counts collapse to the distinct-count "
+        "spectrum (bounded by max doc length) and sources to the "
+        "source dim, so every ln term lives on a dimension-sized "
+        "table: terms pre-rounded to DECIMAL(18,6), weighted by exact "
+        "integer masses, summed exactly (order-free), one shared "
+        "final double expression per component (SURVEY §2.L)."
+    ),
+)
+def theil_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(T.tokens(F.col("text"))).cast("bigint").alias("c")
+    ).where(F.col("c") > 0)
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("x")
+    )
+    bc = d.groupBy("c").agg(F.count("*").cast("bigint").alias("nc"))
+    tt = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.expr("cast(c * nc as decimal(18,0))")
+                * F.expr(
+                    "cast(round(ln(cast(c as double) * n / x), 6) as decimal(18,6))"
+                )
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("num"))
+    )
+    bs = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ns"), F.sum("c").cast("bigint").alias("xs")
+    )
+    tb = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.expr("cast(xs as decimal(18,0))")
+                * F.expr(
+                    "cast(round(ln((cast(xs as double) * n)"
+                    " / (cast(x as double) * ns)), 6) as decimal(18,6))"
+                )
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("num2"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("x").alias("n_tokens"),
+            F.round(F.expr("cast(num as double) / x"), 6).alias("theil_total"),
+            F.round(F.expr("cast(num2 as double) / x"), 6).alias("theil_between"),
+            F.round(
+                F.expr("cast(num as double) / x - cast(num2 as double) / x"), 6
+            ).alias("theil_within"),
+        )
+    )

@@ -173,3 +173,11 @@ def test_range_lsh_recall_candidates_via_equality_join(spark):
     plan = _plan(spark, "range_lsh_recall")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_theil_terms_dimension_sized(spark):
+    # every ln term lives on the distinct-count spectrum / source dim:
+    # the corpus contributes two rollups, never a per-doc ln column
+    plan = _plan(spark, "theil_index_tokens")
+    assert "CartesianProduct" not in plan, plan
+    assert not re.search(r"\bWindow\b", plan), plan

@@ -217,6 +217,7 @@ _BNL_JUSTIFIED = {
     "ann_range_search",  # 5-row query-batch broadcast (ann_bruteforce shape)
     "rbo_rankers",  # 5-row query-batch broadcast (ann_bruteforce shape)
     "range_lsh_recall",  # 5-row query-batch broadcast (ground-truth side only)
+    "theil_index_tokens",  # 1-row (n, x) totals broadcast onto two dim rollups
 }
 
 
