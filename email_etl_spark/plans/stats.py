@@ -1226,3 +1226,221 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classical_decompose_daily + mutual_information_type_hour (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classical_decompose_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS ed,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT d, ed, y,
+         SUM(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+  FROM daily
+),
+dt AS (
+  SELECT d, ed, y,
+         CAST(ROUND(CAST(s7 AS DOUBLE) / 7, 6) AS DECIMAL(18,6)) AS trend6,
+         CAST(y AS DECIMAL(18,6))
+           - CAST(ROUND(CAST(s7 AS DOUBLE) / 7, 6) AS DECIMAL(18,6)) AS dtr6,
+         (ed + 4) % 7 AS w
+  FROM tr WHERE c7 = 7
+),
+sw AS (
+  SELECT w, CAST(ROUND(CAST(SUM(dtr6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS s6
+  FROM dt GROUP BY w
+),
+adj AS (SELECT CAST(ROUND(CAST(SUM(s6) AS DOUBLE) / 7, 6) AS DECIMAL(18,6)) AS a FROM sw)
+SELECT dt.d AS day, dt.y AS observed,
+       CAST(dt.trend6 AS DOUBLE) AS trend,
+       CAST(sw.s6 - adj.a AS DOUBLE) AS seasonal,
+       CAST(dt.dtr6 - (sw.s6 - adj.a) AS DOUBLE) AS residual
+FROM dt JOIN sw USING (w) CROSS JOIN adj
+ORDER BY day
+""",
+    doc=(
+        "Classical additive seasonal decomposition of the daily series "
+        "(the moving-average method, Macaulay 1931 — the textbook "
+        "y = trend + seasonal + residual table behind every 'is this "
+        "spike real' question; seasonal_strength reports the one-number "
+        "summary, this returns the full decomposition): trend = "
+        "centered 7-day MA over the day-ordered DIMENSION table "
+        "(integer-valued sums, exact in any order), detrended values "
+        "pre-rounded to DECIMAL(18,6) so every weekday-mean seasonal "
+        "index, the sum-to-zero adjustment, and the residual "
+        "subtraction are EXACT decimal arithmetic — no double "
+        "accumulation order anywhere after the trend division. Weekday "
+        "= (epoch_day+4) mod 7 pure integer (weekday_anova "
+        "convention); interior days only (the centered MA's 3-day "
+        "edges are dropped, the documented classical contract). "
+        "BOUND: all windows and rollups run on the O(days) dimension "
+        "table (SURVEY §2.H)."
+    ),
+)
+def classical_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("ed"),
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "ed",
+        "y",
+        F.sum("y").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dt = tr.where(F.col("c7") == 7).select(
+        "d",
+        "y",
+        F.expr("cast(round(cast(s7 as double) / 7, 6) as decimal(18,6))").alias(
+            "trend6"
+        ),
+        F.expr(
+            "cast(y as decimal(18,6))"
+            " - cast(round(cast(s7 as double) / 7, 6) as decimal(18,6))"
+        ).alias("dtr6"),
+        F.expr("(ed + 4) % 7").alias("w"),
+    )
+    sw = dt.groupBy("w").agg(
+        F.expr(
+            "cast(round(cast(sum(dtr6) as double) / count(*), 6) as decimal(18,6))"
+        ).alias("s6")
+    )
+    adj = sw.agg(
+        F.expr("cast(round(cast(sum(s6) as double) / 7, 6) as decimal(18,6))").alias(
+            "a"
+        )
+    )
+    return (
+        dt.join(F.broadcast(sw), "w")
+        .crossJoin(F.broadcast(adj))
+        .select(
+            F.col("d").alias("day"),
+            F.col("y").alias("observed"),
+            F.col("trend6").cast("double").alias("trend"),
+            (F.col("s6") - F.col("a")).cast("double").alias("seasonal"),
+            (F.col("dtr6") - (F.col("s6") - F.col("a")))
+            .cast("double")
+            .alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "mutual_information_type_hour",
+    oracle="""
+WITH c AS (
+  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mt AS (SELECT t, SUM(c) AS ct FROM c GROUP BY t),
+mh AS (SELECT h, SUM(c) AS ch FROM c GROUP BY h),
+n AS (SELECT SUM(c) AS nn FROM c),
+terms AS (
+  SELECT c.c,
+         CAST(ROUND(LN((CAST(c.c AS DOUBLE) * nn) /
+                       (CAST(mt.ct AS DOUBLE) * mh.ch)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM c JOIN mt USING (t) JOIN mh USING (h) CROSS JOIN n
+),
+ht AS (
+  SELECT SUM(CAST(ct AS DECIMAL(18,0)) *
+             CAST(ROUND(LN(CAST(ct AS DOUBLE) / nn), 6) AS DECIMAL(18,6))) AS s
+  FROM mt CROSS JOIN n
+),
+hh AS (
+  SELECT SUM(CAST(ch AS DECIMAL(18,0)) *
+             CAST(ROUND(LN(CAST(ch AS DOUBLE) / nn), 6) AS DECIMAL(18,6))) AS s
+  FROM mh CROSS JOIN n
+)
+SELECT CAST(n.nn AS BIGINT) AS n_events,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cells,
+       ROUND(CAST((SELECT SUM(CAST(c AS DECIMAL(18,0)) * lp) FROM terms) AS DOUBLE)
+             / n.nn, 6) AS mi_nats,
+       ROUND(-CAST(ht.s AS DOUBLE) / n.nn, 6) AS h_type_nats,
+       ROUND(-CAST(hh.s AS DOUBLE) / n.nn, 6) AS h_hour_nats
+FROM n CROSS JOIN ht CROSS JOIN hh
+""",
+    doc=(
+        "Mutual information between event type and hour of day, with "
+        "both marginal entropies (so NMI is one division away): the "
+        "DEPENDENCE measure behind ks_uniform_hour's marginal "
+        "uniformity test — KS asks 'is there a time-of-day effect at "
+        "all', MI asks 'does WHICH event happens depend on WHEN'. "
+        "Everything lives on the 5x24 contingency table: per-cell ln "
+        "lift terms pre-rounded to DECIMAL(18,6), weighted by exact "
+        "integer counts, summed exactly (order-free), one shared final "
+        "double expression per statistic; hour extraction is UTC-"
+        "pinned in both engines (SURVEY §2.L)."
+    ),
+)
+def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("t"), F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mt = c.groupBy("t").agg(F.sum("c").alias("ct"))
+    mh = c.groupBy("h").agg(F.sum("c").alias("ch"))
+    n = c.agg(F.sum("c").alias("nn"))
+    terms = (
+        c.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mh), "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            F.expr(
+                "cast(round(ln((cast(c as double) * nn)"
+                " / (cast(ct as double) * ch)), 6) as decimal(18,6))"
+            ).alias("lp"),
+        )
+    )
+    mi = terms.agg(
+        F.expr("sum(cast(c as decimal(18,0)) * lp)").alias("num"),
+        F.count("*").alias("n_cells"),
+    )
+    ht = (
+        mt.crossJoin(F.broadcast(n))
+        .agg(
+            F.expr(
+                "sum(cast(ct as decimal(18,0)) *"
+                " cast(round(ln(cast(ct as double) / nn), 6) as decimal(18,6)))"
+            ).alias("s")
+        )
+    )
+    hh = (
+        mh.crossJoin(F.broadcast(n))
+        .agg(
+            F.expr(
+                "sum(cast(ch as decimal(18,0)) *"
+                " cast(round(ln(cast(ch as double) / nn), 6) as decimal(18,6)))"
+            ).alias("s")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ht.select(F.col("s").alias("st"))))
+        .crossJoin(F.broadcast(hh.select(F.col("s").alias("sh"))))
+        .select(
+            F.col("nn").cast("bigint").alias("n_events"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.round(F.expr("cast(num as double) / nn"), 6).alias("mi_nats"),
+            F.round(F.expr("-cast(st as double) / nn"), 6).alias("h_type_nats"),
+            F.round(F.expr("-cast(sh as double) / nn"), 6).alias("h_hour_nats"),
+        )
+    )

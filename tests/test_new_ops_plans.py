@@ -181,3 +181,25 @@ def test_theil_terms_dimension_sized(spark):
     plan = _plan(spark, "theil_index_tokens")
     assert "CartesianProduct" not in plan, plan
     assert not re.search(r"\bWindow\b", plan), plan
+
+
+def test_decompose_windows_on_dim_table_only(spark):
+    # the centered-MA window runs AFTER the daily rollup (day-
+    # cardinality input). The static plan prints the dt subtree once
+    # per consumer (dt/sw/adj), but at runtime AQE must reuse the
+    # daily-rollup exchanges so the corpus is scanned once (the
+    # bigram_logprob convention)
+    plan = _plan(spark, "classical_decompose_daily")
+    assert "CartesianProduct" not in plan, plan
+    df = REGISTRY["classical_decompose_daily"].builder(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed
+
+
+def test_mi_lives_on_contingency_table(spark):
+    # one corpus aggregate to the 5x24 cell table; margins and
+    # entropies derive from the cells, never a second corpus pass
+    plan = _plan(spark, "mutual_information_type_hour")
+    assert "CartesianProduct" not in plan, plan
+    assert not re.search(r"\bWindow\b", plan), plan

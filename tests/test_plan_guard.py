@@ -218,6 +218,8 @@ _BNL_JUSTIFIED = {
     "rbo_rankers",  # 5-row query-batch broadcast (ann_bruteforce shape)
     "range_lsh_recall",  # 5-row query-batch broadcast (ground-truth side only)
     "theil_index_tokens",  # 1-row (n, x) totals broadcast onto two dim rollups
+    "classical_decompose_daily",  # 1-row seasonal-adjustment broadcast onto the day dim
+    "mutual_information_type_hour",  # 1-row N total broadcast onto the 5x24 cell table
 }
 
 

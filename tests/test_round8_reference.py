@@ -204,3 +204,86 @@ def test_rbo_matches_python_reference(spark):
             s += round(w, 6)
         assert got[qid][0] == len(common), qid
         assert abs(got[qid][1] - round(s, 4)) <= 1e-4, qid
+
+
+def _r6(v: float) -> float:
+    # ROUND(x, 6) in both engines is half-away-from-zero applied to the
+    # SHORTEST decimal representation of the double (Java
+    # BigDecimal.valueOf semantics); python's round() is half-even on
+    # the binary value and diverges on 6dp halves
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_classical_decompose_python_reference(spark):
+    ys = _daily_counts(spark)
+    from email_etl_spark.io import load_table
+
+    days = sorted(
+        r["d"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .selectExpr("cast(ts as date) as d")
+        .distinct()
+        .collect()
+    )
+    n = len(ys)
+    rows = {}
+    # trend + detrended (pre-rounded like the engines)
+    dtr, wd = {}, {}
+    for i in range(3, n - 3):
+        trend = _r6(sum(ys[i - 3 : i + 4]) / 7)
+        dtr[i] = _r6(ys[i] - trend)
+        wd[i] = ((days[i] - __import__("datetime").date(1970, 1, 1)).days + 4) % 7
+        rows[i] = trend
+    import decimal as _dec
+
+    def _dsum(vals):  # engines sum 6dp values EXACTLY as DECIMAL(18,6)
+        return float(sum(_dec.Decimal(repr(v)) for v in vals))
+
+    s6 = {}
+    for w in set(wd.values()):
+        vals = [dtr[i] for i in dtr if wd[i] == w]
+        s6[w] = _r6(_dsum(vals) / len(vals))
+    a = _r6(_dsum(s6.values()) / 7)
+    got = {
+        r["day"]: (r["observed"], r["trend"], r["seasonal"], r["residual"])
+        for r in REGISTRY["classical_decompose_daily"].builder(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == n - 6
+    for i in range(3, n - 3):
+        o, t, s, rres = got[days[i]]
+        assert o == ys[i]
+        assert abs(t - rows[i]) < 1e-9, (i, t, rows[i])
+        assert abs(s - (s6[wd[i]] - a)) < 1e-9
+        assert abs(rres - (dtr[i] - (s6[wd[i]] - a))) < 1e-9
+        assert abs((t + s + rres) - o) < 1e-5  # decomposition identity
+
+
+def test_mutual_information_python_reference(spark):
+    from collections import Counter
+
+    from email_etl_spark.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type as t", "hour(ts) as h"
+    ).collect()
+    cells = Counter((r["t"], r["h"]) for r in ev)
+    nn = sum(cells.values())
+    ct = Counter(); ch = Counter()
+    for (t, h), c in cells.items():
+        ct[t] += c
+        ch[h] += c
+    mi = sum(
+        c * round(math.log((c * nn) / (ct[t] * ch[h])), 6) for (t, h), c in cells.items()
+    ) / nn
+    row = REGISTRY["mutual_information_type_hour"].builder(spark, SF_SMOKE).collect()[0]
+    assert row["n_events"] == nn and row["n_cells"] == len(cells)
+    assert abs(row["mi_nats"] - round(mi, 6)) <= 1e-6
+    assert row["mi_nats"] >= 0 or abs(row["mi_nats"]) < 1e-3
+    assert row["h_type_nats"] <= math.log(len(ct)) + 1e-6
+    assert row["h_hour_nats"] <= math.log(len(ch)) + 1e-6
