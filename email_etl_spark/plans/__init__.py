@@ -37,7 +37,7 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
     # ---- round-8 driver window (first 50) ----
-    # tier 0: this round's 14 NEW operators (never driver-checked)
+    # tier 0: this round's 15 NEW operators (never driver-checked)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
@@ -52,12 +52,13 @@ _GATE_ORDER = (
     "theil_index_tokens",
     "classical_decompose_daily",
     "mutual_information_type_hour",
+    "packed_sequence_stats",
     # tier 1: never-driver-checked queries whose SHARED CODE changed
     # this round (_km_assign gained the bounded-K Arrow-kernel path;
     # these two route through the helper)
     "cluster_top_terms",
     "label_purity",
-    # tier 2: never-checked backlog head — 34 slots (14 new ops +
+    # tier 2: never-checked backlog head — 33 slots (15 new ops +
     # 2 changed-helper queries fill the rest of the 50), retiring the
     # r7 late batch in registration order (VERDICT r7 #2)
     "mannwhitney_value",
@@ -93,10 +94,10 @@ _GATE_ORDER = (
     "capture_recapture_users",
     "price_elasticity_loglog",
     "parquet_compression_profile",
-    "source_gini_tokens",
     # ---- below the 50-query window ----
-    # never-checked backlog tail (round 9 retires it: 54 queries —
-    # the 14 displaced by this round's new-ops tier, then the 40)
+    # never-checked backlog tail (round 9 retires it: 55 queries —
+    # the 15 displaced by this round's new-ops tier, then the 40)
+    "source_gini_tokens",
     "join_estimate_qerror",
     "deseasonalized_acf",
     "unigram_noise_table",

@@ -2420,3 +2420,84 @@ def theil_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_within"),
         )
     )
+
+
+@register(
+    "packed_sequence_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE len({_TOKS}) > 0
+),
+o AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+),
+s AS (
+  SELECT doc_id, n, off,
+         off // 512 AS s_first, (off + n - 1) // 512 AS s_last
+  FROM o
+),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS nd FROM d)
+SELECT CAST(t.nd AS BIGINT) AS n_docs,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       CAST((t.total + 511) // 512 AS BIGINT) AS n_sequences,
+       CAST(((t.total + 511) // 512) * 512 - t.total AS BIGINT) AS pad_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s WHERE s_first <> s_last)
+           AS boundary_docs,
+       (SELECT CAST(SUM(s_last - s_first + 1) AS BIGINT) FROM s)
+           AS doc_seq_incidences
+FROM t
+""",
+    doc=(
+        "Packing plan audit for the fixed-length (L=512) token-"
+        "sequence sink (sinks/packed.py): document count, token total, "
+        "sequence count, terminal padding, how many documents straddle "
+        "a sequence boundary, and the total (doc, sequence) incidence "
+        "count — the numbers that decide loader sharding and attention-"
+        "mask strategy before a packing run. The Spark side reuses the "
+        "sink's actual machinery (two-level prefix-sum offsets + span "
+        "arithmetic), so the audit IS the sink's plan, not a parallel "
+        "reimplementation; the oracle recomputes offsets with a plain "
+        "window cumsum. All exact integers (SURVEY §2.L)."
+    ),
+)
+def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.sinks.packed import _with_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n")
+    ).where(F.col("n") > 0)
+    # reuse the sink's two-level prefix sum on a (doc_id, n)-shaped
+    # frame (ids column unused by the offset math)
+    o = _with_offsets(d.withColumn("ids", F.array().cast("array<int>")))
+    s = o.select(
+        "doc_id",
+        "n",
+        "off",
+        F.expr("off div 512").alias("s_first"),
+        F.expr("(off + n - 1) div 512").alias("s_last"),
+    )
+    agg = s.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("s_first") != F.col("s_last"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("boundary_docs"),
+        F.sum(F.col("s_last") - F.col("s_first") + 1)
+        .cast("bigint")
+        .alias("doc_seq_incidences"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        F.expr("(total_tokens + 511) div 512").cast("bigint").alias("n_sequences"),
+        F.expr("((total_tokens + 511) div 512) * 512 - total_tokens")
+        .cast("bigint")
+        .alias("pad_tokens"),
+        "boundary_docs",
+        "doc_seq_incidences",
+    )
