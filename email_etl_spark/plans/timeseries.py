@@ -1361,10 +1361,11 @@ s AS (
   SELECT MAX(ABS(24 * cum - (h + 1) * n)) AS d_int, MAX(n) AS n FROM w
 )
 SELECT n AS n_events,
-       ROUND(CAST(d_int AS DOUBLE) / (24.0 * n), 6) AS d_stat,
-       ROUND(CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE)), 4)
+       CAST((1000000 * d_int) // (24 * n) AS BIGINT) AS d_stat_micro,
+       CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE))
            AS ks_stat,
-       CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE)) > 1.358
+       CAST(1000 * d_int AS DECIMAL(19,0)) * CAST(1000 * d_int AS DECIMAL(19,0))
+           > CAST(1062238464 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
            AS reject_95
 FROM s
 """,
@@ -1376,8 +1377,14 @@ FROM s
         "shape and peak_load_report sizes for it; the one-sample "
         "companion to value_ks_drift's two-sample D. The gap is kept "
         "as the exact integer |24*cum - (h+1)*N| (no per-atom "
-        "division), so D and the sqrt(N)-scaled statistic are two "
-        "final shared double expressions over integers; the only "
+        "division); outputs follow the exact-presentation convention "
+        "(no final ROUND(double) — the env-sensitive halfway hazard "
+        "that made this query the first-ever red driver row, r8): "
+        "d_stat_micro is the pure-integer (10^6*d_int) div (24n), "
+        "reject_95 is the integer cross-multiplication (1000*d_int)^2 "
+        "> 1358^2*576*n over DECIMAL(38,0) (1062238464 = 1358^2*576), "
+        "and ks_stat ships unrounded as one shared IEEE op tree over "
+        "the (d_int, n) integers (kneser_ney convention). The only "
         "ordered pass is a 24-row cumulative window off the hour "
         "rollup (SURVEY §2.H)."
     ),
@@ -1404,11 +1411,17 @@ def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("d_int").cast("double") / (24.0 * F.col("n"))
     ks = d * F.sqrt(F.col("n").cast("double"))
+    lhs = F.expr("CAST(1000 * d_int AS DECIMAL(19,0))")
     return s.select(
         F.col("n").cast("bigint").alias("n_events"),
-        F.round(d, 6).alias("d_stat"),
-        F.round(ks, 4).alias("ks_stat"),
-        (ks > 1.358).alias("reject_95"),
+        # DECIMAL(38,0) operands: 10^6*d_int overflows BIGINT once
+        # n > ~4e11 (d_int <= 24n), i.e. exactly at the 100 TB target
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d_int)"
+            " div (CAST(24 AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("d_stat_micro"),
+        ks.alias("ks_stat"),
+        (lhs * lhs > F.lit(1062238464).cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")).alias("reject_95"),
     )
 
 
