@@ -9,7 +9,10 @@ stream walk:
 
 1. token ids = frequency-rank vocabulary ids (count DESC, token ASC —
    reproducible across runs; id 0 is reserved for padding, real ids
-   start at 1);
+   start at 1), assigned by the same two-level scheme as the offsets
+   (bucket = (count, token prefix), never a global window — the
+   vocabulary is corpus-sized by Heaps' law) and joined back without
+   a broadcast hint (corpus-derived: AQE decides);
 2. each document's global token offset comes from the TWO-LEVEL
    prefix sum (shard_plan convention: per-256-doc-bucket subtotals,
    tiny cross-bucket window, bounded in-bucket window — never a
@@ -40,26 +43,49 @@ PAD_ID = 0
 _PREFIX_BUCKET = 256  # docs per prefix-sum bucket (shard_plan convention)
 
 
+def _vocab_ids(toks: DataFrame) -> DataFrame:
+    """(tok, tid): frequency-rank vocabulary ids (count DESC, tok ASC,
+    ids from 1), assigned with the same two-level scheme _with_offsets
+    uses for document offsets — NEVER a corpus-wide unpartitioned
+    row_number (vocabulary grows with the corpus by Heaps' law, so a
+    global window is a single task sorting 10^8-10^9 rows at the 100 TB
+    target; VERDICT r8 #2). Buckets are (count, 2-char token prefix):
+    contiguous in the global (c DESC, tok) order, so global rank =
+    broadcastable-at-AQE's-discretion bucket offset (a window over the
+    distinct-(c,pfx) SUBTOTAL table, the shard_plan 'tiny cross-bucket
+    window' convention) + an in-bucket row_number partitioned on
+    (c, pfx). The prefix split bounds the hapax band (c=1 holds ~half
+    the vocabulary) to ~V/1300 rows per window partition."""
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    b = counts.withColumn("pfx", F.substring("tok", 1, 2))
+    sub = b.groupBy("c", "pfx").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy(F.desc("c"), "pfx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sub.select(
+        "c", "pfx", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("boff")
+    )
+    w_in = Window.partitionBy("c", "pfx").orderBy("tok")
+    # no broadcast hint on either side: both are corpus-derived (the
+    # engine's no-hint rule, test_plan_guard.py); AQE broadcasts the
+    # measured-small side on its own
+    return b.join(offsets, ["c", "pfx"]).select(
+        "tok",
+        (F.col("boff") + F.row_number().over(w_in)).cast("int").alias("tid"),
+    )
+
+
 def _doc_token_ids(docs: DataFrame) -> DataFrame:
     """(doc_id, ids array<int>, n) with frequency-rank vocabulary ids —
-    two vocab-sized shuffles, then the per-doc array reassembles from
-    one (doc_id, pos)-keyed rollup."""
+    vocab-sized shuffles only for id assignment, one corpus-sized
+    shuffle to translate tokens, then the per-doc array reassembles
+    from one (doc_id, pos)-keyed rollup."""
     toks = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
     )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .select(
-            "tok",
-            F.row_number()
-            .over(Window.orderBy(F.desc("c"), "tok"))
-            .cast("int")
-            .alias("tid"),
-        )
-    )
+    vocab = _vocab_ids(toks)
     ids = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(

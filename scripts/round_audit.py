@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Registry-wide audit of the final-ROUND(double) hazard class.
+
+Round 8 produced the engine's first-ever red driver hash row
+(ks_uniform_hour): rows and schema matched, values matched both local
+engines at every SF, yet the driver's environment hashed differently.
+Diagnosis (VERDICT r8 #1): the query's OUTPUT columns were
+ROUND(double, n) of freshly computed quotients — IEEE doubles that can
+land arbitrarily close to a decimal halfway point, where Spark's
+BigDecimal HALF_UP on the exact binary value and another engine's
+multiply-and-nearbyint disagree. ROUND over DECIMAL children is exact
+and immune; unrounded shared IEEE expressions are bit-identical and
+immune; only ROUND-over-double at the output boundary is the hazard.
+
+This script walks every registered query's ANALYZED Catalyst plan (no
+execution beyond plan constants) and records each Round/BRound
+expression: the child dataType, whether it sits in the topmost
+Project/Aggregate (an output column) or deeper (internal bucketing /
+ordering keys, which only bite when a tie flips), and the expression
+SQL. Output: ROUND_AUDIT.json, consumed by
+tests/test_round_hazard.py's gate-window lint (zero output-level
+Round-over-double in the driver's 50-query window).
+
+Usage: python scripts/round_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def collect_rounds(df):
+    """[(node_kind, position, child_dtype, sql)] for every Round/BRound
+    in the analyzed plan. position='output' when the expression belongs
+    to the topmost Project/Aggregate node's list, else 'internal'."""
+    plan = df._jdf.queryExecution().analyzed()
+    found = []
+
+    def walk_exprs(expr, position, node_kind):
+        cls = expr.getClass().getSimpleName()
+        if cls in ("Round", "BRound"):
+            child = expr.children().apply(0)
+            found.append(
+                {
+                    "node": node_kind,
+                    "position": position,
+                    "child_type": child.dataType().simpleString(),
+                    "sql": expr.sql()[:200],
+                }
+            )
+        for i in range(expr.children().size()):
+            walk_exprs(expr.children().apply(i), position, node_kind)
+
+    seen_projection = False
+
+    def walk_plan(node):
+        nonlocal seen_projection
+        kind = node.getClass().getSimpleName()
+        # the first Project/Aggregate from the top is the output row
+        is_output = kind in ("Project", "Aggregate") and not seen_projection
+        if is_output:
+            seen_projection = True
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            walk_exprs(
+                exprs.apply(i), "output" if is_output else "internal", kind
+            )
+        for i in range(node.children().size()):
+            walk_plan(node.children().apply(i))
+
+    walk_plan(plan)
+    return found
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from email_etl_spark.plans import REGISTRY
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    report: dict[str, list[dict]] = {}
+    errors: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        try:
+            rounds = collect_rounds(q.builder(spark, sf_dir))
+        except Exception as exc:  # plan-constant collects can fail loudly
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        hazards = [r for r in rounds if r["child_type"] == "double"]
+        if hazards:
+            report[name] = hazards
+    out = {
+        "sf_dir": sf_dir,
+        "queries_scanned": len(REGISTRY),
+        "queries_with_round_over_double": len(report),
+        "output_level": sorted(
+            n for n, rs in report.items() if any(r["position"] == "output" for r in rs)
+        ),
+        "internal_only": sorted(
+            n for n, rs in report.items() if all(r["position"] != "output" for r in rs)
+        ),
+        "errors": errors,
+        "detail": report,
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "ROUND_AUDIT.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(
+        f"round_audit: {len(report)} of {len(REGISTRY)} queries carry "
+        f"Round-over-double ({len(out['output_level'])} at output level); "
+        f"{len(errors)} plan errors -> ROUND_AUDIT.json"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
