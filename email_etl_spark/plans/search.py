@@ -1359,6 +1359,41 @@ def _km_assign_literal(df: DataFrame, cents: list) -> DataFrame:
     )
 
 
+# memoized broadcast codebooks, keyed by (applicationId, content
+# digest): without this every _km_assign_bcast call ships a fresh
+# broadcast pair that stays executor-pinned for the session lifetime —
+# the kmeans-family queries re-plan per run, and Lloyd training
+# broadcasts a NEW codebook every round, so a long bench/test session
+# accumulated dozens of dead copies (ADVICE r8). Same-codebook calls
+# now reuse one pair; superseded entries are unpersist()ed on FIFO
+# eviction (not destroy()ed — an old cached plan that re-executes can
+# still lazily re-fetch an unpersisted broadcast).
+_KM_BCAST_CACHE: dict = {}
+_KM_BCAST_MAX = 4
+
+
+def _km_bcast_pair(sc, cb, cids):
+    import hashlib
+
+    key = (
+        sc.applicationId,
+        hashlib.sha256(cb.tobytes() + cids.tobytes()).hexdigest(),
+    )
+    pair = _KM_BCAST_CACHE.get(key)
+    if pair is None:
+        pair = (sc.broadcast(cb), sc.broadcast(cids))
+        _KM_BCAST_CACHE[key] = pair
+        while len(_KM_BCAST_CACHE) > _KM_BCAST_MAX:
+            old_key = next(iter(_KM_BCAST_CACHE))
+            old_pair = _KM_BCAST_CACHE.pop(old_key)
+            for b in old_pair:
+                try:
+                    b.unpersist(False)
+                except Exception:
+                    pass  # owning context already stopped
+    return pair
+
+
 def _km_assign_bcast(df: DataFrame, cents: list) -> DataFrame:
     """Broadcast-variable codebook + vectorized Arrow kernel — the
     faiss coarse-assign shape. The K x D codebook ships once per
@@ -1384,7 +1419,7 @@ def _km_assign_bcast(df: DataFrame, cents: list) -> DataFrame:
     cb = np.array([vec for _, vec in cents], dtype=np.float64)
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     sc = df.sparkSession.sparkContext
-    b_cb, b_cids = sc.broadcast(cb), sc.broadcast(cids)
+    b_cb, b_cids = _km_bcast_pair(sc, cb, cids)
     chunk_doubles = KM_KERNEL_CHUNK_DOUBLES  # captured at build time
 
     @F.pandas_udf("struct<cid: bigint, dist: double>")

@@ -135,3 +135,27 @@ def test_kernel_multi_chunk_path_identical(spark, monkeypatch):
     monkeypatch.setattr(S, "KM_KERNEL_CHUNK_DOUBLES", 22 * 7)  # 7 rows/chunk
     chunked = {r["vec_id"]: (r["cid"], r["dist"]) for r in S._km_assign_bcast(emb, cents).collect()}
     assert chunked == single
+
+
+def test_bcast_codebook_memoized_and_bounded(spark):
+    # broadcast codebooks are memoized by content digest (same cents =>
+    # same executor-pinned pair, not a fresh one per invocation) and
+    # superseded entries are unpersisted on eviction, so a long session
+    # holds at most _KM_BCAST_MAX live pairs (ADVICE r8)
+    import email_etl_spark.plans.search as S
+
+    emb, cents = _emb_and_cents(spark, 22)
+    S._KM_BCAST_CACHE.clear()
+    _km_assign_bcast(emb, cents)
+    assert len(S._KM_BCAST_CACHE) == 1
+    (pair,) = S._KM_BCAST_CACHE.values()
+    _km_assign_bcast(emb, cents)  # same codebook: reused, not re-shipped
+    assert len(S._KM_BCAST_CACHE) == 1
+    assert next(iter(S._KM_BCAST_CACHE.values())) is pair
+    # distinct codebooks: cache stays bounded, evicted pairs unpersisted
+    for j in range(S._KM_BCAST_MAX + 2):
+        jittered = [(cid, [v + (j + 1) * 1e-6 for v in vec]) for cid, vec in cents]
+        df = _km_assign_bcast(emb, jittered)
+    assert len(S._KM_BCAST_CACHE) <= S._KM_BCAST_MAX
+    # the latest codebook still computes (and correctly)
+    assert df.count() == emb.count()
