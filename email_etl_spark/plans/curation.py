@@ -2216,8 +2216,8 @@ r AS (
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
        CAST(MAX(tot) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM((2 * i - n - 1) * tok) AS DOUBLE)
-             / (CAST(MAX(n) AS DOUBLE) * MAX(tot)), 4) AS gini
+       CAST((1000000 * SUM((2 * i - n - 1) * tok)) // (MAX(n) * MAX(tot))
+            AS BIGINT) AS gini_micro
 FROM r
 """,
     doc=(
@@ -2230,7 +2230,10 @@ FROM r
         "is needed and whether a re-weight actually moved it). Exact "
         "integer Gini numerator sum((2i-n-1)*x_i) over the source "
         "rollup sorted with a deterministic (tok, source) tiebreak; "
-        "the only window runs over |sources| rows (SURVEY §2.L)."
+        "presented as the pure-integer gini_micro = (10^6*num) div "
+        "(n*tot) in DECIMAL(38,0) arithmetic — no final ROUND(double), "
+        "the r8 halfway hazard; the only window runs over |sources| "
+        "rows (SURVEY §2.L)."
     ),
 )
 def source_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2246,14 +2249,23 @@ def source_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy()).alias("n"),
         F.sum("tok").over(Window.partitionBy()).alias("tot"),
     )
-    return r.agg(
+    a = r.agg(
         F.max("n").cast("bigint").alias("n_sources"),
         F.max("tot").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("tok")).cast("double")
-            / (F.max("n").cast("double") * F.max("tot")),
-            4,
-        ).alias("gini"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("tok"))
+        .cast("bigint")
+        .alias("num"),
+    )
+    # Gini numerator is >= 0 (ascending sort), so Spark's truncating
+    # div and DuckDB's flooring // agree; DECIMAL(38,0) keeps
+    # 10^6 * num exact past the BIGINT range at corpus scale
+    return a.select(
+        "n_sources",
+        "total_tokens",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * num)"
+            " div (CAST(n_sources AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"
+        ).alias("gini_micro"),
     )
 
 

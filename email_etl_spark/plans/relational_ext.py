@@ -2876,9 +2876,9 @@ SELECT '{name}' AS join_name,
        CAST(da AS BIGINT) AS ndv_left, CAST(db AS BIGINT) AS ndv_right,
        CAST(actual AS BIGINT) AS actual_rows,
        CAST(na * nb // GREATEST(da, db) AS BIGINT) AS uniform_estimate,
-       ROUND(GREATEST(CAST(na * nb // GREATEST(da, db) AS DOUBLE) / actual,
-                      CAST(actual AS DOUBLE)
-                      / (na * nb // GREATEST(da, db))), 4) AS q_error
+       CAST(GREATEST((1000 * (na * nb // GREATEST(da, db))) // actual,
+                     (1000 * actual) // (na * nb // GREATEST(da, db)))
+            AS BIGINT) AS q_error_milli
 FROM (
   SELECT (SELECT COUNT(*) FROM {ta} WHERE {ka} IS NOT NULL) AS na,
          (SELECT COUNT(*) FROM {tb} WHERE {kb} IS NOT NULL) AS nb,
@@ -2908,8 +2908,9 @@ FROM (
         "independence-assumption planning can be trusted on THIS "
         "data or the engine must rely on runtime AQE re-planning. "
         "All counts exact integers off per-table key rollups (no "
-        "join materialized); q-error is one shared double expression "
-        "(SURVEY §2.G)."
+        "join materialized); q-error ships as the pure-integer "
+        "q_error_milli = max((1000*est) div actual, (1000*actual) "
+        "div est) -- no final ROUND(double) (SURVEY §2.G)."
     ),
 )
 def join_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2954,13 +2955,15 @@ def join_estimate_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("db").alias("ndv_right"),
                 F.col("actual").alias("actual_rows"),
                 F.expr(est).cast("bigint").alias("uniform_estimate"),
-                F.round(
-                    F.greatest(
-                        F.expr(f"CAST({est} AS DOUBLE) / actual"),
-                        F.expr(f"CAST(actual AS DOUBLE) / ({est})"),
-                    ),
-                    4,
-                ).alias("q_error"),
+                # pure-integer q-error in milli-units over the exact
+                # (est, actual) bigints (both >= 1 whenever the join is
+                # non-empty) -- no final ROUND(double)
+                F.greatest(
+                    F.expr(f"(1000 * ({est})) div actual"),
+                    F.expr(f"(1000 * actual) div ({est})"),
+                )
+                .cast("bigint")
+                .alias("q_error_milli"),
             )
         )
 

@@ -4010,7 +4010,8 @@ p AS (
 ),
 s AS (SELECT SUM(w) AS tot FROM p)
 SELECT tok, c AS freq,
-       ROUND(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS noise_p
+       CAST((1000000 * CAST(w * 1000000 AS BIGINT))
+            // CAST(tot * 1000000 AS BIGINT) AS BIGINT) AS noise_ppm
 FROM p CROSS JOIN s
 ORDER BY c DESC, tok LIMIT {_NOISE_TOP}
 """,
@@ -4023,8 +4024,11 @@ ORDER BY c DESC, tok LIMIT {_NOISE_TOP}
         "positive pairs, THIS is the companion artifact a trainer "
         "samples negatives from. Per-token powered weights are "
         "pre-rounded to DECIMAL(18,6) so the normalizer is an exact "
-        "order-insensitive sum; one tokenize scan + one vocab rollup, "
-        "top-K via TakeOrderedAndProject (SURVEY §2.D)."
+        "order-insensitive sum, and the normalized probability ships "
+        "as pure-integer noise_ppm = (10^6*w) div tot over the exact "
+        "micro-unit integers (no final ROUND(double), the r8 halfway "
+        "hazard); one tokenize scan + one vocab rollup, top-K via "
+        "TakeOrderedAndProject (SURVEY §2.D)."
     ),
 )
 def unigram_noise_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4044,9 +4048,14 @@ def unigram_noise_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             F.col("c").alias("freq"),
-            F.round(F.col("w").cast("double") / F.col("tot").cast("double"), 6).alias(
-                "noise_p"
-            ),
+            # w and tot are DECIMAL(18,6): *10^6 recovers exact
+            # integers, so the quotient is pure integer arithmetic
+            # (DECIMAL(38,0): tot*10^6 passes BIGINT at corpus scale)
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * CAST(w * 1000000 AS DECIMAL(38,0)))"
+                " div CAST(tot * 1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("noise_ppm"),
         )
         .orderBy(F.desc("freq"), "tok")
         .limit(_NOISE_TOP)

@@ -1678,14 +1678,22 @@ res AS (
 ),
 w AS (SELECT day_idx, r, {leads} FROM res),
 den AS (SELECT SUM(r * r) AS dd FROM res),
-arms AS ({arms})
+arms AS ({arms}),
+agg AS (
+  SELECT lag,
+         SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_pairs,
+         SUM(CASE WHEN ok THEN prod ELSE CAST(0 AS DECIMAL(38,0)) END) AS sp
+  FROM arms GROUP BY lag
+)
 SELECT CAST(lag AS INT) AS lag,
-       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
-       CASE WHEN dd = 0 THEN 0.0
-            ELSE ROUND(CAST(SUM(CASE WHEN ok THEN prod ELSE 0.0 END) AS DOUBLE)
-                       / CAST(dd AS DOUBLE), 6)
-       END AS acf
-FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN dd = 0 THEN 0
+            WHEN sp >= 0 THEN (1000000::HUGEINT * CAST(sp AS HUGEINT))
+                             // CAST(dd AS HUGEINT)
+            ELSE -((1000000::HUGEINT * CAST(-sp AS HUGEINT))
+                   // CAST(dd AS HUGEINT))
+       END AS BIGINT) AS acf_micro
+FROM agg CROSS JOIN den ORDER BY lag
 """
 
 
@@ -1702,7 +1710,9 @@ FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
         "ewma_anomaly's weekday-blind residual assumption. Residuals "
         "are exact micro-unit integers (c*1e6 - weekday mean-micro, "
         "the half-away-from-zero integer mean), lag products "
-        "accumulate in DECIMAL, one O(days) LEAD pass — the acf_daily "
+        "accumulate in DECIMAL, and acf ships as pure-integer "
+        "acf_micro = (10^6*sp) div dd with the sign split out (no "
+        "final ROUND(double)); one O(days) LEAD pass — the acf_daily "
         "scale shape with a 7-row weekday dim join in front "
         "(SURVEY §2.H)."
     ),
@@ -1773,9 +1783,16 @@ def deseasonalized_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lag",
             "n_pairs",
-            F.when(F.col("dd") == 0, F.lit(0.0))
-            .otherwise(F.round(F.col("sp").cast("double") / F.col("dd").cast("double"), 6))
-            .alias("acf"),
+            # sp and dd are exact DECIMAL sums; the quotient ships as
+            # pure-integer micro-units with sign split out so both
+            # engines truncate identically on negatives (no final
+            # ROUND(double), the r8 halfway hazard)
+            F.expr(
+                "CAST(CASE WHEN dd = 0 THEN 0"
+                " WHEN sp >= 0 THEN (CAST(1000000 AS DECIMAL(38,0)) * sp) div dd"
+                " ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (-sp)) div dd)"
+                " END AS BIGINT)"
+            ).alias("acf_micro"),
         )
         .orderBy("lag")
     )
@@ -1818,10 +1835,10 @@ s AS (
 )
 SELECT CAST(n AS BIGINT) AS n_weeks,
        CAST(7 AS BIGINT) AS k_weekdays,
-       ROUND(3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8)
-             - 3.0 * n * 8, 4) AS friedman_chi2,
-       3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8) - 3.0 * n * 8
-         > 12.5916 AS reject_95
+       CAST((3000000 * CAST(q2 AS BIGINT)) // (56 * n) - 24000000 * n
+            AS BIGINT) AS friedman_chi2_micro,
+       30000 * CAST(q2 AS BIGINT) > (125916 + 240000 * n) * (56 * n)
+         AS reject_95
 FROM s
 """,
     doc=(
@@ -1834,8 +1851,9 @@ FROM s
         "integers via the doubled form 2r = 2(rank-1) + ties + 1 "
         "(mannwhitney convention inside 7-row partitions); "
         "chi2_F = 12/(n k(k+1)) * sum(R_j^2) - 3n(k+1) is evaluated "
-        "on the 2x sums as 3*sum(R2_j^2)/(n*7*8) - 3n*8, one shared "
-        "double expression over DECIMAL(38,0) integers; dof=6 "
+        "on the 2x sums as 3*sum(R2_j^2)/(n*7*8) - 3n*8, shipped as "
+        "pure-integer friedman_chi2_micro with reject_95 the exact "
+        "cross-multiplication (no final ROUND(double)); dof=6 "
         "critical 12.5916. Incomplete edge weeks are excluded "
         "(standard complete-block requirement). All windows run "
         "over the O(days) rollup (SURVEY §2.H)."
@@ -1878,14 +1896,21 @@ def friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nblocks").alias("n"),
         F.sum(F.col("r2sum").cast("decimal(38,0)") * F.col("r2sum")).alias("q2"),
     )
-    chi2 = F.expr(
-        "3.0 * CAST(q2 AS DOUBLE) / (CAST(n AS DOUBLE) * 7 * 8) - 3.0 * n * 8"
-    )
+    # q2 and n are exact integers bounded by CALENDAR time (q2 <=
+    # 2800*weeks^2), so plain BIGINT arithmetic holds at any corpus
+    # scale; chi2 ships as pure-integer micro-units and reject_95 as
+    # the cross-multiplication 3*q2*10^4 > (125916 + 240000n)*56n —
+    # no final ROUND(double), the r8 halfway hazard
     return s.select(
         F.col("n").cast("bigint").alias("n_weeks"),
         F.lit(7).cast("bigint").alias("k_weekdays"),
-        F.round(chi2, 4).alias("friedman_chi2"),
-        (chi2 > 12.5916).alias("reject_95"),
+        F.expr(
+            "CAST((3000000 * CAST(q2 AS BIGINT)) div (56 * n)"
+            " - 24000000 * n AS BIGINT)"
+        ).alias("friedman_chi2_micro"),
+        F.expr(
+            "30000 * CAST(q2 AS BIGINT) > (125916 + 240000 * n) * (56 * n)"
+        ).alias("reject_95"),
     )
 
 
