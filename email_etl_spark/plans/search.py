@@ -3880,7 +3880,8 @@ deg AS (
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(in_degree AS BIGINT) AS in_degree,
-       ROUND(CAST(sc AS DOUBLE) / in_degree, 4) AS avg_in_cos
+       CAST((100 * CAST(sc * 10000 AS BIGINT)) // in_degree AS BIGINT)
+           AS avg_in_cos_micro
 FROM deg ORDER BY in_degree DESC, vec_id LIMIT {_HUB_TOP}
 """,
     doc=(
@@ -3896,8 +3897,9 @@ FROM deg ORDER BY in_degree DESC, vec_id LIMIT {_HUB_TOP}
         "shuffle rows per vector, no corpus broadcast); the degree "
         "rollup is one map-side-combined aggregate over k·n edge rows "
         "and the cut is a TakeOrderedAndProject. Edge similarities "
-        "sum as exact DECIMAL(18,4) (order-insensitive) with one "
-        "double division at the end."
+        "sum as exact DECIMAL(18,4) (order-insensitive); the mean "
+        "ships as pure-integer avg_in_cos_micro = (10^6*sc) div "
+        "in_degree — no final ROUND(double), the r8 halfway hazard."
     ),
 )
 def hub_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3910,7 +3912,11 @@ def hub_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             F.col("in_degree").cast("bigint").alias("in_degree"),
-            F.round(F.col("sc").cast("double") / F.col("in_degree"), 4).alias("avg_in_cos"),
+            # sc is DECIMAL(18,4): *10^4 recovers the exact integer;
+            # Spark div and DuckDB // both truncate toward zero
+            F.expr("(100 * CAST(sc * 10000 AS BIGINT)) div in_degree")
+            .cast("bigint")
+            .alias("avg_in_cos_micro"),
         )
         .orderBy(F.desc("in_degree"), "vec_id")
         .limit(_HUB_TOP)
@@ -3957,9 +3963,10 @@ ig AS (
              AS DECIMAL(18,9))) AS idcg
   FROM ideal
 )
-SELECT ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
-       ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
-       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg
+SELECT CAST(dcg * 1000000000 AS BIGINT) AS dcg_nano,
+       CAST(idcg * 1000000000 AS BIGINT) AS idcg_nano,
+       CAST((1000000 * CAST(dcg * 1000000000 AS BIGINT))
+            // CAST(idcg * 1000000000 AS BIGINT) AS BIGINT) AS ndcg_micro
 FROM dg CROSS JOIN ig
 """
 
@@ -3977,8 +3984,10 @@ FROM dg CROSS JOIN ig
         "TakeOrderedAndProject, grades come from one broadcast-query "
         "map pass, the ideal ordering is a top-10 over the grade "
         "table; every DCG term is rounded to DECIMAL(18,9) BEFORE the "
-        "10-row sums (order-insensitive), and the final ratio is one "
-        "double division of exact decimals."
+        "10-row sums (order-insensitive), and the outputs are the "
+        "exact nano-unit integers of those sums plus the pure-integer "
+        "ndcg_micro = (10^6*dcg) div idcg — no final ROUND(double), "
+        "the r8 halfway hazard."
     ),
 )
 def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4024,9 +4033,15 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dcg.crossJoin(F.broadcast(ideal))
         .select(
-            F.round(F.col("dcg").cast("double"), 6).alias("dcg"),
-            F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
-            F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 4).alias("ndcg"),
+            # DECIMAL(18,9) sums: *10^9 recovers exact integers
+            F.expr("CAST(dcg * 1000000000 AS BIGINT)").alias("dcg_nano"),
+            F.expr("CAST(idcg * 1000000000 AS BIGINT)").alias("idcg_nano"),
+            F.expr(
+                "(1000000 * CAST(dcg * 1000000000 AS BIGINT))"
+                " div CAST(idcg * 1000000000 AS BIGINT)"
+            )
+            .cast("bigint")
+            .alias("ndcg_micro"),
         )
     )
 
@@ -4204,7 +4219,8 @@ scored AS (
 )
 SELECT cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(npmi) AS DOUBLE) / COUNT(*), 4) AS coherence
+       CAST(CAST(SUM(npmi) * 1000000000 AS BIGINT) // COUNT(*) AS BIGINT)
+           AS coherence_nano
 FROM scored GROUP BY cluster_id ORDER BY cluster_id
 """
 
@@ -4227,7 +4243,9 @@ FROM scored GROUP BY cluster_id ORDER BY cluster_id
         "keyed co-occurrence join; NPMI is one double expression over "
         "exact integer counts (exact-endpoint CASEs at dfj=0 and "
         "dfj=n), each pair term pre-rounded to DECIMAL(18,9) before "
-        "the per-cluster mean."
+        "the per-cluster mean, which ships as pure-integer "
+        "coherence_nano = (10^9*sum) div n_pairs (no final "
+        "ROUND(double), the r8 halfway hazard)."
     ),
 )
 def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4292,7 +4310,16 @@ def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("cluster_id")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.sum("npmi").cast("double") / F.count("*"), 4).alias("coherence"),
+            F.sum("npmi").alias("s"),
+        )
+        .select(
+            "cluster_id",
+            "n_pairs",
+            # exact DECIMAL(18,9) sum: *10^9 recovers the integer;
+            # Spark div and DuckDB // both truncate toward zero
+            F.expr("CAST(s * 1000000000 AS BIGINT) div n_pairs")
+            .cast("bigint")
+            .alias("coherence_nano"),
         )
         .orderBy("cluster_id")
     )

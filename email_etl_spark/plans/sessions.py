@@ -1886,9 +1886,9 @@ t AS (
 SELECT u.user_id,
        CAST(u.n_events AS BIGINT) AS n_events,
        CAST(u.n_types AS BIGINT) AS n_types,
-       ROUND(CAST(t.h AS DOUBLE), 4) AS entropy
+       CAST(t.h * 1000000000 AS BIGINT) AS entropy_nano
 FROM u JOIN t USING (user_id)
-ORDER BY entropy DESC, user_id LIMIT {_ENTROPY_TOP}
+ORDER BY entropy_nano DESC, user_id LIMIT {_ENTROPY_TOP}
 """,
     doc=(
         "Behavioral-diversity ranking: Shannon entropy of each user's "
@@ -1899,7 +1899,9 @@ ORDER BY entropy DESC, user_id LIMIT {_ENTROPY_TOP}
         "(SURVEY §2.L). One map-side-combined (user, type) count, "
         "per-user rollups joined back on the user key; each entropy "
         "term is pre-rounded to DECIMAL(18,9) before its per-user sum "
-        "(order-insensitive), and the cut is a TakeOrderedAndProject."
+        "(order-insensitive), shipped as the exact nano-unit integer "
+        "(no final ROUND(double), the r8 halfway hazard), and the cut "
+        "is a TakeOrderedAndProject."
     ),
 )
 def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,9 +1931,9 @@ def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("n_events").cast("bigint").alias("n_events"),
             F.col("n_types").cast("bigint").alias("n_types"),
-            F.round(F.col("h").cast("double"), 4).alias("entropy"),
+            F.expr("CAST(h * 1000000000 AS BIGINT)").alias("entropy_nano"),
         )
-        .orderBy(F.desc("entropy"), "user_id")
+        .orderBy(F.desc("entropy_nano"), "user_id")
         .limit(_ENTROPY_TOP)
     )
 

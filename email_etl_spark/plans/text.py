@@ -1107,8 +1107,8 @@ s AS (
   FROM t GROUP BY source
 )
 SELECT source, CAST(n AS BIGINT) AS n_docs,
-       ROUND((n * sxy - sx * sy) /
-             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_len_quality
+       (n * sxy - sx * sy) /
+           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_len_quality
 FROM s ORDER BY source
 """,
     doc=(
@@ -1120,7 +1120,9 @@ FROM s ORDER BY source
         "decimal products) and cast to double once per group, so the "
         "statistic is order-insensitive at any parallelism; the "
         "closed-form combination is fixed-order scalar arithmetic "
-        "(SURVEY §2.D)."
+        "over correctly-rounded IEEE ops (*, -, /, sqrt), shipped "
+        "UNROUNDED as one shared expression — bit-identical in both "
+        "engines, no final ROUND(double) halfway hazard (SURVEY §2.D)."
     ),
 )
 def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,7 +1148,7 @@ def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "source",
             F.col("n").cast("bigint").alias("n_docs"),
-            F.round(r, 4).alias("corr_len_quality"),
+            r.alias("corr_len_quality"),
         )
         .orderBy("source")
     )
@@ -1972,9 +1974,12 @@ agg AS (
 SELECT source,
        CAST(na_tot AS BIGINT) AS n_tok_first,
        CAST(nb_tot AS BIGINT) AS n_tok_second,
-       ROUND(0.5 * CAST(sum_a + sum_b AS DOUBLE)
-             + 0.5 * ln(2.0) * (CAST(na_tot - sa AS DOUBLE) / na_tot
-                                + CAST(nb_tot - sb AS DOUBLE) / nb_tot), 4) AS jsd
+       CAST(500 * CAST((sum_a + sum_b) * 1000000000 AS BIGINT)
+            + (693147180559945::HUGEINT *
+               ((1000000000::HUGEINT * (na_tot - sa)) // na_tot
+                + (1000000000::HUGEINT * (nb_tot - sb)) // nb_tot))
+              // 2000000000000::HUGEINT
+            AS BIGINT) AS jsd_pico
 FROM agg ORDER BY source
 """
 
@@ -1995,7 +2000,11 @@ FROM agg ORDER BY source
         "probability folds, per-token terms rounded to DECIMAL(18,9) "
         "before the distributed sum, absent-token ln(2) mass from "
         "integer remainders; the half-pair join is token-key bounded "
-        "and the midpoint is a 1-row broadcast."
+        "and the midpoint is a 1-row broadcast. jsd ships as "
+        "pure-integer jsd_pico: 500*(10^9*(sum_a+sum_b)) plus the "
+        "absent mass as (ln2*10^15 literal) * (ppb remainders) div "
+        "2*10^12 — every op exact integer (HUGEINT/DECIMAL(38,0)), no "
+        "final ROUND(double), no engine-evaluated ln(2)."
     ),
 )
 def text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,21 +2057,24 @@ def text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na").alias("sa"),
         F.sum("nb").alias("sb"),
     )
-    jsd = F.round(
-        F.lit(0.5) * (F.col("sum_a") + F.col("sum_b")).cast("double")
-        + F.lit(0.5)
-        * F.log(F.lit(2.0))
-        * (
-            (F.col("na_tot") - F.col("sa")).cast("double") / F.col("na_tot")
-            + (F.col("nb_tot") - F.col("sb")).cast("double") / F.col("nb_tot")
-        ),
-        4,
+    # exact pico-unit presentation: the shared-token mass is the exact
+    # DECIMAL(18,9) sum (*10^9*500 = pico/2), the absent-token mass is
+    # ln2 as the INTEGER literal 693147180559945 (ln2*10^15, engine-
+    # independent) times ppb integer remainders — every op is exact
+    # integer arithmetic in DECIMAL(38,0), so no final ROUND(double)
+    # and no engine-evaluated ln(2)
+    jsd = F.expr(
+        "500 * CAST((sum_a + sum_b) * 1000000000 AS BIGINT)"
+        " + CAST((CAST(693147180559945 AS DECIMAL(38,0)) *"
+        " ((CAST(1000000000 AS DECIMAL(38,0)) * (na_tot - sa)) div na_tot"
+        "  + (CAST(1000000000 AS DECIMAL(38,0)) * (nb_tot - sb)) div nb_tot))"
+        " div 2000000000000 AS BIGINT)"
     )
     return agg.select(
         "source",
         F.col("na_tot").cast("bigint").alias("n_tok_first"),
         F.col("nb_tot").cast("bigint").alias("n_tok_second"),
-        jsd.alias("jsd"),
+        jsd.cast("bigint").alias("jsd_pico"),
     ).orderBy("source")
 
 
