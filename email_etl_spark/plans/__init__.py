@@ -36,8 +36,92 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # ---- round-8 driver window (first 50) ----
-    # tier 0: this round's 15 NEW operators (never driver-checked)
+    # ---- round-9 driver window (first 50) ----
+    # tier 0: the r8 RED row, re-gated after the exact-output rewrite
+    # (VERDICT r8 #1: d_stat_micro / integer reject_95 / unrounded
+    # ks_stat — no final ROUND(double))
+    "ks_uniform_hour",
+    # tier 1: changed OUTPUT contract this round (shares the ivfpq
+    # oracle whose presentation moved to exact adc_micro) — driver-
+    # green r7, but the r7 row pinned the old columns
+    "ann_ivfpq_indexed",
+    # tier 2: the 19 backlog queries converted OFF final
+    # ROUND(double) outputs this round (VERDICT r8 #2 audit class —
+    # they gate with their new exact presentations)
+    "source_gini_tokens",
+    "join_estimate_qerror",
+    "deseasonalized_acf",
+    "unigram_noise_table",
+    "friedman_weekday",
+    "pca_top2_loadings",
+    "pca_explained_variance",
+    "burst_days_kleinberg",
+    "discord_weeks",
+    "motif_weeks",
+    "ab_power_mde",
+    "hub_vectors",
+    "text_drift",
+    "ndcg_eval",
+    "topic_coherence",
+    "user_entropy",
+    "linear_probe",
+    "quality_length_corr",
+    "ann_ivfpq",
+    # tier 3: backlog with INTERNAL-only Round-over-double (ordering
+    # keys/bucketing — reviewed in ROUND_AUDIT.json, outputs exact)
+    "wasserstein_value_drift",
+    "revenue_yoy",
+    "quantile_drift_table",
+    "int8_quant_report",
+    "pca_projection_hist",
+    # tier 4: remaining never-driver-checked backlog (zero
+    # Round-over-double anywhere), registration order — 24 of 31 fit;
+    # the 7 deferred to r10 are listed below the window marker
+    "event_id_gap_audit",
+    "dup_rate_by_ingest_bucket",
+    "pii_density_by_source",
+    "shuffle_partition_plan",
+    "session_gap_sensitivity",
+    "mixture_anneal_schedule",
+    "cluster_source_span",
+    "predicate_selectivity_report",
+    "term_burstiness_topk",
+    "revenue_concentration",
+    "first_order_ltv",
+    "expanded_search",
+    "activity_streaks",
+    "peak_load_report",
+    "props_k_liftcurve",
+    "supplier_delay_variance",
+    "purchase_hazard",
+    "asof_join_forward",
+    "ngram_novelty",
+    "burstiness",
+    "value_ks_drift",
+    "text_index_stats",
+    "props_schema_profile",
+    "order_backlog_aging",
+    # ---- below the 50-query window ----
+    # never-checked backlog tail deferred to round 10 (7 queries; all
+    # zero Round-over-double, all green in SWEEP.json at both SFs):
+    # 55-query r8 backlog = 48 gated above + these 7
+    "segment_flow",
+    "weighted_length_quantiles",
+    "range_partition_plan",
+    "ooo_report",
+    "bloom_semi_join",
+    "zorder_layout",
+    "vocab_growth",
+    # changed-helper, previously green, re-verified at both SFs by
+    # the full sweep (r9: _km_bcast_pair broadcast memoization —
+    # outputs identical by construction; ann_pq keeps its columns,
+    # only the shared ADC struct gained an additive field)
+    "semdedup_prune",
+    "kmeans_codebook",
+    "cluster_exemplars",
+    "ann_pq",
+    # round-8 driver window (all green in CORRECTNESS_r08.json except
+    # ks_uniform_hour, re-gated at tier 0 above)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
@@ -53,14 +137,8 @@ _GATE_ORDER = (
     "classical_decompose_daily",
     "mutual_information_type_hour",
     "packed_sequence_stats",
-    # tier 1: never-driver-checked queries whose SHARED CODE changed
-    # this round (_km_assign gained the bounded-K Arrow-kernel path;
-    # these two route through the helper)
     "cluster_top_terms",
     "label_purity",
-    # tier 2: never-checked backlog head — 33 slots (15 new ops +
-    # 2 changed-helper queries fill the rest of the 50), retiring the
-    # r7 late batch in registration order (VERDICT r7 #2)
     "mannwhitney_value",
     "periodogram_daily",
     "embedding_isotropy",
@@ -78,7 +156,6 @@ _GATE_ORDER = (
     "attribution_first_touch",
     "pack_efficiency_curve",
     "calinski_harabasz",
-    "ks_uniform_hour",
     "spearman_value_hour",
     "cohens_d_value",
     "new_vs_returning_daily",
@@ -94,79 +171,12 @@ _GATE_ORDER = (
     "capture_recapture_users",
     "price_elasticity_loglog",
     "parquet_compression_profile",
-    # ---- below the 50-query window ----
-    # never-checked backlog tail (round 9 retires it: 55 queries —
-    # the 15 displaced by this round's new-ops tier, then the 40)
-    "source_gini_tokens",
-    "join_estimate_qerror",
-    "deseasonalized_acf",
-    "unigram_noise_table",
-    "friedman_weekday",
-    "event_id_gap_audit",
-    "dup_rate_by_ingest_bucket",
-    "pii_density_by_source",
-    "shuffle_partition_plan",
-    "session_gap_sensitivity",
-    "mixture_anneal_schedule",
-    "cluster_source_span",
-    "predicate_selectivity_report",
-    "pca_top2_loadings",
-    "pca_explained_variance",
-    "burst_days_kleinberg",
-    "wasserstein_value_drift",
-    "discord_weeks",
-    "motif_weeks",
-    "term_burstiness_topk",
-    "revenue_yoy",
-    "quantile_drift_table",
-    "ab_power_mde",
-    "revenue_concentration",
-    "first_order_ltv",
-    "expanded_search",
-    "activity_streaks",
-    "peak_load_report",
-    "props_k_liftcurve",
-    "supplier_delay_variance",
-    "purchase_hazard",
-    "int8_quant_report",
-    "hub_vectors",
-    "asof_join_forward",
-    "text_drift",
-    "ndcg_eval",
-    "ngram_novelty",
-    "burstiness",
-    "topic_coherence",
-    "user_entropy",
-    "value_ks_drift",
-    "text_index_stats",
-    "props_schema_profile",
-    "order_backlog_aging",
-    "segment_flow",
-    "weighted_length_quantiles",
-    "range_partition_plan",
-    "pca_projection_hist",
-    "ooo_report",
-    "bloom_semi_join",
-    "zorder_layout",
-    "linear_probe",
-    "vocab_growth",
-    "quality_length_corr",
-    "ann_ivfpq",
-    # changed-this-round, previously green, re-verified at both SFs
-    # by sweep_delta + the sf0.1 records (the _km_assign bounded-K
-    # rework touches semdedup_prune's join path and the K=8 literal
-    # consumers' shared helper)
-    "semdedup_prune",
-    "kmeans_codebook",
-    "cluster_exemplars",
     # round-7 driver window (all green in CORRECTNESS_r07.json)
     "closure_edge_stats",
     "minhash_est_error",
     "dedup_method_agreement",
     "dp_mean_release",
     "ljung_box_daily",
-    "ann_pq",
-    "ann_ivfpq_indexed",
     "pq_recall_eval",
     "bm25_indexed",
     "hard_negatives",

@@ -2470,6 +2470,9 @@ def _pq_adc_struct(qrow, books1: dict):
     return F.struct(
         F.lit(qid).cast("bigint").alias("query_id"),
         adc.cast("double").alias("adc_dist"),
+        # the exact DECIMAL sum, for consumers that present integer
+        # micro-units instead of a final ROUND(double) (ann_ivfpq)
+        adc.alias("adc_dec"),
     )
 
 
@@ -2594,13 +2597,14 @@ lut AS (
 ),
 adc AS (
   SELECT cand.query_id, cand.vec_id,
-         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist,
+         CAST(SUM(CAST(l.pd AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS adc_micro
   FROM cand
   JOIN codes x ON x.vec_id = cand.vec_id
   JOIN lut l ON l.query_id = cand.query_id AND l.m = x.m AND l.cid = x.cid
   GROUP BY 1, 2
 )
-SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist
+SELECT query_id, vec_id, adc_micro
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id) AS rn
   FROM adc
@@ -2677,13 +2681,24 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(codes, "vec_id")
         .select("query_id", "vec_id", F.explode(F.array(*per_q)).alias("qa"))
         .where(F.col("qa.query_id") == F.col("query_id"))
-        .select("query_id", "vec_id", F.col("qa.adc_dist").alias("adc_dist"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("qa.adc_dist").alias("adc_dist"),
+            F.col("qa.adc_dec").alias("adc_dec"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= PQ_TOPK)
-        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        # exact micro-unit presentation off the DECIMAL(18,6) ADC sum
+        # (no final ROUND(double), the r8 halfway hazard)
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr("CAST(adc_dec * 1000000 AS BIGINT)").alias("adc_micro"),
+        )
         .orderBy("query_id", "vec_id")
     )
 
@@ -2932,6 +2947,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qa.query_id").alias("query_id"),
             "vec_id",
             F.col("qa.adc_dist").alias("adc_dist"),
+            F.col("qa.adc_dec").alias("adc_dec"),
         )
         .where(F.col("vec_id") != F.col("query_id"))
     )
@@ -2939,7 +2955,12 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= PQ_TOPK)
-        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        # exact micro-unit presentation (shared ivfpq oracle contract)
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr("CAST(adc_dec * 1000000 AS BIGINT)").alias("adc_micro"),
+        )
         .orderBy("query_id", "vec_id")
     )
 
@@ -4765,10 +4786,10 @@ g2 AS (
   FROM pr CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
 ),
 g2b AS (SELECT SUM(CAST(ROUND(p - y, 6) AS DECIMAL(18,6))) AS g FROM pr)
-SELECT CAST(0 AS BIGINT) AS dim, ROUND(w1b.wb + CAST(g2b.g * -0.001 AS DOUBLE), 6) + 0.0 AS weight
+SELECT CAST(0 AS BIGINT) AS dim, w1b.wb + CAST(g2b.g * -0.001 AS DOUBLE) + 0.0 AS weight
 FROM w1b CROSS JOIN g2b
 UNION ALL
-SELECT CAST(g2.dim AS BIGINT) AS dim, ROUND(w1.w[g2.dim] + CAST(g2.g * -0.001 AS DOUBLE), 6) + 0.0 AS weight
+SELECT CAST(g2.dim AS BIGINT) AS dim, w1.w[g2.dim] + CAST(g2.g * -0.001 AS DOUBLE) + 0.0 AS weight
 FROM g2 CROSS JOIN w1
 ORDER BY dim
 """
@@ -4793,7 +4814,9 @@ ORDER BY dim
         "parallelism), weight updates are exact decimal multiplies "
         "(g * -0.001), and epoch-2 margins round to 6 dp before the "
         "sigmoid so both engines fold identical doubles in identical "
-        "order (SURVEY §2.F)."
+        "order; the final weights ship UNROUNDED (one correctly-"
+        "rounded IEEE add of decimal-derived doubles — no final "
+        "ROUND(double), the r8 halfway hazard) (SURVEY §2.F)."
     ),
 )
 def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4843,15 +4866,16 @@ def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g")
     )
+    # weights ship UNROUNDED: both addends are doubles derived from
+    # exact decimals, so the sum is one correctly-rounded IEEE op,
+    # bit-identical in both engines (no final ROUND(double), the r8
+    # halfway hazard); +0.0 still pins the -0.0 sign
     dims = g2.select(
         (F.col("pos") + 1).cast("bigint").alias("dim"),
         (
-            F.round(
-                F.element_at(w1lit, (F.col("pos") + 1).cast("int"))
-                + F.expr("CAST(g * -0.001 AS DOUBLE)"),
-                6,
-            )
-            + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: pin the zero sign in both engines
+            F.element_at(w1lit, (F.col("pos") + 1).cast("int"))
+            + F.expr("CAST(g * -0.001 AS DOUBLE)")
+            + F.lit(0.0)
         ).alias("weight"),
     )
     bias = (
@@ -4859,7 +4883,7 @@ def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit(0).cast("bigint").alias("dim"),
             (
-                F.round(F.lit(w1b) + F.expr("CAST(g * -0.001 AS DOUBLE)"), 6) + F.lit(0.0)
+                F.lit(w1b) + F.expr("CAST(g * -0.001 AS DOUBLE)") + F.lit(0.0)
             ).alias("weight"),
         )
     )
@@ -6548,8 +6572,8 @@ w2 AS (
     oracle=f"""
 WITH {_pca2_ctes()}
 SELECT CAST(d.i AS BIGINT) AS dim,
-       ROUND(u1.u[d.i], 6) AS loading1,
-       ROUND(w2.w[d.i] / sqrt({_pca_dot_sql('w2.w', 'w2.w')}), 6) AS loading2
+       u1.u[d.i] AS loading1,
+       w2.w[d.i] / sqrt({_pca_dot_sql('w2.w', 'w2.w')}) AS loading2
 FROM u1 CROSS JOIN w2 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
 ORDER BY dim
 """,
@@ -6564,8 +6588,9 @@ ORDER BY dim
         "(two per component, the pca_power_top1 recipe); every "
         "64-length reduction (norms, projection coefficients) is an "
         "ORDERED sequential fold run identically in both engines — "
-        "no mid-stream rounding anywhere, only the final loadings "
-        "round (SURVEY §2.F)."
+        "no mid-stream rounding anywhere, and the loadings ship "
+        "UNROUNDED off the bit-identical iterates (no final "
+        "ROUND(double), the r8 halfway hazard) (SURVEY §2.F)."
     ),
 )
 def pca_top2_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6586,10 +6611,10 @@ def pca_top2_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (F.col("pos") + 1).cast("bigint").alias("dim"),
-            F.round(F.col("l1"), 6).alias("loading1"),
-            F.round(
-                F.element_at(F.col("w"), F.col("pos") + 1) / F.col("n"), 6
-            ).alias("loading2"),
+            F.col("l1").alias("loading1"),
+            (F.element_at(F.col("w"), F.col("pos") + 1) / F.col("n")).alias(
+                "loading2"
+            ),
         )
         .orderBy("dim")
     )
@@ -6608,7 +6633,7 @@ tr AS (
   SELECT CAST(SUM(CAST(ROUND(v[d.i] * v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS t
   FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
 )
-SELECT component, ROUND(eigenvalue, 4) AS eigenvalue,
+SELECT component, eigenvalue,
        CAST(FLOOR(eigenvalue * 10000 / t) AS BIGINT) AS var_share_bps
 FROM (
   SELECT 1 AS component, l1 AS eigenvalue FROM lam
@@ -6646,7 +6671,7 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for comp, lam in ((1, lam1), (2, lam2)):
         row = tr.select(
             F.lit(comp).cast("bigint").alias("component"),
-            F.round(F.lit(lam), 4).alias("eigenvalue"),
+            F.lit(lam).alias("eigenvalue"),
             F.expr(f"CAST(FLOOR({lam!r} * 10000 / t) AS BIGINT)").alias(
                 "var_share_bps"
             ),

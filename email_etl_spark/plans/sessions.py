@@ -4360,10 +4360,10 @@ s AS (
 )
 SELECT n_a, n_b,
        CAST(conv * 10000 // (n_a + n_b) AS BIGINT) AS base_rate_bps,
-       ROUND((1.96 + 0.8416)
+       (1.96 + 0.8416)
              * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
                     * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_abs,
+                    * (1.0 / n_a + 1.0 / n_b)) AS mde_abs,
        CAST(FLOOR((1.96 + 0.8416)
              * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
                     * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
@@ -4382,7 +4382,11 @@ FROM s
         "the effect you hope for is below the MDE, the test cannot "
         "see it and running it is theater. Same one-scan user rollup "
         "as ab_test_lift/ab_srm_check; exact integers into two shared "
-        "double expressions (SURVEY §2.H)."
+        "double expressions of correctly-rounded IEEE ops (/, *, "
+        "sqrt; 1.96+0.8416 folds exactly to the double 2.8016 in both "
+        "engines), so mde_abs ships UNROUNDED and mde_relative_bps is "
+        "a FLOOR of the bit-identical value — no final ROUND(double), "
+        "the r8 halfway hazard (SURVEY §2.H)."
     ),
 )
 def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4411,6 +4415,6 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.expr("conv * 10000 div (n_a + n_b)").cast("bigint").alias("base_rate_bps"),
-        F.round(mde, 6).alias("mde_abs"),
+        mde.alias("mde_abs"),
         F.floor(mde / p * 10000).cast("bigint").alias("mde_relative_bps"),
     )

@@ -1966,7 +1966,7 @@ fit AS (
   FROM prm
 )
 SELECT nd AS n_days,
-       ROUND(LEAST(st[1], st[3]), 4) AS total_cost,
+       LEAST(st[1], st[3]) AS total_cost,
        CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
            AS n_burst_days,
        CAST(CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
@@ -1986,7 +1986,9 @@ FROM fit
         "higher-order fold over the day-ordered array (holt's 4-list "
         "accumulator pattern: two state costs + the burst-day count "
         "carried along each best path), identical op trees in both "
-        "engines, ties broken toward the base state (SURVEY §2.H)."
+        "engines — total_cost ships UNROUNDED off that shared tree "
+        "(no final ROUND(double)) — ties broken toward the base "
+        "state (SURVEY §2.H)."
     ),
 )
 def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2025,7 +2027,9 @@ def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fit.select(
         F.col("nd").alias("n_days"),
-        F.round(F.expr("LEAST(st[0], st[2])"), 4).alias("total_cost"),
+        # identical fold op trees both engines: ships UNROUNDED (no
+        # final ROUND(double), the r8 halfway hazard)
+        F.expr("LEAST(st[0], st[2])").alias("total_cost"),
         nburst.alias("n_burst_days"),
         F.expr(
             "CAST(CASE WHEN st[0] <= st[2] THEN st[1] ELSE st[3] END AS BIGINT)"
@@ -2081,7 +2085,7 @@ pairs AS (
 prof AS (SELECT s, MIN(dist) AS profile FROM pairs GROUP BY s)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY profile DESC, s) AS BIGINT) AS rank,
        CAST(s AS BIGINT) AS start_day_index,
-       ROUND(profile, 4) AS discord_distance
+       profile AS discord_distance
 FROM prof
 ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
 """,
@@ -2097,7 +2101,8 @@ ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
         "Everything runs over the O(days) rollup: ~|days| windows, "
         "z-normalization and distances as ordered sequential folds "
         "(identical op trees both engines, sd=0 windows map to zero "
-        "vectors), the window-pair join is dimension-sized by "
+        "vectors) so the distance ships UNROUNDED (no final "
+        "ROUND(double)), the window-pair join is dimension-sized by "
         "construction, top-3 via the profile ranking. BOUND: after "
         "the distributed daily rollup the series collapses to ONE "
         "array built in ONE task, and the pair space is O(days^2) "
@@ -2162,7 +2167,9 @@ def discord_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rank",
             F.col("s").cast("bigint").alias("start_day_index"),
-            F.round("profile", 4).alias("discord_distance"),
+            # bit-identical ordered folds both engines: ships UNROUNDED
+            # (no final ROUND(double), the r8 halfway hazard)
+            F.col("profile").alias("discord_distance"),
         )
         .orderBy(F.desc("discord_distance"), "start_day_index")
     )
@@ -2203,7 +2210,7 @@ pairs AS (
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, s1, s2) AS BIGINT) AS rank,
        CAST(s1 AS BIGINT) AS start_day_a,
        CAST(s2 AS BIGINT) AS start_day_b,
-       ROUND(dist, 4) AS motif_distance
+       dist AS motif_distance
 FROM pairs
 ORDER BY dist, s1, s2 LIMIT {_DISCORD_TOP}
 """,
@@ -2280,7 +2287,8 @@ def motif_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("s1").cast("bigint").alias("start_day_a"),
             F.col("s2").cast("bigint").alias("start_day_b"),
-            F.round("dist", 4).alias("motif_distance"),
+            # bit-identical ordered folds both engines: ships UNROUNDED
+            F.col("dist").alias("motif_distance"),
         )
         .orderBy("motif_distance", "start_day_a", "start_day_b")
     )

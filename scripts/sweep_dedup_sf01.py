@@ -21,8 +21,6 @@ import json
 import os
 import sys
 import time
-from concurrent.futures import ProcessPoolExecutor
-from concurrent.futures import TimeoutError as FutTimeout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -45,19 +43,6 @@ _CHEAP = (
     "content_chunk_dedup",
     "dedup_tiers",
 )
-
-
-def _oracle_rows(sql: str, sf_dir: str):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import duckdb  # noqa: F401  (worker import)
-
-    from tests.oracle import run_oracle
-
-    import duckdb as d
-
-    # cap worker threads so the box stays usable
-    cols, rows = run_oracle(sql, sf_dir)
-    return cols, rows
 
 
 def main() -> int:
@@ -111,25 +96,27 @@ def main() -> int:
                 sort_keys=True,
             )
 
+    from sweep_late_sf01 import query_fingerprint, run_oracle_with_timeout
+
     failures = 0
-    pool = ProcessPoolExecutor(max_workers=1)
     for name in ordered:
-        if name in results and not results[name]["status"].startswith("oracle-timeout"):
-            continue  # recorded by a previous (partial) run this round
         q = REGISTRY[name]
+        fp = query_fingerprint(q)
+        prior = results.get(name, {})
+        if (
+            name in results
+            and not prior["status"].startswith("oracle-timeout")
+            and prior.get("fingerprint") == fp
+        ):
+            continue  # recorded for the SAME query identity
         t0 = time.time()
         try:
             s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
-            fut = pool.submit(_oracle_rows, q.oracle, sf_dir)
-            try:
-                o_cols, o_rows = fut.result(timeout=per_to)
-            except FutTimeout:
-                for p in pool._processes.values():  # noqa: SLF001
-                    p.terminate()
-                pool.shutdown(wait=False)
-                pool = ProcessPoolExecutor(max_workers=1)
+            kind, payload = run_oracle_with_timeout(q.oracle, sf_dir, per_to)
+            if kind == "timeout":
                 results[name] = {
                     "head": git_head,
+                    "fingerprint": fp,
                     "status": f"oracle-timeout(>{per_to}s; engine side OK,"
                     f" {len(s_rows)} rows)",
                     "secs": round(time.time() - t0, 1),
@@ -137,6 +124,7 @@ def main() -> int:
                 flush()
                 print(f"{name}: oracle-timeout", flush=True)
                 continue
+            o_cols, o_rows = payload
             problems = []
             if sorted(s_cols) != sorted(o_cols):
                 problems.append("columns differ")
@@ -151,6 +139,7 @@ def main() -> int:
             failures += 1
         results[name] = {
             "head": git_head,
+            "fingerprint": fp,
             "status": status,
             "secs": round(time.time() - t0, 1),
         }

@@ -9,19 +9,28 @@ FIRST; the rest follow in registration order.
 
 Writes LATE_SF01.json INCREMENTALLY (after every query) so partial
 progress survives interruption; each oracle runs in a worker
-subprocess with a hard timeout (sweep_dedup_sf01.py pattern).
+subprocess with a hard timeout.
+
+Reuse policy (ADVICE r8): a green row is reused ONLY while its
+recorded query FINGERPRINT (sha256 of the builder source + oracle
+SQL) matches the current registry — a query whose code or oracle
+changed since the row was recorded always re-runs, so the artifact
+can never silently mix result contracts across heads. (Fingerprints
+don't see shared-helper internals; the 2-SF full sweep covers those.)
 
 Run: python scripts/sweep_late_sf01.py [sf_dir] [per_oracle_timeout_s]
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
+import multiprocessing as mp
 import os
+import queue as queue_mod
 import sys
 import time
-from concurrent.futures import ProcessPoolExecutor
-from concurrent.futures import TimeoutError as FutTimeout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -60,11 +69,43 @@ def _late_batch() -> list[str]:
     return [n for n in REGISTRY if n not in sampled]
 
 
-def _oracle_rows(sql: str, sf_dir: str):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from tests.oracle import run_oracle
+def query_fingerprint(q) -> str:
+    """sha256 over the builder source + oracle SQL: the identity a
+    recorded green row is valid for."""
+    src = inspect.getsource(q.builder)
+    return hashlib.sha256((src + (q.oracle or "")).encode()).hexdigest()[:16]
 
-    return run_oracle(sql, sf_dir)
+
+def _oracle_worker(sql: str, sf_dir: str, out: "mp.Queue") -> None:
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tests.oracle import run_oracle
+
+        out.put(("ok", run_oracle(sql, sf_dir)))
+    except Exception as exc:  # noqa: BLE001 — report, don't hang
+        out.put(("err", repr(exc)))
+
+
+def run_oracle_with_timeout(sql: str, sf_dir: str, timeout_s: int):
+    """('ok', (cols, rows)) | ('timeout', None); raises on oracle
+    error. A timed-out worker is terminate()d via its own Process
+    handle — no executor private API. fork context: the worker only
+    runs DuckDB (no JVM state crosses the fork), and fork avoids
+    spawn's __main__ re-import."""
+    ctx = mp.get_context("fork")
+    out: mp.Queue = ctx.Queue()
+    p = ctx.Process(target=_oracle_worker, args=(sql, sf_dir, out), daemon=True)
+    p.start()
+    try:
+        kind, payload = out.get(timeout=timeout_s)
+    except queue_mod.Empty:
+        p.terminate()
+        p.join(10)
+        return ("timeout", None)
+    p.join(10)
+    if kind == "err":
+        raise RuntimeError(payload)
+    return ("ok", payload)
 
 
 def main() -> int:
@@ -100,26 +141,24 @@ def main() -> int:
             )
 
     failures = 0
-    pool = ProcessPoolExecutor(max_workers=1)
     for name in ordered:
-        # reuse only green rows (each carries the head it was recorded
-        # at); FAIL/ERROR/timeout rows always retry so a fix is recleared
-        if results.get(name, {}).get("status") == "ok":
-            continue
         q = REGISTRY[name]
+        fp = query_fingerprint(q)
+        prior = results.get(name, {})
+        # reuse green rows ONLY for the same query identity;
+        # FAIL/ERROR/timeout rows always retry so a fix is recleared
+        if prior.get("status") == "ok":
+            if prior.get("fingerprint") == fp:
+                continue
+            print(f"{name}: green row is for a changed query — re-running", flush=True)
         t0 = time.time()
         try:
             s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
-            fut = pool.submit(_oracle_rows, q.oracle, sf_dir)
-            try:
-                o_cols, o_rows = fut.result(timeout=per_to)
-            except FutTimeout:
-                for p in pool._processes.values():  # noqa: SLF001
-                    p.terminate()
-                pool.shutdown(wait=False)
-                pool = ProcessPoolExecutor(max_workers=1)
+            kind, payload = run_oracle_with_timeout(q.oracle, sf_dir, per_to)
+            if kind == "timeout":
                 results[name] = {
                     "head": git_head,
+                    "fingerprint": fp,
                     "status": f"oracle-timeout(>{per_to}s; engine side OK,"
                     f" {len(s_rows)} rows)",
                     "secs": round(time.time() - t0, 1),
@@ -127,6 +166,7 @@ def main() -> int:
                 flush()
                 print(f"{name}: oracle-timeout", flush=True)
                 continue
+            o_cols, o_rows = payload
             problems = []
             if sorted(s_cols) != sorted(o_cols):
                 problems.append("columns differ")
@@ -141,6 +181,7 @@ def main() -> int:
             failures += 1
         results[name] = {
             "head": git_head,
+            "fingerprint": fp,
             "status": status,
             "secs": round(time.time() - t0, 1),
         }

