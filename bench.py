@@ -4,7 +4,12 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "original17_subtotal": <sec>,
+   "sf": <float>}
+
+`value` is the FULL current suite; `original17_subtotal` is the
+round-1..7 headline set, kept separately so round-over-round tracking
+stays comparable after the suite widened in round 8 (VERDICT r8 #6).
 """
 
 from __future__ import annotations
@@ -45,6 +50,16 @@ def main() -> None:
         timings[q.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the r1-r7 headline set: round-over-round continuity after the
+    # suite widened to 21 queries in round 8
+    original17 = (
+        "ann_bruteforce", "ann_lsh", "ann_lsh_indexed", "bm25_indexed",
+        "dedup_minhash", "fuzzy_decontaminate", "hybrid_search",
+        "image_decode_stats", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier", "rag_context", "semantic_topk", "sessionize",
+        "top_customers", "tumbling_counts", "unigram_logprob",
+    )
+    subtotal17 = round(sum(timings.get(n, 0.0) for n in original17), 3)
     print(
         json.dumps(
             {
@@ -52,6 +67,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "original17_subtotal": subtotal17,
                 "sf": sf,
             }
         )
