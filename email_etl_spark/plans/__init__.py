@@ -41,10 +41,15 @@ _GATE_ORDER = (
     # (VERDICT r8 #1: d_stat_micro / integer reject_95 / unrounded
     # ks_stat — no final ROUND(double))
     "ks_uniform_hour",
-    # tier 1: changed OUTPUT contract this round (shares the ivfpq
-    # oracle whose presentation moved to exact adc_micro) — driver-
-    # green r7, but the r7 row pinned the old columns
+    # tier 1: changed OUTPUT contract this round — ann_ivfpq_indexed
+    # shares the ivfpq oracle whose presentation moved to exact
+    # adc_micro (driver-green r7 under the old columns);
+    # rocchio_expansion's old final ROUND(double,4) produced a REAL
+    # hash mismatch at sf0.1 (0.46155 exactly on the halfway — caught
+    # by the new FULL_SF01 sweep), fixed to pure-integer e5 units and
+    # re-gated here
     "ann_ivfpq_indexed",
+    "rocchio_expansion",
     # tier 2: the 19 backlog queries converted OFF final
     # ROUND(double) outputs this round (VERDICT r8 #2 audit class —
     # they gate with their new exact presentations)
@@ -75,8 +80,8 @@ _GATE_ORDER = (
     "int8_quant_report",
     "pca_projection_hist",
     # tier 4: remaining never-driver-checked backlog (zero
-    # Round-over-double anywhere), registration order — 24 of 31 fit;
-    # the 7 deferred to r10 are listed below the window marker
+    # Round-over-double anywhere), registration order — 23 of 31 fit;
+    # the 8 deferred to r10 are listed below the window marker
     "event_id_gap_audit",
     "dup_rate_by_ingest_bucket",
     "pii_density_by_source",
@@ -100,11 +105,23 @@ _GATE_ORDER = (
     "value_ks_drift",
     "text_index_stats",
     "props_schema_profile",
-    "order_backlog_aging",
     # ---- below the 50-query window ----
-    # never-checked backlog tail deferred to round 10 (7 queries; all
-    # zero Round-over-double, all green in SWEEP.json at both SFs):
-    # 55-query r8 backlog = 48 gated above + these 7
+    # round-9 NEW operators (r10 gate tier 0 candidates; all follow
+    # the exact-output convention the window lint enforces, so they
+    # can enter the window unconverted)
+    "chao1_vocab_estimate",
+    "grubbs_outlier_daily",
+    "cramers_v_type_weekday",
+    "uncertainty_coeff_type_hour",
+    "dup_jaccard_histogram",
+    "quality_token_tradeoff",
+    "packed_attention_waste",
+    # never-checked backlog tail deferred to round 10 (8 queries; all
+    # zero Round-over-double, all green in SWEEP.json at both SFs and
+    # in FULL_SF01.json at sf0.1): 55-query r8 backlog = 47 gated
+    # above + these 8 (order_backlog_aging displaced by the
+    # rocchio_expansion re-gate)
+    "order_backlog_aging",
     "segment_flow",
     "weighted_length_quantiles",
     "range_partition_plan",
@@ -230,7 +247,6 @@ _GATE_ORDER = (
     "incremental_neardup",
     "fuzzy_decontaminate",
     "mv_refresh_delta",
-    "rocchio_expansion",
     "join_size_estimate",
     "knn_join",
     "dedup_embedding",

@@ -2513,3 +2513,206 @@ def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boundary_docs",
         "doc_seq_incidences",
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_token_tradeoff — tokens surviving each quality cut, by decile.
+# ---------------------------------------------------------------------------
+
+
+def _quality_tradeoff_oracle() -> str:
+    from email_etl_spark.plans.text import _PUNCT, _stop_sql, _TOKS  # noqa: F401
+
+    qsql = (
+        f"ROUND(0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+        f" + 0.3 * LEAST(4.0 * {_stop_sql(T.STOPWORDS)} / GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0), 1.0)"
+        f" + 0.3 * (1.0 - LEAST(4.0 * {_PUNCT} / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0)), 4)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({qsql} AS DECIMAL(5,4)) AS q,
+         CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM documents
+),
+t AS (
+  SELECT NTILE(10) OVER (ORDER BY q DESC, doc_id) AS decile, q, n FROM d
+),
+g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(MIN(q * 10000) AS BIGINT) AS min_quality_bps
+  FROM t GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_tokens, min_quality_bps,
+       CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+       CAST((10000 * SUM(n_tokens) OVER (ORDER BY decile))
+            // (SELECT SUM(n_tokens) FROM g) AS BIGINT) AS cum_token_bps
+FROM g ORDER BY decile
+"""
+
+
+@register(
+    "quality_token_tradeoff",
+    oracle=_quality_tradeoff_oracle(),
+    doc=(
+        "The quality-vs-quantity curve every pretraining-data cut is "
+        "negotiated on: documents ranked into quality deciles (best = "
+        "decile 1, deterministic (q DESC, doc_id) order), with per-"
+        "decile and CUMULATIVE token counts — 'keep only the top 30% "
+        "by quality' reads straight off cum_token_bps as the fraction "
+        "of the token budget that survives, and min_quality_bps gives "
+        "the score threshold that decile boundary implies (the "
+        "continuous companion to length_filter_curve and "
+        "filter_ablation's fixed cuts). One scan + one 10-row rollup; "
+        "the NTILE runs over the corpus-wide (q, doc_id) order — a "
+        "RangePartitioning sort, the same cost class as "
+        "quantile_normalize and stratified ntile assignments (SURVEY "
+        "§4 presentation-sorts row); every output is an exact integer "
+        "(DECIMAL(5,4) quality * 10^4, integer cumsums, truncating "
+        "div — no final ROUND(double), SURVEY §2.L)."
+    ),
+)
+def quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).cast("decimal(5,4)").alias("q"),
+        T.token_count(F.col("text")).cast("bigint").alias("n"),
+    )
+    t = d.select(
+        F.ntile(10).over(Window.orderBy(F.desc("q"), "doc_id")).alias("decile"),
+        "q",
+        "n",
+    )
+    g = t.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.min(F.expr("CAST(q * 10000 AS BIGINT)")).alias("min_quality_bps"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        g.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "n_tokens",
+            "min_quality_bps",
+            F.sum("n_tokens").over(w_cum).cast("bigint").alias("cum_tokens"),
+            F.sum("n_tokens").over(w_all).alias("_tot"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "min_quality_bps",
+            "cum_tokens",
+            F.expr("(10000 * cum_tokens) div _tot").cast("bigint").alias(
+                "cum_token_bps"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# packed_attention_waste — cross-document attention overhead of packing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "packed_attention_waste",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE len({_TOKS}) > 0
+),
+o AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+),
+spans AS (
+  SELECT UNNEST(range(CAST(off // 512 AS BIGINT),
+                      CAST((off + n - 1) // 512 + 1 AS BIGINT))) AS sid, off, n
+  FROM o
+),
+sl AS (
+  SELECT sid,
+         LEAST(off + n, (sid + 1) * 512) - GREATEST(off, sid * 512) AS len
+  FROM spans
+),
+seq AS (
+  SELECT sid, CAST(SUM(len) AS BIGINT) AS L,
+         CAST(SUM(len * len) AS BIGINT) AS s2
+  FROM sl GROUP BY sid
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences,
+         CAST(SUM(L * (L + 1) // 2) AS BIGINT) AS total_pairs,
+         CAST(SUM((L * L - s2) // 2) AS BIGINT) AS cross_doc_pairs
+  FROM seq
+)
+SELECT n_sequences, total_pairs, cross_doc_pairs,
+       CAST((10000 * cross_doc_pairs) // total_pairs AS BIGINT) AS waste_bps
+FROM s
+""",
+    doc=(
+        "Cross-document attention overhead of the fixed-length (L=512) "
+        "packing plan: within each packed sequence, how many causal "
+        "attention pairs (q, k<=q over real tokens) connect tokens "
+        "from DIFFERENT documents — the work a block-diagonal "
+        "attention mask saves, and the contamination an unmasked "
+        "trainer pays. packed_sequence_stats counts boundary "
+        "incidences; this weighs them: per sequence the cross-doc "
+        "pair count is (L^2 - sum(len_i^2))/2 from the same two-level "
+        "prefix-sum offsets and span-slice arithmetic the sink uses "
+        "(sinks/packed.py), so the audit IS the sink's plan. All "
+        "exact integers (len_i <= 512 so every square fits BIGINT at "
+        "any corpus scale; truncating div — no final ROUND(double), "
+        "SURVEY §2.L)."
+    ),
+)
+def packed_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.sinks.packed import _with_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("bigint").alias("n")
+    ).where(F.col("n") > 0)
+    o = _with_offsets(d.withColumn("ids", F.array().cast("array<int>")))
+    spans = o.select(
+        "off",
+        "n",
+        F.explode(
+            F.sequence(F.expr("off div 512"), F.expr("(off + n - 1) div 512"))
+        ).alias("sid"),
+    )
+    sl = spans.select(
+        "sid",
+        (
+            F.least(F.col("off") + F.col("n"), (F.col("sid") + 1) * 512)
+            - F.greatest(F.col("off"), F.col("sid") * 512)
+        ).alias("len"),
+    )
+    seq = sl.groupBy("sid").agg(
+        F.sum("len").cast("bigint").alias("L"),
+        F.sum(F.col("len") * F.col("len")).cast("bigint").alias("s2"),
+    )
+    s = seq.agg(
+        F.count("*").cast("bigint").alias("n_sequences"),
+        F.sum(F.expr("L * (L + 1) div 2")).cast("bigint").alias("total_pairs"),
+        F.sum(F.expr("(L * L - s2) div 2")).cast("bigint").alias("cross_doc_pairs"),
+    )
+    return s.select(
+        "n_sequences",
+        "total_pairs",
+        "cross_doc_pairs",
+        F.expr("(10000 * cross_doc_pairs) div total_pairs")
+        .cast("bigint")
+        .alias("waste_bps"),
+    )

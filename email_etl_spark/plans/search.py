@@ -5673,13 +5673,20 @@ def _rocchio_oracle() -> str:
 
     stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
     qterms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    tf_sql = " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in QUERY_TERMS
+    )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 base AS (
-  SELECT doc_id, toks, {_TERM_RANK_SQL} AS base_score
+  SELECT doc_id, toks,
+         CAST({tf_sql} AS BIGINT) AS tf,
+         CAST(len(toks) AS BIGINT) AS n
   FROM t
 ),
-fb AS (SELECT * FROM base ORDER BY base_score DESC, doc_id LIMIT {_PRF_DOCS}),
+fb AS (SELECT * FROM base
+       ORDER BY (20000 * tf + (n + 1)) // (2 * (n + 1)) DESC, doc_id
+       LIMIT {_PRF_DOCS}),
 fbtok AS (SELECT u.tok FROM fb, unnest(fb.toks) AS u(tok)),
 exp_terms AS (
   SELECT tok, COUNT(*) AS c FROM fbtok
@@ -5687,16 +5694,17 @@ exp_terms AS (
   GROUP BY tok ORDER BY c DESC, tok LIMIT {_PRF_TERMS}
 ),
 expanded AS (
-  SELECT b.doc_id, b.base_score,
-         ROUND(CAST((SELECT COALESCE(SUM(len(list_filter(b.toks, x -> x = e.tok))), 0)
-                     FROM exp_terms e) AS DOUBLE)
-               / (len(b.toks) + 1), 4) AS exp_tf
+  SELECT b.doc_id,
+         (20000 * b.tf + (b.n + 1)) // (2 * (b.n + 1)) AS base_e4,
+         (20000 * (SELECT COALESCE(SUM(len(list_filter(b.toks, x -> x = e.tok))), 0)
+                   FROM exp_terms e) + (b.n + 1)) // (2 * (b.n + 1)) AS exp_e4
   FROM base b
 )
-SELECT doc_id, base_score,
-       ROUND(base_score + {_PRF_BETA} * exp_tf, 4) AS expanded_score
+SELECT doc_id,
+       CAST(base_e4 AS BIGINT) AS base_score_e4,
+       CAST(10 * base_e4 + 5 * exp_e4 AS BIGINT) AS expanded_score_e5
 FROM expanded
-ORDER BY expanded_score DESC, doc_id LIMIT {_PRF_DOCS}
+ORDER BY expanded_score_e5 DESC, doc_id LIMIT {_PRF_DOCS}
 """
 
 
@@ -5712,7 +5720,10 @@ ORDER BY expanded_score DESC, doc_id LIMIT {_PRF_DOCS}
         "corpus's (expanded_search substitutes synonyms; PRF LEARNS "
         "the expansion from the corpus itself). Expansion terms are "
         "a 5-row broadcast; both rankings are TakeOrderedAndProject; "
-        "two corpus scans total (SURVEY §2.C)."
+        "two corpus scans total. expanded_score ships as the pure "
+        "integer e5-units 10*base_e4 + 5*exp_e4 (the old final "
+        "ROUND(double) hit an exact .5 halfway at sf0.1 — r9 fix) "
+        "(SURVEY §2.C)."
     ),
 )
 def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5720,8 +5731,24 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    base = t.select("doc_id", "toks", _term_rank_from_toks(F.col("toks")).alias("base_score"))
-    fb = base.orderBy(F.desc("base_score"), "doc_id").limit(_PRF_DOCS)
+    tf = None
+    for term in QUERY_TERMS:
+        cnt = F.size(F.filter(F.col("toks"), (lambda tt: lambda x: x == tt)(term)))
+        tf = cnt if tf is None else tf + cnt
+    base = t.select(
+        "doc_id",
+        "toks",
+        tf.cast("bigint").alias("tf"),
+        F.size("toks").cast("bigint").alias("n"),
+    )
+    # scores are EXACT integer e4 units via half-up integer division
+    # (2*10^4*tf + (n+1)) div (2*(n+1)) — the _micro_mean_expr
+    # pattern; no double quotient, no ROUND anywhere. The old final
+    # ROUND(double, 4) landed EXACTLY on a .5 halfway at sf0.1
+    # (0.46155 -> 0.4615 vs 0.4616 across engines) — the r8 hazard
+    # class caught live by the FULL_SF01 sweep.
+    base_e4 = F.expr("(20000 * tf + (n + 1)) div (2 * (n + 1))")
+    fb = base.orderBy(F.desc(base_e4), "doc_id").limit(_PRF_DOCS)
     fbtok = fb.select(F.explode("toks").alias("tok"))
     exp_terms = (
         fbtok.where(
@@ -5733,46 +5760,32 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRF_TERMS)
     )
     hits = (
-        base.select("doc_id", "base_score", F.size("toks").alias("n_toks"), F.explode_outer("toks").alias("tok"))
+        base.select("doc_id", F.explode_outer("toks").alias("tok"))
         .join(F.broadcast(exp_terms.select("tok")), "tok", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
     expanded = (
         base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            "base_score",
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / (F.size("toks") + 1),
-                4,
-            ).alias("exp_tf"),
+            base_e4.alias("base_e4"),
+            F.expr(
+                "(20000 * coalesce(n_hits, 0) + (n + 1)) div (2 * (n + 1))"
+            ).alias("exp_e4"),
         )
     )
     return (
         expanded.select(
             "doc_id",
-            "base_score",
-            F.round(
-                F.col("base_score") + F.lit(float(_PRF_BETA)) * F.col("exp_tf"), 4
-            ).alias("expanded_score"),
+            F.col("base_e4").cast("bigint").alias("base_score_e4"),
+            (10 * F.col("base_e4") + 5 * F.col("exp_e4"))
+            .cast("bigint")
+            .alias("expanded_score_e5"),
         )
-        .orderBy(F.desc("expanded_score"), "doc_id")
+        .orderBy(F.desc("expanded_score_e5"), "doc_id")
         .limit(_PRF_DOCS)
     )
-
-
-def _term_rank_from_toks(toks):
-    """_term_rank over a prebuilt token array column."""
-    def eq(term):
-        return lambda x: x == term
-
-    tf = None
-    for term in QUERY_TERMS:
-        cnt = F.size(F.filter(toks, eq(term)))
-        tf = cnt if tf is None else tf + cnt
-    return F.round(tf.cast("double") / (F.size(toks) + F.lit(1)).cast("double"), 4)
 
 
 # ---------------------------------------------------------------------------

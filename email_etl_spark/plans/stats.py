@@ -1444,3 +1444,222 @@ def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("-cast(sh as double) / nn"), 6).alias("h_hour_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_type_weekday — effect SIZE for the type x weekday association.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_type_weekday",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS t,
+         (date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 + 4) % 7 AS wd,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT t, SUM(o) AS r FROM cells GROUP BY t),
+ct AS (SELECT wd, SUM(o) AS c FROM cells GROUP BY wd),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           POWER(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n, 2)
+             / (CAST(r AS DOUBLE) * c / n), 8) AS DECIMAL(18,8)) AS term
+  FROM cells JOIN rt USING (t) JOIN ct USING (wd) CROSS JOIN tot
+),
+s AS (
+  SELECT (SELECT n FROM tot) AS n,
+         (SELECT COUNT(*) FROM rt) AS nr,
+         (SELECT COUNT(*) FROM ct) AS nc,
+         SUM(term) AS chi2_dec,
+         COUNT(*) AS n_cells
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       CAST(chi2_dec AS DOUBLE) AS chi2,
+       SQRT(CAST(chi2_dec AS DOUBLE)
+            / (CAST(n AS DOUBLE) * LEAST(nr - 1, nc - 1))) AS cramers_v
+FROM s
+""",
+    doc=(
+        "Cramér's V for event type x weekday: the EFFECT SIZE the "
+        "chi-squared tests never report — priority_status_chi2 and "
+        "mutual_information_type_hour say whether an association "
+        "exists; V in [0,1] says whether it is big enough to act on "
+        "(at pretraining-corpus n, chi2 rejects on trivia). Same "
+        "distributed shape as priority_status_chi2: one map-side-"
+        "combined contingency pass, dimension-sized margins, each "
+        "(O-E)^2/E term pre-rounded to DECIMAL(18,8) before the "
+        "order-free sum; chi2 ships as the exact decimal cast to "
+        "double and V = sqrt(chi2/(n*min(r-1,c-1))) as one shared "
+        "correctly-rounded IEEE expression, UNROUNDED (no final "
+        "ROUND(double), the r8 halfway hazard). Weekday from the "
+        "(day_idx+4)%7 UTC convention (SURVEY §2.L)."
+    ),
+)
+def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 1000000 div 86400 + 4) % 7"
+        ).alias("wd"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = cells.groupBy("t").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("wd").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.round(F.pow(F.col("o").cast("double") - e, 2) / e, 8).cast(
+        "decimal(18,8)"
+    )
+    joined = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "wd")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_r = rt.agg(F.count("*").alias("nr"))
+    n_c = ct.agg(F.count("*").alias("nc"))
+    return (
+        joined.agg(
+            F.max("n").alias("n"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(term).alias("chi2_dec"),
+        )
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            F.col("chi2_dec").cast("double").alias("chi2"),
+            F.sqrt(
+                F.col("chi2_dec").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# uncertainty_coeff_type_hour — normalized, asymmetric MI (Theil's U).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "uncertainty_coeff_type_hour",
+    oracle="""
+WITH c AS (
+  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mt AS (SELECT t, SUM(c) AS ct FROM c GROUP BY t),
+mh AS (SELECT h, SUM(c) AS ch FROM c GROUP BY h),
+n AS (SELECT SUM(c) AS nn FROM c),
+terms AS (
+  SELECT c.c,
+         CAST(ROUND(LN((CAST(c.c AS DOUBLE) * nn) /
+                       (CAST(mt.ct AS DOUBLE) * mh.ch)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM c JOIN mt USING (t) JOIN mh USING (h) CROSS JOIN n
+),
+s AS (
+  SELECT (SELECT SUM(CAST(c AS DECIMAL(18,0)) * lp) FROM terms) AS num,
+         (SELECT -SUM(CAST(ct AS DECIMAL(18,0)) *
+                      CAST(ROUND(LN(CAST(ct AS DOUBLE) / nn), 6)
+                           AS DECIMAL(18,6)))
+          FROM mt CROSS JOIN n) AS ht,
+         (SELECT -SUM(CAST(ch AS DECIMAL(18,0)) *
+                      CAST(ROUND(LN(CAST(ch AS DOUBLE) / nn), 6)
+                           AS DECIMAL(18,6)))
+          FROM mh CROSS JOIN n) AS hh,
+         (SELECT nn FROM n) AS nn,
+         (SELECT COUNT(*) FROM c) AS n_cells
+)
+SELECT CAST(nn AS BIGINT) AS n_events,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((1000::HUGEINT * CAST(num * 1000000 AS HUGEINT))
+            // CAST(ht * 1000000 AS HUGEINT) AS BIGINT)
+           AS u_type_given_hour_milli,
+       CAST((1000::HUGEINT * CAST(num * 1000000 AS HUGEINT))
+            // CAST(hh * 1000000 AS HUGEINT) AS BIGINT)
+           AS u_hour_given_type_milli
+FROM s
+""",
+    doc=(
+        "Theil's uncertainty coefficient U(type|hour) and U(hour|type) "
+        "— the NORMALIZED, asymmetric companion to "
+        "mutual_information_type_hour: MI in nats depends on the "
+        "marginals' scale, U = MI/H answers 'what fraction of the "
+        "uncertainty in WHICH event is removed by knowing WHEN' (and "
+        "vice versa) on a fixed [0,1] scale a mixture dashboard can "
+        "threshold. Rides the same 5x24 contingency machinery: ln "
+        "terms pre-rounded to DECIMAL(18,6), exact integer-weighted "
+        "order-free sums; the ratios ship as pure-integer milli-units "
+        "(1000*MI_dec) div H_dec over the recovered *10^6 integers "
+        "(HUGEINT / DECIMAL(38,0) — BIGINT overflows at corpus n), no "
+        "final ROUND(double) (SURVEY §2.L)."
+    ),
+)
+def uncertainty_coeff_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("t"), F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mt = c.groupBy("t").agg(F.sum("c").alias("ct"))
+    mh = c.groupBy("h").agg(F.sum("c").alias("ch"))
+    n = c.agg(F.sum("c").alias("nn"))
+    terms = (
+        c.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mh), "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c",
+            F.expr(
+                "cast(round(ln((cast(c as double) * nn)"
+                " / (cast(ct as double) * ch)), 6) as decimal(18,6))"
+            ).alias("lp"),
+        )
+    )
+    mi = terms.agg(
+        F.expr("sum(cast(c as decimal(18,0)) * lp)").alias("num"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    ht = mt.crossJoin(F.broadcast(n)).agg(
+        F.expr(
+            "-sum(cast(ct as decimal(18,0)) *"
+            " cast(round(ln(cast(ct as double) / nn), 6) as decimal(18,6)))"
+        ).alias("ht")
+    )
+    hh = mh.crossJoin(F.broadcast(n)).agg(
+        F.expr(
+            "-sum(cast(ch as decimal(18,0)) *"
+            " cast(round(ln(cast(ch as double) / nn), 6) as decimal(18,6)))"
+        ).alias("hh")
+    )
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hh))
+        .select(
+            F.col("nn").cast("bigint").alias("n_events"),
+            "n_cells",
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0))"
+                " * CAST(num * 1000000 AS DECIMAL(38,0)))"
+                " div CAST(ht * 1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("u_type_given_hour_milli"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0))"
+                " * CAST(num * 1000000 AS DECIMAL(38,0)))"
+                " div CAST(hh * 1000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("u_hour_given_type_milli"),
+        )
+    )

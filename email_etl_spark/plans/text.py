@@ -4539,3 +4539,67 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# chao1_vocab_estimate — how much vocabulary the corpus has NOT shown yet.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_vocab_estimate",
+    oracle=f"""
+WITH t AS (SELECT UNNEST({_TOKS}) AS tok FROM documents),
+g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM g
+)
+SELECT n_tokens, v AS vocab_size, f1 AS hapax_types, f2 AS dis_types,
+       CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+           AS chao1_estimate,
+       CAST((10000 * v) // (v + (f1 * (f1 - 1)) // (2 * (f2 + 1)))
+           AS BIGINT) AS coverage_bps
+FROM s
+""",
+    doc=(
+        "Chao1 richness estimate of the UNSEEN vocabulary (Chao 1984, "
+        "bias-corrected form): observed types V plus f1(f1-1)/(2(f2+1)) "
+        "from the hapax/dis-legomena counts — the species-richness "
+        "lower bound ecologists use, applied to token types. Where "
+        "heaps_law_fit extrapolates V(N) forward, Chao1 answers the "
+        "curation question directly: what fraction of the reachable "
+        "vocabulary has this corpus already covered (coverage_bps)? "
+        "One tokenize scan + one map-side-combined vocab rollup + a "
+        "1-row frequency-of-frequencies fold; every output is a pure "
+        "integer (the bias-corrected denominator f2+1 avoids the f2=0 "
+        "pole; truncating div matches // on nonnegative operands — no "
+        "final ROUND(double), SURVEY §2.D)."
+    ),
+)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    g = t.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    s = g.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    return s.select(
+        "n_tokens",
+        F.col("v").alias("vocab_size"),
+        F.col("f1").alias("hapax_types"),
+        F.col("f2").alias("dis_types"),
+        F.expr("CAST(v + (f1 * (f1 - 1)) div (2 * (f2 + 1)) AS BIGINT)").alias(
+            "chao1_estimate"
+        ),
+        F.expr(
+            "CAST((10000 * v) div (v + (f1 * (f1 - 1)) div (2 * (f2 + 1)))"
+            " AS BIGINT)"
+        ).alias("coverage_bps"),
+    )

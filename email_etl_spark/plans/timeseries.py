@@ -2521,3 +2521,101 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("st[2]"), 4).alias("seasonal_next"),
         F.round(F.expr("st[0] + 7 * st[1] + st[8]"), 4).alias("forecast_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grubbs_outlier_daily — single-outlier test on the daily count series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grubbs_outlier_daily",
+    oracle="""
+WITH d AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sm,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM d
+),
+x AS (
+  SELECT d.day_idx, ABS(s.n * d.c - s.sm) AS dev, s.n, s.sm, s.sq
+  FROM d CROSS JOIN s
+),
+m AS (
+  SELECT n, sm, sq, dev AS d_num, day_idx
+  FROM x ORDER BY dev DESC, day_idx LIMIT 1
+)
+SELECT n AS n_days,
+       CAST(day_idx AS BIGINT) AS peak_day_idx,
+       CAST(d_num AS BIGINT) AS dev_num,
+       CAST(n * sq - sm * sm AS BIGINT) AS s2_num,
+       CAST(d_num AS DOUBLE)
+         * SQRT(CAST(n - 1 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n * sq - sm * sm))) AS grubbs_g
+FROM m
+""",
+    doc=(
+        "Grubbs' single-outlier statistic on the daily event counts: "
+        "G = max|x - mean| / s over the day rollup — the classical "
+        "'is the most extreme day explainable by chance' read that "
+        "complements iqr_outlier_days' quartile fences (IQR lists "
+        "every fence-breaker; Grubbs scores THE most extreme one "
+        "against the sample spread, which is what an on-call pages "
+        "on). Computed entirely from the exact integers (n, sum, "
+        "sumsq, D = max|n*x - sum|): dev_num and s2_num = n*sumsq - "
+        "sum^2 ship as exact BIGINTs and G = D * sqrt((n-1)/(n*S2)) "
+        "is one shared correctly-rounded IEEE expression, UNROUNDED "
+        "(no final ROUND(double), the r8 halfway hazard). The "
+        "critical value depends on n through the t-quantile, so the "
+        "decision is the caller's table lookup; argmax ties break to "
+        "the earliest day. One distributed day rollup + a 1-row "
+        "TakeOrdered head — calendar-bounded like the rest of §2.H."
+    ),
+)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 86400"
+            ).alias("day_idx")
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sm"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    x = d.crossJoin(F.broadcast(s)).select(
+        "day_idx",
+        F.abs(F.col("n") * F.col("c") - F.col("sm")).alias("dev"),
+        "n",
+        "sm",
+        "sq",
+    )
+    m = x.orderBy(F.desc("dev"), "day_idx").limit(1)
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("day_idx").cast("bigint").alias("peak_day_idx"),
+        F.col("dev").cast("bigint").alias("dev_num"),
+        (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))
+        .cast("bigint")
+        .alias("s2_num"),
+        (
+            F.col("dev").cast("double")
+            * F.sqrt(
+                (F.col("n") - 1).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))
+                )
+            )
+        ).alias("grubbs_g"),
+    )

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Full-registry sf0.1 oracle-parity sweep (VERDICT r8 #7): extend the
+sf0.1 evidence beyond LATE_SF01.json (the never-driver-sampled batch)
+and DEDUP_SF01.json (the dedup family) to EVERY remaining registry
+query — the TPC-H family and the older §A-§D surface had only
+sf0.001/sf0.01 records.
+
+Queries already green in LATE_SF01.json or DEDUP_SF01.json (same
+query fingerprint) are skipped here — this record is the complement,
+written to FULL_SF01.json incrementally with the same
+fingerprint-reuse and subprocess-timeout discipline as the other two.
+
+Run: python scripts/sweep_full_sf01.py [sf_dir] [per_oracle_timeout_s]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from sweep_late_sf01 import query_fingerprint, run_oracle_with_timeout  # noqa: E402
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+OUT = os.path.join(ROOT, "FULL_SF01.json")
+
+
+def _covered_elsewhere() -> set[str]:
+    """Names green at sf0.1 in the other committed records."""
+    done: set[str] = set()
+    for fname in ("LATE_SF01.json", "DEDUP_SF01.json"):
+        path = os.path.join(ROOT, fname)
+        if not os.path.exists(path):
+            continue
+        for name, row in json.load(open(path)).get("results", {}).items():
+            if row.get("status") == "ok":
+                done.add(name)
+    return done
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    per_to = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").appName("full-sf01").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from email_etl_spark.plans import REGISTRY
+    from tests.oracle import canonical_rows, run_spark
+
+    covered = _covered_elsewhere()
+    todo = [n for n in REGISTRY if n not in covered and REGISTRY[n].oracle]
+
+    results: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT)).get("results", {})
+    git_head = os.popen(f"git -C {ROOT} rev-parse --short HEAD").read().strip()
+
+    def flush() -> None:
+        with open(OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "covered_elsewhere": len(covered),
+                    "n_done": len(results),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+
+    failures = 0
+    for name in todo:
+        q = REGISTRY[name]
+        fp = query_fingerprint(q)
+        prior = results.get(name, {})
+        if prior.get("status") == "ok" and prior.get("fingerprint") == fp:
+            continue
+        t0 = time.time()
+        try:
+            s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
+            kind, payload = run_oracle_with_timeout(q.oracle, sf_dir, per_to)
+            if kind == "timeout":
+                results[name] = {
+                    "head": git_head,
+                    "fingerprint": fp,
+                    "status": f"oracle-timeout(>{per_to}s; engine side OK,"
+                    f" {len(s_rows)} rows)",
+                    "secs": round(time.time() - t0, 1),
+                }
+                flush()
+                print(f"{name}: oracle-timeout", flush=True)
+                continue
+            o_cols, o_rows = payload
+            problems = []
+            if sorted(s_cols) != sorted(o_cols):
+                problems.append("columns differ")
+            if len(s_rows) != len(o_rows):
+                problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
+            elif canonical_rows(s_cols, s_rows) != canonical_rows(o_cols, o_rows):
+                problems.append("values differ")
+            status = "ok" if not problems else "FAIL: " + "; ".join(problems)
+        except Exception as exc:  # noqa: BLE001
+            status = f"ERROR: {exc}"
+        if status != "ok":
+            failures += 1
+        results[name] = {
+            "head": git_head,
+            "fingerprint": fp,
+            "status": status,
+            "secs": round(time.time() - t0, 1),
+        }
+        flush()
+        print(f"{name}: {status} ({results[name]['secs']}s)", flush=True)
+    print(f"full-registry sf0.1 sweep: {failures} non-ok of {len(todo)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

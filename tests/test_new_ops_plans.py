@@ -203,3 +203,64 @@ def test_mi_lives_on_contingency_table(spark):
     plan = _plan(spark, "mutual_information_type_hour")
     assert "CartesianProduct" not in plan, plan
     assert not re.search(r"\bWindow\b", plan), plan
+
+
+# ---- round-9 operators ----------------------------------------------------
+
+
+def test_chao1_two_level_aggregate(spark):
+    # tokenize scan -> map-side-combined vocab rollup -> 1-row fold;
+    # no window, no join anywhere
+    plan = _plan(spark, "chao1_vocab_estimate")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert not re.search(r"\bJoin\b", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_grubbs_single_day_rollup(spark):
+    # one distributed day rollup + a broadcast 1-row stats join +
+    # TakeOrdered head; no corpus-wide window
+    plan = _plan(spark, "grubbs_outlier_daily")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cramers_v_contingency_shape(spark):
+    # margins broadcast onto the cell table (priority_status_chi2
+    # shape): no sort-merge join, no window
+    plan = _plan(spark, "cramers_v_type_weekday")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_uncertainty_coeff_contingency_shape(spark):
+    plan = _plan(spark, "uncertainty_coeff_type_hour")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dup_jaccard_histogram_rides_pair_stream(spark):
+    # bucket rollup over the verified pair stream: no cartesian, no
+    # broadcast hint on the corpus-derived pair side (plan-guard rule)
+    plan = _plan(spark, "dup_jaccard_histogram")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_tradeoff_single_scan_ntile(spark):
+    # one corpus scan; the decile assignment is ONE global-order
+    # window (the documented RangePartitioning sort) + one 10-row
+    # rollup with bounded windows after it
+    plan = _plan(spark, "quality_token_tradeoff")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert _n_window_nodes(plan) <= 3, plan  # ntile + 10-row cum/total
+
+
+def test_packed_attention_waste_two_level_offsets(spark):
+    # the offsets must come from the sink's two-level prefix sum: no
+    # unpartitioned window over the corpus-sized doc stream (windows
+    # on bucket subtotals only), explode for the span fan-out
+    plan = _plan(spark, "packed_attention_waste")
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
