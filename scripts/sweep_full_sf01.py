@@ -30,14 +30,23 @@ OUT = os.path.join(ROOT, "FULL_SF01.json")
 
 
 def _covered_elsewhere() -> set[str]:
-    """Names green at sf0.1 in the other committed records."""
+    """Names green at sf0.1 in the other committed records — trusted
+    ONLY when the recorded fingerprint matches the current query
+    (legacy rows without fingerprints don't exempt a query: a stale
+    green row once hid the fixed ks_uniform_hour from this sweep)."""
+    from email_etl_spark.plans import REGISTRY
+
     done: set[str] = set()
     for fname in ("LATE_SF01.json", "DEDUP_SF01.json"):
         path = os.path.join(ROOT, fname)
         if not os.path.exists(path):
             continue
         for name, row in json.load(open(path)).get("results", {}).items():
-            if row.get("status") == "ok":
+            if (
+                row.get("status") == "ok"
+                and name in REGISTRY
+                and row.get("fingerprint") == query_fingerprint(REGISTRY[name])
+            ):
                 done.add(name)
     return done
 
