@@ -165,8 +165,10 @@ WITH firsts AS (
 SELECT COUNT(*) AS n_users,
        COUNT(first_signup) AS n_signed_up,
        COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted,
-       ROUND(CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS DOUBLE)
-             / GREATEST(COUNT(first_signup), 1), 4) AS conversion_rate
+       CAST((20000 * COUNT(CASE WHEN first_purchase > first_signup THEN 1 END)
+             + GREATEST(COUNT(first_signup), 1))
+            // (2 * GREATEST(COUNT(first_signup), 1)) AS BIGINT)
+           AS conversion_bps
 FROM firsts
 """,
     doc=(
@@ -188,9 +190,17 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.count("first_signup").alias("n_signed_up"),
         converted.alias("n_converted"),
-        F.round(
-            converted.cast("double") / F.greatest(F.count("first_signup"), F.lit(1)), 4
-        ).alias("conversion_rate"),
+    ).select(
+        "n_users",
+        "n_signed_up",
+        "n_converted",
+        # half-up integer bps (r9 halfway-class conversion)
+        F.expr(
+            "(20000 * n_converted + greatest(n_signed_up, 1))"
+            " div (2 * greatest(n_signed_up, 1))"
+        )
+        .cast("bigint")
+        .alias("conversion_bps"),
     )
 
 
@@ -203,7 +213,8 @@ WITH active AS (
 SELECT a.day,
        COUNT(*) AS active_users,
        COUNT(b.user_id) AS retained_next_day,
-       ROUND(CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*), 4) AS retention_rate
+       CAST((20000 * COUNT(b.user_id) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS retention_bps
 FROM active a
 LEFT JOIN active b
   ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
@@ -231,9 +242,19 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("active_users"),
             F.count(F.col("b.user_id")).alias("retained_next_day"),
-            F.round(
-                F.count(F.col("b.user_id")).cast("double") / F.count("*"), 4
-            ).alias("retention_rate"),
+        )
+        # half-up integer bps — exact, no ROUND(double) on the
+        # count-ratio quotient (r9 halfway-class conversion)
+        .select(
+            "day",
+            "active_users",
+            "retained_next_day",
+            F.expr(
+                "(20000 * retained_next_day + active_users)"
+                " div (2 * active_users)"
+            )
+            .cast("bigint")
+            .alias("retention_bps"),
         )
         .orderBy("day")
     )

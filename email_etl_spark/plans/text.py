@@ -181,7 +181,7 @@ WITH t AS (SELECT source, len({_TOKS}) AS n_toks FROM documents)
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(n_toks) AS DOUBLE) / 1000000.0 * 0.02, 6) AS est_cost_usd
+       CAST((2 * SUM(n_toks)) // 100 AS BIGINT) AS est_cost_micro_usd
 FROM t GROUP BY source ORDER BY source
 """,
     doc="Embedding cost estimation per provider (ref: estimate_cost, src/embeddings.py:191-203).",
@@ -195,7 +195,8 @@ def embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
-            F.round(F.sum("n_toks").cast("double") / F.lit(1000000.0) * F.lit(0.02), 6).alias("est_cost_usd"),
+            # $0.02/1M tokens => micro-USD = (2 * tokens) div 100 exactly
+            F.expr("(2 * sum(n_toks)) div 100").cast("bigint").alias("est_cost_micro_usd"),
         )
         .orderBy("source")
     )
@@ -261,7 +262,7 @@ g AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
 SELECT lang,
        CAST(SUM(n) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_types,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 4) AS ttr
+       CAST((20000 * COUNT(*) + SUM(n)) // (2 * SUM(n)) AS BIGINT) AS ttr_bps
 FROM g GROUP BY lang ORDER BY lang
 """,
     doc=(
@@ -281,7 +282,17 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("bigint").alias("n_tokens"),
             F.count("*").alias("n_types"),
-            F.round(F.count("*").cast("double") / F.sum("n").cast("bigint"), 4).alias("ttr"),
+        )
+        # half-up integer bps: (2*10^4*types + tokens) div (2*tokens)
+        # — exact, no ROUND(double) on the count-ratio quotient (the
+        # small-denominator halfway class, fixed r9)
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            F.expr("(20000 * n_types + n_tokens) div (2 * n_tokens)")
+            .cast("bigint")
+            .alias("ttr_bps"),
         )
         .orderBy("lang")
     )
@@ -2487,8 +2498,10 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
        CAST(SUM(nw) AS BIGINT) AS words,
-       ROUND(CAST(SUM(nb) AS DOUBLE) / SUM(nw), 4) AS fertility,
-       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_token
+       CAST((20000 * SUM(nb) + SUM(nw)) // (2 * SUM(nw)) AS BIGINT)
+           AS fertility_e4,
+       CAST((20000 * SUM(nc) + SUM(nb)) // (2 * SUM(nb)) AS BIGINT)
+           AS chars_per_token_e4
 FROM per_doc GROUP BY lang ORDER BY lang
 """
 
@@ -2504,8 +2517,8 @@ FROM per_doc GROUP BY lang ORDER BY lang
         "a vocab-allocation decision reads). Spark side runs the real "
         "merge-loop BPE (functions/bpe.py, Arrow pandas_udf) + the "
         "JVM-regex word count in ONE scan and reduces to per-lang "
-        "integer sums (map-side combined); ratios are single double "
-        "divisions of exact integers. Oracle joins the generated "
+        "integer sums (map-side combined); ratios ship as half-up "
+        "integer e4 units — exact, no ROUND(double). Oracle joins the generated "
         "static fact table (scripts/gen_bpe_expected.py) — the "
         "bpe_token_count convention — so the driver hash-checks the "
         "whole aggregation path (SURVEY §2.D)."
@@ -2527,8 +2540,21 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("nb").cast("bigint").alias("bpe_tokens"),
             F.sum("nw").cast("bigint").alias("words"),
-            F.round(F.sum("nb").cast("double") / F.sum("nw"), 4).alias("fertility"),
-            F.round(F.sum("nc").cast("double") / F.sum("nb"), 4).alias("chars_per_token"),
+            F.sum("nc").cast("bigint").alias("chars"),
+        )
+        # half-up integer e4 units — exact, no ROUND(double) on the
+        # count-ratio quotients (r9 halfway-class conversion)
+        .select(
+            "lang",
+            "n_docs",
+            "bpe_tokens",
+            "words",
+            F.expr("(20000 * bpe_tokens + words) div (2 * words)")
+            .cast("bigint")
+            .alias("fertility_e4"),
+            F.expr("(20000 * chars + bpe_tokens) div (2 * bpe_tokens)")
+            .cast("bigint")
+            .alias("chars_per_token_e4"),
         )
         .orderBy("lang")
     )

@@ -220,6 +220,10 @@ _BNL_JUSTIFIED = {
     "theil_index_tokens",  # 1-row (n, x) totals broadcast onto two dim rollups
     "classical_decompose_daily",  # 1-row seasonal-adjustment broadcast onto the day dim
     "mutual_information_type_hour",  # 1-row N total broadcast onto the 5x24 cell table
+    # reviewed round 9 (new operators)
+    "cramers_v_type_weekday",  # 1-row N + nr/nc count broadcasts onto the 5x7 cell table
+    "uncertainty_coeff_type_hour",  # 1-row N/MI/H(t)/H(h) broadcasts on the 5x24 cell table
+    "grubbs_outlier_daily",  # 1-row (n, sum, sumsq) moments broadcast onto the day rollup
 }
 
 
