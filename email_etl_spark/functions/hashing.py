@@ -134,8 +134,13 @@ def hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]
     return planes
 
 
-def jaccard(a: Column, b: Column, digits: int = 4) -> Column:
-    """Exact Jaccard over two (distinct-element) arrays, rounded."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
-    return F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), digits)
+def jaccard_bps(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays as half-up
+    integer basis points: (2*10^4*|A∩B| + |A∪B|) div (2*|A∪B|) over
+    BIGINTs — the exact-presentation pair contract (no ROUND over a
+    double quotient, the r8/r9 halfway hazard). Empty union -> 0."""
+    inter = F.size(F.array_intersect(a, b)).cast("bigint")
+    union = F.size(a).cast("bigint") + F.size(b).cast("bigint") - inter
+    return F.when(union == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(20000) * inter + union) / (F.lit(2) * union)).cast("bigint")
+    )

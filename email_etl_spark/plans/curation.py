@@ -267,6 +267,7 @@ _R["curation_funnel"] = _dc.replace(
 
 
 _FUZZY_DECON_THRESHOLD = 0.6  # 3-gram Jaccard
+_FUZZY_DECON_THR_BPS = 6000   # the same cut on the exact integer j_bps contract
 
 
 @register(
@@ -284,12 +285,15 @@ sh AS (
   FROM tok
 )
 SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
-       ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) /
-             (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))), 4) AS jaccard
+       CAST((20000 * len(list_intersect(t.sh, b.sh))
+             + (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))))
+            // (2 * (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))))
+            AS BIGINT) AS j_bps
 FROM sh t JOIN sh b ON NOT t.is_bench AND b.is_bench
-WHERE ROUND(CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) /
-            (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))), 4)
-      >= {_FUZZY_DECON_THRESHOLD}
+WHERE (20000 * len(list_intersect(t.sh, b.sh))
+       + (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))))
+      // (2 * (len(t.sh) + len(b.sh) - len(list_intersect(t.sh, b.sh))))
+      >= {_FUZZY_DECON_THR_BPS}
 ORDER BY train_id, bench_id
 """,
     doc=(
@@ -363,15 +367,18 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "train_id",
             "bench_id",
-            F.size(F.array_intersect("sh_t", "sh_b")).cast("double").alias("n_inter"),
-            F.size("sh_t").cast("double").alias("nt"),
-            F.size("sh_b").cast("double").alias("nb"),
+            F.size(F.array_intersect("sh_t", "sh_b")).cast("bigint").alias("n_inter"),
+            F.size("sh_t").cast("bigint").alias("nt"),
+            F.size("sh_b").cast("bigint").alias("nb"),
         )
+        .withColumn("un", F.col("nt") + F.col("nb") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("nt") + F.col("nb") - F.col("n_inter")), 4)
+    # exact half-up integer j_bps off the BIGINT set sizes — the
+    # plans/dedup.py pair contract (no ROUND over a double quotient)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     return (
-        sized.select("train_id", "bench_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= _FUZZY_DECON_THRESHOLD)
+        sized.select("train_id", "bench_id", jac.alias("j_bps"))
+        .where(F.col("j_bps") >= _FUZZY_DECON_THR_BPS)
         .orderBy("train_id", "bench_id")
     )
 

@@ -85,15 +85,29 @@ sh AS (
 )"""
 
 
+def _thr_bps(threshold: float) -> int:
+    """Jaccard threshold as integer basis points (0.6 -> 6000)."""
+    return int(round(threshold * 10000))
+
+
+def _jbps_sql(inter: str, na: str, nb: str) -> str:
+    """DuckDB half-up integer Jaccard bps from integer set sizes:
+    (2*10^4*|A∩B| + |A∪B|) // (2*|A∪B|) — the exact-presentation
+    convention (no ROUND over a double quotient, the r8/r9 halfway
+    hazard; `//` on BIGINTs truncates toward zero in DuckDB exactly
+    like Spark's `div`, and the +den term makes it half-up)."""
+    union = f"({na} + {nb} - {inter})"
+    return f"((20000 * {inter} + {union}) // (2 * {union}))"
+
+
 def _pairs_sql(threshold: float) -> str:
-    jac = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    jac = _jbps_sql(
+        "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
     )
     return f"""
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({jac} AS BIGINT) AS j_bps
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE {jac} >= {threshold}
+WHERE {jac} >= {_thr_bps(threshold)}
 ORDER BY doc_a, doc_b
 """
 
@@ -229,29 +243,37 @@ def _verified_pairs_from_shingles(
     # tests/test_dedup_closure.py::test_pair_verify_join_aqe_skew_split_activates.
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # pair contract is EXACT integer basis points: j_bps is the
+    # half-up integer (2*10^4*|A∩B| + |A∪B|) div (2*|A∪B|) over the
+    # BIGINT set sizes — identical to the old ROUND(|A∩B|/|A∪B|, 4)
+    # semantics (>= t ⟺ j_bps >= 10^4*t) minus the IEEE-halfway
+    # hazard the r8/r9 driver reds traced to ROUND over a double
+    # quotient. Per-pair quantities are per-doc sized, so BIGINT
+    # never overflows at any corpus scale.
     sized = (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
-            F.size("sh_a").cast("double").alias("na"),
-            F.size("sh_b").cast("double").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            F.size("sh_a").cast("bigint").alias("na"),
+            F.size("sh_b").cast("bigint").alias("nb"),
         )
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     if with_containment:
         out = sized.select(
             "doc_a",
             "doc_b",
-            jac.alias("jaccard"),
-            F.round(F.col("n_inter") / F.col("na"), 4).alias("containment_a"),
-            F.round(F.col("n_inter") / F.col("nb"), 4).alias("containment_b"),
-        ).where(F.col("jaccard") >= threshold)
+            jac.alias("j_bps"),
+            F.expr("(20000L * n_inter + na) div (2L * na)").alias("containment_a_bps"),
+            F.expr("(20000L * n_inter + nb) div (2L * nb)").alias("containment_b_bps"),
+        ).where(F.col("j_bps") >= _thr_bps(threshold))
     else:
-        out = sized.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-            F.col("jaccard") >= threshold
+        out = sized.select("doc_a", "doc_b", jac.alias("j_bps")).where(
+            F.col("j_bps") >= _thr_bps(threshold)
         )
     return out.orderBy("doc_a", "doc_b") if ordered else out
 
@@ -462,15 +484,16 @@ def dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
-            F.size("sh_a").cast("double").alias("na"),
-            F.size("sh_b").cast("double").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            F.size("sh_a").cast("bigint").alias("na"),
+            F.size("sh_b").cast("bigint").alias("nb"),
         )
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     return (
-        sized.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        sized.select("doc_a", "doc_b", jac.alias("j_bps"))
+        .where(F.col("j_bps") >= _thr_bps(MINHASH_THRESHOLD))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -747,16 +770,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_sql(threshold: float) -> str:
-    jac = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
-    )
+    i = "len(list_intersect(a.sh, b.sh))"
+    jac = _jbps_sql(i, "len(a.sh)", "len(b.sh)")
     return f"""
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS containment_a,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4) AS containment_b
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({jac} AS BIGINT) AS j_bps,
+       CAST((20000 * {i} + len(a.sh)) // (2 * len(a.sh)) AS BIGINT) AS containment_a_bps,
+       CAST((20000 * {i} + len(b.sh)) // (2 * len(b.sh)) AS BIGINT) AS containment_b_bps
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE {jac} >= {threshold}
+WHERE {jac} >= {_thr_bps(threshold)}
 ORDER BY doc_a, doc_b
 """
 
@@ -1098,13 +1119,11 @@ def _lsh_oracle_sql() -> str:
     band_keys = ", ".join(
         f"{lane(2 * b)} || {lane(2 * b + 1)}" for b in range(H.N_BANDS)
     )
-    jac = (
-        "ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
-        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)"
+    jac = _jbps_sql(
+        "len(list_intersect(sa.sh, sb.sh))", "len(sa.sh)", "len(sb.sh)"
     )
-    jac_ab = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    jac_ab = _jbps_sql(
+        "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
     )
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(3))
     return f"""
@@ -1131,12 +1150,12 @@ cand AS (
 lsh AS MATERIALIZED (
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-  WHERE {jac} >= {MINHASH_THRESHOLD}
+  WHERE {jac} >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 exact AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE {jac_ab} >= {MINHASH_THRESHOLD}
+  WHERE {jac_ab} >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 hits AS (SELECT doc_a, doc_b FROM exact INTERSECT SELECT doc_a, doc_b FROM lsh)
 SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
@@ -1372,13 +1391,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_shingle_cte(3)},
 p AS (
-  SELECT CAST(ROUND(
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4
-         ) * 10000 AS BIGINT) // 1000 AS band
+  SELECT CAST({_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")}
+           // 1000 AS BIGINT) AS band
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+  WHERE {_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")} >= 5000
 ),
 h AS (SELECT band, COUNT(*) AS n_pairs FROM p GROUP BY band)
 SELECT band, n_pairs,
@@ -1391,10 +1407,10 @@ FROM h ORDER BY band
         "each band — the threshold-tuning view a dedup deployment "
         "reads before picking its cut (how much MORE would 0.6 -> 0.5 "
         "remove?). Pairs ride the same LSH bucket-verify stream as "
-        "dedup_minhash at the curve's lowest band; banding is integer "
-        "arithmetic on the rounded Jaccard (no float-floor knife "
-        "edges); the cumulative window runs over <=6 rollup rows "
-        "(SURVEY §2.E)."
+        "dedup_minhash at the curve's lowest band; banding is pure "
+        "integer arithmetic on the exact half-up j_bps contract (no "
+        "float-floor knife edges); the cumulative window runs over "
+        "<=6 rollup rows (SURVEY §2.E)."
     ),
 )
 def near_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,7 +1419,7 @@ def near_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, sf_dir=sf_dir
     )
-    band = (F.round(F.col("jaccard") * 10000).cast("bigint") / 1000).cast("bigint")
+    band = F.expr("j_bps div 1000").cast("bigint")
     hist = pairs.groupBy(band.alias("band")).agg(F.count("*").alias("n_pairs"))
     w = Window.orderBy(F.desc("band")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1941,7 +1957,7 @@ lanes AS (
 e AS (
   SELECT p.doc_a, p.doc_b,
          ({matches}) * 10000 // {H.N_LANES} AS est_bps,
-         CAST(CAST(p.jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) AS exact_bps
+         CAST(p.j_bps AS BIGINT) AS exact_bps
   FROM pairs p
   JOIN lanes la ON p.doc_a = la.doc_id
   JOIN lanes lb ON p.doc_b = lb.doc_id
@@ -1997,7 +2013,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lb, "doc_b")
         .select(
             (matches * 10000).cast("bigint").alias("m4"),
-            (F.col("jaccard").cast("decimal(18,4)") * 10000).cast("bigint").alias("exact_bps"),
+            F.col("j_bps").cast("bigint").alias("exact_bps"),
         )
         .select(
             F.expr(f"m4 div {H.N_LANES}").cast("bigint").alias("est_bps"),
@@ -2119,9 +2135,8 @@ def _band_curve_oracle() -> str:
             key = " || ':' || ".join(f"mh{b * r + i}" for i in range(r))
             bk_selects.append(f"SELECT {r} AS r, {b} AS band, {key} AS key, doc_id FROM lanes")
     bk = " UNION ALL ".join(bk_selects)
-    jac = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    jac = _jbps_sql(
+        "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
     )
     return f"""
 WITH {_shingle_cte(3)},
@@ -2138,7 +2153,7 @@ cand AS (
 ver AS (SELECT DISTINCT doc_a, doc_b FROM cand),
 vj AS (
   SELECT v.doc_a, v.doc_b,
-         CASE WHEN {jac} >= {MINHASH_THRESHOLD} THEN 1 ELSE 0 END AS is_true
+         CASE WHEN {jac} >= {_thr_bps(MINHASH_THRESHOLD)} THEN 1 ELSE 0 END AS is_true
   FROM ver v JOIN sh a ON v.doc_a = a.doc_id JOIN sh b ON v.doc_b = b.doc_id
 )
 SELECT CAST(c.r AS BIGINT) AS rows_per_band,
@@ -2215,14 +2230,17 @@ def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("n_inter"),
-            F.size("sh_a").cast("double").alias("na"),
-            F.size("sh_b").cast("double").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            F.size("sh_a").cast("bigint").alias("na"),
+            F.size("sh_b").cast("bigint").alias("nb"),
         )
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     vj = sized.select(
-        "doc_a", "doc_b", F.when(jac >= MINHASH_THRESHOLD, 1).otherwise(0).alias("is_true")
+        "doc_a",
+        "doc_b",
+        F.when(jac >= _thr_bps(MINHASH_THRESHOLD), 1).otherwise(0).alias("is_true"),
     )
     return (
         cand.join(vj, ["doc_a", "doc_b"])
@@ -2393,13 +2411,13 @@ WITH {_shingle_cte(3)},
 mx AS (SELECT MAX(doc_id) * 9 // 10 AS cut FROM documents),
 pairs AS (
   SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-         ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
-               (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))), 4) AS jaccard
+         CAST({_jbps_sql("len(list_intersect(n.sh, o.sh))", "len(n.sh)", "len(o.sh)")}
+              AS BIGINT) AS j_bps
   FROM sh n JOIN sh o ON n.doc_id > o.doc_id, mx
   WHERE n.doc_id > mx.cut AND o.doc_id <= mx.cut
 )
-SELECT new_id, old_id, jaccard
-FROM pairs WHERE jaccard >= {MINHASH_THRESHOLD}
+SELECT new_id, old_id, j_bps
+FROM pairs WHERE j_bps >= {_thr_bps(MINHASH_THRESHOLD)}
 ORDER BY new_id, old_id
 """,
     doc=(
@@ -2457,15 +2475,16 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_id",
             "old_id",
-            F.size(F.array_intersect("sh_n", "sh_o")).cast("double").alias("n_inter"),
-            F.size("sh_n").cast("double").alias("nn"),
-            F.size("sh_o").cast("double").alias("no"),
+            F.size(F.array_intersect("sh_n", "sh_o")).cast("bigint").alias("n_inter"),
+            F.size("sh_n").cast("bigint").alias("nn"),
+            F.size("sh_o").cast("bigint").alias("no"),
         )
+        .withColumn("un", F.col("nn") + F.col("no") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("nn") + F.col("no") - F.col("n_inter")), 4)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     return (
-        sized.select("new_id", "old_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_THRESHOLD)
+        sized.select("new_id", "old_id", jac.alias("j_bps"))
+        .where(F.col("j_bps") >= _thr_bps(MINHASH_THRESHOLD))
         .orderBy("new_id", "old_id")
     )
 
@@ -2616,7 +2635,7 @@ tok2 AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
 hsh AS (SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hs FROM tok2),
 sim AS (SELECT doc_id, {_simhash_sql()} AS bits FROM hsh),
 e AS (
-  SELECT CAST(CAST(p.jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) // 1000 AS jac_band,
+  SELECT CAST(p.j_bps // 1000 AS BIGINT) AS jac_band,
          CAST({ham} AS BIGINT) AS hamming
   FROM pairs p
   JOIN sim sa ON p.doc_a = sa.doc_id
@@ -2666,9 +2685,7 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
-            F.expr("CAST(CAST(jaccard AS DECIMAL(18,4)) * 10000 AS BIGINT) div 1000").alias(
-                "jac_band"
-            ),
+            F.expr("j_bps div 1000").alias("jac_band"),
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint").alias("hamming"),
         )
     )
@@ -3027,9 +3044,8 @@ def minhash_index_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _closure_edge_stats_oracle() -> str:
-    jac = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    jac = _jbps_sql(
+        "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
     )
     return f"""
 WITH {_shingle_cte(3)},
@@ -3048,7 +3064,7 @@ reps AS (SELECT f.doc_id, f.sh FROM fpt f JOIN grp g2 ON f.doc_id = g2.rep),
 rp AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM reps a JOIN reps b ON a.doc_id < b.doc_id
-  WHERE {jac} >= {MINHASH_THRESHOLD}
+  WHERE {jac} >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 rps AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS rep_pair_edges,
@@ -3147,37 +3163,38 @@ def closure_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_est_error_oracle() -> str:
-    jac = (
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+    jac = _jbps_sql(
+        "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
     )
     lane = (
         lambda l: "list_min(list_transform(sh, s -> "
         f"substring(md5('{l // H.LANES_PER_GROUP}:' || s), {1 + 8 * (l % H.LANES_PER_GROUP)}, 8)))"
     )
     lanes = ", ".join(lane(l) for l in range(H.N_LANES))
+    lanes_e6 = H.N_LANES * 10000  # err is in units of 1/(32*10^4)
     return f"""
 WITH {_shingle_cte(3)},
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({jac} AS BIGINT) AS j_bps
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE {jac} >= {MINHASH_THRESHOLD}
+  WHERE {jac} >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 sig AS MATERIALIZED (SELECT doc_id, [{lanes}] AS lanes FROM sh),
 e AS (
-  SELECT CAST(ROUND(p.jaccard * 10000) AS BIGINT) AS j4i,
+  SELECT p.j_bps,
          CAST(len(list_filter(range(1, {H.N_LANES + 1}),
                               i -> sa.lanes[i] = sb.lanes[i])) AS BIGINT) AS m
   FROM pairs p
   JOIN sig sa ON sa.doc_id = p.doc_a
   JOIN sig sb ON sb.doc_id = p.doc_b
 )
-SELECT CAST(j4i // 1000 AS BIGINT) AS band,
+SELECT CAST(j_bps // 1000 AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(SUM(ABS(10000 * m - {H.N_LANES} * j4i))
-             / (COUNT(*) * {H.N_LANES} * 10000.0), 6) AS mean_abs_err,
-       ROUND(MAX(ABS(10000 * m - {H.N_LANES} * j4i))
-             / ({H.N_LANES} * 10000.0), 6) AS max_abs_err
+       CAST((2000000 * CAST(SUM(ABS(10000 * m - {H.N_LANES} * j_bps)) AS HUGEINT)
+             + CAST(COUNT(*) AS HUGEINT) * {lanes_e6})
+            // (2 * CAST(COUNT(*) AS HUGEINT) * {lanes_e6}) AS BIGINT) AS mean_abs_err_e6,
+       CAST((2000000 * MAX(ABS(10000 * m - {H.N_LANES} * j_bps)) + {lanes_e6})
+            // (2 * {lanes_e6}) AS BIGINT) AS max_abs_err_e6
 FROM e GROUP BY 1 ORDER BY band
 """
 
@@ -3192,8 +3209,10 @@ FROM e GROUP BY 1 ORDER BY band
         "thresholds on) against the exact set Jaccard, summarized per "
         "0.1-wide J band (mean/max absolute error). The per-lane-count "
         "error floor is what sizes N_LANES: stderr ~ sqrt(J(1-J)/32). "
-        "All error terms live in integer space (|10000*m - 32*j4i|, "
-        "units of 1/320000) until the final division, so the "
+        "All error terms live in integer space (|10000*m - 32*j_bps|, "
+        "units of 1/320000, off the exact j_bps pair contract) and the "
+        "outputs ship as half-up e6 integers via DECIMAL(38,0)/HUGEINT "
+        "cross-multiplication — no double division anywhere, so the "
         "distributed aggregate is order-insensitive and hash-stable "
         "cross-engine. Rides the memoized shingle table + the same "
         "md5 lane replication the index-integrity oracle uses "
@@ -3217,21 +3236,34 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(H.N_LANES)
     ).cast("bigint")
-    j4i = F.round(F.col("jaccard") * 10000).cast("bigint")
     e = (
         pairs.join(siga, "doc_a")
         .join(sigb, "doc_b")
-        .select(j4i.alias("j4i"), m.alias("m"))
+        .select("j_bps", m.alias("m"))
     )
-    err = F.abs(10000 * F.col("m") - H.N_LANES * F.col("j4i"))
+    err = F.abs(10000 * F.col("m") - H.N_LANES * F.col("j_bps"))
+    # half-up e6 presentation over DECIMAL(38,0): the mean's numerator
+    # 2*10^6*sum_err can pass BIGINT once the pair stream exceeds
+    # ~1.4e7 pairs (sum_err <= 32e4 * n_pairs)
+    den = H.N_LANES * 10000
     return (
-        e.groupBy(F.expr("j4i div 1000").cast("bigint").alias("band"))
+        e.groupBy(F.expr("j_bps div 1000").cast("bigint").alias("band"))
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(
-                F.sum(err) / (F.count("*") * float(H.N_LANES * 10000)), 6
-            ).alias("mean_abs_err"),
-            F.round(F.max(err) / float(H.N_LANES * 10000), 6).alias("max_abs_err"),
+            F.sum(err).alias("sum_err"),
+            F.max(err).alias("max_err"),
+        )
+        .select(
+            "band",
+            "n_pairs",
+            F.expr(
+                f"CAST((CAST(2000000 AS DECIMAL(38,0)) * sum_err"
+                f" + CAST(n_pairs AS DECIMAL(38,0)) * {den})"
+                f" div (CAST(2 AS DECIMAL(38,0)) * n_pairs * {den}) AS BIGINT)"
+            ).alias("mean_abs_err_e6"),
+            F.expr(
+                f"CAST((2000000L * max_err + {den}) div (2L * {den}) AS BIGINT)"
+            ).alias("max_abs_err_e6"),
         )
         .orderBy("band")
     )
@@ -3252,9 +3284,8 @@ def _method_agreement_oracle() -> str:
         )
 
     def jac(k: int) -> str:
-        return (
-            "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)"
+        return _jbps_sql(
+            "len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)"
         )
 
     return f"""
@@ -3272,7 +3303,7 @@ exflag AS (
 ngp AS (
   SELECT a.doc_id AS da, b.doc_id AS db
   FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-  WHERE {jac(2)} >= {NGRAM_THRESHOLD}
+  WHERE {jac(2)} >= {_thr_bps(NGRAM_THRESHOLD)}
 ),
 ngflag AS (
   SELECT DISTINCT doc_id
@@ -3281,7 +3312,7 @@ ngflag AS (
 mhp AS (
   SELECT a.doc_id AS da, b.doc_id AS db
   FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
-  WHERE {jac(3)} >= {MINHASH_THRESHOLD}
+  WHERE {jac(3)} >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 mhflag AS (
   SELECT DISTINCT doc_id
@@ -3307,9 +3338,11 @@ SELECT s.method_a, s.method_b,
        CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
        CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b,
        CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
-       COALESCE(ROUND(CAST(COALESCE(o.n_both, 0) AS DOUBLE)
-                      / NULLIF(COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
-                               - COALESCE(o.n_both, 0), 0), 4), 0.0) AS agreement
+       CAST(COALESCE((20000 * COALESCE(o.n_both, 0)
+                      + (COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(o.n_both, 0)))
+                     // NULLIF(2 * (COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                                    - COALESCE(o.n_both, 0)), 0), 0)
+            AS BIGINT) AS agreement_bps
 FROM skel s
 LEFT JOIN counts ca ON ca.method = s.method_a
 LEFT JOIN counts cb ON cb.method = s.method_b
@@ -3388,19 +3421,23 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_both", F.lit(0)).cast("bigint").alias("n_both"),
         )
     )
-    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
     return j.select(
         "method_a",
         "method_b",
         "n_a",
         "n_b",
         "n_both",
+        # half-up integer bps over the flag-set union (exact-presentation
+        # convention); NULL denominator (empty union) coalesces to 0
         F.coalesce(
-            F.round(
-                F.col("n_both").cast("double") / F.when(denom != 0, denom), 4
+            F.expr(
+                "(20000L * n_both + (n_a + n_b - n_both))"
+                " div nullif(2L * (n_a + n_b - n_both), 0L)"
             ),
-            F.lit(0.0),
-        ).alias("agreement"),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("agreement_bps"),
     ).orderBy("method_a", "method_b")
 
 
@@ -3553,17 +3590,16 @@ def cluster_source_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_shingle_cte(3)},
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j
+         CAST({_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")}
+              AS BIGINT) AS j_bps
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-        >= {MINHASH_THRESHOLD}
+  WHERE {_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")}
+        >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 s AS (
   SELECT LEAST(da.source, db.source) AS source_a,
          GREATEST(da.source, db.source) AS source_b,
-         CAST(ROUND(j * 10000) AS BIGINT) AS j_bps
+         p.j_bps
   FROM p JOIN documents da ON p.doc_a = da.doc_id
          JOIN documents db ON p.doc_b = db.doc_id
 )
@@ -3599,7 +3635,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),
-            F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_bps"),
+            "j_bps",
         )
     )
     return (
@@ -3624,16 +3660,14 @@ _JHIST_STEP_BPS = 500
     oracle=f"""
 WITH {_shingle_cte(3)},
 p AS (
-  SELECT ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j
+  SELECT CAST({_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")}
+              AS BIGINT) AS j_bps
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-        >= {MINHASH_THRESHOLD}
+  WHERE {_jbps_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)", "len(b.sh)")}
+        >= {_thr_bps(MINHASH_THRESHOLD)}
 ),
 b AS (
-  SELECT CAST(ROUND(j * 10000) AS BIGINT) // {_JHIST_STEP_BPS} AS bucket,
-         CAST(ROUND(j * 10000) AS BIGINT) AS j_bps
+  SELECT j_bps // {_JHIST_STEP_BPS} AS bucket, j_bps
   FROM p
 )
 SELECT CAST(bucket * {_JHIST_STEP_BPS} AS BIGINT) AS j_bps_lo,
@@ -3655,17 +3689,14 @@ FROM b GROUP BY bucket ORDER BY j_bps_lo
         "memoized shingle cache and LSH bucket-then-verify pair "
         "stream (no new scan when the family already ran); the rollup "
         "is 9-bucket-bounded at any corpus scale. Buckets and means "
-        "are exact integers off the 4-dp pair contract (ROUND to 0 dp "
-        "of a value AT a grid point, not near a halfway — the safe "
-        "subclass; then pure integer div, SURVEY §2.E)."
+        "are pure integer arithmetic off the exact half-up j_bps pair "
+        "contract — no double appears anywhere (SURVEY §2.E)."
     ),
 )
 def dup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
-    b = pairs.select(
-        F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_bps")
-    ).select("j_bps", F.expr(f"j_bps div {_JHIST_STEP_BPS}").alias("bucket"))
+    b = pairs.select("j_bps", F.expr(f"j_bps div {_JHIST_STEP_BPS}").alias("bucket"))
     return (
         b.groupBy("bucket")
         .agg(

@@ -910,12 +910,13 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
-       ROUND(CAST(i.n_common AS DOUBLE) / (pa.n_fp + pb.n_fp - i.n_common), 4) AS jaccard
+       CAST((20000 * i.n_common + (pa.n_fp + pb.n_fp - i.n_common))
+            // (2 * (pa.n_fp + pb.n_fp - i.n_common)) AS BIGINT) AS jaccard_bps
 FROM inter i
 JOIN per_src pa ON i.src_a = pa.source
 JOIN per_src pb ON i.src_b = pb.source
 WHERE i.n_common >= 1
-ORDER BY jaccard DESC, src_a, src_b
+ORDER BY jaccard_bps DESC, src_a, src_b
 """,
     doc=(
         "Pairwise source content overlap (mirror / re-crawl detection "
@@ -924,7 +925,7 @@ ORDER BY jaccard DESC, src_a, src_b
         "self-join ON THE FINGERPRINT KEY — only fingerprints shared by "
         "2+ sources ever pair up, so the join output is bounded by true "
         "co-occurrence, never |sources|^2 x corpus. Exact integer "
-        "intersection/union folded into one double division. At 100 TB "
+        "intersection/union presented as half-up integer bps. At 100 TB "
         "the fp self-join partitions by fingerprint hash like any "
         "equality join; hot boilerplate fingerprints salt via "
         "operators/skew.py."
@@ -949,13 +950,16 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             F.col("n_common").cast("bigint").alias("n_common"),
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
+            # half-up integer bps (exact-presentation convention): no
+            # ROUND over a double quotient in an output or sort key
+            F.expr(
+                "(20000L * n_common + (n_a + n_b - n_common))"
+                " div (2L * (n_a + n_b - n_common))"
+            )
+            .cast("bigint")
+            .alias("jaccard_bps"),
         )
-        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .orderBy(F.desc("jaccard_bps"), "src_a", "src_b")
     )
 
 

@@ -12,7 +12,7 @@ Per micro-batch, entirely cluster-side:
    index is not);
 3. exact-Jaccard verify each candidate pair, shingling ONLY the
    corpus docs that collided (semi-join on the candidate ids);
-4. emit verdicts (new_id, dup_of, jaccard) — the foreachBatch caller
+4. emit verdicts (new_id, dup_of, j_bps) — the foreachBatch caller
    quarantines or admits, and admitted docs' signatures append to the
    index via streaming/ann_index.py's epoch-delta discipline.
 
@@ -56,8 +56,9 @@ def screen_batch(
 ) -> DataFrame:
     """Near-dup verdicts for one micro-batch of (doc_id, text) rows
     against a stored (band, key, doc_id) index and its corpus table.
-    Returns (new_id, dup_of, jaccard) for every verified near-dup —
-    empty means the whole batch is admissible."""
+    Returns (new_id, dup_of, j_bps) for every verified near-dup —
+    empty means the whole batch is admissible; j_bps is the exact
+    half-up integer Jaccard bps of the plans/dedup.py pair contract."""
     probes = _band_buckets(batch.select(F.col("doc_id").alias("new_id"), "text"), "new_id")
     new_sh = probes.select("new_id", "sh").distinct()
     cand = (
@@ -90,15 +91,16 @@ def screen_batch(
         .select(
             "new_id",
             "dup_of",
-            F.size(F.array_intersect("sh", "sh_c")).cast("double").alias("n_inter"),
-            F.size("sh").cast("double").alias("na"),
-            F.size("sh_c").cast("double").alias("nb"),
+            F.size(F.array_intersect("sh", "sh_c")).cast("bigint").alias("n_inter"),
+            F.size("sh").cast("bigint").alias("na"),
+            F.size("sh_c").cast("bigint").alias("nb"),
         )
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
     )
-    jac = F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4)
+    jac = F.expr("(20000L * n_inter + un) div (2L * un)")
     return (
-        sized.select("new_id", "dup_of", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        sized.select("new_id", "dup_of", jac.alias("j_bps"))
+        .where(F.col("j_bps") >= int(round(threshold * 10000)))
         .orderBy("new_id", "dup_of")
     )
 

@@ -207,7 +207,7 @@ def test_pair_verify_join_aqe_skew_split_activates(spark):
     assert "skew=true" in plan, plan[:4000]
     # outputs unchanged by the replan: the hub clique, exactly
     assert len(got) == 300 * 299 // 2
-    assert all(r.jaccard == 1.0 for r in got)
+    assert all(r.j_bps == 10000 for r in got)
 
 
 def test_closure_edge_stats_known_numbers(spark):

@@ -38,8 +38,8 @@ def test_screen_batch_flags_copies_and_admits_novel(spark, tmp_path):
     assert 100001 in flagged and 100002 in flagged
     assert 100003 not in flagged
     exact = {r.new_id: r for r in got if r.dup_of in (3, 7)}
-    assert exact[100001].jaccard == 1.0 and exact[100001].dup_of == 3
-    assert exact[100002].jaccard == 1.0 and exact[100002].dup_of == 7
+    assert exact[100001].j_bps == 10000 and exact[100001].dup_of == 3
+    assert exact[100002].j_bps == 10000 and exact[100002].dup_of == 7
 
 
 def test_run_neardup_stream_end_to_end(spark, tmp_path):
@@ -65,4 +65,4 @@ def test_run_neardup_stream_end_to_end(spark, tmp_path):
     )
     got = spark.read.parquet(out).collect()
     assert {r.new_id for r in got} == {200001}
-    assert any(r.dup_of == 3 and r.jaccard == 1.0 for r in got)
+    assert any(r.dup_of == 3 and r.j_bps == 10000 for r in got)

@@ -241,9 +241,10 @@ def test_fuzzy_decontaminate_subset_of_exact_pairs(spark):
     }
     for h in hits:
         a, b = sh[h.train_id], sh[h.bench_id]
-        jac = len(a & b) / len(a | b)
-        assert round(jac, 4) >= _FUZZY_DECON_THRESHOLD
-        assert abs(round(jac, 4) - h.jaccard) < 1e-9
+        i, u = len(a & b), len(a | b)
+        j_bps = (20000 * i + u) // (2 * u)
+        assert j_bps >= 6000
+        assert j_bps == h.j_bps
 
 
 def test_approx_user_counts_error_bounded(spark):
