@@ -59,7 +59,11 @@ def main() -> None:
         "q5_local_supplier", "rag_context", "semantic_topk", "sessionize",
         "top_customers", "tumbling_counts", "unigram_logprob",
     )
-    subtotal17 = round(sum(timings.get(n, 0.0) for n in original17), 3)
+    # loud failure, not a silently shrinking subtotal, if a headline
+    # query is ever renamed or dropped (ADVICE r9)
+    missing17 = [n for n in original17 if n not in timings]
+    assert not missing17, f"original17 names absent from timings: {missing17}"
+    subtotal17 = round(sum(timings[n] for n in original17), 3)
     print(
         json.dumps(
             {

@@ -4768,9 +4768,8 @@ g1 AS (
   FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
 ),
 w1 AS (SELECT list(CAST(g * -0.001 AS DOUBLE) ORDER BY dim) AS w FROM g1),
-w1b AS (
-  SELECT CAST(SUM(CAST(ROUND(0.5 - y, 6) AS DECIMAL(18,6))) * -0.001 AS DOUBLE) AS wb FROM e
-),
+g1b AS (SELECT SUM(CAST(ROUND(0.5 - y, 6) AS DECIMAL(18,6))) AS g FROM e),
+w1b AS (SELECT CAST(g * -0.001 AS DOUBLE) AS wb FROM g1b),
 m AS (
   SELECT e.y, e.embedding,
          ROUND(list_reduce(list_prepend(0.0,
@@ -4786,11 +4785,13 @@ g2 AS (
   FROM pr CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i) GROUP BY d.i
 ),
 g2b AS (SELECT SUM(CAST(ROUND(p - y, 6) AS DECIMAL(18,6))) AS g FROM pr)
-SELECT CAST(0 AS BIGINT) AS dim, w1b.wb + CAST(g2b.g * -0.001 AS DOUBLE) + 0.0 AS weight
-FROM w1b CROSS JOIN g2b
+SELECT CAST(0 AS BIGINT) AS dim,
+       CAST(-(g1b.g + g2b.g) * 1000000 AS BIGINT) AS weight_e9
+FROM g1b CROSS JOIN g2b
 UNION ALL
-SELECT CAST(g2.dim AS BIGINT) AS dim, w1.w[g2.dim] + CAST(g2.g * -0.001 AS DOUBLE) + 0.0 AS weight
-FROM g2 CROSS JOIN w1
+SELECT CAST(g2.dim AS BIGINT) AS dim,
+       CAST(-(g1.g + g2.g) * 1000000 AS BIGINT) AS weight_e9
+FROM g2 JOIN g1 USING (dim)
 ORDER BY dim
 """
 
@@ -4814,9 +4815,10 @@ ORDER BY dim
         "parallelism), weight updates are exact decimal multiplies "
         "(g * -0.001), and epoch-2 margins round to 6 dp before the "
         "sigmoid so both engines fold identical doubles in identical "
-        "order; the final weights ship UNROUNDED (one correctly-"
-        "rounded IEEE add of decimal-derived doubles — no final "
-        "ROUND(double), the r8 halfway hazard) (SURVEY §2.F)."
+        "order; the final weights ship as EXACT integer e9 units "
+        "(weight_e9 = -10^6*(g1+g2) off the DECIMAL(18,6) gradients — "
+        "no double output; the r9 ks_stat red proved shared IEEE op "
+        "trees are not env-stable) (SURVEY §2.F)."
     ),
 )
 def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4834,17 +4836,31 @@ def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g")
         )
-        .select("pos", F.expr("CAST(g * -0.001 AS DOUBLE)").alias("w"))
+        .select(
+            "pos",
+            F.expr("CAST(g * -0.001 AS DOUBLE)").alias("w"),
+            # exact integer micro-units of the epoch-1 gradient — the
+            # output weights are the exact decimal -0.001*(g1+g2), so
+            # they ship as integer e9 units off these
+            F.expr("CAST(g * 1000000 AS BIGINT)").alias("g_micro"),
+        )
         .orderBy("pos")
     )
     # bounded collects: the 65-value weight vector is the only thing
     # that crosses the driver between epochs (the pca/kmeans shape)
-    w1 = [float(r["w"]) for r in g1.collect()]
-    w1b = float(
+    g1_rows = g1.collect()
+    w1 = [float(r["w"]) for r in g1_rows]
+    g1_micro = [int(r["g_micro"]) for r in g1_rows]
+    g1b_row = (
         emb.select(F.sum(F.round(F.lit(0.5) - y, 6).cast("decimal(18,6)")).alias("g"))
-        .select(F.expr("CAST(g * -0.001 AS DOUBLE)").alias("wb"))
-        .first()["wb"]
+        .select(
+            F.expr("CAST(g * -0.001 AS DOUBLE)").alias("wb"),
+            F.expr("CAST(g * 1000000 AS BIGINT)").alias("g_micro"),
+        )
+        .first()
     )
+    w1b = float(g1b_row["wb"])
+    g1b_micro = int(g1b_row["g_micro"])
 
     # epoch 2: broadcast weights as plan constants; sequential-fold
     # margin (identical order to the oracle's list_reduce), 6-dp
@@ -4866,25 +4882,32 @@ def linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g")
     )
-    # weights ship UNROUNDED: both addends are doubles derived from
-    # exact decimals, so the sum is one correctly-rounded IEEE op,
-    # bit-identical in both engines (no final ROUND(double), the r8
-    # halfway hazard); +0.0 still pins the -0.0 sign
+    # weights ship as EXACT integer e9 units: weight = -0.001*(g1+g2)
+    # over DECIMAL(18,6) gradients is the exact integer -(G1+G2) in
+    # micro-gradient units x 10^3 precision, i.e. weight_e9 =
+    # -10^6*(g1+g2) — no double output (the r9 ks_stat red proved
+    # shared IEEE op trees are not env-stable as outputs)
+    g1lit = F.expr(
+        "array(" + ",".join(f"{g}L" for g in g1_micro) + ")"
+    )
     dims = g2.select(
         (F.col("pos") + 1).cast("bigint").alias("dim"),
         (
-            F.element_at(w1lit, (F.col("pos") + 1).cast("int"))
-            + F.expr("CAST(g * -0.001 AS DOUBLE)")
-            + F.lit(0.0)
-        ).alias("weight"),
+            -(
+                F.element_at(g1lit, (F.col("pos") + 1).cast("int"))
+                + F.expr("CAST(g * 1000000 AS BIGINT)")
+            )
+        )
+        .cast("bigint")
+        .alias("weight_e9"),
     )
     bias = (
         e2.select(F.sum(F.round(F.col("p") - F.col("y"), 6).cast("decimal(18,6)")).alias("g"))
         .select(
             F.lit(0).cast("bigint").alias("dim"),
-            (
-                F.lit(w1b) + F.expr("CAST(g * -0.001 AS DOUBLE)") + F.lit(0.0)
-            ).alias("weight"),
+            (-(F.lit(g1b_micro) + F.expr("CAST(g * 1000000 AS BIGINT)")))
+            .cast("bigint")
+            .alias("weight_e9"),
         )
     )
     return bias.unionAll(dims).orderBy("dim")
@@ -6585,8 +6608,8 @@ w2 AS (
     oracle=f"""
 WITH {_pca2_ctes()}
 SELECT CAST(d.i AS BIGINT) AS dim,
-       u1.u[d.i] AS loading1,
-       w2.w[d.i] / sqrt({_pca_dot_sql('w2.w', 'w2.w')}) AS loading2
+       ROUND(u1.u[d.i], 6) AS loading1,
+       ROUND(w2.w[d.i] / sqrt({_pca_dot_sql('w2.w', 'w2.w')}), 6) AS loading2
 FROM u1 CROSS JOIN w2 CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
 ORDER BY dim
 """,
@@ -6601,9 +6624,12 @@ ORDER BY dim
         "(two per component, the pca_power_top1 recipe); every "
         "64-length reduction (norms, projection coefficients) is an "
         "ORDERED sequential fold run identically in both engines — "
-        "no mid-stream rounding anywhere, and the loadings ship "
-        "UNROUNDED off the bit-identical iterates (no final "
-        "ROUND(double), the r8 halfway hazard) (SURVEY §2.F)."
+        "no mid-stream rounding anywhere; the loadings ship GRID-"
+        "PINNED at 6 dp (ROUND of an irrational-valued quantity — "
+        "unit-norm sqrt normalization — the measure-zero halfway "
+        "class SURVEY §5 documents; a raw double would drift with "
+        "the engine environment, the r9 ks_stat lesson, while the "
+        "6-dp grid absorbs ulp-level drift) (SURVEY §2.F)."
     ),
 )
 def pca_top2_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6624,10 +6650,10 @@ def pca_top2_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (F.col("pos") + 1).cast("bigint").alias("dim"),
-            F.col("l1").alias("loading1"),
-            (F.element_at(F.col("w"), F.col("pos") + 1) / F.col("n")).alias(
-                "loading2"
-            ),
+            F.round(F.col("l1"), 6).alias("loading1"),
+            F.round(
+                F.element_at(F.col("w"), F.col("pos") + 1) / F.col("n"), 6
+            ).alias("loading2"),
         )
         .orderBy("dim")
     )
@@ -6646,7 +6672,7 @@ tr AS (
   SELECT CAST(SUM(CAST(ROUND(v[d.i] * v[d.i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS t
   FROM e CROSS JOIN UNNEST(range(1, {EMB_DIM} + 1)) AS d(i)
 )
-SELECT component, eigenvalue,
+SELECT component, ROUND(eigenvalue, 6) AS eigenvalue,
        CAST(FLOOR(eigenvalue * 10000 / t) AS BIGINT) AS var_share_bps
 FROM (
   SELECT 1 AS component, l1 AS eigenvalue FROM lam
@@ -6664,8 +6690,11 @@ ORDER BY component
         "is worth it (a 4,000-bps PC1 = one axis carries 40% of all "
         "energy) and the k-selection signal for dim_ablation_recall. "
         "Trace is one exact-decimal corpus aggregate; eigenvalues are "
-        "ordered-fold arithmetic on collected plan constants "
-        "(SURVEY §2.F)."
+        "ordered-fold arithmetic on collected plan constants, shipped "
+        "GRID-PINNED at 6 dp (Rayleigh quotients of corpus-sized "
+        "sums: effectively irrational-valued, the measure-zero "
+        "halfway class of SURVEY §5 — not raw doubles, the r9 "
+        "ks_stat lesson) (SURVEY §2.F)."
     ),
 )
 def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6684,7 +6713,7 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for comp, lam in ((1, lam1), (2, lam2)):
         row = tr.select(
             F.lit(comp).cast("bigint").alias("component"),
-            F.lit(lam).alias("eigenvalue"),
+            F.round(F.lit(lam), 6).alias("eigenvalue"),
             F.expr(f"CAST(FLOOR({lam!r} * 10000 / t) AS BIGINT)").alias(
                 "var_share_bps"
             ),

@@ -4381,16 +4381,10 @@ s AS (
 )
 SELECT n_a, n_b,
        CAST(conv * 10000 // (n_a + n_b) AS BIGINT) AS base_rate_bps,
-       (1.96 + 0.8416)
-             * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
-                    * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)) AS mde_abs,
-       CAST(FLOOR((1.96 + 0.8416)
-             * SQRT(CAST(conv AS DOUBLE) / (n_a + n_b)
-                    * (1.0 - CAST(conv AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b))
-             / (CAST(conv AS DOUBLE) / (n_a + n_b)) * 10000) AS BIGINT)
-           AS mde_relative_bps
+       CAST((7848962560000 * CAST(conv AS HUGEINT) * (n_a + n_b - conv))
+            // (CAST(n_a + n_b AS HUGEINT) * n_a * n_b) AS BIGINT) AS mde_sq_e12,
+       CAST((784896256 * CAST(n_a + n_b - conv AS HUGEINT) * (n_a + n_b))
+            // (CAST(conv AS HUGEINT) * n_a * n_b) AS BIGINT) AS mde_rel_sq_e8
 FROM s
 """,
     doc=(
@@ -4402,12 +4396,15 @@ FROM s
         "honesty check every platform pairs with the lift report: if "
         "the effect you hope for is below the MDE, the test cannot "
         "see it and running it is theater. Same one-scan user rollup "
-        "as ab_test_lift/ab_srm_check; exact integers into two shared "
-        "double expressions of correctly-rounded IEEE ops (/, *, "
-        "sqrt; 1.96+0.8416 folds exactly to the double 2.8016 in both "
-        "engines), so mde_abs ships UNROUNDED and mde_relative_bps is "
-        "a FLOOR of the bit-identical value — no final ROUND(double), "
-        "the r8 halfway hazard (SURVEY §2.H)."
+        "as ab_test_lift/ab_srm_check; fully integer presentation "
+        "(the r9 ks_stat red killed the unrounded-IEEE-tree "
+        "convention): the MDE ships SQUARED in exact integer units — "
+        "mde_sq_e12 = (2.8016^2*10^12 * conv*(N-conv)) div (N*na*nb) "
+        "and mde_rel_sq_e8 = (2.8016^2*10^8 * (N-conv)*N) div "
+        "(conv*na*nb), both truncating HUGEINT/DECIMAL(38,0) divs off "
+        "the exact (na, nb, conv) integers (2.8016^2 = 7.84896256 "
+        "exactly, an integer in e8 units); sqrt is the caller's "
+        "last-mile op (SURVEY §2.H)."
     ),
 )
 def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4428,14 +4425,16 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
         F.sum("converted").cast("bigint").alias("conv"),
     )
-    p = F.col("conv").cast("double") / (F.col("n_a") + F.col("n_b"))
-    mde = (1.96 + 0.8416) * F.sqrt(
-        p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
-    )
     return s.select(
         "n_a",
         "n_b",
         F.expr("conv * 10000 div (n_a + n_b)").cast("bigint").alias("base_rate_bps"),
-        mde.alias("mde_abs"),
-        F.floor(mde / p * 10000).cast("bigint").alias("mde_relative_bps"),
+        F.expr(
+            "CAST((CAST(7848962560000 AS DECIMAL(38,0)) * conv * (n_a + n_b - conv))"
+            " div (CAST(n_a + n_b AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"
+        ).alias("mde_sq_e12"),
+        F.expr(
+            "CAST((CAST(784896256 AS DECIMAL(38,0)) * (n_a + n_b - conv) * (n_a + n_b))"
+            " div (CAST(conv AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"
+        ).alias("mde_rel_sq_e8"),
     )

@@ -1464,25 +1464,25 @@ rt AS (SELECT t, SUM(o) AS r FROM cells GROUP BY t),
 ct AS (SELECT wd, SUM(o) AS c FROM cells GROUP BY wd),
 tot AS (SELECT SUM(o) AS n FROM cells),
 terms AS (
-  SELECT CAST(ROUND(
-           POWER(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n, 2)
-             / (CAST(r AS DOUBLE) * c / n), 8) AS DECIMAL(18,8)) AS term
+  SELECT (100000000 * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                    * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c))
+         // (CAST(n AS HUGEINT) * r * c) AS term_e8
   FROM cells JOIN rt USING (t) JOIN ct USING (wd) CROSS JOIN tot
 ),
 s AS (
   SELECT (SELECT n FROM tot) AS n,
          (SELECT COUNT(*) FROM rt) AS nr,
          (SELECT COUNT(*) FROM ct) AS nc,
-         SUM(term) AS chi2_dec,
+         SUM(term_e8) AS chi2_e8,
          COUNT(*) AS n_cells
   FROM terms
 )
 SELECT CAST(n AS BIGINT) AS n_events,
        CAST(n_cells AS BIGINT) AS n_cells,
        CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
-       CAST(chi2_dec AS DOUBLE) AS chi2,
-       SQRT(CAST(chi2_dec AS DOUBLE)
-            / (CAST(n AS DOUBLE) * LEAST(nr - 1, nc - 1))) AS cramers_v
+       CAST(chi2_e8 AS DECIMAL(38,0)) AS chi2_e8,
+       CAST((10 * chi2_e8) // (CAST(n AS HUGEINT) * LEAST(nr - 1, nc - 1))
+            AS BIGINT) AS v_sq_e9
 FROM s
 """,
     doc=(
@@ -1492,13 +1492,16 @@ FROM s
         "exists; V in [0,1] says whether it is big enough to act on "
         "(at pretraining-corpus n, chi2 rejects on trivia). Same "
         "distributed shape as priority_status_chi2: one map-side-"
-        "combined contingency pass, dimension-sized margins, each "
-        "(O-E)^2/E term pre-rounded to DECIMAL(18,8) before the "
-        "order-free sum; chi2 ships as the exact decimal cast to "
-        "double and V = sqrt(chi2/(n*min(r-1,c-1))) as one shared "
-        "correctly-rounded IEEE expression, UNROUNDED (no final "
-        "ROUND(double), the r8 halfway hazard). Weekday from the "
-        "(day_idx+4)%7 UTC convention (SURVEY §2.L)."
+        "combined contingency pass, dimension-sized margins. Fully "
+        "integer presentation (the r9 ks_stat red killed the "
+        "unrounded-IEEE-tree convention): each (O-E)^2/E term is the "
+        "exact truncating integer (10^8*dev^2) div (n*r*c) with dev = "
+        "n*o - r*c in HUGEINT/DECIMAL(38,0) (exact while |dev| < "
+        "~10^15, i.e. cell deviation under ~1000x expected at n=1e12), "
+        "chi2_e8 is their order-free integer sum, and V ships SQUARED "
+        "as v_sq_e9 = (10*chi2_e8) div (n*min(r-1,c-1)) — sqrt is the "
+        "caller's last-mile op. Weekday from the (day_idx+4)%7 UTC "
+        "convention (SURVEY §2.L)."
     ),
 )
 def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,9 +1515,12 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = cells.groupBy("t").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("wd").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("n"))
-    e = F.col("r").cast("double") * F.col("c") / F.col("n")
-    term = F.round(F.pow(F.col("o").cast("double") - e, 2) / e, 8).cast(
-        "decimal(18,8)"
+    # exact truncating integer term in DECIMAL(38,0): dev = n*o - r*c
+    term = F.expr(
+        "(CAST(100000000 AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)"
+        " * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c))"
+        " div (CAST(n AS DECIMAL(38,0)) * r * c)"
     )
     joined = (
         cells.join(F.broadcast(rt), "t")
@@ -1527,7 +1533,7 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.agg(
             F.max("n").alias("n"),
             F.count("*").cast("bigint").alias("n_cells"),
-            F.sum(term).alias("chi2_dec"),
+            F.sum(term).alias("chi2_e8"),
         )
         .crossJoin(F.broadcast(n_r))
         .crossJoin(F.broadcast(n_c))
@@ -1535,14 +1541,11 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_events"),
             "n_cells",
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
-            F.col("chi2_dec").cast("double").alias("chi2"),
-            F.sqrt(
-                F.col("chi2_dec").cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
-                )
-            ).alias("cramers_v"),
+            F.col("chi2_e8").cast("decimal(38,0)").alias("chi2_e8"),
+            F.expr(
+                "CAST((CAST(10 AS DECIMAL(38,0)) * chi2_e8)"
+                " div (CAST(n AS DECIMAL(38,0)) * least(nr - 1, nc - 1)) AS BIGINT)"
+            ).alias("v_sq_e9"),
         )
     )
 

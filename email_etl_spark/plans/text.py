@@ -1115,15 +1115,18 @@ WITH t AS (
   FROM documents
 ),
 s AS (
-  SELECT source, COUNT(*) AS n,
-         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy,
-         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y * 10000 AS BIGINT)) AS HUGEINT) AS sy4,
+         CAST(SUM(CAST(y * 10000 AS BIGINT) * CAST(y * 10000 AS BIGINT)) AS HUGEINT) AS syy8,
+         CAST(SUM(x * CAST(y * 10000 AS BIGINT)) AS HUGEINT) AS sxy4
   FROM t GROUP BY source
 )
 SELECT source, CAST(n AS BIGINT) AS n_docs,
-       (n * sxy - sx * sy) /
-           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_len_quality
+       CAST(n * sxy4 - sx * sy4 AS DECIMAL(38,0)) AS corr_num_e4,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
+       CAST(n * syy8 - sy4 * sy4 AS DECIMAL(38,0)) AS var_y_num_e8
 FROM s ORDER BY source
 """,
     doc=(
@@ -1131,13 +1134,15 @@ FROM s ORDER BY source
         "heuristic, per source — the sanity check that a quality "
         "filter is not just a length filter (|r| near 1 means the "
         "expensive signal adds nothing over n_chars). Every cross-row "
-        "sum is EXACT (integer chars, DECIMAL(5,4) quality, exact "
-        "decimal products) and cast to double once per group, so the "
-        "statistic is order-insensitive at any parallelism; the "
-        "closed-form combination is fixed-order scalar arithmetic "
-        "over correctly-rounded IEEE ops (*, -, /, sqrt), shipped "
-        "UNROUNDED as one shared expression — bit-identical in both "
-        "engines, no final ROUND(double) halfway hazard (SURVEY §2.D)."
+        "sum is EXACT (integer chars, quality in integer e4 units), "
+        "so the statistic is order-insensitive at any parallelism, "
+        "and r ships as the exact signed rational triple r = "
+        "corr_num_e4 / sqrt(var_x_num * var_y_num_e8) — Pearson's "
+        "numerator n*sxy-sx*sy and both variance numerators as "
+        "DECIMAL(38,0) integers (units cancel: e4 numerator over "
+        "sqrt(1 * e8)); no double output at all, the r9 ks_stat red "
+        "proved shared IEEE trees are not env-stable. sqrt + divide "
+        "is the caller's last-mile op (SURVEY §2.D)."
     ),
 )
 def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,25 +1150,32 @@ def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "source",
         F.length("text").cast("bigint").alias("x"),
-        T.quality_score(F.col("text")).cast("decimal(5,4)").alias("y"),
+        (T.quality_score(F.col("text")).cast("decimal(5,4)") * 10000)
+        .cast("bigint")
+        .alias("y4"),
     )
     s = t.groupBy("source").agg(
-        F.count("*").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-    )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        # per-row products cast to DECIMAL(38,0) BEFORE the sum: Spark's
+        # BIGINT sum wraps silently at 100 TB row counts (DuckDB's SUM
+        # auto-promotes to HUGEINT)
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("y4").cast("decimal(38,0)")).alias("sy4"),
+        F.sum((F.col("y4") * F.col("y4")).cast("decimal(38,0)")).alias("syy8"),
+        F.sum((F.col("x") * F.col("y4")).cast("decimal(38,0)")).alias("sxy4"),
     )
     return (
         s.select(
             "source",
             F.col("n").cast("bigint").alias("n_docs"),
-            r.alias("corr_len_quality"),
+            F.expr("CAST(n * sxy4 - sx * sy4 AS DECIMAL(38,0))").alias(
+                "corr_num_e4"
+            ),
+            F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("var_x_num"),
+            F.expr("CAST(n * syy8 - sy4 * sy4 AS DECIMAL(38,0))").alias(
+                "var_y_num_e8"
+            ),
         )
         .orderBy("source")
     )

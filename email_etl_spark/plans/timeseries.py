@@ -1362,8 +1362,8 @@ s AS (
 )
 SELECT n AS n_events,
        CAST((1000000 * d_int) // (24 * n) AS BIGINT) AS d_stat_micro,
-       CAST(d_int AS DOUBLE) / (24.0 * n) * SQRT(CAST(n AS DOUBLE))
-           AS ks_stat,
+       CAST((1000000 * CAST(d_int AS HUGEINT) * CAST(d_int AS HUGEINT))
+            // (576 * CAST(n AS HUGEINT)) AS BIGINT) AS ks_sq_e6,
        CAST(1000 * d_int AS DECIMAL(19,0)) * CAST(1000 * d_int AS DECIMAL(19,0))
            > CAST(1062238464 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
            AS reject_95
@@ -1383,10 +1383,14 @@ FROM s
         "d_stat_micro is the pure-integer (10^6*d_int) div (24n), "
         "reject_95 is the integer cross-multiplication (1000*d_int)^2 "
         "> 1358^2*576*n over DECIMAL(38,0) (1062238464 = 1358^2*576), "
-        "and ks_stat ships unrounded as one shared IEEE op tree over "
-        "the (d_int, n) integers (kneser_ney convention). The only "
-        "ordered pass is a 24-row cumulative window off the hour "
-        "rollup (SURVEY §2.H)."
+        "and the KS statistic ships SQUARED in exact integer e6 units "
+        "— ks_sq_e6 = (10^6*d_int^2) div (576*n), pure integer in "
+        "DECIMAL(38,0)/HUGEINT (ks = sqrt(ks_sq_e6/10^6) is the "
+        "caller's last-mile op). The raw unrounded D*sqrt(n) double "
+        "was this query's SECOND driver red (r9): a shared IEEE op "
+        "tree is NOT bit-stable across engine environments, so no "
+        "output column may carry one. The only ordered pass is a "
+        "24-row cumulative window off the hour rollup (SURVEY §2.H)."
     ),
 )
 def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,8 +1413,6 @@ def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(24 * F.col("cum") - (F.col("h") + 1) * F.col("n"))).alias("d_int"),
         F.max("n").alias("n"),
     )
-    d = F.col("d_int").cast("double") / (24.0 * F.col("n"))
-    ks = d * F.sqrt(F.col("n").cast("double"))
     lhs = F.expr("CAST(1000 * d_int AS DECIMAL(19,0))")
     return s.select(
         F.col("n").cast("bigint").alias("n_events"),
@@ -1420,7 +1422,13 @@ def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * d_int)"
             " div (CAST(24 AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("d_stat_micro"),
-        ks.alias("ks_stat"),
+        # squared KS statistic in exact e6 integer units: 10^6*d_int^2
+        # tops out at ~5.8e35 for n=1e12 (d_int <= 24n) — inside
+        # DECIMAL(38,0) at the 100 TB target
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d_int * d_int)"
+            " div (CAST(576 AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("ks_sq_e6"),
         (lhs * lhs > F.lit(1062238464).cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")).alias("reject_95"),
     )
 
@@ -1966,7 +1974,6 @@ fit AS (
   FROM prm
 )
 SELECT nd AS n_days,
-       LEAST(st[1], st[3]) AS total_cost,
        CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
            AS n_burst_days,
        CAST(CAST(CASE WHEN st[1] <= st[3] THEN st[2] ELSE st[4] END AS BIGINT)
@@ -1986,9 +1993,11 @@ FROM fit
         "higher-order fold over the day-ordered array (holt's 4-list "
         "accumulator pattern: two state costs + the burst-day count "
         "carried along each best path), identical op trees in both "
-        "engines — total_cost ships UNROUNDED off that shared tree "
-        "(no final ROUND(double)) — ties broken toward the base "
-        "state (SURVEY §2.H)."
+        "engines; the outputs are the INTEGER decision columns only "
+        "(the raw double path cost was dropped in r10: the r9 "
+        "ks_stat red proved shared IEEE op trees are not env-stable "
+        "as outputs) — ties broken toward the base state "
+        "(SURVEY §2.H)."
     ),
 )
 def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2027,9 +2036,6 @@ def burst_days_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fit.select(
         F.col("nd").alias("n_days"),
-        # identical fold op trees both engines: ships UNROUNDED (no
-        # final ROUND(double), the r8 halfway hazard)
-        F.expr("LEAST(st[0], st[2])").alias("total_cost"),
         nburst.alias("n_burst_days"),
         F.expr(
             "CAST(CASE WHEN st[0] <= st[2] THEN st[1] ELSE st[3] END AS BIGINT)"
@@ -2084,8 +2090,7 @@ pairs AS (
 ),
 prof AS (SELECT s, MIN(dist) AS profile FROM pairs GROUP BY s)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY profile DESC, s) AS BIGINT) AS rank,
-       CAST(s AS BIGINT) AS start_day_index,
-       profile AS discord_distance
+       CAST(s AS BIGINT) AS start_day_index
 FROM prof
 ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
 """,
@@ -2101,8 +2106,12 @@ ORDER BY profile DESC, s LIMIT {_DISCORD_TOP}
         "Everything runs over the O(days) rollup: ~|days| windows, "
         "z-normalization and distances as ordered sequential folds "
         "(identical op trees both engines, sd=0 windows map to zero "
-        "vectors) so the distance ships UNROUNDED (no final "
-        "ROUND(double)), the window-pair join is dimension-sized by "
+        "vectors); the OUTPUT is the integer (rank, start index) "
+        "decision only — the raw double distance was dropped in r10 "
+        "(the r9 ks_stat red proved shared IEEE trees are not "
+        "env-stable as outputs; selection margins are macroscopic "
+        "and ties break on the integer index). The window-pair join "
+        "is dimension-sized by "
         "construction, top-3 via the profile ranking. BOUND: after "
         "the distributed daily rollup the series collapses to ONE "
         "array built in ONE task, and the pair space is O(days^2) "
@@ -2167,11 +2176,8 @@ def discord_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rank",
             F.col("s").cast("bigint").alias("start_day_index"),
-            # bit-identical ordered folds both engines: ships UNROUNDED
-            # (no final ROUND(double), the r8 halfway hazard)
-            F.col("profile").alias("discord_distance"),
         )
-        .orderBy(F.desc("discord_distance"), "start_day_index")
+        .orderBy("rank")
     )
 
 
@@ -2209,8 +2215,7 @@ pairs AS (
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, s1, s2) AS BIGINT) AS rank,
        CAST(s1 AS BIGINT) AS start_day_a,
-       CAST(s2 AS BIGINT) AS start_day_b,
-       dist AS motif_distance
+       CAST(s2 AS BIGINT) AS start_day_b
 FROM pairs
 ORDER BY dist, s1, s2 LIMIT {_DISCORD_TOP}
 """,
@@ -2221,8 +2226,10 @@ ORDER BY dist, s1, s2 LIMIT {_DISCORD_TOP}
         "incident-recovery signature), the complement of "
         "discord_weeks' loners from the same machinery (Yeh et al. "
         "2016). Identical ordered-fold z-normalization and distance "
-        "op trees; the pair stream keeps only s2 - s1 >= window so "
-        "each unordered pair appears once; top-3 via "
+        "op trees; the OUTPUT is the integer (rank, start-pair) "
+        "decision only (raw double distance dropped in r10, the "
+        "ks_stat lesson); the pair stream keeps only s2 - s1 >= "
+        "window so each unordered pair appears once; top-3 via "
         "TakeOrderedAndProject over the dimension-sized pair table. "
         "BOUND: same as discord_weeks — the daily series collapses "
         "to ONE array in ONE task after the distributed rollup, pair "
@@ -2287,10 +2294,8 @@ def motif_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("s1").cast("bigint").alias("start_day_a"),
             F.col("s2").cast("bigint").alias("start_day_b"),
-            # bit-identical ordered folds both engines: ships UNROUNDED
-            F.col("dist").alias("motif_distance"),
         )
-        .orderBy("motif_distance", "start_day_a", "start_day_b")
+        .orderBy("rank")
     )
 
 
@@ -2553,10 +2558,11 @@ m AS (
 SELECT n AS n_days,
        CAST(day_idx AS BIGINT) AS peak_day_idx,
        CAST(d_num AS BIGINT) AS dev_num,
-       CAST(n * sq - sm * sm AS BIGINT) AS s2_num,
-       CAST(d_num AS DOUBLE)
-         * SQRT(CAST(n - 1 AS DOUBLE)
-                / (CAST(n AS DOUBLE) * (n * sq - sm * sm))) AS grubbs_g
+       CAST(CAST(n AS HUGEINT) * sq - CAST(sm AS HUGEINT) * sm
+            AS DECIMAL(38,0)) AS s2_num,
+       CAST(CAST(d_num AS HUGEINT) * d_num * (n - 1) AS DECIMAL(38,0)) AS g_sq_num,
+       CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sq - CAST(sm AS HUGEINT) * sm)
+            AS DECIMAL(38,0)) AS g_sq_den
 FROM m
 """,
     doc=(
@@ -2567,14 +2573,20 @@ FROM m
         "every fence-breaker; Grubbs scores THE most extreme one "
         "against the sample spread, which is what an on-call pages "
         "on). Computed entirely from the exact integers (n, sum, "
-        "sumsq, D = max|n*x - sum|): dev_num and s2_num = n*sumsq - "
-        "sum^2 ship as exact BIGINTs and G = D * sqrt((n-1)/(n*S2)) "
-        "is one shared correctly-rounded IEEE expression, UNROUNDED "
-        "(no final ROUND(double), the r8 halfway hazard). The "
-        "critical value depends on n through the t-quantile, so the "
-        "decision is the caller's table lookup; argmax ties break to "
-        "the earliest day. One distributed day rollup + a 1-row "
-        "TakeOrdered head — calendar-bounded like the rest of §2.H."
+        "sumsq, D = max|n*x - sum|): dev_num ships as BIGINT; s2_num "
+        "= n*sumsq - sum^2 ships as DECIMAL(38,0) — sm*sm passes "
+        "BIGINT once total events exceed ~3e9 (ADVICE r9), so both "
+        "engines square in HUGEINT/DECIMAL(38,0) — and G ships as "
+        "the exact rational pair G^2 = g_sq_num/g_sq_den (dev^2*(n-1) "
+        "over n*S2, both DECIMAL(38,0)-exact at any corpus scale: "
+        "numerator <= 1e36 at n=1e4 days x 1e12 events). No double "
+        "output at all — the r9 ks_stat red proved shared IEEE op "
+        "trees are not env-stable; sqrt(num/den) is the caller's "
+        "last-mile op. The critical value depends on n through the "
+        "t-quantile, so the decision is the caller's table lookup; "
+        "argmax ties break to the earliest day. One distributed day "
+        "rollup + a 1-row TakeOrdered head — calendar-bounded like "
+        "the rest of §2.H."
     ),
 )
 def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2601,21 +2613,20 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq",
     )
     m = x.orderBy(F.desc("dev"), "day_idx").limit(1)
+    # all products in DECIMAL(38,0): sm*sm wraps BIGINT silently past
+    # ~3e9 total events in non-ANSI Spark (ADVICE r9)
+    s2 = (
+        "(CAST(n AS DECIMAL(38,0)) * sq - CAST(sm AS DECIMAL(38,0)) * sm)"
+    )
     return m.select(
         F.col("n").alias("n_days"),
         F.col("day_idx").cast("bigint").alias("peak_day_idx"),
         F.col("dev").cast("bigint").alias("dev_num"),
-        (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))
-        .cast("bigint")
-        .alias("s2_num"),
-        (
-            F.col("dev").cast("double")
-            * F.sqrt(
-                (F.col("n") - 1).cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))
-                )
-            )
-        ).alias("grubbs_g"),
+        F.expr(f"CAST({s2} AS DECIMAL(38,0))").alias("s2_num"),
+        F.expr(
+            "CAST(CAST(dev AS DECIMAL(38,0)) * dev * (n - 1) AS DECIMAL(38,0))"
+        ).alias("g_sq_num"),
+        F.expr(f"CAST(CAST(n AS DECIMAL(38,0)) * {s2} AS DECIMAL(38,0))").alias(
+            "g_sq_den"
+        ),
     )

@@ -33,14 +33,55 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+# Output-level ROUND(double) columns REVIEWED AND JUSTIFIED (the
+# "argued residue" of VERDICT r9 #6): each is a grid-pin of an
+# irrational-valued quantity (sqrt/Rayleigh-quotient compositions),
+# where the halfway-hit risk is measure-zero — unlike the
+# small-denominator rationals (jaccard, rocchio) that produced the
+# actual reds, all converted to exact integers. A RAW double here
+# would drift with the engine environment (the r9 ks_stat red); the
+# 6-dp grid absorbs ulp-level drift everywhere except exactly at a
+# halfway point, which these values cannot sit on.
+IRRATIONAL_GRID_OK: dict[str, set[str]] = {
+    # unit-norm loadings: component / sqrt(sum of squares)
+    "pca_top2_loadings": {"loading1", "loading2"},
+    # Rayleigh quotient of corpus-sized decimal-derived sums
+    "pca_explained_variance": {"eigenvalue"},
+}
+
+# Frontier-preserving nodes: they reorder/filter/limit/relabel rows
+# but do not REPLACE the output column list, so the output projection
+# is the first Project/Aggregate below them ON EACH BRANCH (Union has
+# one per branch — the r9 single-global-flag walk misclassified the
+# second branch's top projection as internal, ADVICE r9 low).
+_PASSTHROUGH = {
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "Limit",
+    "Filter",
+    "Union",
+    "Distinct",
+    "Deduplicate",
+    "SubqueryAlias",
+    "Repartition",
+    "RepartitionByExpression",
+    "WithCTE",
+    "CTERelationDef",
+}
+
+
 def collect_rounds(df):
-    """[(node_kind, position, child_dtype, sql)] for every Round/BRound
-    in the analyzed plan. position='output' when the expression belongs
-    to the topmost Project/Aggregate node's list, else 'internal'."""
+    """[(node_kind, position, child_dtype, column, sql)] for every
+    Round/BRound in the analyzed plan. position='output' when the
+    expression belongs to the output-frontier Project/Aggregate of its
+    branch (frontier propagates through Sort/Limit/Filter/Union/... so
+    multi-branch plans classify every branch's top projection as
+    output), else 'internal'."""
     plan = df._jdf.queryExecution().analyzed()
     found = []
 
-    def walk_exprs(expr, position, node_kind):
+    def walk_exprs(expr, position, node_kind, column):
         cls = expr.getClass().getSimpleName()
         if cls in ("Round", "BRound"):
             child = expr.children().apply(0)
@@ -49,30 +90,31 @@ def collect_rounds(df):
                     "node": node_kind,
                     "position": position,
                     "child_type": child.dataType().simpleString(),
+                    "column": column,
                     "sql": expr.sql()[:200],
                 }
             )
         for i in range(expr.children().size()):
-            walk_exprs(expr.children().apply(i), position, node_kind)
+            walk_exprs(expr.children().apply(i), position, node_kind, column)
 
-    seen_projection = False
-
-    def walk_plan(node):
-        nonlocal seen_projection
+    def walk_plan(node, on_frontier):
         kind = node.getClass().getSimpleName()
-        # the first Project/Aggregate from the top is the output row
-        is_output = kind in ("Project", "Aggregate") and not seen_projection
-        if is_output:
-            seen_projection = True
+        is_output = kind in ("Project", "Aggregate") and on_frontier
+        child_frontier = (
+            on_frontier and not is_output and kind in _PASSTHROUGH
+        )
         exprs = node.expressions()
         for i in range(exprs.size()):
-            walk_exprs(
-                exprs.apply(i), "output" if is_output else "internal", kind
-            )
+            e = exprs.apply(i)
+            try:
+                col = e.name() if is_output else None
+            except Exception:  # non-named top expression
+                col = None
+            walk_exprs(e, "output" if is_output else "internal", kind, col)
         for i in range(node.children().size()):
-            walk_plan(node.children().apply(i))
+            walk_plan(node.children().apply(i), child_frontier)
 
-    walk_plan(plan)
+    walk_plan(plan, True)
     return found
 
 
@@ -96,12 +138,23 @@ def main() -> int:
         hazards = [r for r in rounds if r["child_type"] == "double"]
         if hazards:
             report[name] = hazards
+    def _unjustified(n, rs):
+        ok = IRRATIONAL_GRID_OK.get(n, set())
+        return [
+            r for r in rs if r["position"] == "output" and r.get("column") not in ok
+        ]
+
     out = {
         "sf_dir": sf_dir,
         "queries_scanned": len(REGISTRY),
         "queries_with_round_over_double": len(report),
         "output_level": sorted(
-            n for n, rs in report.items() if any(r["position"] == "output" for r in rs)
+            n for n, rs in report.items() if _unjustified(n, rs)
+        ),
+        "output_level_justified_irrational": sorted(
+            n
+            for n, rs in report.items()
+            if any(r["position"] == "output" for r in rs) and not _unjustified(n, rs)
         ),
         "internal_only": sorted(
             n for n, rs in report.items() if all(r["position"] != "output" for r in rs)

@@ -30,6 +30,7 @@ def main() -> int:
     failures = 0
     total = 0
     results: dict[str, dict] = {}
+    col_hashes: dict[str, dict] = {}
     for sf_dir in sf_dirs:
         sf_key = os.path.basename(sf_dir.rstrip("/"))
         for name, q in sorted(REGISTRY.items()):
@@ -37,8 +38,12 @@ def main() -> int:
                 results.setdefault(name, {})[sf_key] = "no-oracle"
                 continue
             total += 1
-            problems = compare(name, spark, sf_dir, q.builder, q.oracle)
+            rec: dict = {}
+            problems = compare(name, spark, sf_dir, q.builder, q.oracle, record=rec)
             results.setdefault(name, {})[sf_key] = problems or "ok"
+            # per-output-column hashes (VERDICT r9 #5): a future red
+            # names its divergent column by diffing these
+            col_hashes.setdefault(name, {})[sf_key] = rec.get("col_hashes", {})
             if problems:
                 failures += 1
                 print(f"FAIL {sf_dir} {name}: {problems}")
@@ -52,6 +57,7 @@ def main() -> int:
         "failures": failures,
         "sf_dirs": sf_dirs,
         "queries": results,
+        "col_hashes": col_hashes,
     }
     with open(os.path.join(os.path.dirname(__file__), "..", "SWEEP.json"), "w") as fh:
         json.dump(out, fh, indent=1, default=str)

@@ -61,7 +61,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from email_etl_spark.plans import REGISTRY
-    from tests.oracle import canonical_rows, run_spark
+    from tests.oracle import canonical_rows, column_hashes, run_spark
 
     covered = _covered_elsewhere()
     todo = [n for n in REGISTRY if n not in covered and REGISTRY[n].oracle]
@@ -93,6 +93,7 @@ def main() -> int:
         if prior.get("status") == "ok" and prior.get("fingerprint") == fp:
             continue
         t0 = time.time()
+        s_cols, s_rows = [], []
         try:
             s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
             kind, payload = run_oracle_with_timeout(q.oracle, sf_dir, per_to)
@@ -114,7 +115,9 @@ def main() -> int:
             if len(s_rows) != len(o_rows):
                 problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
             elif canonical_rows(s_cols, s_rows) != canonical_rows(o_cols, o_rows):
-                problems.append("values differ")
+                sh, oh = column_hashes(s_cols, s_rows), column_hashes(o_cols, o_rows)
+                bad = sorted(c for c in sh if sh[c] != oh.get(c))
+                problems.append(f"values differ in columns {bad}")
             status = "ok" if not problems else "FAIL: " + "; ".join(problems)
         except Exception as exc:  # noqa: BLE001
             status = f"ERROR: {exc}"
@@ -125,6 +128,9 @@ def main() -> int:
             "fingerprint": fp,
             "status": status,
             "secs": round(time.time() - t0, 1),
+            # per-output-column hashes (VERDICT r9 #5): a future red
+            # names its divergent column by diffing these
+            "col_hashes": column_hashes(s_cols, s_rows),
         }
         flush()
         print(f"{name}: {status} ({results[name]['secs']}s)", flush=True)

@@ -118,7 +118,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from email_etl_spark.plans.registry import REGISTRY
-    from tests.oracle import canonical_rows, run_spark
+    from tests.oracle import canonical_rows, column_hashes, run_spark
 
     batch = _late_batch()
     ordered = [n for n in _PRIORITY if n in batch] + [
@@ -152,6 +152,7 @@ def main() -> int:
                 continue
             print(f"{name}: green row is for a changed query — re-running", flush=True)
         t0 = time.time()
+        s_cols, s_rows = [], []
         try:
             s_cols, s_rows = run_spark(q.builder, spark, sf_dir)
             kind, payload = run_oracle_with_timeout(q.oracle, sf_dir, per_to)
@@ -173,7 +174,9 @@ def main() -> int:
             if len(s_rows) != len(o_rows):
                 problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
             elif canonical_rows(s_cols, s_rows) != canonical_rows(o_cols, o_rows):
-                problems.append("values differ")
+                sh, oh = column_hashes(s_cols, s_rows), column_hashes(o_cols, o_rows)
+                bad = sorted(c for c in sh if sh[c] != oh.get(c))
+                problems.append(f"values differ in columns {bad}")
             status = "ok" if not problems else "FAIL: " + "; ".join(problems)
         except Exception as exc:  # noqa: BLE001
             status = f"ERROR: {exc}"
@@ -184,6 +187,9 @@ def main() -> int:
             "fingerprint": fp,
             "status": status,
             "secs": round(time.time() - t0, 1),
+            # per-output-column hashes (VERDICT r9 #5): a future red
+            # names its divergent column by diffing these
+            "col_hashes": column_hashes(s_cols, s_rows),
         }
         flush()
         print(f"{name}: {status} ({results[name]['secs']}s)", flush=True)

@@ -52,6 +52,22 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[str]:
     return sorted(out)
 
 
+def column_hashes(columns: list[str], rows: list[tuple]) -> dict[str, str]:
+    """Per-output-column hash of the sorted normalized value multiset
+    (VERDICT r9 #5): when a driver/sweep red shows a whole-row hash
+    mismatch, diffing these localizes WHICH column diverged instead of
+    costing a round of forensics. Column-local (ignores row pairing)
+    by design — a value drift in one column leaves every other
+    column's hash intact."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    for i, c in enumerate(columns):
+        vals = sorted(_norm_value(r[i]) for r in rows)
+        out[c] = hashlib.md5("\x1f".join(vals).encode()).hexdigest()[:12]
+    return out
+
+
 def run_spark(query, spark, sf_dir: str):
     df = query(spark, sf_dir)
     return df.columns, [tuple(r) for r in df.collect()]
@@ -66,8 +82,13 @@ def run_oracle(sql: str, sf_dir: str):
     return cols, cur.fetchall()
 
 
-def compare(name: str, spark, sf_dir: str, builder, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+def compare(
+    name: str, spark, sf_dir: str, builder, sql: str, record: dict | None = None
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass). When
+    `record` is passed, the Spark side's per-column value hashes are
+    stored under record['col_hashes'] so sweep artifacts localize a
+    future divergence to its column."""
     problems: list[str] = []
     s_cols, s_rows = run_spark(builder, spark, sf_dir)
     o_cols, o_rows = run_oracle(sql, sf_dir)
@@ -81,7 +102,13 @@ def compare(name: str, spark, sf_dir: str, builder, sql: str) -> list[str]:
     if s_can != o_can:
         diff_s = [r for r in s_can if r not in set(o_can)][:3]
         diff_o = [r for r in o_can if r not in set(s_can)][:3]
+        # name the divergent column(s) directly (VERDICT r9 #5)
+        sh, oh = column_hashes(s_cols, s_rows), column_hashes(o_cols, o_rows)
+        bad_cols = sorted(c for c in sh if sh[c] != oh.get(c))
         problems.append(
-            f"{name}: values differ; spark-only={diff_s} oracle-only={diff_o}"
+            f"{name}: values differ in columns {bad_cols};"
+            f" spark-only={diff_s} oracle-only={diff_o}"
         )
+    if record is not None:
+        record["col_hashes"] = column_hashes(s_cols, s_rows)
     return problems

@@ -587,8 +587,11 @@ def test_linear_probe_deterministic_and_shaped(spark):
     )
     assert len(a) == 65
     assert [r["dim"] for r in a] == list(range(65))
-    assert [(r["dim"], r["weight"]) for r in a] == [(r["dim"], r["weight"]) for r in b]
-    assert all(abs(r["weight"]) < 10 for r in a)
+    assert [(r["dim"], r["weight_e9"]) for r in a] == [
+        (r["dim"], r["weight_e9"]) for r in b
+    ]
+    # weight_e9 is the exact integer 10^9 * weight
+    assert all(abs(r["weight_e9"]) < 10 * 10**9 for r in a)
 
 
 def test_snapshot_diff_classes_partition_the_union(spark):
