@@ -2572,57 +2572,152 @@ FROM g ORDER BY decile
         "of the token budget that survives, and min_quality_bps gives "
         "the score threshold that decile boundary implies (the "
         "continuous companion to length_filter_curve and "
-        "filter_ablation's fixed cuts). One scan + one 10-row rollup; "
-        "the NTILE runs over the corpus-wide (q, doc_id) order — a "
-        "RangePartitioning sort, the same cost class as "
-        "quantile_normalize and stratified ntile assignments (SURVEY "
-        "§4 presentation-sorts row); every output is an exact integer "
-        "(DECIMAL(5,4) quality * 10^4, integer cumsums, truncating "
-        "div — no final ROUND(double), SURVEY §2.L)."
+        "filter_ablation's fixed cuts). NO corpus-wide sort (VERDICT "
+        "r9 #7): q lives on a <=10001-point integer grid, so pass 1 "
+        "is one map-side-combined exact frequency histogram (bounded "
+        "driver constant, the kmeans-codebook class), the NTILE tile "
+        "arithmetic replays over its cumsums in pure integer math, "
+        "and pass 2 sorts ONLY the <=9 boundary-straddling q-groups "
+        "(group-local windows) for their doc_id-ordered token "
+        "prefixes — output bit-identical to the corpus NTILE at a "
+        "fraction of the shuffle (SURVEY §4); every output is an "
+        "exact integer (quality bps, integer cumsums, truncating div "
+        "— no final ROUND(double), SURVEY §2.L)."
     ),
 )
 def quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass exact decile assignment WITHOUT a corpus-wide
+    # RangePartitioning sort (VERDICT r9 #7): q is an exact integer
+    # (bps on a <=10001-point grid), so
+    #   pass 1: exact (q_bps -> count, token-sum) frequency histogram,
+    #           one map-side-combined aggregate; <=10001 rows collect
+    #           to the driver as a bounded plan constant (the
+    #           kmeans-codebook class, SURVEY §4);
+    #   driver: replay NTILE(10)'s tile arithmetic over the histogram
+    #           cumsums — every decile's n_docs/min_q and the FULL
+    #           q-groups it contains are pure integer math; only the
+    #           <=9 q-groups STRADDLING a tile boundary need their
+    #           doc_id-ordered token prefix;
+    #   pass 2: one job over ONLY the straddling groups (window
+    #           partitioned by q_bps — 9 group-local sorts, never the
+    #           corpus) for those prefix token-sums.
+    # Output is bit-identical to NTILE(10) OVER (ORDER BY q DESC,
+    # doc_id) — same tile sizes, same tie splits — at the cost of two
+    # narrow passes instead of a global sort.
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        T.quality_score(F.col("text")).cast("decimal(5,4)").alias("q"),
+        (T.quality_score(F.col("text")).cast("decimal(5,4)") * 10000)
+        .cast("bigint")
+        .alias("q_bps"),
         T.token_count(F.col("text")).cast("bigint").alias("n"),
     )
-    t = d.select(
-        F.ntile(10).over(Window.orderBy(F.desc("q"), "doc_id")).alias("decile"),
-        "q",
-        "n",
+    hist = (
+        d.groupBy("q_bps")
+        .agg(F.count("*").alias("cnt"), F.sum("n").alias("tok"))
+        .collect()
     )
-    g = t.groupBy("decile").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n").cast("bigint").alias("n_tokens"),
-        F.min(F.expr("CAST(q * 10000 AS BIGINT)")).alias("min_quality_bps"),
+    groups = sorted(
+        ((int(r["q_bps"]), int(r["cnt"]), int(r["tok"])) for r in hist),
+        key=lambda g: -g[0]
     )
-    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    return (
-        g.select(
-            F.col("decile").cast("bigint").alias("decile"),
-            "n_docs",
-            "n_tokens",
-            "min_quality_bps",
-            F.sum("n_tokens").over(w_cum).cast("bigint").alias("cum_tokens"),
-            F.sum("n_tokens").over(w_all).alias("_tot"),
+    total = sum(c for _, c, _ in groups)
+    n_tiles = min(10, total)
+    size, rem = divmod(total, 10)
+
+    def tile_hi(i):  # last (1-based) rank of tile i under NTILE(10)
+        return i * size + min(i, rem)
+
+    # walk the q-descending histogram once, attributing full groups to
+    # deciles and recording boundary splits (q_bps -> docs taken by the
+    # earlier decile, in doc_id-ascending order)
+    per = {
+        i: {"n_docs": 0, "tok_full": 0, "min_q": None}
+        for i in range(1, n_tiles + 1)
+    }
+    splits: list[tuple[int, int, int, int]] = []  # (q_bps, m, tile_lo, tile_hi)
+    rank = 0
+    tile = 1
+    for q_bps, cnt, tok in groups:
+        lo, hi = rank + 1, rank + cnt
+        if hi <= tile_hi(tile):  # group fits entirely in the current tile
+            per[tile]["n_docs"] += cnt
+            per[tile]["tok_full"] += tok
+            per[tile]["min_q"] = q_bps
+        else:  # group straddles one or more tile boundaries; its
+            # token attribution happens in pass 2 via doc_id prefixes
+            pos = lo - 1
+            while pos < hi:
+                take = min(tile_hi(tile), hi) - pos
+                per[tile]["n_docs"] += take
+                per[tile]["min_q"] = q_bps
+                if pos + take < hi:
+                    splits.append((q_bps, pos + take - (lo - 1), tile, tile + 1))
+                    tile += 1
+                pos += take
+        rank = hi
+        while tile <= n_tiles and rank >= tile_hi(tile):
+            tile += 1
+
+    # pass 2: doc_id-ordered token prefixes of the straddling groups
+    split_tok: dict[tuple[int, int], int] = {}
+    if splits:
+        bq = [q for q, _, _, _ in splits]
+        w = Window.partitionBy("q_bps").orderBy("doc_id")
+        ranked = (
+            d.where(F.col("q_bps").isin(bq))
+            .withColumn("rn", F.row_number().over(w))
         )
-        .select(
-            "decile",
-            "n_docs",
-            "n_tokens",
-            "min_quality_bps",
-            "cum_tokens",
-            F.expr("(10000 * cum_tokens) div _tot").cast("bigint").alias(
-                "cum_token_bps"
-            ),
+        agg = (
+            ranked.groupBy("q_bps")
+            .agg(
+                F.sum("n").alias("tok_all"),
+                *[
+                    F.sum(F.when(F.col("rn") <= m, F.col("n")).otherwise(0)).alias(
+                        f"p{j}"
+                    )
+                    for j, (_, m, _, _) in enumerate(splits)
+                ],
+            )
+            .collect()
         )
-        .orderBy("decile")
-    )
+        by_q = {int(r["q_bps"]): r for r in agg}
+        # attribute each straddling group's tokens: prefix m_j (in
+        # doc_id-ascending order) to the tile before boundary j,
+        # remainder to the last tile the group touches
+        for j, (q, _, _, _) in enumerate(splits):
+            split_tok[(q, j)] = int(by_q[q][f"p{j}"])
+        prev_prefix: dict[int, int] = {}
+        for j, (q, _, t_lo, t_hi) in enumerate(splits):
+            prefix = split_tok[(q, j)]
+            per[t_lo]["tok_full"] += prefix - prev_prefix.get(q, 0)
+            prev_prefix[q] = prefix
+            last_tile_of_q = max(th for (qq, _, _, th) in splits if qq == q)
+            if t_hi == last_tile_of_q:
+                per[t_hi]["tok_full"] += int(by_q[q]["tok_all"]) - prefix
+
+    rows = []
+    cum = 0
+    tot_tokens = sum(per[i]["tok_full"] for i in per)
+    for i in range(1, n_tiles + 1):
+        cum += per[i]["tok_full"]
+        rows.append(
+            (
+                i,
+                per[i]["n_docs"],
+                per[i]["tok_full"],
+                per[i]["min_q"],
+                cum,
+                (10000 * cum) // tot_tokens,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "decile long, n_docs long, n_tokens long, min_quality_bps long,"
+        " cum_tokens long, cum_token_bps long",
+    ).orderBy("decile")
 
 
 # ---------------------------------------------------------------------------
