@@ -36,52 +36,95 @@ from email_etl_spark.plans.registry import REGISTRY, Query, oracle_sql_map, quer
 # SURVEY §5 policy).
 # ---------------------------------------------------------------------------
 _GATE_ORDER = (
-    # ---- round-9 driver window (first 50) ----
-    # tier 0: the r8 RED row, re-gated after the exact-output rewrite
-    # (VERDICT r8 #1: d_stat_micro / integer reject_95 / unrounded
-    # ks_stat — no final ROUND(double))
+    # ---- round-10 driver window (first 50) ----
+    # tier 0: the r8/r9 RED row, re-gated after the r10 exactification
+    # (VERDICT r9 #1: the raw IEEE ks_stat double — the last
+    # env-sensitive output — replaced by the pure-integer ks_sq_e6)
     "ks_uniform_hour",
-    # tier 1: changed OUTPUT contract this round — ann_ivfpq_indexed
-    # shares the ivfpq oracle whose presentation moved to exact
-    # adc_micro (driver-green r7 under the old columns);
-    # rocchio_expansion's old final ROUND(double,4) produced a REAL
-    # hash mismatch at sf0.1 (0.46155 exactly on the halfway — caught
-    # by the new FULL_SF01 sweep), fixed to pure-integer e5 units and
-    # re-gated here
-    "ann_ivfpq_indexed",
-    "rocchio_expansion",
-    # tier 2: the 19 backlog queries converted OFF final
-    # ROUND(double) outputs this round (VERDICT r8 #2 audit class —
-    # they gate with their new exact presentations)
-    "source_gini_tokens",
-    "join_estimate_qerror",
-    "deseasonalized_acf",
-    "unigram_noise_table",
-    "friedman_weekday",
+    # tier 1: the LSH pair contract's one-pass j_bps conversion
+    # (VERDICT r9 #2): every query whose OUTPUT carries the pair
+    # stream's Jaccard (or a value derived from it) re-gates under the
+    # exact half-up integer contract
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_indexed",
+    "dedup_containment",
+    "incremental_neardup",
+    "fuzzy_decontaminate",
+    "minhash_calibration",
+    "simhash_calibration",
+    "minhash_est_error",
+    "dedup_method_agreement",
+    "cross_source_dup_matrix",
+    "dup_jaccard_histogram",
+    "near_dup_rate_curve",
+    "source_overlap",
+    # tier 2: the remaining raw-double outputs exactified this round
+    # (ADVICE r9 high): squared-stat integers, exact rational pairs,
+    # integer e9 weights, or argued 6-dp grid-pins (IRRATIONAL_GRID_OK)
+    "grubbs_outlier_daily",
+    "cramers_v_type_weekday",
+    "ab_power_mde",
+    "quality_length_corr",
+    "linear_probe",
     "pca_top2_loadings",
     "pca_explained_variance",
     "burst_days_kleinberg",
     "discord_weeks",
     "motif_weeks",
-    "ab_power_mde",
+    # tier 3: the two-pass decile rewrite (VERDICT r9 #7) and the r2
+    # no_oracle relic re-gate (VERDICT r9 #4)
+    "quality_token_tradeoff",
+    "bpe_token_count",
+    # tier 4: the never-driver-sampled backlog — 7 r9 ops + 8 deferred
+    # + vocab_growth (VERDICT r9 #3): never-sampled goes to zero
+    "chao1_vocab_estimate",
+    "uncertainty_coeff_type_hour",
+    "packed_attention_waste",
+    "order_backlog_aging",
+    "segment_flow",
+    "weighted_length_quantiles",
+    "range_partition_plan",
+    "ooo_report",
+    "bloom_semi_join",
+    "zorder_layout",
+    "vocab_growth",
+    # tier 5: late-r9 integer-unit contract changes, sweep-green but
+    # never driver-sampled under the new columns (VERDICT r9 #3)
+    "vocab_stats",
+    "daily_retention",
+    "conversion_funnel",
+    "tokenizer_fertility",
+    "embedding_cost_estimate",
+    # tier 6: LSH consumers whose PAIR SET semantics moved from
+    # ROUND(double)>=t to exact j_bps>=t_bps (outputs id/count-only,
+    # sweep-green; re-gated because the upstream filter changed)
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_savings",
+    "dup_graph_degrees",
+    "dup_source_matrix",
+    "cross_lang_pairs",
+    "graph_triangles",
+    # ---- below the 50-query window ----
+    "ann_ivfpq_indexed",
+    "rocchio_expansion",
+    "source_gini_tokens",
+    "join_estimate_qerror",
+    "deseasonalized_acf",
+    "unigram_noise_table",
+    "friedman_weekday",
     "hub_vectors",
     "text_drift",
     "ndcg_eval",
     "topic_coherence",
     "user_entropy",
-    "linear_probe",
-    "quality_length_corr",
     "ann_ivfpq",
-    # tier 3: backlog with INTERNAL-only Round-over-double (ordering
-    # keys/bucketing — reviewed in ROUND_AUDIT.json, outputs exact)
     "wasserstein_value_drift",
     "revenue_yoy",
     "quantile_drift_table",
     "int8_quant_report",
     "pca_projection_hist",
-    # tier 4: remaining never-driver-checked backlog (zero
-    # Round-over-double anywhere), registration order — 23 of 31 fit;
-    # the 8 deferred to r10 are listed below the window marker
     "event_id_gap_audit",
     "dup_rate_by_ingest_bucket",
     "pii_density_by_source",
@@ -105,40 +148,10 @@ _GATE_ORDER = (
     "value_ks_drift",
     "text_index_stats",
     "props_schema_profile",
-    # ---- below the 50-query window ----
-    # round-9 NEW operators (r10 gate tier 0 candidates; all follow
-    # the exact-output convention the window lint enforces, so they
-    # can enter the window unconverted)
-    "chao1_vocab_estimate",
-    "grubbs_outlier_daily",
-    "cramers_v_type_weekday",
-    "uncertainty_coeff_type_hour",
-    "dup_jaccard_histogram",
-    "quality_token_tradeoff",
-    "packed_attention_waste",
-    # never-checked backlog tail deferred to round 10 (8 queries; all
-    # zero Round-over-double, all green in SWEEP.json at both SFs and
-    # in FULL_SF01.json at sf0.1): 55-query r8 backlog = 47 gated
-    # above + these 8 (order_backlog_aging displaced by the
-    # rocchio_expansion re-gate)
-    "order_backlog_aging",
-    "segment_flow",
-    "weighted_length_quantiles",
-    "range_partition_plan",
-    "ooo_report",
-    "bloom_semi_join",
-    "zorder_layout",
-    "vocab_growth",
-    # changed-helper, previously green, re-verified at both SFs by
-    # the full sweep (r9: _km_bcast_pair broadcast memoization —
-    # outputs identical by construction; ann_pq keeps its columns,
-    # only the shared ADC struct gained an additive field)
     "semdedup_prune",
     "kmeans_codebook",
     "cluster_exemplars",
     "ann_pq",
-    # round-8 driver window (all green in CORRECTNESS_r08.json except
-    # ks_uniform_hour, re-gated at tier 0 above)
     "yule_k_by_source",
     "mattr_diversity",
     "ann_range_search",
@@ -148,7 +161,6 @@ _GATE_ORDER = (
     "bigram_entropy_rate",
     "rbo_rankers",
     "band_join_events",
-    "cross_source_dup_matrix",
     "range_lsh_recall",
     "theil_index_tokens",
     "classical_decompose_daily",
@@ -188,10 +200,7 @@ _GATE_ORDER = (
     "capture_recapture_users",
     "price_elasticity_loglog",
     "parquet_compression_profile",
-    # round-7 driver window (all green in CORRECTNESS_r07.json)
     "closure_edge_stats",
-    "minhash_est_error",
-    "dedup_method_agreement",
     "dp_mean_release",
     "ljung_box_daily",
     "pq_recall_eval",
@@ -230,22 +239,12 @@ _GATE_ORDER = (
     "code_switch_report",
     "activity_punchcard",
     "emb_dim_variance",
-    "graph_triangles",
     "length_filter_curve",
     "churn_risk",
     "copurchase_types",
     "returns_by_delay",
     "attribution_linear",
-    # prior-round changed-set re-verification (green r7, unchanged r8)
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_savings",
     "dup_cluster_size_hist",
-    "incremental_neardup",
-    "fuzzy_decontaminate",
     "mv_refresh_delta",
     "join_size_estimate",
     "knn_join",
