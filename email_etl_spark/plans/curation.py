@@ -397,17 +397,22 @@ r AS (
 ),
 t AS (SELECT SUM(w_raw) AS w_total FROM r)
 SELECT source, n_docs, n_tokens,
-       ROUND(CAST(w_raw AS DOUBLE) * 10000.0 / CAST(w_total AS DOUBLE), 4) AS weight_bps
+       CAST((2000000 * CAST(CAST(w_raw * 1000000 AS BIGINT) AS HUGEINT)
+             + CAST(CAST(w_total * 1000000 AS BIGINT) AS HUGEINT))
+            // (2 * CAST(CAST(w_total * 1000000 AS BIGINT) AS HUGEINT))
+            AS BIGINT) AS weight_ppm
 FROM r CROSS JOIN t ORDER BY source
 """,
     doc=(
         "Training-mixture weights with temperature sampling: per-source "
         "token counts re-weighted by n^0.5 (alpha=0.5, the standard "
         "upsample-the-tail mixing rule) and normalized to basis "
-        "points. The per-source sqrt is rounded to DECIMAL(18,6) "
-        "BEFORE the normalizing sum, so the total — and therefore "
-        "every weight — is order-insensitive and bit-stable at any "
-        "parallelism. The normalizer is a 1-row broadcast; one "
+        "parts-per-million. The per-source sqrt is rounded to "
+        "DECIMAL(18,6) BEFORE the normalizing sum, so the total — and "
+        "therefore every weight — is order-insensitive and bit-stable "
+        "at any parallelism; the weight ships as the exact half-up "
+        "integer ppm of the two e6-lattice decimals (no double "
+        "output). The normalizer is a 1-row broadcast; one "
         "partial-aggregated shuffle total."
     ),
 )
@@ -427,9 +432,14 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(
-                F.col("w_raw").cast("double") * 10000.0 / F.col("w_total").cast("double"), 4
-            ).alias("weight_bps"),
+            # exact half-up integer ppm off the e6 decimal lattice
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0))"
+                " * CAST(w_raw * 1000000 AS BIGINT)"
+                " + CAST(w_total * 1000000 AS BIGINT))"
+                " div (CAST(2 AS DECIMAL(38,0))"
+                " * CAST(w_total * 1000000 AS BIGINT)) AS BIGINT)"
+            ).alias("weight_ppm"),
         )
         .orderBy("source")
     )

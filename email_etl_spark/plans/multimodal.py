@@ -50,15 +50,16 @@ SELECT CAST(width // 64 AS BIGINT) AS width_bucket,
        CAST(SUM(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
        COUNT(DISTINCT sha) AS n_uniq,
        MIN(sha) AS min_hash,
-       ROUND(CAST(SUM(height) AS DOUBLE) / COUNT(*), 4) AS avg_height
+       CAST((20000 * SUM(height) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS avg_height_e4
 FROM wh GROUP BY 1 ORDER BY 1
 """,
     doc=(
         "Image-decode QA rollup over a binary column — runs the REAL "
         "operators/multimodal.py mapInPandas decode pass (Arrow "
         "batches, typed feature schema) and rolls up width-bucket "
-        "counts, decode success, distinct payload hashes, and mean "
-        "height. The oracle reconstructs the deterministic stub codec "
+        "counts, decode success, distinct payload hashes, and the "
+        "mean height as a half-up e4 integer (no double output). The oracle reconstructs the deterministic stub codec "
         "from the sha256 hex digest, so the whole multimodal seam is "
         "hash-verified cross-engine. Payload bytes never reach the "
         "aggregation (the UDF projects metadata only); at corpus "
@@ -76,7 +77,9 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).cast("bigint").alias("n_ok"),
             F.countDistinct("content_hash").alias("n_uniq"),
             F.min("content_hash").alias("min_hash"),
-            F.round(F.sum("height").cast("double") / F.count("*"), 4).alias("avg_height"),
+            F.expr("(20000L * sum(height) + count(*)) div (2L * count(*))")
+            .cast("bigint")
+            .alias("avg_height_e4"),
         )
         # bucket-sized result: see io.present_sorted
         .transform(lambda d: present_sorted(d, "width_bucket"))
@@ -525,8 +528,9 @@ SELECT CAST(n_segments AS BIGINT) AS n_segments,
        COUNT(*) AS n_clips,
        CAST(SUM(n_voiced) * 10000 // SUM(n_frames) AS BIGINT) AS voiced_bps,
        CASE WHEN n_segments > 0
-            THEN ROUND(CAST(SUM(n_voiced) AS DOUBLE) / (n_segments * COUNT(*)), 4)
-            END AS avg_seg_frames
+            THEN CAST((20000 * SUM(n_voiced) + n_segments * COUNT(*))
+                      // (2 * n_segments * COUNT(*)) AS BIGINT)
+            END AS avg_seg_frames_e4
 FROM per_clip GROUP BY n_segments ORDER BY n_segments
 """,
     doc=(
@@ -542,8 +546,8 @@ FROM per_clip GROUP BY n_segments ORDER BY n_segments
         "the activity_streaks trick at 100 ms granularity. Clips "
         "dedupe by payload first (DISTINCT), so identity needs no "
         "side channel. Report: clip count, voiced share (exact bps) "
-        "and mean segment length per segment-count bucket "
-        "(SURVEY §2.J)."
+        "and mean segment length as a half-up e4 integer per "
+        "segment-count bucket — no double output (SURVEY §2.J)."
     ),
 )
 def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,12 +592,11 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "voiced_bps",
             F.when(
                 F.col("n_segments") > 0,
-                F.round(
-                    F.col("_sv").cast("double")
-                    / (F.col("n_segments") * F.col("n_clips")),
-                    4,
-                ),
-            ).alias("avg_seg_frames"),
+                F.expr(
+                    "(20000L * _sv + n_segments * n_clips)"
+                    " div (2L * n_segments * n_clips)"
+                ).cast("bigint"),
+            ).alias("avg_seg_frames_e4"),
         )
         .orderBy("n_segments")
     )

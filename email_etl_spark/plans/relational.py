@@ -465,7 +465,9 @@ WITH pa AS (
          COUNT(*) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+SELECT CAST((200 * CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+             + 70000)
+            // 140000 AS BIGINT) AS avg_yearly_centi,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -478,7 +480,8 @@ WHERE p.p_brand = 'Brand#12' AND p.p_size <= 15
         "'qty < 0.2*avg(qty) per part' subquery becomes a per-part "
         "aggregate joined back to the fact. The 0.2*avg boundary is an "
         "EXACT decimal cross-multiplication (5*qty*cnt < sum), immune to "
-        "distributed-vs-sequential float summation order. The per-part "
+        "distributed-vs-sequential float summation order; avg_yearly "
+        "ships as the exact half-up centi integer (no /7.0 double). The per-part "
         "agg runs only over parts passing the (broadcast) dim filter."
     ),
 )
@@ -496,11 +499,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li_f.join(pa, "l_partkey").where(
         F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sq")
     )
+    # exact half-up centi units: (2*100*S*10^4 + 7*10^4) div (14*10^4)
+    # over the e4 decimal lattice — no double division by 7.0
     return joined.agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0, 2)
-        .cast("double")
-        .alias("avg_yearly"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"),
         F.count("*").alias("n_lines"),
+    ).select(
+        F.expr(
+            "CAST((CAST(200 AS DECIMAL(38,0)) * CAST(s * 10000 AS DECIMAL(38,0))"
+            " + 70000) div 140000 AS BIGINT)"
+        ).alias("avg_yearly_centi"),
+        "n_lines",
     )
 
 
@@ -661,16 +670,20 @@ WITH rev AS (
 SELECT CAST(o_year AS BIGINT) AS o_year,
        CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DECIMAL(12,4)) END), 4) AS DOUBLE) AS nation_rev,
        CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS total_rev,
-       ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DECIMAL(12,4)) END), 4) AS DOUBLE)
-           / CAST(ROUND(SUM(volume), 4) AS DOUBLE), 6) AS mkt_share
+       CAST((2000000 * CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                     ELSE CAST(0.0 AS DECIMAL(12,4)) END) * 10000 AS HUGEINT)
+             + CAST(SUM(volume) * 10000 AS HUGEINT))
+            // (2 * CAST(SUM(volume) * 10000 AS HUGEINT))
+            AS BIGINT) AS mkt_share_ppm
 FROM rev GROUP BY o_year ORDER BY o_year
 """,
     doc=(
         "TPC-H Q8 shape: national market share by order year — the "
         "two-role nation dim (customer-side region filter, supplier-side "
         "share numerator) joins broadcast twice; the only fact-fact "
-        "shuffle is lineitem⋈orders. Share = one double division of two "
-        "exact decimal sums, deterministic at any parallelism."
+        "shuffle is lineitem⋈orders. Share ships as the exact half-up "
+        "integer ppm of the two exact decimal sums, deterministic at "
+        "any parallelism (no double division)."
     ),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,14 +725,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).cast("decimal(12,4)")
     )
     agg = rev.groupBy("o_year").agg(
-        F.round(F.sum(nat_vol), 4).cast("double").alias("nation_rev"),
-        F.round(F.sum("volume"), 4).cast("double").alias("total_rev"),
+        F.sum(nat_vol).alias("nat_dec"),
+        F.sum("volume").alias("tot_dec"),
     )
+    # share ships as the exact half-up integer ppm of the two e4
+    # decimal sums — no double division (the r9 ks_stat lesson)
     return agg.select(
         "o_year",
-        "nation_rev",
-        "total_rev",
-        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        F.round(F.col("nat_dec"), 4).cast("double").alias("nation_rev"),
+        F.round(F.col("tot_dec"), 4).cast("double").alias("total_rev"),
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * CAST(nat_dec * 10000 AS DECIMAL(38,0))"
+            " + CAST(tot_dec * 10000 AS DECIMAL(38,0)))"
+            " div (CAST(2 AS DECIMAL(38,0)) * CAST(tot_dec * 10000 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("mkt_share_ppm"),
     ).orderBy("o_year")
 
 
@@ -1104,9 +1124,11 @@ WITH j AS (
   WHERE l_shipdate >= TIMESTAMP '1997-09-01'
     AND l_shipdate <  TIMESTAMP '1997-10-01'
 )
-SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN disc
-                                   ELSE CAST(0 AS DECIMAL(12,4)) END)
-                  / SUM(disc), 4) AS DOUBLE) AS promo_revenue_pct,
+SELECT CAST((2000000 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc
+                                   ELSE CAST(0 AS DECIMAL(12,4)) END) * 10000 AS HUGEINT)
+             + CAST(SUM(disc) * 10000 AS HUGEINT))
+            // (2 * CAST(SUM(disc) * 10000 AS HUGEINT)) AS BIGINT)
+           AS promo_revenue_ppm,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
          AS promo_items
@@ -1116,9 +1138,9 @@ FROM j
         "TPC-H Q14 shape (promotion-effect revenue share) — the last "
         "of the 22 TPC-H queries, completing §G's full sweep: one "
         "month of lineitem joined to the part dim (broadcast), promo "
-        "share of discounted revenue as a conditional-aggregate ratio. "
-        "Exact DECIMAL sums keep the distributed ratio bit-equal to "
-        "the single-threaded oracle; the shipdate predicate pushes to "
+        "share of discounted revenue as a conditional-aggregate ratio "
+        "shipped as the exact half-up integer ppm of two exact "
+        "DECIMAL sums (no double division); the shipdate predicate pushes to "
         "the scan so only the month's row groups are read."
     ),
 )
@@ -1132,14 +1154,26 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
         F.lit(0).cast("decimal(12,4)")
     )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        F.round(
-            F.lit(100.0) * F.sum(promo) / F.sum(disc), 4
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).alias("p_dec"),
+            F.sum(disc).alias("t_dec"),
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo_items"),
         )
-        .cast("double")
-        .alias("promo_revenue_pct"),
-        F.count("*").cast("bigint").alias("n_items"),
-        F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
-        .cast("bigint")
-        .alias("promo_items"),
+        # exact half-up integer ppm of the two e4 decimal sums
+        .select(
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0))"
+                " * CAST(p_dec * 10000 AS DECIMAL(38,0))"
+                " + CAST(t_dec * 10000 AS DECIMAL(38,0)))"
+                " div (CAST(2 AS DECIMAL(38,0))"
+                " * CAST(t_dec * 10000 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("promo_revenue_ppm"),
+            "n_items",
+            "promo_items",
+        )
     )

@@ -1946,11 +1946,21 @@ txt AS (
 ),
 fused AS (
   SELECT COALESCE(s.doc_id, x.doc_id) AS doc_id,
-         ROUND(COALESCE(1.0 / ({RRF_K} + s.r), 0) + COALESCE(1.0 / ({RRF_K} + x.r), 0), 6) AS rrf
+         CASE
+           WHEN s.r IS NOT NULL AND x.r IS NOT NULL THEN
+             (2000000000 * (({RRF_K} + s.r) + ({RRF_K} + x.r))
+              + ({RRF_K} + s.r) * ({RRF_K} + x.r))
+             // (2 * ({RRF_K} + s.r) * ({RRF_K} + x.r))
+           WHEN s.r IS NOT NULL THEN
+             (2000000000 + ({RRF_K} + s.r)) // (2 * ({RRF_K} + s.r))
+           ELSE
+             (2000000000 + ({RRF_K} + x.r)) // (2 * ({RRF_K} + x.r))
+         END AS rrf_e9
   FROM (SELECT * FROM sem WHERE r <= {RRF_DEPTH}) s
   FULL OUTER JOIN (SELECT * FROM txt WHERE r <= {RRF_DEPTH}) x ON s.doc_id = x.doc_id
 )
-SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+SELECT doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 15
 """
 
 
@@ -1964,9 +1974,10 @@ SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
         "summed over a full-outer doc join. Ranks are computed AFTER a "
         "TakeOrderedAndProject depth cut, so the rank window only ever "
         "sees 50 rows — no global single-reducer sort at any corpus "
-        "size. Integer ranks make the fused score two deterministic "
-        "divisions; rankings reuse the rounded-cosine/rank tiebreak "
-        "conventions (SURVEY §2.C)."
+        "size. Integer ranks make the fused score an EXACT half-up e9 "
+        "integer via (a+b)/(ab) cross-multiplication — no double "
+        "division or ROUND; rankings reuse the rounded-cosine/rank "
+        "tiebreak conventions (SURVEY §2.C)."
     ),
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2004,15 +2015,26 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_txt = Window.orderBy(F.desc("rank"), "doc_id")
     txt = txt_top.withColumn("r_txt", F.row_number().over(w_txt)).select("doc_id", "r_txt")
 
+    # exact rational presentation: both ranks integer and <= K+DEPTH,
+    # so 1/(K+r_sem)+1/(K+r_txt) = (a+b)/(a*b) ships as the half-up
+    # integer e9 (2e9*(a+b) + a*b) div (2*a*b) — the old ROUND(sum of
+    # reciprocals, 6) was a small-denominator rational, exactly the
+    # halfway subclass that produced the rocchio near-miss
+    a = f"({RRF_K} + r_sem)"
+    b = f"({RRF_K} + r_txt)"
     fused = sem.join(txt, "doc_id", "full").select(
         "doc_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_txt")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
+        F.expr(
+            f"CASE WHEN r_sem IS NOT NULL AND r_txt IS NOT NULL THEN"
+            f" (2000000000L * ({a} + {b}) + {a} * {b}) div (2L * {a} * {b})"
+            f" WHEN r_sem IS NOT NULL THEN"
+            f" (2000000000L + {a}) div (2L * {a})"
+            f" ELSE (2000000000L + {b}) div (2L * {b}) END"
+        )
+        .cast("bigint")
+        .alias("rrf_e9"),
     )
-    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+    return fused.orderBy(F.desc("rrf_e9"), "doc_id").limit(15)
 
 
 MMR_POOL = 20

@@ -2246,7 +2246,7 @@ c AS (
   FROM s WHERE n >= {BOT_MIN_GAPS} AND sg > 0
 )
 SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
-       ROUND(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_s,
+       CAST((2000 * sg + n) // (2 * n) AS BIGINT) AS mean_gap_milli,
        cv2_milli
 FROM c ORDER BY cv2_milli, user_id LIMIT {BOT_TOP}
 """,
@@ -2256,8 +2256,8 @@ FROM c ORDER BY cv2_milli, user_id LIMIT {BOT_TOP}
         "(humans are bursty — burstiness's user-level inverse; a "
         "near-zero cv2 at high volume is a cron job). cv2 = "
         "(n*sum(g^2) - sum(g)^2)/sum(g)^2 in exact DECIMAL(38,0) "
-        "cross-products scaled to integer milli-units — no float "
-        "variance, no rounding edge. One user-partitioned LAG "
+        "cross-products scaled to integer milli-units, and the mean "
+        "gap as a half-up integer milli-second — no double output. One user-partitioned LAG "
         "window (the sessionize shuffle) + a map-side-combined "
         "moment aggregate + TakeOrderedAndProject (SURVEY §2.H)."
     ),
@@ -2291,7 +2291,9 @@ def bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "user_id",
             F.col("n").cast("bigint").alias("n_gaps"),
-            F.round(F.col("sg").cast("double") / F.col("n"), 4).alias("mean_gap_s"),
+            F.expr("(2000L * sg + n) div (2L * n)").cast("bigint").alias(
+                "mean_gap_milli"
+            ),
             F.expr("cvnum div cvden").cast("bigint").alias("cv2_milli"),
         )
         .orderBy("cv2_milli", "user_id")
@@ -2673,7 +2675,8 @@ SELECT CAST(dur_us // {SESSWIN_BUCKET_US} AS BIGINT) AS dur_bucket,
        COUNT(*) AS n_sessions,
        CAST(SUM(n_events) AS BIGINT) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events
+       CAST((20000 * SUM(n_events) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS avg_events_e4
 FROM per_sess GROUP BY 1 ORDER BY 1
 """,
     doc=(
@@ -2713,9 +2716,11 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_sessions"),
             F.sum("n_events").cast("bigint").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("n_events").cast("double") / F.count("*"), 4).alias(
-                "avg_events"
-            ),
+            F.expr(
+                "(20000L * sum(n_events) + count(*)) div (2L * count(*))"
+            )
+            .cast("bigint")
+            .alias("avg_events_e4"),
         )
         .orderBy("dur_bucket")
     )
@@ -2838,9 +2843,12 @@ p3 AS (
   GROUP BY p.a
 )
 SELECT p1.a AS from_state,
-       ROUND(p1.p1, 6) AS p_within_1,
-       ROUND(CAST(p2.p2 AS DOUBLE), 6) AS p_within_2,
-       ROUND(CAST(p3.p3 AS DOUBLE), 6) AS p_within_3
+       CAST((2 * CAST(CAST(p1.p1 AS DECIMAL(18,9)) * 1000000000 AS BIGINT) + 1000)
+            // 2000 AS BIGINT) AS p_within_1_e6,
+       CAST((2 * CAST(CAST(p2.p2 AS DECIMAL(18,9)) * 1000000000 AS BIGINT) + 1000)
+            // 2000 AS BIGINT) AS p_within_2_e6,
+       CAST((2 * CAST(CAST(p3.p3 AS DECIMAL(18,9)) * 1000000000 AS BIGINT) + 1000)
+            // 2000 AS BIGINT) AS p_within_3_e6
 FROM p1 JOIN p2 ON p1.a = p2.a JOIN p3 ON p1.a = p3.a
 ORDER BY from_state
 """,
@@ -2856,8 +2864,10 @@ ORDER BY from_state
         "the event stream is touched once (markov_transitions' lag "
         "window). Determinism: transition probs rounded to 9 dp, each "
         "step's products rounded to DECIMAL(18,9) BEFORE the "
-        "order-insensitive sum (the user_entropy convention) "
-        "(SURVEY §2.H)."
+        "order-insensitive sum (the user_entropy convention); the "
+        "outputs are exact half-up e6 integers off the 9-dp decimal "
+        "lattice (the decimal cast absorbs the one double add's ulp "
+        "noise; no double output) (SURVEY §2.H)."
     ),
 )
 def absorption_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2909,9 +2919,19 @@ def absorption_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p3, "a")
         .select(
             F.col("a").alias("from_state"),
-            F.round(F.col("p1"), 6).alias("p_within_1"),
-            F.round(F.col("p2").cast("double"), 6).alias("p_within_2"),
-            F.round(F.col("p3").cast("double"), 6).alias("p_within_3"),
+            # exact half-up e6 integers off the 9-dp decimal lattice
+            F.expr(
+                "CAST((2 * CAST(CAST(p1 AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+                " + 1000) div 2000 AS BIGINT)"
+            ).alias("p_within_1_e6"),
+            F.expr(
+                "CAST((2 * CAST(CAST(p2 AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+                " + 1000) div 2000 AS BIGINT)"
+            ).alias("p_within_2_e6"),
+            F.expr(
+                "CAST((2 * CAST(CAST(p3 AS DECIMAL(18,9)) * 1000000000 AS BIGINT)"
+                " + 1000) div 2000 AS BIGINT)"
+            ).alias("p_within_3_e6"),
         )
         .orderBy("from_state")
     )
@@ -3925,9 +3945,10 @@ s AS (
 )
 SELECT n_a, n_b,
        CAST(n_a * 10000 // (n_a + n_b) AS BIGINT) AS share_a_bps,
-       ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 4) AS chi2,
-       CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.8415
-           AS srm_detected
+       CAST((2000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) + (n_a + n_b))
+            // (2 * CAST(n_a + n_b AS HUGEINT)) AS BIGINT) AS chi2_e6,
+       10000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)
+           > 38415 * CAST(n_a + n_b AS HUGEINT) AS srm_detected
 FROM s
 """,
     doc=(
@@ -3939,7 +3960,9 @@ FROM s
         "experimentation platform: a significant SRM means the "
         "assignment or logging is broken and the lift number must not "
         "be read (Fabijan et al. 2019 diagnostics practice). One "
-        "user rollup, two integers, one shared double division "
+        "user rollup, two integers; chi2 ships as the exact half-up "
+        "e6 integer and the decision is an integer cross-"
+        "multiplication against 38415/10^4 — no double anywhere "
         "(SURVEY §2.H)."
     ),
 )
@@ -3955,17 +3978,21 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
     )
-    chi2 = (
-        (F.col("n_a") - F.col("n_b")).cast("double")
-        * (F.col("n_a") - F.col("n_b"))
-        / (F.col("n_a") + F.col("n_b"))
-    )
     return s.select(
         "n_a",
         "n_b",
         F.expr("n_a * 10000 div (n_a + n_b)").cast("bigint").alias("share_a_bps"),
-        F.round(chi2, 4).alias("chi2"),
-        (chi2 > 3.8415).alias("srm_detected"),
+        # exact half-up e6 integer + integer cross-multiplied decision
+        # (3.8415 = 38415/10^4 exactly) — no double anywhere
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * (n_a - n_b) * (n_a - n_b)"
+            " + (n_a + n_b)) div (CAST(2 AS DECIMAL(38,0)) * (n_a + n_b))"
+            " AS BIGINT)"
+        ).alias("chi2_e6"),
+        F.expr(
+            "CAST(10000 AS DECIMAL(38,0)) * (n_a - n_b) * (n_a - n_b)"
+            " > CAST(38415 AS DECIMAL(38,0)) * (n_a + n_b)"
+        ).alias("srm_detected"),
     )
 
 

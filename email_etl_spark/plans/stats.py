@@ -1371,10 +1371,13 @@ hh AS (
 )
 SELECT CAST(n.nn AS BIGINT) AS n_events,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cells,
-       ROUND(CAST((SELECT SUM(CAST(c AS DECIMAL(18,0)) * lp) FROM terms) AS DOUBLE)
-             / n.nn, 6) AS mi_nats,
-       ROUND(-CAST(ht.s AS DOUBLE) / n.nn, 6) AS h_type_nats,
-       ROUND(-CAST(hh.s AS DOUBLE) / n.nn, 6) AS h_hour_nats
+       CAST((2 * CAST((SELECT SUM(CAST(c AS DECIMAL(18,0)) * lp) FROM terms)
+                      * 1000000 AS HUGEINT) + n.nn)
+            // (2 * CAST(n.nn AS HUGEINT)) AS BIGINT) AS mi_nats_e6,
+       CAST((-2 * CAST(ht.s * 1000000 AS HUGEINT) + n.nn)
+            // (2 * CAST(n.nn AS HUGEINT)) AS BIGINT) AS h_type_nats_e6,
+       CAST((-2 * CAST(hh.s * 1000000 AS HUGEINT) + n.nn)
+            // (2 * CAST(n.nn AS HUGEINT)) AS BIGINT) AS h_hour_nats_e6
 FROM n CROSS JOIN ht CROSS JOIN hh
 """,
     doc=(
@@ -1385,9 +1388,10 @@ FROM n CROSS JOIN ht CROSS JOIN hh
         "all', MI asks 'does WHICH event happens depend on WHEN'. "
         "Everything lives on the 5x24 contingency table: per-cell ln "
         "lift terms pre-rounded to DECIMAL(18,6), weighted by exact "
-        "integer counts, summed exactly (order-free), one shared final "
-        "double expression per statistic; hour extraction is UTC-"
-        "pinned in both engines (SURVEY §2.L)."
+        "integer counts, summed exactly (order-free), and each statistic "
+        "ships as the exact e6 integer (2*X6 + n) div (2*n) off the "
+        "e6 decimal lattice — no double output; hour extraction is "
+        "UTC-pinned in both engines (SURVEY §2.L)."
     ),
 )
 def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,9 +1443,22 @@ def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("nn").cast("bigint").alias("n_events"),
             F.col("n_cells").cast("bigint").alias("n_cells"),
-            F.round(F.expr("cast(num as double) / nn"), 6).alias("mi_nats"),
-            F.round(F.expr("-cast(st as double) / nn"), 6).alias("h_type_nats"),
-            F.round(F.expr("-cast(sh as double) / nn"), 6).alias("h_hour_nats"),
+            # exact e6 integers off the e6 decimal lattice: (2*X6 + nn)
+            # div (2*nn) truncates toward zero identically in both
+            # engines (entropies are sign-definite; MI's tiny-negative
+            # rounding residue stays consistent either way)
+            F.expr(
+                "CAST((CAST(2 AS DECIMAL(38,0)) * CAST(num * 1000000 AS DECIMAL(38,0))"
+                " + nn) div (CAST(2 AS DECIMAL(38,0)) * nn) AS BIGINT)"
+            ).alias("mi_nats_e6"),
+            F.expr(
+                "CAST((CAST(-2 AS DECIMAL(38,0)) * CAST(st * 1000000 AS DECIMAL(38,0))"
+                " + nn) div (CAST(2 AS DECIMAL(38,0)) * nn) AS BIGINT)"
+            ).alias("h_type_nats_e6"),
+            F.expr(
+                "CAST((CAST(-2 AS DECIMAL(38,0)) * CAST(sh * 1000000 AS DECIMAL(38,0))"
+                " + nn) div (CAST(2 AS DECIMAL(38,0)) * nn) AS BIGINT)"
+            ).alias("h_hour_nats_e6"),
         )
     )
 

@@ -438,8 +438,9 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       CAST(SUM(lp) AS DOUBLE) AS logprob,
-       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(lp) * 1000000 AS BIGINT) AS logprob_e6,
+       CAST((2 * CAST(SUM(lp) * 1000000 AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS avg_logprob_e6
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
     doc=(
@@ -473,8 +474,14 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum("lp").cast("double").alias("logprob"),
-            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+            # exact e6 integers off the e6 decimal lattice; the avg's
+            # (2*S6 + n) div (2*n) truncates toward zero identically
+            # in both engines (S6 negative) — no double output
+            F.expr("CAST(sum(lp) * 1000000 AS BIGINT)").alias("logprob_e6"),
+            F.expr(
+                "CAST((2 * CAST(sum(lp) * 1000000 AS BIGINT) + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("avg_logprob_e6"),
         )
         .orderBy("doc_id")
     )
@@ -1298,8 +1305,9 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
-       CAST(SUM(lp) AS DOUBLE) AS logprob,
-       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(lp) * 1000000 AS BIGINT) AS logprob_e6,
+       CAST((2 * CAST(SUM(lp) * 1000000 AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS avg_logprob_e6
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
     doc=(
@@ -1363,8 +1371,13 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.sum("lp").cast("double").alias("logprob"),
-            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+            # exact e6 integers off the e6 decimal lattice (see
+            # unigram_logprob) — no double output
+            F.expr("CAST(sum(lp) * 1000000 AS BIGINT)").alias("logprob_e6"),
+            F.expr(
+                "CAST((2 * CAST(sum(lp) * 1000000 AS BIGINT) + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).alias("avg_logprob_e6"),
         )
         .orderBy("doc_id")
     )

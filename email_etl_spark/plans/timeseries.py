@@ -72,10 +72,11 @@ den AS (SELECT SUM(ctd * ctd) AS dd FROM cd),
 arms AS ({arms})
 SELECT CAST(lag AS INT) AS lag,
        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
-       CASE WHEN dd = 0 THEN 0.0
-            ELSE ROUND(CAST(SUM(CASE WHEN ok THEN prod ELSE 0.0 END) AS DOUBLE)
-                       / CAST(dd AS DOUBLE), 6)
-       END AS acf
+       CASE WHEN dd = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2000000 * CAST(SUM(CASE WHEN ok THEN prod ELSE 0 END) AS HUGEINT)
+                       + CAST(dd AS HUGEINT))
+                      // (2 * CAST(dd AS HUGEINT)) AS BIGINT)
+       END AS acf_e6
 FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
 """
 
@@ -88,8 +89,10 @@ FROM arms CROSS JOIN den GROUP BY lag, dd ORDER BY lag
         "— the weekly-rhythm diagnostic (a healthy product stream "
         "shows an acf peak at lag 7; a flat acf means the volume is "
         "noise). Numerator and denominator are pure-integer sums of "
-        "scaled centered counts (c_t = n_t*N - S), so the statistic "
-        "is exact until the single final ROUND(int/int, 6). One "
+        "scaled centered counts (c_t = n_t*N - S) and acf ships as "
+        "the exact e6 integer (2e6*num + dd) div (2*dd) — truncating "
+        "toward zero identically in both engines for negative lags "
+        "too, no double anywhere. One "
         "event-stream aggregate, then 7 LEADs in one O(days) window "
         "pass and a posexplode per-lag rollup (SURVEY §2.H)."
     ),
@@ -123,11 +126,18 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lag",
             "n_pairs",
-            F.when(F.col("dd") == 0, F.lit(0.0))
+            # exact e6 integer presentation; num may be negative — the
+            # (2e6*num + dd) div (2*dd) form truncates toward zero
+            # IDENTICALLY in Spark div and DuckDB //, so the value is
+            # engine-stable by construction
+            F.when(F.col("dd") == 0, F.lit(0).cast("bigint"))
             .otherwise(
-                F.round(F.col("num").cast("double") / F.col("dd").cast("double"), 6)
+                F.expr(
+                    "CAST((CAST(2000000 AS DECIMAL(38,0)) * num + dd)"
+                    " div (CAST(2 AS DECIMAL(38,0)) * dd) AS BIGINT)"
+                )
             )
-            .alias("acf"),
+            .alias("acf_e6"),
         )
         .orderBy("lag")
     )

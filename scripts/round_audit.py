@@ -49,6 +49,75 @@ IRRATIONAL_GRID_OK: dict[str, set[str]] = {
     "pca_explained_variance": {"eigenvalue"},
 }
 
+# One-line justification per REMAINING output-level Round-over-double
+# user (VERDICT r9 #6: the audit converges to a stable ARGUED residue,
+# not a shrinking TODO). Classes:
+#   cosine-grid  — 4-dp grid-pin of a cosine/L2 norm (sqrt-valued,
+#                  irrational ⇒ measure-zero halfway risk); also the
+#                  corpus-wide rounded-cosine tiebreak contract
+#                  (functions/vectors.cosine_rounded) every vector
+#                  query shares — converting one would fork the grid.
+#   log-valued   — grid-pin of an ln/exp/power composition
+#                  (transcendental ⇒ measure-zero halfway risk).
+#   sqrt-stat    — grid-pin of a sqrt-normalized test statistic
+#                  (irrational ⇒ measure-zero halfway risk).
+#   fold-state   — grid-pin of a sequential-fold (Holt/Page-Hinkley)
+#                  state: value is a deep alternating IEEE recursion,
+#                  effectively irrational; the 4-dp grid absorbs drift.
+#   hash-grid    — stub value derived from an md5 byte on a /255 grid;
+#                  PROVABLY never lands on a round-k halfway point
+#                  (parity argument: 2*57000*b ≢ 255 mod 510).
+#   rational-r11 — genuinely rational quotient; conversion to exact
+#                  integer units scheduled next round (this round
+#                  converted 15: ks/srm/acf/absorption/vad/bot/
+#                  session/image/mixture/q8/q14/q17/MI/logprobs/rrf).
+#   shared-lattice — the DECIMAL(5,4) quality-heuristic lattice
+#                  (quality_score): dozens of contracts consume it;
+#                  migration is a coordinated multi-contract change,
+#                  deferred to a dedicated round.
+_CLS = {
+    "cosine-grid": (
+        "ann_ivf", "ann_lsh", "ann_lsh_indexed", "ann_multiprobe", "ann_pq",
+        "ann_range_search", "dedup_embedding", "semantic_topk",
+        "semantic_topk_dated", "hybrid_search", "hybrid_search_dated",
+        "maxsim_search", "embedding_drift", "doc_by_id", "embed_docs",
+        "embedding_isotropy", "label_centroids",
+    ),
+    "log-valued": (
+        "bigram_entropy_rate", "bigram_entropy_text", "char_entropy",
+        "collocation_llr", "column_entropy_profile", "cooccurrence_pmi",
+        "js_divergence", "markov_entropy_rate", "bm25_indexed", "bm25_search",
+        "bm25f_search", "tfidf_search", "text_rank", "hurst_exponent",
+        "heaps_law_fit", "zipf_fit", "price_elasticity_loglog",
+        "returns_odds_ratio", "bloom_fpr_report", "weighted_sample",
+        "dp_mean_release", "dp_release_counts",
+    ),
+    "sqrt-stat": (
+        "anomaly_zscore", "ab_test_lift", "cohens_d_value", "welch_t_value",
+        "mann_kendall_trend", "mannwhitney_value", "runs_test_daily",
+        "smog_readability", "spearman_value_hour", "word_length_profile",
+        "label_purity", "silhouette_centroid",
+    ),
+    "fold-state": (
+        "holt_linear_forecast", "holt_winters_forecast", "page_hinkley_drift",
+    ),
+    "hash-grid": ("audio_meta_stats",),
+    "rational-r11": (
+        "ab_cuped_lift", "cochran_q_filters", "gunning_fog",
+        "kruskal_wallis_value", "levene_value", "ols_price_size",
+        "poisson_dispersion_daily", "seasonal_strength",
+        "temperature_sampling_weights", "theil_index_tokens",
+        "theil_sen_trend", "time_to_conversion", "value_percentiles",
+        "weekday_anova", "winsorized_stats", "embedding_norm_profile",
+        "embedding_qa", "embedding_sim_hist", "davies_bouldin",
+        "calinski_harabasz", "rbo_rankers",
+    ),
+    "shared-lattice": ("quality_score", "curation_funnel"),
+}
+ROUND_CLASS: dict[str, str] = {
+    name: cls for cls, names in _CLS.items() for name in names
+}
+
 # Frontier-preserving nodes: they reorder/filter/limit/relabel rows
 # but do not REPLACE the output column list, so the output projection
 # is the first Project/Aggregate below them ON EACH BRANCH (Union has
@@ -151,6 +220,13 @@ def main() -> int:
         "output_level": sorted(
             n for n, rs in report.items() if _unjustified(n, rs)
         ),
+        # class tag per surviving output-level user (VERDICT r9 #6) —
+        # "UNCLASSIFIED" is a lint failure for the next round
+        "output_level_class": {
+            n: ROUND_CLASS.get(n, "UNCLASSIFIED")
+            for n, rs in sorted(report.items())
+            if _unjustified(n, rs)
+        },
         "output_level_justified_irrational": sorted(
             n
             for n, rs in report.items()

@@ -283,7 +283,8 @@ def test_mutual_information_python_reference(spark):
     ) / nn
     row = REGISTRY["mutual_information_type_hour"].builder(spark, SF_SMOKE).collect()[0]
     assert row["n_events"] == nn and row["n_cells"] == len(cells)
-    assert abs(row["mi_nats"] - round(mi, 6)) <= 1e-6
-    assert row["mi_nats"] >= 0 or abs(row["mi_nats"]) < 1e-3
-    assert row["h_type_nats"] <= math.log(len(ct)) + 1e-6
-    assert row["h_hour_nats"] <= math.log(len(ch)) + 1e-6
+    # e6 integer contract: half-up-toward-zero of 10^6 * the stat
+    assert abs(row["mi_nats_e6"] - round(mi * 1e6)) <= 1
+    assert row["mi_nats_e6"] >= 0 or abs(row["mi_nats_e6"]) < 1000
+    assert row["h_type_nats_e6"] <= (math.log(len(ct)) + 1e-6) * 1e6
+    assert row["h_hour_nats_e6"] <= (math.log(len(ch)) + 1e-6) * 1e6
