@@ -107,6 +107,12 @@ _GATE_ORDER = (
     "cross_lang_pairs",
     "graph_triangles",
     # ---- below the 50-query window ----
+    # round-10 NEW operators (r11 gate tier 0 candidates; all follow
+    # the exact-output convention)
+    "cms_freq_audit",
+    "ocr_artifact_score",
+    "token_budget_apportionment",
+    "recency_decay_weights",
     "ann_ivfpq_indexed",
     "rocchio_expansion",
     "source_gini_tokens",

@@ -2828,3 +2828,98 @@ def packed_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("waste_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_apportionment — Hamilton largest-remainder budget split.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000_000
+
+
+@register(
+    "token_budget_apportionment",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS n FROM s),
+q AS (
+  SELECT source, n_tokens,
+         CAST(({_BUDGET_TOKENS} * CAST(n_tokens AS HUGEINT)) // tot.n AS BIGINT)
+           AS base_alloc,
+         CAST(({_BUDGET_TOKENS} * CAST(n_tokens AS HUGEINT)) % tot.n AS BIGINT)
+           AS rem
+  FROM s CROSS JOIN tot
+),
+l AS (
+  SELECT CAST({_BUDGET_TOKENS} - SUM(base_alloc) AS BIGINT) AS leftover FROM q
+),
+r AS (
+  SELECT q.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM q
+)
+SELECT source, n_tokens, base_alloc,
+       CAST(CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_alloc + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r CROSS JOIN l ORDER BY source
+""",
+    doc=(
+        "Hamilton largest-remainder apportionment of a fixed "
+        "10M-token training budget across sources, proportional to "
+        "their exact token mass: base_alloc = floor(B*n_i/N) plus one "
+        "extra token for the sources with the largest remainders "
+        "(ties to source asc), so SUM(alloc) == B EXACTLY — the "
+        "integer-exact allocation step between mixture_weights' "
+        "planning ppm and an actual sampler's per-source quotas "
+        "(naive rounding over/under-spends the budget; largest "
+        "remainder is the classic fix). One corpus scan into a "
+        "source-dimension rollup; the quota arithmetic is pure "
+        "HUGEINT/DECIMAL(38,0) division and the remainder rank is a "
+        "window over the source dimension only (SURVEY §2.L)."
+    ),
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("n"))
+    q = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"CAST((CAST({_BUDGET_TOKENS} AS DECIMAL(38,0)) * n_tokens) div n"
+            " AS BIGINT)"
+        ).alias("base_alloc"),
+        F.expr(
+            f"CAST((CAST({_BUDGET_TOKENS} AS DECIMAL(38,0)) * n_tokens) % n"
+            " AS BIGINT)"
+        ).alias("rem"),
+    )
+    lo = q.agg((F.lit(_BUDGET_TOKENS) - F.sum("base_alloc")).alias("leftover"))
+    r = q.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    )
+    return (
+        r.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_tokens",
+            "base_alloc",
+            F.when(F.col("rk") <= F.col("leftover"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

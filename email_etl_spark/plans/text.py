@@ -4658,3 +4658,180 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("coverage_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cms_freq_audit — Count-Min sketch with an exact-error audit.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # buckets per row
+_CMS_TOP = 20   # audited heavy tokens
+
+
+@register(
+    "cms_freq_audit",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+rows_ AS (SELECT UNNEST(range({_CMS_D})) AS r),
+cells AS (
+  SELECT r.r,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 8))
+              AS BIGINT) % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN rows_ r GROUP BY 1, 2
+),
+top AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT {_CMS_TOP}),
+probe AS (
+  SELECT t.tok, t.c, r.r,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 8))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM top t CROSS JOIN rows_ r
+),
+est AS (
+  SELECT p.tok, p.c, MIN(cl.cnt) AS est
+  FROM probe p JOIN cells cl ON cl.r = p.r AND cl.bucket = p.bucket
+  GROUP BY p.tok, p.c
+)
+SELECT tok, c AS exact_count, CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - c AS BIGINT) AS overestimate
+FROM est ORDER BY exact_count DESC, tok
+""",
+    doc=(
+        "Count-Min sketch frequency estimation with an EXACT-error "
+        "audit: a 4x1024 md5-derived CMS over the corpus token stream "
+        "(the streaming-frequency sketch every ingest pipeline "
+        "considers before paying for exact counts), probed at the 20 "
+        "true heavy hitters against their exact counts — the "
+        "overestimate column is the sketch's collision cost made "
+        "observable per corpus (CMS never underestimates; the audit "
+        "would catch a broken hash lane as a NEGATIVE overestimate). "
+        "Every hash lane is md5-derived so DuckDB reproduces the "
+        "sketch bit-for-bit (the minhash discipline). Distribution: "
+        "the token stream is exploded ONCE and aggregated map-side "
+        "into the 4096-cell sketch (dimension-sized at any corpus "
+        "scale); the 80-row probe set joins the sketch on (row, "
+        "bucket) — all integer arithmetic, no doubles anywhere "
+        "(SURVEY §2.K)."
+    ),
+)
+def cms_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % _CMS_W
+    )
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = exact.orderBy(F.desc("c"), "tok").limit(_CMS_TOP)
+    probe = top.crossJoin(F.broadcast(rows)).select(
+        "tok", "c", "r", bucket.alias("bucket")
+    )
+    est = (
+        probe.join(cells, ["r", "bucket"])
+        .groupBy("tok", "c")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "tok",
+        F.col("c").alias("exact_count"),
+        F.col("est").cast("bigint").alias("cms_estimate"),
+        (F.col("est") - F.col("c")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# ocr_artifact_score — OCR/encoding-damage heuristics per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ocr_artifact_score",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+),
+d AS (
+  SELECT source,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z][0-9]|[0-9][a-z]')))
+           AS n_mixed,
+         len(list_filter(toks, x -> len(x) = 1)) AS n_single,
+         len(list_filter(toks, x -> regexp_matches(x, '[bcdfghjklmnpqrstvwxz]{{5}}')))
+           AS n_consonant
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_mixed) * 10000 // GREATEST(SUM(n_tok), 1) AS BIGINT)
+         AS mixed_alnum_bps,
+       CAST(SUM(n_single) * 10000 // GREATEST(SUM(n_tok), 1) AS BIGINT)
+         AS single_char_bps,
+       CAST(SUM(n_consonant) * 10000 // GREATEST(SUM(n_tok), 1) AS BIGINT)
+         AS consonant_run_bps
+FROM d GROUP BY source ORDER BY source
+""",
+    doc=(
+        "OCR/encoding-damage screen per source: the share of tokens "
+        "showing the three classic scan/mojibake artifacts — "
+        "digit-letter fusions ('l0rem'), single-character debris "
+        "(column-split words), and 5+ consonant runs (dropped vowels, "
+        "byte garbage) — in exact integer bps. The pre-filter a "
+        "pretraining pipeline runs on scanned/converted corpora "
+        "before any model-based quality score, and the per-source "
+        "attribution that decides whether to fix the extractor or "
+        "drop the source. All three predicates are array-local "
+        "filters inside one projection (no token explode, no "
+        "shuffle beyond the source rollup); ratios are truncating "
+        "integer division in both engines (SURVEY §2.D)."
+    ),
+)
+def ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens(F.col("text"))
+    d = docs.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z][0-9]|[0-9][a-z]"))).alias(
+            "n_mixed"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) == 1)).alias("n_single"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[bcdfghjklmnpqrstvwxz]{5}"))
+        ).alias("n_consonant"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("sum(n_mixed) * 10000 div greatest(sum(n_tok), 1)")
+            .cast("bigint")
+            .alias("mixed_alnum_bps"),
+            F.expr("sum(n_single) * 10000 div greatest(sum(n_tok), 1)")
+            .cast("bigint")
+            .alias("single_char_bps"),
+            F.expr("sum(n_consonant) * 10000 div greatest(sum(n_tok), 1)")
+            .cast("bigint")
+            .alias("consonant_run_bps"),
+        )
+        .orderBy("source")
+    )

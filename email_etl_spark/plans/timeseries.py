@@ -2640,3 +2640,86 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_sq_den"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# recency_decay_weights — exact power-of-two freshness weighting.
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 30
+
+
+@register(
+    "recency_decay_weights",
+    oracle=f"""
+WITH d AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(day_idx) AS mxd FROM d),
+w AS (
+  SELECT day_idx, n,
+         CAST((mx.mxd - day_idx) // {_DECAY_HALF_LIFE_DAYS} AS BIGINT) AS half_lives,
+         CAST(1000000 // (CAST(1 AS BIGINT) << LEAST((mx.mxd - day_idx)
+              // {_DECAY_HALF_LIFE_DAYS}, 62)) AS BIGINT) AS weight_ppm
+  FROM d CROSS JOIN mx
+)
+SELECT CAST(half_lives AS BIGINT) AS half_lives,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(weight_ppm) AS BIGINT) AS weight_ppm,
+       CAST(SUM(n * weight_ppm) AS BIGINT) AS weighted_events_ppm
+FROM w GROUP BY half_lives ORDER BY half_lives
+""",
+    doc=(
+        "Recency-decay sampling weights over the event stream: each "
+        "day bucket gets weight 2^-(age/30d half-lives) — the "
+        "freshness prior a continually-trained model applies so "
+        "last month outweighs last year — computed EXACTLY as "
+        "integer ppm via a bit shift (10^6 >> half_lives, truncating; "
+        "shift clamped at 62 so the BIGINT never overflows at any "
+        "calendar depth): power-of-two decay makes the transcendental "
+        "exp() unnecessary and the whole table pure integer. Rolled "
+        "up per half-life cohort with exact weighted event mass "
+        "(weighted_events_ppm sums n*w without any double). One "
+        "distributed day rollup; everything after is "
+        "calendar-bounded (SURVEY §2.H)."
+    ),
+)
+def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000 div 86400"
+            ).alias("day_idx")
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    mx = d.agg(F.max("day_idx").alias("mxd"))
+    w = d.crossJoin(F.broadcast(mx)).select(
+        "n",
+        F.expr(
+            f"(mxd - day_idx) div {_DECAY_HALF_LIFE_DAYS}"
+        ).cast("bigint").alias("half_lives"),
+        F.expr(
+            f"1000000L div (shiftleft(1L, CAST(least((mxd - day_idx)"
+            f" div {_DECAY_HALF_LIFE_DAYS}, 62) AS INT)))"
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+    return (
+        w.groupBy("half_lives")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("weight_ppm").cast("bigint").alias("weight_ppm"),
+            F.sum(F.col("n") * F.col("weight_ppm")).cast("bigint").alias(
+                "weighted_events_ppm"
+            ),
+        )
+        .orderBy("half_lives")
+    )

@@ -308,3 +308,48 @@ def test_packed_attention_waste_two_level_offsets(spark):
     plan = _plan(spark, "packed_attention_waste")
     assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- round-10 new operators ----
+
+
+def test_cms_freq_audit_dimension_sized_sketch(spark):
+    # one corpus token explode feeds the 4096-cell sketch; the 4-row
+    # lane dim broadcasts (reviewed BNL); no cartesian on data paths
+    plan = _plan(spark, "cms_freq_audit")
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the token explode
+
+
+def test_ocr_artifact_score_no_token_explode(spark):
+    # all three artifact predicates are array-local filters inside one
+    # projection: a single scan, no Generate, rollup only
+    plan = _plan(spark, "ocr_artifact_score")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Generate" not in plan, plan
+    assert _n_window_nodes(plan) == 0, plan
+
+
+def test_token_budget_apportionment_exact_budget(spark):
+    # the Hamilton guarantee: allocations sum to the budget EXACTLY,
+    # extras are 0/1 and go to the largest remainders
+    from email_etl_spark.plans.curation import _BUDGET_TOKENS
+
+    rows = REGISTRY["token_budget_apportionment"].builder(spark, SF_SMOKE).collect()
+    assert sum(r["alloc"] for r in rows) == _BUDGET_TOKENS
+    assert all(r["extra"] in (0, 1) for r in rows)
+    assert all(r["alloc"] - r["base_alloc"] == r["extra"] for r in rows)
+    # dimension-sized window only: no corpus-wide sort in the plan
+    plan = _plan(spark, "token_budget_apportionment")
+    assert _n_window_nodes(plan) == 1, plan
+
+
+def test_recency_decay_weights_exact_shift(spark):
+    # weights are exact 10^6 >> half_lives (clamped) — verify against
+    # python integers and pin the calendar-bounded shape
+    rows = REGISTRY["recency_decay_weights"].builder(spark, SF_SMOKE).collect()
+    assert rows, "empty result"
+    for r in rows:
+        assert r["weight_ppm"] == 1_000_000 >> min(r["half_lives"], 62)
+    plan = _plan(spark, "recency_decay_weights")
+    assert _n_window_nodes(plan) == 0, plan

@@ -163,6 +163,10 @@ _BNL_JUSTIFIED = {
     "join_size_estimate",  # 1-row n_left/n_right count broadcasts (x6)
     "heavy_hitters_mg",  # 1-row (K+1)-th-counter threshold broadcast
     "kneser_ney_bigram",  # 1-row bigram-type-total broadcast (KN's |V|)
+    # reviewed round 10 (new operators)
+    "cms_freq_audit",  # 4-row sketch-lane dim broadcast (d=4)
+    "token_budget_apportionment",  # 1-row corpus-total + leftover broadcasts
+    "recency_decay_weights",  # 1-row max-day broadcast
     "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
     "sample_bias_chi2",  # 1-row (N, n_sample) totals broadcast
     # reviewed round 5 (new operators)
