@@ -5204,8 +5204,9 @@ def _probe_calibration_oracle() -> str:
     lp = _linear_probe_oracle()
     return f"""
 WITH lp AS MATERIALIZED (SELECT * FROM ({lp})),
-wv AS (SELECT list(weight ORDER BY dim) AS w FROM lp WHERE dim >= 1),
-wb AS (SELECT weight AS b FROM lp WHERE dim = 0),
+wv AS (SELECT list(CAST(weight_e9 AS DOUBLE) / 1000000000.0 ORDER BY dim) AS w
+       FROM lp WHERE dim >= 1),
+wb AS (SELECT CAST(weight_e9 AS DOUBLE) / 1000000000.0 AS b FROM lp WHERE dim = 0),
 e AS (
   SELECT embedding, CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
   FROM embeddings
@@ -5258,8 +5259,11 @@ FROM bins GROUP BY bin ORDER BY bin
 def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     wrows = linear_probe(spark, sf_dir).orderBy("dim").collect()
-    bias = float(wrows[0]["weight"])
-    w = [float(r["weight"]) for r in wrows[1:]]
+    # weight doubles reconstructed from the exact e9 integers with ONE
+    # correctly-rounded division — int→double is exact below 2^53, so
+    # both engines land on the identical IEEE weight values
+    bias = int(wrows[0]["weight_e9"]) / 1e9
+    w = [int(r["weight_e9"]) / 1e9 for r in wrows[1:]]
     wlit = F.expr("array(" + ",".join(f"{v!r}D" for v in w) + ")")
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), wlit, lambda x, wv: x.cast("double") * wv),

@@ -4709,11 +4709,12 @@ FROM est ORDER BY exact_count DESC, tok
         "would catch a broken hash lane as a NEGATIVE overestimate). "
         "Every hash lane is md5-derived so DuckDB reproduces the "
         "sketch bit-for-bit (the minhash discipline). Distribution: "
-        "the token stream is exploded ONCE and aggregated map-side "
-        "into the 4096-cell sketch (dimension-sized at any corpus "
-        "scale); the 80-row probe set joins the sketch on (row, "
-        "bucket) — all integer arithmetic, no doubles anywhere "
-        "(SURVEY §2.K)."
+        "two map-side-combined rollups over the exploded token "
+        "stream — the 4096-cell sketch (dimension-sized at any "
+        "corpus scale) and the exact counter the audit needs anyway "
+        "(a production CMS keeps only the first); the 80-row probe "
+        "set joins the sketch on (row, bucket) — all integer "
+        "arithmetic, no doubles anywhere (SURVEY §2.K)."
     ),
 )
 def cms_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
