@@ -113,6 +113,10 @@ _GATE_ORDER = (
     "ocr_artifact_score",
     "token_budget_apportionment",
     "recency_decay_weights",
+    "binary_segmentation",
+    "hll_register_audit",
+    "binary_quant_recall",
+    "rm3_expansion",
     "ann_ivfpq_indexed",
     "rocchio_expansion",
     "source_gini_tokens",

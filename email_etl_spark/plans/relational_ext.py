@@ -3162,3 +3162,159 @@ def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rev_centi",
         growth.alias("yoy_growth_bps"),
     ).orderBy("year", "month")
+
+
+# ---------------------------------------------------------------------------
+# hll_register_audit — deterministic from-scratch HLL precision audit.
+# ---------------------------------------------------------------------------
+
+# alpha_64 = 0.7213/(1 + 1.079/64) (Flajolet et al. 2007) as an e6
+# integer literal — the project convention for transcendental/
+# irrational constants (exact same integer on both engines)
+_HLL_ALPHA64_E6 = 709340
+_HLL_B = 6  # register-index bits -> m = 64 registers
+_HLL_M = 1 << _HLL_B
+_HLL_REM_BITS = 60 - _HLL_B  # 54-bit rank field from a 60-bit hash
+
+
+def _hll_audit_oracle() -> str:
+    digit = "CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)"
+    h60 = (
+        f"list_sum(list_transform(range(1, 16), "
+        f"i -> {digit} * (1::BIGINT << ((15 - i) * 4))))"
+    )
+    return f"""
+WITH hs AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+hv AS (SELECT {h60} AS h60 FROM hs),
+parts AS (
+  SELECT h60 // (1::BIGINT << {_HLL_REM_BITS}) AS idx,
+         h60 % (1::BIGINT << {_HLL_REM_BITS}) AS rem
+  FROM hv
+),
+reg AS (
+  SELECT idx,
+         MAX(CASE WHEN rem = 0 THEN {_HLL_REM_BITS + 1}
+                  ELSE {_HLL_REM_BITS + 1} - length(bin(rem)) END) AS m_rho
+  FROM parts GROUP BY idx
+),
+rx AS (SELECT MAX(m_rho) AS rho_max, COUNT(*) AS n_occ FROM reg),
+den AS (
+  SELECT rx.rho_max, rx.n_occ,
+         CAST(SUM(1::BIGINT << (rx.rho_max - reg.m_rho)) AS BIGINT)
+           + ({_HLL_M} - rx.n_occ) * (1::BIGINT << rx.rho_max) AS d
+  FROM reg CROSS JOIN rx GROUP BY rx.rho_max, rx.n_occ
+),
+tru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events
+),
+est AS (
+  SELECT tru.n_events, tru.n_true, den.n_occ, den.rho_max, den.d,
+         CAST(({_HLL_ALPHA64_E6}::HUGEINT * {_HLL_M * _HLL_M}
+               * (1::BIGINT << den.rho_max)::HUGEINT)
+              // (1000::HUGEINT * den.d) AS BIGINT) AS est_e3
+  FROM den CROSS JOIN tru
+)
+SELECT n_events, n_true,
+       CAST(n_occ AS BIGINT) AS n_occupied,
+       CAST({_HLL_M} - n_occ AS BIGINT) AS n_zero,
+       CAST(rho_max AS BIGINT) AS rho_max,
+       d AS harmonic_denom,
+       est_e3,
+       CAST(ABS(est_e3 - 1000 * n_true)::HUGEINT * 10000
+            // (1000::HUGEINT * n_true) AS BIGINT) AS err_bps
+FROM est
+"""
+
+
+@register(
+    "hll_register_audit",
+    oracle=_hll_audit_oracle(),
+    doc=(
+        "HyperLogLog precision audit, the cms_freq_audit companion for "
+        "distinct counting: builds a from-scratch m=64 HLL over "
+        "user_id with DETERMINISTIC md5 lanes (60-bit hash = first 15 "
+        "hex chars; register = top 6 bits, rank = leading zeros of "
+        "the 54-bit remainder + 1 via length(bin(rem)) — exactly "
+        "reproducible on any engine, unlike opaque library sketch "
+        "states), then scores the raw estimate against the exact "
+        "COUNT(DISTINCT). The harmonic mean stays EXACT: registers "
+        "are rescaled to the common denominator 2^rho_max so "
+        "sum(2^(rho_max-rho_j)) is a pure BIGINT (<= 64*2^55 < 2^62), "
+        "alpha_64 is the e6 integer literal 709340, and est_e3 is one "
+        "DECIMAL(38,0) division — no float anywhere. Scale shape: "
+        "the register table is ONE 64-row map-side-combined max "
+        "aggregate over the raw stream (duplicates hash identically; "
+        "no distinct shuffle), which is why HLL is THE 100 TB "
+        "distinct-count path; the exact side is the one-time "
+        "calibration pass this audit exists to compare against "
+        "(SURVEY §2.L)."
+    ),
+)
+def hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rem_div = 1 << _HLL_REM_BITS
+    parts = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h60")
+    ).select(
+        F.expr(f"h60 div {rem_div}L").alias("idx"),
+        (F.col("h60") % F.lit(rem_div)).alias("rem"),
+    )
+    reg = parts.groupBy("idx").agg(
+        F.max(
+            F.when(F.col("rem") == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+                F.lit(_HLL_REM_BITS + 1) - F.length(F.expr("bin(rem)"))
+            )
+        ).alias("m_rho")
+    )
+    rx = reg.agg(
+        F.max("m_rho").alias("rho_max"), F.count("*").alias("n_occ")
+    )
+    den = (
+        reg.crossJoin(F.broadcast(rx))
+        .groupBy("rho_max", "n_occ")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(1L, cast(rho_max - m_rho as int))"))
+                + (F.lit(_HLL_M) - F.col("n_occ"))
+                * F.expr("shiftleft(1L, cast(rho_max as int))")
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    tru = ev.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_true"),
+    )
+    alpha_num = _HLL_ALPHA64_E6 * _HLL_M * _HLL_M
+    return (
+        den.crossJoin(F.broadcast(tru))
+        .select(
+            "n_events",
+            "n_true",
+            F.col("n_occ").cast("bigint").alias("n_occupied"),
+            (F.lit(_HLL_M) - F.col("n_occ")).cast("bigint").alias("n_zero"),
+            F.col("rho_max").cast("bigint").alias("rho_max"),
+            F.col("d").alias("harmonic_denom"),
+            F.expr(
+                f"cast((cast({alpha_num} as decimal(38,0))"
+                f" * cast(shiftleft(1L, cast(rho_max as int)) as decimal(38,0)))"
+                f" div (cast(1000 as decimal(38,0)) * d) as bigint)"
+            ).alias("est_e3"),
+        )
+        .withColumn(
+            "err_bps",
+            F.expr(
+                "cast((cast(abs(est_e3 - 1000 * n_true) as decimal(38,0))"
+                " * 10000) div (cast(1000 as decimal(38,0)) * n_true)"
+                " as bigint)"
+            ),
+        )
+    )

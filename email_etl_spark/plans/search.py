@@ -7044,3 +7044,282 @@ def range_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# binary_quant_recall — 1-bit sign quantization recall eval.
+# ---------------------------------------------------------------------------
+
+_BQ_K = 10
+_BQ_QUERIES = 5
+
+
+def _bq_half_sql(col: str, lo: int) -> str:
+    # pack dims [lo, lo+32) of the embedding into one BIGINT of sign
+    # bits (1-based list indexing; weight 2^(31-j) for local offset j)
+    return (
+        f"list_sum(list_transform(range(1, 33), i -> "
+        f"CAST(CASE WHEN {col}[i + {lo}] > 0 THEN 1 ELSE 0 END AS BIGINT)"
+        f" * (1::BIGINT << (32 - i))))"
+    )
+
+
+def _bq_oracle() -> str:
+    cos = duckdb_cosine("c.embedding", "q.embedding")
+    ham = (
+        "bit_count(xor(cb.h1, qb.h1)) + bit_count(xor(cb.h2, qb.h2))"
+    )
+    return f"""
+WITH bits AS (
+  SELECT vec_id, {_bq_half_sql("embedding", 0)} AS h1,
+         {_bq_half_sql("embedding", 32)} AS h2
+  FROM embeddings
+),
+exact_rank AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+         ) AS rk
+  FROM embeddings c JOIN embeddings q
+    ON q.vec_id < {_BQ_QUERIES} AND c.vec_id <> q.vec_id
+),
+ham_rank AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id, {ham} AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY qb.vec_id ORDER BY {ham} ASC, cb.vec_id ASC
+         ) AS rk
+  FROM bits cb JOIN bits qb
+    ON qb.vec_id < {_BQ_QUERIES} AND cb.vec_id <> qb.vec_id
+)
+SELECT e.query_id,
+       CAST(COUNT(h.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(h.vec_id) * 10000 // {_BQ_K} AS BIGINT) AS recall_bps,
+       (SELECT CAST(SUM(hamming) AS BIGINT) FROM ham_rank h2
+        WHERE h2.query_id = e.query_id AND h2.rk <= {_BQ_K}) AS ham_sum
+FROM exact_rank e
+LEFT JOIN ham_rank h
+  ON h.query_id = e.query_id AND h.vec_id = e.vec_id AND h.rk <= {_BQ_K}
+WHERE e.rk <= {_BQ_K}
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@register(
+    "binary_quant_recall",
+    oracle=_bq_oracle(),
+    doc=(
+        "Recall@10 of 1-bit SIGN quantization — each 64-dim embedding "
+        "compressed 32x to 64 sign bits packed into two BIGINT halves, "
+        "neighbors ranked by XOR-popcount Hamming distance and scored "
+        "against the exact cosine top-10 (first 5 corpus vectors as "
+        "the query batch, the ann_recall_eval convention). This is "
+        "the eval behind binary-embedding deployments (Hamming on "
+        "packed bits is the cheapest possible distance kernel: two "
+        "xor+popcnt per candidate), and it is distinct from ann_lsh's "
+        "hyperplane signatures: no projection, the raw dimension "
+        "signs ARE the code. Everything ordinal is exact integers — "
+        "bit packing by comparison+shift, Hamming via bit_count(xor), "
+        "vec_id tiebreaks; ties in the exact ranking use the shared "
+        "4-dp cosine grid. Scale shape: the bit table is one "
+        "projection of the corpus scan (64 bits/vector: 100 TB of "
+        "fp32 embeddings -> ~3 TB of codes); ranking joins broadcast "
+        "the 5-row query batch, never corpus x corpus "
+        "(SURVEY §2.F)."
+    ),
+)
+def binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    half1 = sum(
+        (
+            F.when(F.col("embedding")[i] > 0, 1).otherwise(0) * (1 << (31 - i))
+            for i in range(32)
+        ),
+        F.lit(0),
+    )
+    half2 = sum(
+        (
+            F.when(F.col("embedding")[i + 32] > 0, 1).otherwise(0)
+            * (1 << (31 - i))
+            for i in range(32)
+        ),
+        F.lit(0),
+    )
+    bits = emb.select(
+        "vec_id", half1.cast("bigint").alias("h1"), half2.cast("bigint").alias("h2")
+    )
+    q = emb.where(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ew = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    exact_top = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+        .withColumn("rk", F.row_number().over(ew))
+        .where(F.col("rk") <= _BQ_K)
+        .select("query_id", "vec_id")
+    )
+    qb = bits.where(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    ham = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+        + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+    )
+    hw = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    ham_top = (
+        bits.crossJoin(F.broadcast(qb))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.cast("bigint").alias("hamming"))
+        .withColumn("rk", F.row_number().over(hw))
+        .where(F.col("rk") <= _BQ_K)
+    )
+    # ONE pass over both rankings: full-outer join then a single
+    # aggregate — consuming ham_top twice (hits + hamming mass) would
+    # duplicate its window subtree into an extra corpus pass
+    joined = exact_top.withColumn("e", F.lit(1)).join(
+        ham_top.select("query_id", "vec_id", "hamming").withColumn("h", F.lit(1)),
+        ["query_id", "vec_id"],
+        "full_outer",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("e") == 1) & (F.col("h") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(F.when(F.col("h") == 1, F.col("hamming")))
+            .cast("bigint")
+            .alias("ham_sum"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000L) div {_BQ_K}").cast("bigint").alias(
+                "recall_bps"
+            ),
+            "ham_sum",
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rm3_expansion — relevance-model (RM3) expansion-term weights.
+# ---------------------------------------------------------------------------
+
+_RM3_OUT_TERMS = 10
+
+
+def _rm3_oracle() -> str:
+    from email_etl_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    qterms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    tf_sql = " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in QUERY_TERMS
+    )
+    qw = 1_000_000 // len(QUERY_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks,
+         CAST({tf_sql} AS BIGINT) AS tf,
+         CAST(len(toks) AS BIGINT) AS n
+  FROM t
+),
+fb AS (SELECT * FROM base
+       ORDER BY (20000 * tf + (n + 1)) // (2 * (n + 1)) DESC, doc_id
+       LIMIT {_PRF_DOCS}),
+ft AS (SELECT fb.doc_id, fb.n, u.tok FROM fb, unnest(fb.toks) AS u(tok)),
+ct AS (SELECT doc_id, n, tok, COUNT(*) AS c FROM ft GROUP BY 1, 2, 3),
+w AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS fb_df,
+         CAST(SUM((1000000 * c) // n) AS BIGINT) AS rm1_e6
+  FROM ct WHERE tok NOT IN ({stop}) GROUP BY tok
+)
+SELECT tok, fb_df, rm1_e6,
+       CAST((CASE WHEN tok IN ({qterms}) THEN {qw} ELSE 0 END + rm1_e6) // 2
+            AS BIGINT) AS rm3_e6
+FROM w ORDER BY rm1_e6 DESC, tok LIMIT {_RM3_OUT_TERMS}
+"""
+
+
+@register(
+    "rm3_expansion",
+    oracle=_rm3_oracle(),
+    doc=(
+        "RM3 relevance-model query expansion — the language-modeling "
+        "twin of rocchio_expansion (which moves a vector-space "
+        "centroid; this estimates a TERM DISTRIBUTION): P(w|R) = "
+        "sum over the top-10 feedback docs of tf_wd/|d| with uniform "
+        "doc prior (RM1), then interpolated 50/50 with the uniform "
+        "original-query model (RM3; query terms get 10^6/|Q| e6, "
+        "everything else 0). Output: top-10 candidate terms with "
+        "feedback df, rm1_e6 and rm3_e6 weights. Exact integers "
+        "end-to-end: per-(doc,term) contribution is the truncating "
+        "(10^6*tf) div |d| BEFORE the order-free cross-doc sum, so "
+        "distributed summation cannot diverge from the oracle; the "
+        "feedback ranking reuses rocchio's half-up e4 tf/(n+1) "
+        "contract. Scale shape: ONE corpus scan for the base ranking "
+        "(TakeOrdered top-10), then every aggregate runs over the "
+        "10-doc feedback set's exploded tokens — expansion cost is "
+        "independent of corpus size (SURVEY §2.C)."
+    ),
+)
+def rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from email_etl_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tf = None
+    for term in QUERY_TERMS:
+        cnt = F.size(F.filter(F.col("toks"), (lambda tt: lambda x: x == tt)(term)))
+        tf = cnt if tf is None else tf + cnt
+    base = t.select(
+        "doc_id",
+        "toks",
+        tf.cast("bigint").alias("tf"),
+        F.size("toks").cast("bigint").alias("n"),
+    )
+    base_e4 = F.expr("(20000 * tf + (n + 1)) div (2 * (n + 1))")
+    fb = base.orderBy(F.desc(base_e4), "doc_id").limit(_PRF_DOCS)
+    ct = (
+        fb.select("doc_id", "n", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "n", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = (
+        ct.where(~F.col("tok").isin(sorted(STOPWORDS)))
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("fb_df"),
+            F.sum(F.expr("(1000000 * c) div n")).cast("bigint").alias("rm1_e6"),
+        )
+    )
+    qw = 1_000_000 // len(QUERY_TERMS)
+    return (
+        w.select(
+            "tok",
+            "fb_df",
+            "rm1_e6",
+            F.expr(
+                f"(CASE WHEN tok IN ({', '.join(repr(t) for t in QUERY_TERMS)})"
+                f" THEN {qw} ELSE 0 END + rm1_e6) div 2"
+            )
+            .cast("bigint")
+            .alias("rm3_e6"),
+        )
+        .orderBy(F.desc("rm1_e6"), "tok")
+        .limit(_RM3_OUT_TERMS)
+    )

@@ -2723,3 +2723,165 @@ def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("half_lives")
     )
+
+
+# ---------------------------------------------------------------------------
+# binary_segmentation — two-level hierarchical change-point scan.
+# ---------------------------------------------------------------------------
+
+
+def _binseg_oracle() -> str:
+    # shared score template: for a segment of `ln` days with local
+    # prefix sum p (events up to and including local rank r) and
+    # segment total `tot`, the centered-CUSUM score at the candidate
+    # split after local rank r is |ln*p - r*tot| — all BIGINT
+    # (days*events <= 3650*1e12 at 100 TB, far under the 9.2e18 bound)
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT d, n,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily
+),
+tot AS (SELECT COUNT(*) AS nd, SUM(n) AS sm FROM daily),
+root AS (
+  SELECT d, t, s, ABS(tot.nd * s - t * tot.sm) AS score
+  FROM r CROSS JOIN tot
+  WHERE t < tot.nd
+  ORDER BY score DESC, d ASC LIMIT 1
+),
+seg AS (
+  SELECT r.d, r.n,
+         CASE WHEN r.t <= root.t THEN 1 ELSE 2 END AS seg_id,
+         CASE WHEN r.t <= root.t THEN r.t ELSE r.t - root.t END AS lt,
+         CASE WHEN r.t <= root.t THEN r.s ELSE r.s - root.s END AS ls,
+         CASE WHEN r.t <= root.t THEN root.t ELSE tot.nd - root.t END AS ln,
+         CASE WHEN r.t <= root.t THEN root.s ELSE tot.sm - root.s END AS lsum
+  FROM r CROSS JOIN root CROSS JOIN tot
+),
+child AS (
+  SELECT seg_id, d, ABS(ln * ls - lt * lsum) AS score, ln, lsum,
+         ROW_NUMBER() OVER (
+           PARTITION BY seg_id ORDER BY ABS(ln * ls - lt * lsum) DESC, d ASC
+         ) AS rk
+  FROM seg WHERE lt < ln
+)
+SELECT CAST(0 AS BIGINT) AS seg_id, root.d AS split_day,
+       CAST(root.score AS BIGINT) AS score_num,
+       CAST(tot.nd AS BIGINT) AS n_days, CAST(tot.sm AS BIGINT) AS n_events
+FROM root CROSS JOIN tot
+UNION ALL
+SELECT CAST(seg_id AS BIGINT), d, CAST(score AS BIGINT),
+       CAST(ln AS BIGINT), CAST(lsum AS BIGINT)
+FROM child WHERE rk = 1
+ORDER BY seg_id
+"""
+
+
+@register(
+    "binary_segmentation",
+    oracle=_binseg_oracle(),
+    doc=(
+        "Two-level binary segmentation of the daily event-count "
+        "series: the root change-point is the day maximizing the "
+        "centered-CUSUM score |T*S_t - t*S| (the same integer "
+        "statistic cusum_changepoint scans once), then each resulting "
+        "half is scanned AGAIN with segment-local totals — the "
+        "recursive refinement that turns one 'did the mix shift?' "
+        "answer into a 3-node changepoint tree (root + best split of "
+        "each half; a half shorter than 2 days contributes no row, "
+        "same rule both engines). Pure BIGINT throughout: "
+        "days*events stays under 4e15 even at the 100 TB target, "
+        "earliest-day tiebreak on equal scores. Scale shape: ONE "
+        "map-side-combined daily aggregate is the only event-stream "
+        "pass; both scans are O(days) windows over the calendar-"
+        "bounded table, and the 1-row root argmax broadcasts "
+        "(SURVEY §2.H)."
+    ),
+)
+def binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # LINEAR single-scan plan: every corpus-level constant (totals,
+    # root argmax) rides an unpartitioned window over the days-sized
+    # frame instead of a crossJoin branch — branching would re-expand
+    # the subtree into one events scan PER USE (observed: 6 scans),
+    # which is exactly what must not happen at 100 TB. All windows
+    # here are O(days).
+    w_ord = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    r = daily.select(
+        "d",
+        "n",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("n").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    )
+    r = r.select(
+        "*",
+        F.max("t").over(w_all).alias("nd"),
+        F.max("s").over(w_all).alias("sm"),  # s is monotone: max == total
+    ).withColumn("score", F.abs(F.col("nd") * F.col("s") - F.col("t") * F.col("sm")))
+    r = r.withColumn(
+        "mx", F.max(F.when(F.col("t") < F.col("nd"), F.col("score"))).over(w_all)
+    )
+    r = r.withColumn(
+        "root_t",
+        F.min(
+            F.when((F.col("score") == F.col("mx")) & (F.col("t") < F.col("nd")), F.col("t"))
+        ).over(w_all),
+    )
+    r = r.withColumn(
+        "root_s", F.min(F.when(F.col("t") == F.col("root_t"), F.col("s"))).over(w_all)
+    )
+    left = F.col("t") <= F.col("root_t")
+    seg = r.select(
+        "*",
+        F.when(left, 1).otherwise(2).alias("seg_id"),
+        F.when(left, F.col("t")).otherwise(F.col("t") - F.col("root_t")).alias("lt"),
+        F.when(left, F.col("s")).otherwise(F.col("s") - F.col("root_s")).alias("ls"),
+        F.when(left, F.col("root_t")).otherwise(F.col("nd") - F.col("root_t")).alias("ln"),
+        F.when(left, F.col("root_s")).otherwise(F.col("sm") - F.col("root_s")).alias("lsum"),
+    ).withColumn(
+        "cscore", F.abs(F.col("ln") * F.col("ls") - F.col("lt") * F.col("lsum"))
+    )
+    w_seg = Window.partitionBy("seg_id")
+    interior = F.col("lt") < F.col("ln")
+    seg = seg.withColumn(
+        "mxc", F.max(F.when(interior, F.col("cscore"))).over(w_seg)
+    ).withColumn(
+        "pick_t",
+        F.min(F.when(interior & (F.col("cscore") == F.col("mxc")), F.col("t"))).over(
+            w_seg
+        ),
+    )
+    is_root = F.col("t") == F.col("root_t")
+    return (
+        seg.where(is_root | (F.col("t") == F.col("pick_t")))
+        .select(
+            F.when(is_root, 0).otherwise(F.col("seg_id")).cast("bigint").alias(
+                "seg_id"
+            ),
+            F.col("d").alias("split_day"),
+            F.when(is_root, F.col("mx"))
+            .otherwise(F.col("mxc"))
+            .cast("bigint")
+            .alias("score_num"),
+            F.when(is_root, F.col("nd"))
+            .otherwise(F.col("ln"))
+            .cast("bigint")
+            .alias("n_days"),
+            F.when(is_root, F.col("sm"))
+            .otherwise(F.col("lsum"))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+        .orderBy("seg_id")
+    )

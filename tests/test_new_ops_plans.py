@@ -353,3 +353,61 @@ def test_recency_decay_weights_exact_shift(spark):
         assert r["weight_ppm"] == 1_000_000 >> min(r["half_lives"], 62)
     plan = _plan(spark, "recency_decay_weights")
     assert _n_window_nodes(plan) == 0, plan
+
+
+# ---- round-10 second-session operators ----
+
+
+def test_binary_segmentation_calendar_bounded(spark):
+    # one event scan feeds the daily aggregate; both CUSUM scans are
+    # O(days) windows; the 1-row root argmax broadcasts (reviewed BNL)
+    plan = _plan(spark, "binary_segmentation")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = REGISTRY["binary_segmentation"].builder(spark, SF_SMOKE).collect()
+    by_seg = {r["seg_id"]: r for r in rows}
+    # children partition the root: day counts and event mass add up
+    assert by_seg[1]["n_days"] + by_seg[2]["n_days"] == by_seg[0]["n_days"]
+    assert by_seg[1]["n_events"] + by_seg[2]["n_events"] == by_seg[0]["n_events"]
+
+
+def test_hll_register_audit_no_distinct_on_sketch_path(spark):
+    # the register table is a 64-row max agg over the raw stream; the
+    # exact COUNT(DISTINCT) calibration side is a separate 1-row agg
+    from email_etl_spark.plans.relational_ext import _HLL_M, _HLL_REM_BITS
+
+    rows = REGISTRY["hll_register_audit"].builder(spark, SF_SMOKE).collect()
+    (r,) = rows
+    assert r["n_occupied"] + r["n_zero"] == _HLL_M
+    assert 1 <= r["rho_max"] <= _HLL_REM_BITS + 1
+    # harmonic denominator lower bound: every register contributes >= 1
+    assert r["harmonic_denom"] >= _HLL_M
+    plan = _plan(spark, "hll_register_audit")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_binary_quant_recall_no_corpus_square(spark):
+    # both rankings broadcast the 5-row query batch — corpus x corpus
+    # never materializes; hamming rides bit_count(xor) on packed ints
+    plan = _plan(spark, "binary_quant_recall")
+    assert "CartesianProduct" not in plan, plan
+    assert _n_window_nodes(plan) == 2, plan
+    rows = REGISTRY["binary_quant_recall"].builder(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall_bps"] == r["n_hits"] * 1000
+
+
+def test_rm3_expansion_feedback_bounded(spark):
+    # expansion aggregates run over the 10-doc feedback set only; the
+    # corpus contributes one TakeOrdered base ranking
+    plan = _plan(spark, "rm3_expansion")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = REGISTRY["rm3_expansion"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["fb_df"] <= 10
+        # RM3 = (query-model + RM1) div 2 — never exceeds RM1 alone
+        # once rm1 >= qw; always a valid truncating interpolation
+        assert r["rm3_e6"] <= (1_000_000 // 3 + r["rm1_e6"]) // 2

@@ -167,6 +167,9 @@ _BNL_JUSTIFIED = {
     "cms_freq_audit",  # 4-row sketch-lane dim broadcast (d=4)
     "token_budget_apportionment",  # 1-row corpus-total + leftover broadcasts
     "recency_decay_weights",  # 1-row max-day broadcast
+    "binary_segmentation",  # 1-row corpus-total + 1-row root-argmax broadcasts
+    "hll_register_audit",  # 1-row rho_max + 1-row exact-distinct broadcasts
+    "binary_quant_recall",  # 5-row query-batch broadcast (ann_bruteforce shape)
     "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
     "sample_bias_chi2",  # 1-row (N, n_sample) totals broadcast
     # reviewed round 5 (new operators)
