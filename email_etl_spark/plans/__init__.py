@@ -117,6 +117,8 @@ _GATE_ORDER = (
     "hll_register_audit",
     "binary_quant_recall",
     "rm3_expansion",
+    "cramer_von_mises_drift",
+    "energy_distance_binned",
     "ann_ivfpq_indexed",
     "rocchio_expansion",
     "source_gini_tokens",

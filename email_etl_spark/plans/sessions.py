@@ -4465,3 +4465,278 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(conv AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"
         ).alias("mde_rel_sq_e8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cramer_von_mises_drift — quadratic-EDF drift test (KS's companion).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramer_von_mises_drift",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS tse
+  FROM events
+),
+mid AS (SELECT (MIN(tse) + MAX(tse)) // 2 AS m FROM e),
+h AS (
+  SELECT event_type, value,
+         CASE WHEN tse <= mid.m THEN 0 ELSE 1 END AS half
+  FROM e, mid
+),
+c AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+  FROM h GROUP BY event_type, value
+),
+n AS (
+  SELECT event_type, SUM(a) AS n1, SUM(b) AS n2 FROM c GROUP BY event_type
+),
+cum AS (
+  SELECT c.event_type, c.a + c.b AS w,
+         SUM(a) OVER (PARTITION BY c.event_type ORDER BY value) AS ca,
+         SUM(b) OVER (PARTITION BY c.event_type ORDER BY value) AS cb,
+         n.n1, n.n2
+  FROM c JOIN n USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       CAST(SUM(CAST(w AS HUGEINT) * (ca * n2 - cb * n1) * (ca * n2 - cb * n1))
+              * 1000000000
+            // (CAST(MAX(n1) + MAX(n2) AS HUGEINT)
+                * (MAX(n1) * MAX(n1)) * (MAX(n2) * MAX(n2))) AS BIGINT)
+         AS cvm_e9
+FROM cum
+WHERE n1 > 0 AND n2 > 0
+GROUP BY event_type ORDER BY event_type
+""",
+    doc=(
+        "Cramér–von Mises two-sample drift test per event type — the "
+        "quadratic companion of value_ks_drift: where KS reports only "
+        "the WORST CDF gap, CvM integrates the SQUARED gap over the "
+        "whole support, so broad mild drift that never produces one "
+        "large gap still scores (the omnibus alarm). Same "
+        "first/second time-half split; statistic = sum over pooled "
+        "support of w*(ca*n2 - cb*n1)^2 div (N*n1^2*n2^2), entirely "
+        "integer via one DECIMAL(38,0) cross-multiplied sum (exact "
+        "while n_per_type <= ~3e7; beyond that rescale the e9 unit — "
+        "BOUND documented). One (type, value) count aggregate + one "
+        "support-bounded per-type cumulative window, midpoint a "
+        "1-row broadcast; never a row-bounded sort (SURVEY §2.L)."
+    ),
+)
+def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", "value", F.unix_timestamp(F.col("ts")).alias("tse"))
+    mid = e.agg(F.expr("(min(tse) + max(tse)) div 2").alias("m"))
+    h = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.col("tse") <= F.col("m"), 0).otherwise(1).alias("half"),
+    )
+    c = h.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    n = c.groupBy("event_type").agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        (F.col("a") + F.col("b")).alias("w"),
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        "n1",
+        "n2",
+    )
+    return (
+        cum.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_first"),
+            F.max("n2").cast("bigint").alias("n_second"),
+            F.expr(
+                "CAST((sum(CAST(w AS DECIMAL(38,0)) * (ca * n2 - cb * n1)"
+                " * (ca * n2 - cb * n1)) * 1000000000)"
+                " div (CAST(max(n1) + max(n2) AS DECIMAL(38,0))"
+                " * (max(n1) * max(n1)) * (max(n2) * max(n2))) AS BIGINT)"
+            ).alias("cvm_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# energy_distance_binned — binned two-sample energy distance.
+# ---------------------------------------------------------------------------
+
+_ENERGY_BIN_CENTS = 1000  # $10 bins over exact integer cents
+
+
+@register(
+    "energy_distance_binned",
+    oracle=f"""
+WITH ct AS (
+  SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+),
+top2 AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY c DESC, event_type) AS rk
+  FROM ct QUALIFY rk <= 2
+),
+h AS (
+  SELECT t.rk, CAST(ROUND(e.value * 100) AS BIGINT) // {_ENERGY_BIN_CENTS} AS bin,
+         COUNT(*) AS n
+  FROM events e JOIN top2 t USING (event_type)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT h1.rk AS r1, h2.rk AS r2,
+         SUM(CAST(h1.n AS HUGEINT) * h2.n * ABS(h1.bin - h2.bin)) AS sdist
+  FROM h h1, h h2
+  GROUP BY 1, 2
+),
+n AS (SELECT rk, SUM(n) AS cnt FROM h GROUP BY rk),
+terms AS (
+  SELECT
+    (SELECT event_type FROM top2 WHERE rk = 1) AS type_a,
+    (SELECT event_type FROM top2 WHERE rk = 2) AS type_b,
+    (SELECT CAST(cnt AS BIGINT) FROM n WHERE rk = 1) AS n_a,
+    (SELECT CAST(cnt AS BIGINT) FROM n WHERE rk = 2) AS n_b,
+    (SELECT sdist FROM s WHERE r1 = 1 AND r2 = 2) AS sab,
+    (SELECT sdist FROM s WHERE r1 = 1 AND r2 = 1) AS saa,
+    (SELECT sdist FROM s WHERE r1 = 2 AND r2 = 2) AS sbb
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST((2000000::HUGEINT * sab) // (n_a::HUGEINT * n_b) AS BIGINT)
+         AS t_cross_e6,
+       CAST((1000000::HUGEINT * saa) // (n_a::HUGEINT * n_a) AS BIGINT)
+         AS t_within_a_e6,
+       CAST((1000000::HUGEINT * sbb) // (n_b::HUGEINT * n_b) AS BIGINT)
+         AS t_within_b_e6,
+       CAST((2000000::HUGEINT * sab) // (n_a::HUGEINT * n_b)
+            - (1000000::HUGEINT * saa) // (n_a::HUGEINT * n_a)
+            - (1000000::HUGEINT * sbb) // (n_b::HUGEINT * n_b) AS BIGINT)
+         AS energy_e6
+FROM terms
+""",
+    doc=(
+        "Two-sample ENERGY DISTANCE between the two highest-volume "
+        "event types' value distributions, on exact $10 bins: "
+        "E = 2*mean|X-Y| - mean|X-X'| - mean|Y-Y'| (Székely's "
+        "metric — zero iff the binned distributions are equal; "
+        "unlike KS/CvM it is a true metric usable as a loss, and "
+        "unlike mannwhitney it sees shape, not just location). "
+        "Exactness: values digitize to integer cents (the "
+        "ROUND(value*100) input convention), bins by integer div, "
+        "all pair masses n_b*m_b'*|b-b'| summed in DECIMAL(38,0); "
+        "each mean term is ONE exact truncating division to e6 bin "
+        "units, so every output is engine-exact BIGINT at any "
+        "corpus size. Scale shape: the corpus collapses to a "
+        "support-bounded (type, bin) histogram (ONE map-side-"
+        "combined agg); the pair enumeration is histogram x "
+        "histogram (dimension-sized, reviewed BNL) — never row x "
+        "row (SURVEY §2.L)."
+    ),
+)
+def energy_distance_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    rw = Window.orderBy(F.desc("c"), "event_type")
+    top2 = (
+        ct.select("event_type", F.row_number().over(rw).alias("rk"))
+        .where(F.col("rk") <= 2)
+    )
+    h = (
+        ev.join(F.broadcast(top2), "event_type")
+        .select(
+            "rk",
+            F.expr(
+                f"CAST(ROUND(value * 100) AS BIGINT) div {_ENERGY_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("rk", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    h1 = h.select(
+        F.col("rk").alias("r1"), F.col("bin").alias("b1"), F.col("n").alias("m1")
+    )
+    h2 = h.select(
+        F.col("rk").alias("r2"), F.col("bin").alias("b2"), F.col("n").alias("m2")
+    )
+    s = (
+        h1.crossJoin(F.broadcast(h2))
+        .groupBy("r1", "r2")
+        .agg(
+            F.sum(
+                F.expr("CAST(m1 AS DECIMAL(38,0)) * m2 * abs(b1 - b2)")
+            ).alias("sdist")
+        )
+    )
+    n = h.groupBy("rk").agg(F.sum("n").cast("bigint").alias("cnt"))
+    wide = (
+        s.join(F.broadcast(n.select(F.col("rk").alias("r1"), F.col("cnt").alias("n1"))), "r1")
+        .join(F.broadcast(n.select(F.col("rk").alias("r2"), F.col("cnt").alias("n2"))), "r2")
+        .join(
+            F.broadcast(top2.select(F.col("rk").alias("r1"), F.col("event_type").alias("t1"))),
+            "r1",
+        )
+        .join(
+            F.broadcast(top2.select(F.col("rk").alias("r2"), F.col("event_type").alias("t2"))),
+            "r2",
+        )
+    )
+    terms = wide.agg(
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 2), F.col("t1"))).alias(
+            "type_a"
+        ),
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 2), F.col("t2"))).alias(
+            "type_b"
+        ),
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 2), F.col("n1")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 2), F.col("n2")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 2), F.col("sdist"))).alias(
+            "sab"
+        ),
+        F.max(F.when((F.col("r1") == 1) & (F.col("r2") == 1), F.col("sdist"))).alias(
+            "saa"
+        ),
+        F.max(F.when((F.col("r1") == 2) & (F.col("r2") == 2), F.col("sdist"))).alias(
+            "sbb"
+        ),
+    )
+    t_cross = (
+        "(CAST(2000000 AS DECIMAL(38,0)) * sab)"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    )
+    t_wa = (
+        "(CAST(1000000 AS DECIMAL(38,0)) * saa)"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_a)"
+    )
+    t_wb = (
+        "(CAST(1000000 AS DECIMAL(38,0)) * sbb)"
+        " div (CAST(n_b AS DECIMAL(38,0)) * n_b)"
+    )
+    return terms.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({t_cross} AS BIGINT)").alias("t_cross_e6"),
+        F.expr(f"CAST({t_wa} AS BIGINT)").alias("t_within_a_e6"),
+        F.expr(f"CAST({t_wb} AS BIGINT)").alias("t_within_b_e6"),
+        F.expr(
+            f"CAST(CAST({t_cross} AS BIGINT) - CAST({t_wa} AS BIGINT)"
+            f" - CAST({t_wb} AS BIGINT) AS BIGINT)"
+        ).alias("energy_e6"),
+    )

@@ -64,11 +64,41 @@ def main() -> int:
     from tests.oracle import canonical_rows, column_hashes, run_spark
 
     covered = _covered_elsewhere()
-    todo = [n for n in REGISTRY if n not in covered and REGISTRY[n].oracle]
+    # the dedup family is DEDUP_SF01's domain (sweep_dedup_sf01.py owns
+    # its expensive all-pairs oracles) — exclude it here even when its
+    # rows are mid-refresh, so a concurrent family re-record is never
+    # duplicated into this sweep (observed: dedup_minhash ran twice,
+    # ~920 s wasted)
+    dedup_domain = {
+        n
+        for n in REGISTRY
+        if n.startswith(("dedup_", "dup_", "minhash_", "lsh_", "simhash_"))
+        or n
+        in (
+            "near_dup_rate_curve",
+            "semdedup_prune",
+            "incremental_neardup",
+            "winnowing_dedup",
+            "content_chunk_dedup",
+            "prefix_dup_rate",
+            "graph_triangles",
+            "cross_lang_pairs",
+            "cross_source_dup_matrix",
+            "closure_edge_stats",
+        )
+    }
+    todo = [
+        n
+        for n in REGISTRY
+        if n not in covered and n not in dedup_domain and REGISTRY[n].oracle
+    ]
 
     results: dict[str, dict] = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT)).get("results", {})
+    # prune any dedup-domain rows a previous (pre-exclusion) run left
+    # here — their sf0.1 evidence lives in DEDUP_SF01.json
+    results = {k: v for k, v in results.items() if k not in dedup_domain}
     git_head = os.popen(f"git -C {ROOT} rev-parse --short HEAD").read().strip()
 
     def flush() -> None:

@@ -121,6 +121,28 @@ def main() -> int:
     from tests.oracle import canonical_rows, column_hashes, run_spark
 
     batch = _late_batch()
+    # the dedup family is DEDUP_SF01's domain (sweep_dedup_sf01.py owns
+    # its expensive all-pairs oracles) — never duplicate them here even
+    # when they are in the never-sampled batch
+    dedup_domain = {
+        n
+        for n in REGISTRY
+        if n.startswith(("dedup_", "dup_", "minhash_", "lsh_", "simhash_"))
+        or n
+        in (
+            "near_dup_rate_curve",
+            "semdedup_prune",
+            "incremental_neardup",
+            "winnowing_dedup",
+            "content_chunk_dedup",
+            "prefix_dup_rate",
+            "graph_triangles",
+            "cross_lang_pairs",
+            "cross_source_dup_matrix",
+            "closure_edge_stats",
+        )
+    }
+    batch = [n for n in batch if n not in dedup_domain]
     ordered = [n for n in _PRIORITY if n in batch] + [
         n for n in batch if n not in _PRIORITY
     ]
@@ -128,6 +150,7 @@ def main() -> int:
     results: dict[str, dict] = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT)).get("results", {})
+    results = {k: v for k, v in results.items() if k not in dedup_domain}
 
     git_head = os.popen("git -C /root/repo rev-parse --short HEAD").read().strip()
 

@@ -411,3 +411,27 @@ def test_rm3_expansion_feedback_bounded(spark):
         # RM3 = (query-model + RM1) div 2 — never exceeds RM1 alone
         # once rm1 >= qw; always a valid truncating interpolation
         assert r["rm3_e6"] <= (1_000_000 // 3 + r["rm1_e6"]) // 2
+
+
+def test_cramer_von_mises_drift_support_bounded(spark):
+    # one (type, value) count agg; the cumulative window runs over
+    # DISTINCT support values, never raw rows; midpoint broadcasts
+    plan = _plan(spark, "cramer_von_mises_drift")
+    assert _n_window_nodes(plan) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = REGISTRY["cramer_von_mises_drift"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["cvm_e9"] >= 0
+
+
+def test_energy_distance_binned_histogram_pairs(spark):
+    # corpus collapses to a (type, bin) histogram; pair space is
+    # histogram x histogram (broadcast), never row x row
+    plan = _plan(spark, "energy_distance_binned")
+    assert "CartesianProduct" not in plan, plan
+    rows = REGISTRY["energy_distance_binned"].builder(spark, SF_SMOKE).collect()
+    (r,) = rows
+    assert r["type_a"] != r["type_b"]
+    # each term is the truncating e6 mean; energy is their exact diff
+    assert r["energy_e6"] == r["t_cross_e6"] - r["t_within_a_e6"] - r["t_within_b_e6"]

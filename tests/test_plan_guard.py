@@ -170,6 +170,8 @@ _BNL_JUSTIFIED = {
     "binary_segmentation",  # 1-row corpus-total + 1-row root-argmax broadcasts
     "hll_register_audit",  # 1-row rho_max + 1-row exact-distinct broadcasts
     "binary_quant_recall",  # 5-row query-batch broadcast (ann_bruteforce shape)
+    "cramer_von_mises_drift",  # 1-row stream-midpoint broadcast (value_ks_drift shape)
+    "energy_distance_binned",  # support-bounded histogram x histogram broadcast
     "skipgram_pairs",  # 1-row vocab-size broadcast (negative-sample mod)
     "sample_bias_chi2",  # 1-row (N, n_sample) totals broadcast
     # reviewed round 5 (new operators)
