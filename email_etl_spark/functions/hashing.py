@@ -113,6 +113,74 @@ def band_key(sig_cols: list[Column], band: int) -> Column:
     return F.concat(*sig_cols[lo : lo + ROWS_PER_BAND])
 
 
+# ---------------------------------------------------------------------------
+# Candidate-generation-only signature (r10 optimization round).
+#
+# The md5 lanes above are an ORACLE-REPRODUCIBLE contract: any query
+# whose output depends on the lane values themselves (the
+# calibration/recall/integrity family, the persisted band index) must
+# keep them, because the DuckDB oracle replays md5 bit-for-bit. But
+# for the pure bucket-then-verify queries the lanes never reach an
+# output: any uniform hash family yields the same verified pair set
+# whenever recall holds (the whole-point property of LSH), and the
+# md5 path pays ~60% of its cost in the md5 calls plus hex-string
+# materialization (measured 0.251 s vs 0.108 s per signature pass on
+# the sf0.1 shingle table). with_candidate_sig swaps the hash for
+# native xxhash64 — guide §2.3 "narrower types" applied to the
+# shuffle/join keys too: 32-bit integer lanes, one BIGINT bucket key
+# per band instead of a 16-char string.
+#
+# Structure is UNCHANGED (N_LANES lanes, ROWS_PER_BAND per band, so
+# the (1-J^r)^b recall curve is identical): lane (g, hi/lo) is the
+# high/low 32-bit half of xxhash64(g, shingle) — two lanes per hash
+# call, N_LANES//2 calls per shingle. The two minima select their
+# argmin shingles through independent uniform orderings (disjoint
+# bits of a well-mixed hash), exactly the independence argument the
+# 4-slices-per-md5 scheme already relies on.
+# ---------------------------------------------------------------------------
+
+CAND_GROUPS = N_LANES // 2  # xxhash64 calls per shingle
+
+
+def _xx_lane(g: int):
+    def f(s: Column) -> Column:
+        return F.xxhash64(F.lit(g), s)
+
+    return f
+
+
+def with_candidate_sig(df, sh_col: str = "sh"):
+    """Append N_LANES 32-bit integer minhash lanes mh0..mhN (as
+    longs) — the cheap candidate-pruning twin of with_minhash_sig.
+    Shuffle-free per-row computation, same lane/band structure."""
+    xxc = df.select(
+        "*",
+        *[F.transform(F.col(sh_col), _xx_lane(g)).alias(f"_x{g}") for g in range(CAND_GROUPS)],
+    )
+    lanes: list[Column] = []
+    for g in range(CAND_GROUPS):
+        h = F.col(f"_x{g}")
+        lanes.append(
+            F.array_min(F.transform(h, lambda v: F.shiftrightunsigned(v, 32))).alias(f"mh{2 * g}")
+        )
+        lanes.append(
+            F.array_min(
+                F.transform(h, lambda v: v.bitwiseAND(F.lit(0xFFFFFFFF)))
+            ).alias(f"mh{2 * g + 1}")
+        )
+    return xxc.select(*df.columns, *lanes)
+
+
+def cand_band_key(sig_cols: list[Column], band: int) -> Column:
+    """Single-BIGINT bucket key for one band: the band's two 32-bit
+    lanes packed into one 64-bit integer. Equality of the packed key
+    is exactly equality of both lanes, and a numeric join/distinct
+    key hashes and compares cheaper than the md5 path's 16-char
+    string."""
+    lo = band * ROWS_PER_BAND
+    return F.shiftleft(sig_cols[lo], 32).bitwiseOR(sig_cols[lo + 1])
+
+
 def hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
     """Deterministic ±1 random hyperplanes for sign-LSH, derived from
     md5 so any engine (or oracle) reproduces them: component

@@ -336,11 +336,15 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
         _DECON_SH_CACHE[sf_dir] = sh
 
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    # candidate-only lanes (r10): the lanes never reach the output —
+    # only bucket-colliding pairs survive to exact verification — so
+    # the cheap xxhash64 integer signature replaces the md5 one
+    # (functions/hashing.py::with_candidate_sig; same recall curve)
+    sig = H.with_candidate_sig(sh, "sh").drop("sh")
     sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            F.struct(F.lit(b).alias("band"), H.cand_band_key(sig_cols, b).alias("key"))
             for b in range(H.N_BANDS)
         ]
     )

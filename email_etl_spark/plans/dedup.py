@@ -168,6 +168,7 @@ def _lsh_verified_pairs(
     threshold: float,
     with_containment: bool = False,
     sf_dir: str | None = None,
+    lanes: str = "xx",
 ) -> DataFrame:
     """Shared MinHash+LSH bucket-then-verify pipeline: word-k-gram
     shingles → N_LANES md5-derived minhash lanes → band buckets →
@@ -182,7 +183,7 @@ def _lsh_verified_pairs(
     is the worst case for inverted-index joins.
     """
     return _verified_pairs_from_shingles(
-        _shingle_table(docs, k, sf_dir=sf_dir), threshold, with_containment
+        _shingle_table(docs, k, sf_dir=sf_dir), threshold, with_containment, lanes=lanes
     )
 
 
@@ -191,22 +192,39 @@ def _verified_pairs_from_shingles(
     threshold: float,
     with_containment: bool = False,
     ordered: bool = True,
+    lanes: str = "xx",
 ) -> DataFrame:
     """LSH bucket-then-verify over a prebuilt (doc_id, sh) shingle
     table — the body of _lsh_verified_pairs, split out so the
     closure-only consumers can run it on a COLLAPSED doc set
-    (_closure_edges)."""
+    (_closure_edges).
+
+    `lanes` picks the candidate-signature family (r10 optimization):
+    "xx" (default) = native-xxhash64 integer lanes + BIGINT band keys
+    (functions/hashing.py::with_candidate_sig — ~2.3x cheaper per
+    signature pass, identical recall structure); "md5" = the
+    oracle-reproducible md5 lanes, REQUIRED for the queries whose
+    oracle replays the md5 bucketing itself (minhash_recall_eval /
+    minhash_calibration / minhash_est_error). The verified PAIR
+    output is hash-family-independent whenever recall holds — proved
+    per family by the 2-SF oracle sweep plus an sf0.1 before/after
+    output diff this round."""
     # per-doc array-local signature: zero shuffles between the scan and
     # the band-bucket join (vs distinct-shingle + broadcast-join +
     # 32-column groupBy — measured ~40% faster end-to-end and two
     # full-data shuffles cheaper at scale).
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    if lanes == "md5":
+        sig = H.with_minhash_sig(sh, "sh").drop("sh")
+        key_fn = H.band_key
+    else:
+        sig = H.with_candidate_sig(sh, "sh").drop("sh")
+        key_fn = H.cand_band_key
 
     # band buckets → candidate pairs (distinct across bands)
     sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+            F.struct(F.lit(b).alias("band"), key_fn(sig_cols, b).alias("key"))
             for b in range(H.N_BANDS)
         ]
     )
@@ -1187,9 +1205,12 @@ SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
 )
 def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lsh_pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir).select(
-        "doc_a", "doc_b"
-    )
+    # lanes="md5": this query's ORACLE replays the md5 LSH pipeline —
+    # the output measures the md5 bucketing's own recall, so the
+    # candidate path must stay on the contract lanes
+    lsh_pairs = _lsh_verified_pairs(
+        docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir, lanes="md5"
+    ).select("doc_a", "doc_b")
     # deterministic md5 doc sample bounds the quadratic exact side
     sampled = docs.where(
         F.substring(
@@ -1993,7 +2014,11 @@ FROM b GROUP BY err_bucket ORDER BY err_bucket
 )
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _lsh_verified_pairs(docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir)
+    # lanes="md5": the oracle replays the md5 LSH pair set alongside
+    # the md5 lane estimates — keep both sides on the contract lanes
+    pairs = _lsh_verified_pairs(
+        docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir, lanes="md5"
+    )
     toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
     sig = H.with_minhash_sig(sh, "sh").drop("sh")
@@ -3222,7 +3247,9 @@ FROM e GROUP BY 1 ORDER BY band
 def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_table(docs, 3, sf_dir=sf_dir)
-    pairs = _verified_pairs_from_shingles(sh, MINHASH_THRESHOLD, ordered=False)
+    # lanes="md5": the oracle replays the md5 LSH pair set alongside
+    # the md5 lane estimates — keep both sides on the contract lanes
+    pairs = _verified_pairs_from_shingles(sh, MINHASH_THRESHOLD, ordered=False, lanes="md5")
     sig = H.with_minhash_sig(sh, "sh").drop("sh")
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -459,7 +459,11 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # n_total = Σ vocab counts — same value as COUNT(*) over the token
+    # stream, but derived from the (vocab-sized) cnt aggregate instead
+    # of a third full tokenize+explode pass over the corpus (r10:
+    # guide §1.2 "don't compute things twice"; one corpus pass saved)
+    total = cnt.agg(F.sum("c").alias("n_total"))
     lp = (
         F.round(F.log(F.col("c").cast("double") / F.col("n_total")), 6)
         .cast("decimal(18,6)")
