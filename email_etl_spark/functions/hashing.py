@@ -125,60 +125,53 @@ def band_key(sig_cols: list[Column], band: int) -> Column:
 # whenever recall holds (the whole-point property of LSH), and the
 # md5 path pays ~60% of its cost in the md5 calls plus hex-string
 # materialization (measured 0.251 s vs 0.108 s per signature pass on
-# the sf0.1 shingle table). with_candidate_sig swaps the hash for
+# the sf0.1 shingle table). cand_bands swaps the hash for
 # native xxhash64 — guide §2.3 "narrower types" applied to the
 # shuffle/join keys too: 32-bit integer lanes, one BIGINT bucket key
 # per band instead of a 16-char string.
 #
 # Structure is UNCHANGED (N_LANES lanes, ROWS_PER_BAND per band, so
-# the (1-J^r)^b recall curve is identical): lane (g, hi/lo) is the
-# high/low 32-bit half of xxhash64(g, shingle) — two lanes per hash
-# call, N_LANES//2 calls per shingle. The two minima select their
+# the (1-J^r)^b recall curve is identical): band b's key packs two
+# 32-bit minima — min over shingles of the high / low halves of
+# xxhash64(b, shingle) — into one BIGINT. The two minima select their
 # argmin shingles through independent uniform orderings (disjoint
 # bits of a well-mixed hash), exactly the independence argument the
 # 4-slices-per-md5 scheme already relies on.
+#
+# The whole bands array is ONE parsed SQL expression, module-cached:
+# composing it from ~100 pyspark Column calls costs ~0.5-0.7 s of
+# py4j round-trips PER BUILDER CALL (measured: dedup_minhash spent
+# 0.74 s of its 1.3 s steady-state in builder() construction), and
+# the flat 32-column lane form also analyzes/codegens a much larger
+# Catalyst tree. One F.expr + a dict hit removes both (dedup_minhash
+# 1.43 s -> 0.67 s best, interleaved A/B, identical bucket keys).
+# Caching a CONSTANT expression fragment is the _planes_literal /
+# _LIT_CACHE convention — plan structure, never data.
 # ---------------------------------------------------------------------------
 
 CAND_GROUPS = N_LANES // 2  # xxhash64 calls per shingle
 
-
-def _xx_lane(g: int):
-    def f(s: Column) -> Column:
-        return F.xxhash64(F.lit(g), s)
-
-    return f
+_EXPR_CACHE: dict = {}
 
 
-def with_candidate_sig(df, sh_col: str = "sh"):
-    """Append N_LANES 32-bit integer minhash lanes mh0..mhN (as
-    longs) — the cheap candidate-pruning twin of with_minhash_sig.
-    Shuffle-free per-row computation, same lane/band structure."""
-    xxc = df.select(
-        "*",
-        *[F.transform(F.col(sh_col), _xx_lane(g)).alias(f"_x{g}") for g in range(CAND_GROUPS)],
-    )
-    lanes: list[Column] = []
-    for g in range(CAND_GROUPS):
-        h = F.col(f"_x{g}")
-        lanes.append(
-            F.array_min(F.transform(h, lambda v: F.shiftrightunsigned(v, 32))).alias(f"mh{2 * g}")
+def cand_bands(sh_col: str = "sh") -> Column:
+    """array<struct<band:int,key:bigint>> of candidate band keys for a
+    shingle-array column: band i's key = (min hi32)<<32 | (min lo32)
+    over xxhash64(i, shingle). The inner transform materializes each
+    group's hash array once per row (the lambda argument binds once;
+    both minima read the bound value), so hash work is identical to
+    the flat-lane form: CAND_GROUPS xxhash64 passes per shingle set."""
+    col = _EXPR_CACHE.get(("cand_bands", sh_col))
+    if col is None:
+        col = F.expr(
+            f"transform(transform(sequence(0, {CAND_GROUPS - 1}),"
+            f" g -> transform({sh_col}, s -> xxhash64(g, s))),"
+            f" (arr, i) -> struct(i as band,"
+            f" shiftleft(array_min(transform(arr, v -> shiftrightunsigned(v, 32))), 32)"
+            f" | array_min(transform(arr, v -> v & 4294967295)) as key))"
         )
-        lanes.append(
-            F.array_min(
-                F.transform(h, lambda v: v.bitwiseAND(F.lit(0xFFFFFFFF)))
-            ).alias(f"mh{2 * g + 1}")
-        )
-    return xxc.select(*df.columns, *lanes)
-
-
-def cand_band_key(sig_cols: list[Column], band: int) -> Column:
-    """Single-BIGINT bucket key for one band: the band's two 32-bit
-    lanes packed into one 64-bit integer. Equality of the packed key
-    is exactly equality of both lanes, and a numeric join/distinct
-    key hashes and compares cheaper than the md5 path's 16-char
-    string."""
-    lo = band * ROWS_PER_BAND
-    return F.shiftleft(sig_cols[lo], 32).bitwiseOR(sig_cols[lo + 1])
+        _EXPR_CACHE[("cand_bands", sh_col)] = col
+    return col
 
 
 def hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:

@@ -338,17 +338,10 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # candidate-only lanes (r10): the lanes never reach the output —
     # only bucket-colliding pairs survive to exact verification — so
-    # the cheap xxhash64 integer signature replaces the md5 one
-    # (functions/hashing.py::with_candidate_sig; same recall curve)
-    sig = H.with_candidate_sig(sh, "sh").drop("sh")
-    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), H.cand_band_key(sig_cols, b).alias("key"))
-            for b in range(H.N_BANDS)
-        ]
-    )
-    buckets = sig.select("doc_id", "is_bench", F.explode(bands).alias("bk")).select(
+    # the cheap xxhash64 integer band keys replace the md5 ones
+    # (functions/hashing.py::cand_bands, one module-cached expression;
+    # same recall curve, no per-call py4j tree construction)
+    buckets = sh.select("doc_id", "is_bench", F.explode(H.cand_bands("sh")).alias("bk")).select(
         "doc_id", "is_bench", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     train_b = buckets.where(~F.col("is_bench")).select(

@@ -201,7 +201,7 @@ def _verified_pairs_from_shingles(
 
     `lanes` picks the candidate-signature family (r10 optimization):
     "xx" (default) = native-xxhash64 integer lanes + BIGINT band keys
-    (functions/hashing.py::with_candidate_sig — ~2.3x cheaper per
+    (functions/hashing.py::cand_bands — ~2.3x cheaper per
     signature pass, identical recall structure); "md5" = the
     oracle-reproducible md5 lanes, REQUIRED for the queries whose
     oracle replays the md5 bucketing itself (minhash_recall_eval /
@@ -213,22 +213,22 @@ def _verified_pairs_from_shingles(
     # the band-bucket join (vs distinct-shingle + broadcast-join +
     # 32-column groupBy — measured ~40% faster end-to-end and two
     # full-data shuffles cheaper at scale).
+    # band buckets → candidate pairs (distinct across bands)
     if lanes == "md5":
         sig = H.with_minhash_sig(sh, "sh").drop("sh")
-        key_fn = H.band_key
+        sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), H.band_key(sig_cols, b).alias("key"))
+                for b in range(H.N_BANDS)
+            ]
+        )
+        buckets = sig.select("doc_id", F.explode(bands).alias("bk"))
     else:
-        sig = H.with_candidate_sig(sh, "sh").drop("sh")
-        key_fn = H.cand_band_key
-
-    # band buckets → candidate pairs (distinct across bands)
-    sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), key_fn(sig_cols, b).alias("key"))
-            for b in range(H.N_BANDS)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        # one module-cached expression (hashing.py::cand_bands): no
+        # per-call py4j tree construction, much smaller Catalyst tree
+        buckets = sh.select("doc_id", F.explode(H.cand_bands("sh")).alias("bk"))
+    buckets = buckets.select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     l, r = buckets.alias("l"), buckets.alias("r")
