@@ -335,28 +335,27 @@ ORDER BY similarity DESC, vec_id LIMIT 5
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
-    # one bucket row per (vector, table): the LSH "index". A production
-    # deployment materializes this bucketed by (t, key) so the join
-    # below is a pruned bucket read, not a scan.
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), F.col(f"sig{t}").alias("key"))
-            for t in range(LSH_TABLES)
-        ]
-    )
-    buckets = sigs.select("vec_id", F.explode(tables).alias("bk")).select(
-        "vec_id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
-    )
-    # query side: LSH_TABLES rows — broadcast into a hash join on the
-    # bucket key; a vector colliding in several tables dedups via
-    # distinct. No cross join, no OR-filter: candidate discovery only
-    # ever touches colliding buckets.
-    qb = buckets.where(F.col("vec_id") == QUERY_VEC_ID).select("t", "key")
+    # candidate discovery (r10): the query's LSH_TABLES bucket keys are
+    # PLAN CONSTANTS — computed driver-side from the memoized query
+    # vector with the same left-to-right IEEE accumulation as the
+    # engine kernels (_query_bucket_keys, the bit-identical convention
+    # ann_lsh_indexed / ann_multiprobe already serve from) — so the
+    # collision test is a literal filter on the per-table signature
+    # columns. This replaces the old explode→self-join→distinct shape
+    # (3 operators + 2 exchanges) with zero extra shuffles: each vector
+    # appears once in `sigs`, so an OR over the 4 table keys already
+    # yields the deduplicated candidate set. Same candidate semantics
+    # (share ≥1 bucket with the query), same one signature map pass;
+    # at scale the pruned-bucket read stays ann_lsh_indexed's job.
+    qkeys = _query_bucket_keys(_qvec_list(spark, sf_dir))
+    collide = None
+    for t, key in qkeys:
+        c = F.col(f"sig{t}") == F.lit(key)
+        collide = c if collide is None else (collide | c)
     cand_ids = (
-        buckets.join(F.broadcast(qb), ["t", "key"])
+        sigs.where(collide)
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id")
-        .distinct()
     )
     # exact verification inside the collided set: broadcast the (small
     # by construction) candidate ids back over the embedding table. The
