@@ -43,17 +43,19 @@ except ImportError:
     HAS_PIL = False
 
 
-def _decode_image_stub(data: bytes) -> tuple[int, int, int]:
+def _decode_image_stub(data: bytes, _digest: bytes | None = None) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from the payload
     hash. Replace with a real codec (PIL/libvips) in production — the
-    call site and batch shape stay identical."""
+    call site and batch shape stay identical. Callers that already
+    hold the sha256 digest pass it via `_digest` so the payload is
+    hashed once per row, not once per consumer."""
     import hashlib
 
-    h = hashlib.sha256(data).digest()
+    h = _digest if _digest is not None else hashlib.sha256(data).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 3
 
 
-def _decode_image(data: bytes) -> tuple[int, int, int, bool]:
+def _decode_image(data: bytes, _digest: bytes | None = None) -> tuple[int, int, int, bool]:
     """(width, height, channels, decode_ok). Uses PIL when available;
     a payload PIL can't parse — or any environment without PIL — falls
     back to the deterministic stub so the pipeline never aborts on a
@@ -65,9 +67,9 @@ def _decode_image(data: bytes) -> tuple[int, int, int, bool]:
             with Image.open(io.BytesIO(data)) as img:
                 return img.width, img.height, len(img.getbands()), True
         except Exception:
-            w, h, c = _decode_image_stub(data)
+            w, h, c = _decode_image_stub(data, _digest)
             return w, h, c, False
-    w, h, c = _decode_image_stub(data)
+    w, h, c = _decode_image_stub(data, _digest)
     return w, h, c, len(data) > 0
 
 
@@ -82,26 +84,34 @@ def image_features(df: DataFrame, binary_col: str = "content", feat_dim: int = 8
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
         for pdf in batches:
-            out = []
+            # column-wise construction (guide §4.2): one dict-of-lists
+            # frame instead of a Python dict per row, and the payload
+            # is hashed ONCE per row — _decode_image* receives the
+            # digest, where the old path re-hashed inside the stub.
+            hashes, widths, heights, chans, oks, feats = [], [], [], [], [], []
             for data in pdf[binary_col]:
                 data = bytes(data) if data is not None else b""
-                digest = hashlib.sha256(data)
-                w, h, c, ok = _decode_image(data)
-                feat = [
-                    (digest.digest()[i % 32] / 255.0) for i in range(feat_dim)
-                ]
-                out.append(
-                    {
-                        "content_hash": digest.hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "channels": c,
-                        "decode_ok": ok,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+                raw = hashlib.sha256(data).digest()
+                w, h, c, ok = _decode_image(data, _digest=raw)
+                hashes.append(raw.hex())
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+                oks.append(ok)
+                feats.append([raw[i % 32] / 255.0 for i in range(feat_dim)])
+            yield pd.DataFrame(
+                {
+                    "content_hash": hashes,
+                    "width": widths,
+                    "height": heights,
+                    "channels": chans,
+                    "decode_ok": oks,
+                    "feature": feats,
+                },
+                columns=cols,
+            )
 
     return df.select(binary_col).mapInPandas(batch_fn, schema=IMAGE_FEATURES_SCHEMA)
 

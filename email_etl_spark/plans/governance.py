@@ -1253,6 +1253,13 @@ MV_BASE_ROOT = _os.path.join(
     "mv_base",
 )
 
+# snap_dir -> (snapshot DataFrame handle, midpoint) — dropped when a
+# rebuild swaps the snapshot dir (cache.invalidate_under convention)
+from email_etl_spark.cache import register_dir_cache as _register_dir_cache  # noqa: E402
+
+_MV_SNAP_CACHE: dict = {}
+_register_dir_cache(_MV_SNAP_CACHE, lambda k: k if isinstance(k, str) else None)
+
 
 def build_mv_base_snapshot(
     spark: SparkSession, sf_dir: str, snapshot_dir: str | None = None
@@ -1286,6 +1293,12 @@ def build_mv_base_snapshot(
         )
         # dimension-sized state: one file, no partition tree
         snap.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
+        # a (re)build swaps the directory contents: drop any cached
+        # handle/midpoint pointing at the old file listing (the
+        # compaction convention, streaming/ann_index.py)
+        from email_etl_spark.cache import invalidate_under
+
+        invalidate_under(snapshot_dir)
     return snapshot_dir
 
 
@@ -1321,12 +1334,26 @@ FROM documents GROUP BY source ORDER BY source
 )
 def mv_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_dir = build_mv_base_snapshot(spark, sf_dir)
-    snap = spark.read.parquet(snap_dir)
-    # the midpoint is snapshot metadata — one bounded value, a plan
-    # constant (the MLlib shape), NOT a runtime subquery: inlining it
-    # as a literal is what lets the delta predicate reach PushedFilters
-    row = snap.select("m").first()
-    m = row["m"] if row is not None else None
+    # memoized snapshot handle + midpoint (r10): re-reading the
+    # dimension-sized snapshot and re-running the one-row `.first()`
+    # job on EVERY builder call cost ~0.1 s/run; the midpoint is
+    # immutable snapshot metadata, so a refresh service reads it once
+    # per snapshot build. Entries drop with the snapshot dir via the
+    # cache registry (invalidate_under), like every index handle.
+    cached = _MV_SNAP_CACHE.get(snap_dir)
+    if cached is not None and cached[0].sparkSession is not spark:
+        cached = None  # stale-session handle: rebuild
+    if cached is None:
+        snap = spark.read.parquet(snap_dir)
+        # the midpoint is snapshot metadata — one bounded value, a plan
+        # constant (the MLlib shape), NOT a runtime subquery: inlining
+        # it as a literal is what lets the delta predicate reach
+        # PushedFilters
+        row = snap.select("m").first()
+        m = row["m"] if row is not None else None
+        cached = (snap, m)
+        _MV_SNAP_CACHE[snap_dir] = cached
+    snap, m = cached
 
     docs = load_table(spark, sf_dir, "documents")
     delta_docs = docs if m is None else docs.where(F.col("doc_id") > F.lit(m))

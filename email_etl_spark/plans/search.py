@@ -223,6 +223,12 @@ _PLANES = hyperplanes(LSH_TABLES, LSH_BITS, EMB_DIM)
 # (repr() round-trips every IEEE double exactly).
 _LIT_CACHE: dict = {}
 
+# ("lsh_sigs"/"bm25f_tf", sf_dir) -> lazy projection DataFrame (vec_id, sig0..sig3)
+# for ann_lsh — a plan handle, never materialized data; entries from a
+# stopped session are rebuilt on first use (sparkSession check at the
+# call site).
+_SIG_DF_CACHE: dict = {}
+
 # directory-keyed entries — ("ann_idx", dir), ("pq_idx", dir),
 # ("pq_books", dir), ("qvec", sf_dir), ... — are dropped by
 # email_etl_spark.cache.invalidate_under when an index compaction
@@ -334,7 +340,18 @@ ORDER BY similarity DESC, vec_id LIMIT 5
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+    # memoized signature-projection HANDLE (lazy plan, no data): the
+    # 32-hyperplane nested-array literal costs ~0.7 s of py4j Column
+    # construction plus ~0.4 s of Catalyst analysis PER BUILDER CALL
+    # when rebuilt inline (measured r10, decompose probe). A serving
+    # layer derives its signature view once per corpus, exactly like
+    # the persisted-index handle ann_lsh_indexed already memoizes.
+    sigs = _SIG_DF_CACHE.get(("lsh_sigs", sf_dir))
+    if sigs is not None and sigs.sparkSession is not spark:
+        sigs = None  # stale-session handle: rebuild
+    if sigs is None:
+        sigs = emb.select("vec_id", *_sig_spark(F.col("embedding")))
+        _SIG_DF_CACHE[("lsh_sigs", sf_dir)] = sigs
     # candidate discovery (r10): the query's LSH_TABLES bucket keys are
     # PLAN CONSTANTS — computed driver-side from the memoized query
     # vector with the same left-to-right IEEE accumulation as the
@@ -5989,29 +6006,40 @@ LIMIT 20
     ),
 )
 def bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    split = toks_df.select(
-        "doc_id",
-        F.slice(F.col("toks"), 1, _BM25F_LEAD).alias("toks_t"),
-        F.expr(f"slice(toks, {_BM25F_LEAD} + 1, greatest(size(toks) - {_BM25F_LEAD}, 0))").alias(
-            "toks_b"
-        ),
-    )
+    # memoized per-doc field-tf projection (lazy plan handle, no data):
+    # the 8 higher-order filter columns + field split cost ~0.3 s of
+    # py4j Column construction per builder call when rebuilt inline
+    # (r10 decompose probe measured 0.44 s total builder time, the
+    # _SIG_DF_CACHE rationale). Constants QUERY_TERMS/_BM25F_LEAD are
+    # module-fixed, so the projection is a pure function of sf_dir.
+    with_tf = _SIG_DF_CACHE.get(("bm25f_tf", sf_dir))
+    if with_tf is not None and with_tf.sparkSession is not spark:
+        with_tf = None
+    if with_tf is None:
+        docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+        toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        split = toks_df.select(
+            "doc_id",
+            F.slice(F.col("toks"), 1, _BM25F_LEAD).alias("toks_t"),
+            F.expr(
+                f"slice(toks, {_BM25F_LEAD} + 1, greatest(size(toks) - {_BM25F_LEAD}, 0))"
+            ).alias("toks_b"),
+        )
 
-    def eq(term):
-        return lambda x: x == term
+        def eq(term):
+            return lambda x: x == term
 
-    with_tf = split.select(
-        "doc_id",
-        F.size("toks_t").alias("lt"),
-        F.size("toks_b").alias("lb"),
-        *[
-            F.size(F.filter(F.col(f"toks_{fld}"), eq(t))).alias(f"tf_{t}_{fld}")
-            for t in QUERY_TERMS
-            for fld in ("t", "b")
-        ],
-    )
+        with_tf = split.select(
+            "doc_id",
+            F.size("toks_t").alias("lt"),
+            F.size("toks_b").alias("lb"),
+            *[
+                F.size(F.filter(F.col(f"toks_{fld}"), eq(t))).alias(f"tf_{t}_{fld}")
+                for t in QUERY_TERMS
+                for fld in ("t", "b")
+            ],
+        )
+        _SIG_DF_CACHE[("bm25f_tf", sf_dir)] = with_tf
     stats = with_tf.agg(
         F.count("*").alias("n_total"),
         F.sum("lt").alias("sum_lt"),

@@ -3793,9 +3793,6 @@ ORDER BY r.day
 def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    bounds = ud.agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
     cov = (
         ud.select(
             "user_id",
@@ -3809,12 +3806,22 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = ud.groupBy(F.col("d").alias("day")).agg(
         F.count("*").cast("bigint").alias("active_1d")
     )
+    # corpus bounds derived from r ITSELF (r10): cov days span exactly
+    # [lo, hi+6] by construction (i=0 hits lo, i=6 hits hi+6), so
+    # min(r.day) = lo and max(r.day) = hi+6 — a window over the
+    # day-rollup (dimension-sized, ~1 row per calendar day) replaces
+    # the old third `ud` branch (events scan + distinct shuffle + agg
+    # + broadcast) at every scale. The unpartitioned window and the
+    # final sort share the same single-partition shuffle of the
+    # day-rollup rows (the io.present_sorted argument).
+    w = Window.partitionBy()
     return (
         r.join(dau, "day", "left")
-        .crossJoin(F.broadcast(bounds))
+        .withColumn("_lo", F.min("day").over(w))
+        .withColumn("_hi6", F.max("day").over(w))
         .where(
-            (F.col("day") >= F.date_add(F.col("lo"), 6))
-            & (F.col("day") <= F.col("hi"))
+            (F.col("day") >= F.date_add(F.col("_lo"), 6))
+            & (F.col("day") <= F.date_sub(F.col("_hi6"), 6))
         )
         .select(
             "day",
@@ -3824,7 +3831,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("stickiness_bps"),
         )
-        .orderBy("day")
+        .sortWithinPartitions("day")
     )
 
 

@@ -38,11 +38,18 @@ def test_attribution_first_touch_single_window(spark):
     assert _n_window_nodes(plan) == 1, plan
 
 
-def test_rolling_7d_active_users_window_free(spark):
-    # sliding distinct = explode-to-window-end rewrite; a Window here
-    # would mean someone reintroduced the unscalable formulation
+def test_rolling_7d_active_users_shape(spark):
+    # sliding distinct = explode-to-window-end rewrite (the Generate);
+    # the ONE allowed Window is the r10 bounds derivation over the
+    # joined day-rollup (dimension-sized, ~1 row/calendar day, single
+    # partition shared with the presentation sort) — it replaced a
+    # third full events scan+distinct branch. More windows, or a third
+    # events scan, would mean someone reintroduced an unscalable
+    # formulation.
     plan = _plan(spark, "rolling_7d_active_users")
-    assert not re.search(r"\bWindow\b", plan), plan
+    assert _n_window_nodes(plan) == 1, plan
+    assert "Generate" in plan, plan
+    assert plan.count("events.parquet]") == 2, plan
 
 
 def test_event_id_gap_audit_no_sort_no_window(spark):
