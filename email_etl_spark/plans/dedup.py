@@ -631,38 +631,62 @@ HAM_T = 3
 _HEX = "0123456789abcdef"
 
 
-def _simhash_ints_spark(hashes_col):
-    """Simhash packed as integers: [sig (full 64-bit bigint),
-    blk0..blk3 (16-bit block keys)]. Integer packing makes pair
-    verification one bit_count(xor) instead of 64 string comparisons —
-    on a corpus where blocks collide heavily (millions of candidate
-    pairs) that is the difference between minutes and seconds."""
+def _simhash_pack_kernel(hs_series):
+    """Arrow batch kernel for the 64-bit simhash packing. EXACT
+    integer arithmetic end to end (per-bit count of set bits → sign
+    of 2·c − n → two's-complement packing), so the output is
+    bit-identical to the old 64-fold JVM form on every input — only
+    the counting method changed, not one arithmetic operation. The
+    pure-Python reference twin lives in
+    tests/test_simhash_kernel.py."""
+    import numpy as np
+    import pandas as pd
 
-    def fold(p, b):
-        return lambda acc, h: acc + (
-            F.shiftright(F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int"), 3 - b)
-            .bitwiseAND(F.lit(1))
-            * 2
-            - 1
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    one = np.uint64(1)
+    out = []
+    for lst in hs_series:
+        n = 0 if lst is None else len(lst)
+        if n == 0:
+            out.append([0, 0, 0, 0, 0])
+            continue
+        vals = np.array([int(h, 16) for h in lst], dtype=np.uint64)
+        c = ((vals[:, None] >> shifts) & one).sum(axis=0).astype(np.int64)
+        bit = (2 * c - n) > 0
+        sig_u = int((bit.astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        sig = sig_u - (1 << 64) if sig_u >= (1 << 63) else sig_u
+        out.append(
+            [sig] + [(sig_u >> (16 * (3 - b))) & 0xFFFF for b in range(4)]
         )
+    return pd.Series(out)
 
-    bits = []
-    for p in range(16):
-        for b in range(4):
-            contrib = F.aggregate(hashes_col, F.lit(0), fold(p, b))
-            bits.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
 
-    sig = None
-    blks = []
-    for blk in range(4):
-        blk_int = None
-        for j in range(16):
-            term = F.shiftleft(bits[16 * blk + j], 15 - j)
-            blk_int = term if blk_int is None else blk_int + term
-        blks.append(blk_int)
-        shifted = F.shiftleft(blk_int, 16 * (3 - blk))
-        sig = shifted if sig is None else sig + shifted
-    return [sig.alias("sig")] + [b.alias(f"blk{i}") for i, b in enumerate(blks)]
+_SIMHASH_PACK_UDF = None
+
+
+def _simhash_ints_df(hashes: DataFrame, keep: list[str], hs_col: str = "hs") -> DataFrame:
+    """(keep..., sig, blk0..blk3) — simhash packed as integers: sig is
+    the full 64-bit bigint fingerprint, blk0..blk3 the 16-bit block
+    keys. Integer packing makes pair verification one bit_count(xor)
+    instead of 64 string comparisons.
+
+    r10 (guide §4.2): the signature is computed by ONE Arrow batch
+    kernel instead of 64 independent JVM aggregate folds over the
+    hash array — the folds cost O(64·n_tokens) interpreted lambda
+    evaluations per doc and measured 10.3 s over the sf0.1 corpus vs
+    0.7 s for the kernel. The kernel's integer math reproduces the
+    fold bit-for-bit (see _simhash_pack_kernel); the packed array is
+    materialized in a named projection so the 5 outputs read one
+    ArrowEvalPython result, never 5."""
+    global _SIMHASH_PACK_UDF
+    if _SIMHASH_PACK_UDF is None:  # lazy: pandas_udf needs an active session
+        _SIMHASH_PACK_UDF = F.pandas_udf(_simhash_pack_kernel, "array<bigint>")
+    packed = hashes.select(*keep, _SIMHASH_PACK_UDF(F.col(hs_col)).alias("_p"))
+    return packed.select(
+        *keep,
+        F.element_at(F.col("_p"), 1).alias("sig"),
+        *[F.element_at(F.col("_p"), b + 2).alias(f"blk{b}") for b in range(4)],
+    )
 
 
 def _simhash_sql() -> str:
@@ -710,7 +734,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)).alias("hs"),
     )
-    sim = hashes.select("doc_id", *_simhash_ints_spark(F.col("hs")))
+    sim = _simhash_ints_df(hashes, ["doc_id"])
 
     # pigeonhole blocks: pairs at Hamming <= 3 must agree on >= 1 of 4
     # 16-bit blocks → bucket join instead of cross join; the hamming
@@ -870,6 +894,61 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_K = 30  # duplicated-span width (chars)
 
+# 64-bit polynomial rolling-hash base for the span-candidate pass
+# (odd constant, wraps mod 2^64). The hash is CANDIDATE-ONLY: equal
+# spans always collide (recall 1), and the exact string groupBy below
+# removes any accidental collision, so the duplicated-span decision is
+# exactly the string-equality one at every scale.
+_SPAN_HASH_B = 1099511628211
+
+
+def _span_hash_kernel(it):
+    """mapInPandas batch kernel: (doc_id, source, text) -> one row per
+    char position with the 64-bit polynomial hash of its SUBSTR_K-char
+    span. Replaces the JVM transform(sequence, p -> substring(text, p,
+    K)) explode: UTF8String.substring walks p chars to find the char
+    offset, so that form pays O(len²) char steps per doc AND ships
+    30-char strings through two exchanges; here the codepoint array is
+    decoded once (O(len)), the window hashes are K vectorized
+    multiply-adds (exact uint64 wrap), and only 8-byte hashes cross
+    the boundary (guide §4.2 + §2.3/§8: shuffle a proxy, not the
+    payload). `pos` is the 0-based position the old posexplode
+    emitted."""
+    import numpy as np
+    import pandas as pd
+
+    K = SUBSTR_K
+    pows = np.array(
+        [pow(_SPAN_HASH_B, K - 1 - i, 1 << 64) for i in range(K)], dtype=np.uint64
+    )
+    for pdf in it:
+        ids, srcs, poss, hs = [], [], [], []
+        for did, src, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+            if txt is None:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            m = cp.size - K + 1
+            if m <= 0:
+                continue
+            H = np.zeros(m, dtype=np.uint64)
+            for i in range(K):
+                H += cp[i : i + m] * pows[i]
+            ids.append(np.full(m, did, dtype=np.int64))
+            srcs.append(np.full(m, src, dtype=object))
+            poss.append(np.arange(m, dtype=np.int32))
+            hs.append(H.view(np.int64))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "source": np.concatenate(srcs),
+                    "pos": np.concatenate(poss),
+                    "h": np.concatenate(hs),
+                }
+            )
+
 
 @register(
     "dedup_substring",
@@ -926,26 +1005,39 @@ ORDER BY t.source
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", F.length("text").alias("n_chars"))
-    sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.expr(
-                f"CASE WHEN length(text) >= {SUBSTR_K} THEN "
-                f"transform(sequence(1, length(text) - {SUBSTR_K} + 1), "
-                f"p -> substring(text, p, {SUBSTR_K})) "
-                "ELSE array() END"
-            ).alias("shs"),
-        )
-        .select("doc_id", "source", F.posexplode("shs").alias("pos", "sh"))
+    # r10 rewrite (guide §2.3/§4.2/§8; 11.9 s -> see OPTIMIZATION_r10):
+    # 1. one Arrow pass emits an 8-byte rolling hash per char position
+    #    (the old JVM substring explode walked O(len²) chars per doc
+    #    and shuffled 30-char spans twice);
+    # 2. candidate spans = hashes seen in ≥2 docs (recall 1: equal
+    #    strings always hash equal);
+    # 3. the EXACT string decision is re-made on the candidate subset
+    #    only — substring extraction and the string groupBy now touch
+    #    just the (near-)duplicated positions, so the output is the
+    #    same exact duplicated-span set, collision-proof.
+    pos_h = parallelize_scan(docs).select("doc_id", "source", "text").mapInPandas(
+        _span_hash_kernel, schema="doc_id bigint, source string, pos int, h bigint"
     )
-    dup_sh = (
-        sh.groupBy("sh")
+    cand_h = (
+        pos_h.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand = pos_h.join(cand_h, "h").select("doc_id", "source", "pos")
+    cand_sh = cand.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "source",
+        "pos",
+        F.expr(f"substring(text, pos + 1, {SUBSTR_K})").alias("sh"),
+    )
+    dup_sh = (
+        cand_sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd2"))
+        .where(F.col("nd2") >= 2)
         .select("sh")
     )
-    dp = sh.join(dup_sh, "sh").select("doc_id", "source", "pos")
+    dp = cand_sh.join(dup_sh, "sh").select("doc_id", "source", "pos")
 
     from pyspark.sql import Window
 
@@ -1012,26 +1104,32 @@ def _quality_sql_fragment() -> str:
     ),
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     # closure-only consumer — collapsed edge stream (see _closure_edges)
     comp = _closure_components(spark, sf_dir, k=3, threshold=MINHASH_THRESHOLD)
-    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    q = parallelize_scan(docs).select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
     m = comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).join(
         q, "doc_id"
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
-    ranked = m.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("cluster_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
-            F.count("*").alias("n_members"),
-            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("best_quality"),
-        )
-        .orderBy("cluster_id")
+    # per-cluster argmax (quality DESC, doc_id ASC) as ONE aggregation:
+    # max(struct(quality, -doc_id)) replays the row_number window's
+    # sort order without the per-cluster sort exchange — map-side
+    # partial combining ships ≤1 row per (cluster, map partition)
+    # (guide §2.3; same rewrite as semdedup_prune). quality_score's
+    # regex passes also run on a parallelized scan now instead of the
+    # raw single-split parquet read.
+    best = m.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))).alias("b"),
+        F.count("*").alias("n_members"),
     )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.nd")).alias("keep_doc_id"),
+        "n_members",
+        F.col("b.quality").alias("best_quality"),
+    ).orderBy("cluster_id")
 
 
 def _keep_best_oracle() -> str:
@@ -1211,43 +1309,72 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_pairs = _lsh_verified_pairs(
         docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir, lanes="md5"
     ).select("doc_a", "doc_b")
-    # deterministic md5 doc sample bounds the quadratic exact side
-    sampled = docs.where(
+    # deterministic md5 doc sample bounds the quadratic exact side;
+    # the sample filter runs on doc_id only, so it applies directly to
+    # the CACHED per-corpus shingle table (no second tokenize+shingle
+    # pass over the sampled docs — r10, guide §1.2)
+    sh = _shingle_table(docs, 3, sf_dir=sf_dir).where(
         F.substring(
             F.md5(F.concat(F.lit("recall:"), F.col("doc_id").cast("string"))), 1, 2
         )
         < _RECALL_SAMPLE_HI
     )
-    toks = sampled.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    jac = F.round(
-        inter / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
-        4,
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
     )
-    exact_pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= MINHASH_THRESHOLD)
-        .select("doc_a", "doc_b")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
     )
-    hits = exact_pairs.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi")
-    ne = exact_pairs.agg(F.count("*").alias("n_exact_pairs"))
-    nl = hits.agg(F.count("*").alias("n_lsh_pairs"))
-    return (
-        ne.crossJoin(nl)
-        .select(
-            "n_exact_pairs",
-            "n_lsh_pairs",
-            F.when(
-                F.col("n_exact_pairs") > 0,
-                F.expr("(n_lsh_pairs * 10000L) div n_exact_pairs"),
-            )
-            .otherwise(F.lit(10000))
-            .cast("bigint")
-            .alias("recall_bps"),
+    # r10 (133 s -> see OPTIMIZATION_r10): three output-identical cuts
+    # on the O((p·n)²) exact side —
+    # 1. LOSSLESS size prefilter inside the pair join: J = i/u ≤
+    #    min/max, and the gate is round(J,4) ≥ 0.5 ⟺ J ≥ 0.49995 =
+    #    9999/20000, so 20000·min < 9999·max (exact BIGINTs) proves a
+    #    pair can never pass — the expensive array_intersect runs only
+    #    on size-compatible survivors;
+    # 2. array_intersect materialized ONCE per pair (the old jac tree
+    #    referenced it twice — numerator and union — and Catalyst does
+    #    not CSE across the filter);
+    # 3. n_exact and n_lsh from ONE pass (left join + conditional
+    #    count) instead of two branches that each re-ran the whole
+    #    quadratic join.
+    sized = (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(20000).cast("bigint") * F.least("na", "nb")
+                >= F.lit(9999).cast("bigint") * F.greatest("na", "nb")
+            ),
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+        )
+    )
+    jac = F.round(
+        F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 4
+    )
+    exact_pairs = sized.where(jac >= MINHASH_THRESHOLD).select("doc_a", "doc_b")
+    flagged = exact_pairs.join(
+        lsh_pairs.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_exact_pairs"),
+        F.count("hit").cast("bigint").alias("n_lsh_pairs"),
+    ).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.expr("(n_lsh_pairs * 10000L) div n_exact_pairs"),
+        )
+        .otherwise(F.lit(10000))
+        .cast("bigint")
+        .alias("recall_bps"),
     )
 
 
@@ -1374,8 +1501,6 @@ FROM best WHERE sim >= {SEMDEDUP_THRESHOLD} ORDER BY vec_id
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     a = _semdedup_assignment(spark, sf_dir)
     keep = a.select(
         F.col("cid").alias("k_cid"),
@@ -1393,15 +1518,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(6,4)")
         .alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "keeper_id")
-    best = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # per-vec argmax (sim DESC, keeper_id ASC) as ONE aggregation:
+    # max(struct(sim, -keeper_id)) is the same total order the old
+    # row_number window sorted by (struct comparison is lexicographic;
+    # keeper ids are distinct per vec, so there are no ties). An
+    # aggregate gets map-side partial combining — the shuffle carries
+    # ≤1 row per (vec_id, map partition) instead of EVERY verified
+    # pair through a full sort exchange (guide §2.3 "aggregate before
+    # you shuffle"); on a hub cluster at 100 TB that is the difference
+    # between a per-vec straggler sort and a bounded merge.
+    best = pairs.groupBy("vec_id", "cid").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("keeper_id")).alias("nk"))).alias("b")
+    )
     return (
-        best.where(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        best.where(F.col("b.sim") >= SEMDEDUP_THRESHOLD)
         .select(
             "vec_id",
             F.col("cid").cast("bigint").alias("cluster_id"),
-            "keeper_id",
-            F.col("sim").cast("double").alias("similarity"),
+            (-F.col("b.nk")).alias("keeper_id"),
+            F.col("b.sim").cast("double").alias("similarity"),
         )
         .orderBy("vec_id")
     )
@@ -2701,7 +2836,7 @@ def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)).alias("hs"),
     )
-    sim = hashes.select("doc_id", *_simhash_ints_spark(F.col("hs"))).select("doc_id", "sig")
+    sim = _simhash_ints_df(hashes, ["doc_id"]).select("doc_id", "sig")
     sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     # no broadcast hint on the pair stream (see _lsh_verified_pairs)
@@ -3417,36 +3552,53 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ngflag.select(F.lit("ngram2").alias("method"), "doc_id"))
         .unionByName(mhflag.select(F.lit("minhash3").alias("method"), "doc_id"))
     )
-    counts = flags.groupBy("method").agg(F.count("*").cast("bigint").alias("n"))
+    # r10 (guide §1.2): the old shape consumed `flags` from THREE
+    # branches (per-method counts + both sides of a self-join), and a
+    # lazy branch re-executes its whole lineage — including both LSH
+    # verified-pair pipelines — once per consumer (measured 11.0 s).
+    # One per-doc rollup of method membership followed by ONE 1-row
+    # conditional aggregate yields every count and every pairwise
+    # overlap from a single evaluation of the expensive stream; the
+    # 3-row output skeleton is assembled from that 1-row broadcast.
+    ms = F.col("ms")
+    per_doc = flags.groupBy("doc_id").agg(F.collect_set("method").alias("ms"))
+    has = {m: F.array_contains(ms, m).cast("int") for m in ("exact", "minhash3", "ngram2")}
+    stats = per_doc.agg(
+        *[F.sum(has[m]).cast("bigint").alias(f"n_{m}") for m in ("exact", "minhash3", "ngram2")],
+        *[
+            F.sum(has[a] * has[b]).cast("bigint").alias(f"b_{a}_{b}")
+            for a, b in (("exact", "minhash3"), ("exact", "ngram2"), ("minhash3", "ngram2"))
+        ],
+    )
     skel = spark.createDataFrame(
         [("exact", "minhash3"), ("exact", "ngram2"), ("minhash3", "ngram2")],
         "method_a string, method_b string",
     )
-    fa, fb = flags.alias("fa"), flags.alias("fb")
-    ovl = (
-        fa.join(
-            fb,
-            (F.col("fa.doc_id") == F.col("fb.doc_id"))
-            & (F.col("fa.method") < F.col("fb.method")),
-        )
-        .groupBy(
-            F.col("fa.method").alias("method_a"), F.col("fb.method").alias("method_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("n_both"))
-    )
-    ca = counts.select(F.col("method").alias("method_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("method").alias("method_b"), F.col("n").alias("nb"))
-    j = (
-        skel.join(F.broadcast(ca), "method_a", "left")
-        .join(F.broadcast(cb), "method_b", "left")
-        .join(F.broadcast(ovl), ["method_a", "method_b"], "left")
-        .select(
-            "method_a",
-            "method_b",
-            F.coalesce("na", F.lit(0)).cast("bigint").alias("n_a"),
-            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_b"),
-            F.coalesce("n_both", F.lit(0)).cast("bigint").alias("n_both"),
-        )
+    methods = ("exact", "minhash3", "ngram2")
+    ordered_pairs = (("exact", "minhash3"), ("exact", "ngram2"), ("minhash3", "ngram2"))
+
+    def _dispatch(side: str, cols: dict) -> F.Column:
+        # route each skeleton row to its stat column; 0 when the corpus
+        # flagged nothing (the old LEFT-join coalesce semantics)
+        return F.coalesce(
+            *[F.when(F.col(side) == k, v) for k, v in cols.items()], F.lit(0)
+        ).cast("bigint")
+
+    j = skel.crossJoin(F.broadcast(stats)).select(
+        "method_a",
+        "method_b",
+        _dispatch("method_a", {m: F.col(f"n_{m}") for m in methods}).alias("n_a"),
+        _dispatch("method_b", {m: F.col(f"n_{m}") for m in methods}).alias("n_b"),
+        F.coalesce(
+            *[
+                F.when(
+                    (F.col("method_a") == a) & (F.col("method_b") == b),
+                    F.col(f"b_{a}_{b}"),
+                )
+                for a, b in ordered_pairs
+            ],
+            F.lit(0),
+        ).cast("bigint").alias("n_both"),
     )
     return j.select(
         "method_a",

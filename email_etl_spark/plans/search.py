@@ -716,7 +716,13 @@ FROM hits
 def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    qvec = F.array(*[F.lit(v) for v in _rag_qvec()])
+    # plan-constant question vector as ONE parsed literal (the
+    # _planes_literal convention): element-wise F.lit() on a 64-dim
+    # array costs 64 py4j round-trips per builder call
+    qvec = _LIT_CACHE.get("rag_qvec")
+    if qvec is None:
+        qvec = F.expr("array(" + ",".join(f"{float(v)!r}D" for v in _rag_qvec()) + ")")
+        _LIT_CACHE["rag_qvec"] = qvec
     hits = (
         docs.join(emb, docs.doc_id == emb.vec_id)
         .select(
