@@ -357,6 +357,10 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _lsh_verified_pairs in plans/dedup.py); AQE broadcasts when small
     sht = sh.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t"))
     shb = sh.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b"))
+    # lossless size prefilter before the intersect (the
+    # _verified_pairs_from_shingles bound): j_bps ≥ thr ⟺ 20000·i ≥
+    # (2·thr−1)·u and i ≤ min, u ≥ max — size-incompatible candidates
+    # can never pass, so they skip the O(|A|+|B|) intersect
     sized = (
         cand
         .join(sht, "train_id")
@@ -364,9 +368,21 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "train_id",
             "bench_id",
-            F.size(F.array_intersect("sh_t", "sh_b")).cast("bigint").alias("n_inter"),
+            "sh_t",
+            "sh_b",
             F.size("sh_t").cast("bigint").alias("nt"),
             F.size("sh_b").cast("bigint").alias("nb"),
+        )
+        .where(
+            F.lit(20000).cast("bigint") * F.least("nt", "nb")
+            >= F.lit(2 * _FUZZY_DECON_THR_BPS - 1).cast("bigint") * F.greatest("nt", "nb")
+        )
+        .select(
+            "train_id",
+            "bench_id",
+            F.size(F.array_intersect("sh_t", "sh_b")).cast("bigint").alias("n_inter"),
+            "nt",
+            "nb",
         )
         .withColumn("un", F.col("nt") + F.col("nb") - F.col("n_inter"))
     )

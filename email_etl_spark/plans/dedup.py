@@ -268,15 +268,36 @@ def _verified_pairs_from_shingles(
     # hazard the r8/r9 driver reds traced to ROUND over a double
     # quotient. Per-pair quantities are per-doc sized, so BIGINT
     # never overflows at any corpus scale.
+    # LOSSLESS size prefilter before the intersect (r10, guide §1.2):
+    # j = i/u ≤ min(na,nb)/max(na,nb), and j_bps ≥ thr ⟺
+    # 20000·i ≥ (2·thr−1)·u, so 20000·min < (2·thr−1)·max (exact
+    # BIGINTs) proves a candidate can never pass — the O(|A|+|B|)
+    # array_intersect runs only on size-compatible survivors. On a
+    # k=2 corpus (every 2-gram high-frequency → candidate-rich) this
+    # is the difference between verifying every bucket collision and
+    # verifying plausible ones.
+    thr_bps = _thr_bps(threshold)
     sized = (
         cand.join(sha, "doc_a")
         .join(shb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            "sh_a",
+            "sh_b",
             F.size("sh_a").cast("bigint").alias("na"),
             F.size("sh_b").cast("bigint").alias("nb"),
+        )
+        .where(
+            F.lit(20000).cast("bigint") * F.least("na", "nb")
+            >= F.lit(2 * thr_bps - 1).cast("bigint") * F.greatest("na", "nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            "na",
+            "nb",
         )
         .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
     )
@@ -726,7 +747,8 @@ ORDER BY doc_a, doc_b
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # heavy per-row hash work: spread the single-split scan (io.py)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks")
     )
@@ -2831,7 +2853,10 @@ FROM e GROUP BY jac_band ORDER BY jac_band
 def simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _lsh_verified_pairs(docs, k=3, threshold=0.5, sf_dir=sf_dir)
-    toks = docs.select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
+    # heavy per-row hash work: spread the single-split scan (io.py)
+    toks = parallelize_scan(docs).select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks")
+    )
     hashes = toks.select(
         "doc_id",
         F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)).alias("hs"),

@@ -140,21 +140,37 @@ ORDER BY n_occ DESC, doc_id LIMIT {PHRASE_TOPK}
 )
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1, w2 = PHRASE
-    docs = load_table(spark, sf_dir, "documents")
+    from email_etl_spark.io import parallelize_scan
+
+    # heavy per-row position-scan work: spread the single-split scan
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    hits = F.when(
-        F.size("toks") >= 2,
-        F.filter(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: (F.element_at(F.col("toks"), i) == w1)
-            & (F.element_at(F.col("toks"), i + 1) == w2),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    m = t.select(
-        "doc_id",
-        F.size(hits).cast("bigint").alias("n_occ"),
-        F.element_at(hits, 1).cast("bigint").alias("first_pos"),
-    ).where(F.col("n_occ") > 0)
+    # r10 (guide §1.2): the old form filtered a position sequence with
+    # a lambda that referenced `toks` as an OUTER column — and the
+    # pushed-down n_occ filter re-inlined tokens(text) into that
+    # lambda body, re-running the regex split once PER POSITION
+    # (the documented test_no_tokenizer_inside_lambda_bodies pitfall;
+    # measured 3.4 s of a 3.6 s query). zip_with's lambdas see only
+    # their element args, so nothing can be inlined into a
+    # per-element body: bools[i] = (toks[i]==w1 AND toks[i+1]==w2)
+    # over the 1-shifted slice (zip_with's null padding never equals
+    # w2, reproducing the old i<n bound), n_occ counts the trues, and
+    # array_position finds the same 1-based first hit.
+    n = F.size("toks")
+    bools = F.zip_with(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: (a == w1) & (b == w2),
+    )
+    m = (
+        t.select("doc_id", bools.alias("b"))
+        .select(
+            "doc_id",
+            F.size(F.filter("b", lambda x: x)).cast("bigint").alias("n_occ"),
+            F.array_position("b", F.lit(True)).cast("bigint").alias("first_pos"),
+        )
+        .where(F.col("n_occ") > 0)
+    )
     return m.orderBy(F.desc("n_occ"), "doc_id").limit(PHRASE_TOPK)
 
 

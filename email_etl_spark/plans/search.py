@@ -1015,8 +1015,29 @@ FROM ranked WHERE rk <= {_KNN_K} ORDER BY vec_id, rank
     ),
 )
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_pairs(spark, sf_dir).orderBy("vec_id", "rank")
+
+
+# exact-kNN pair table, memoized per corpus dir: FOUR registry queries
+# (knn_join, hub_vectors, label_noise_knn, knn_confusion) consume the
+# same O(n²)-tiled pair computation, and each lazy consumer re-ran the
+# whole pipeline (~12 s each at sf0.1, r10 measurement). One pinned
+# handle per corpus — the _closure_components / _semdedup_assignment
+# convention, unpersist-on-eviction via register_dir_cache.
+_KNN_CACHE: dict = {}
+
+from email_etl_spark.cache import unpersist_value as _unpersist_value  # noqa: E402
+
+_register_dir_cache(_KNN_CACHE, lambda k: k, on_drop=_unpersist_value)
+
+
+def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     P = 8
     slack = 8  # local-rank cushion >> any matmul-vs-fold fp divergence
+
+    cached = _KNN_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
 
     emb = load_table(spark, sf_dir, "embeddings")
     blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
@@ -1093,7 +1114,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
     )
     w = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
-    return (
+    ranked = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
         .select(
@@ -1102,8 +1123,10 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("neighbor_id"),
             F.col("c").alias("cos_sim"),
         )
-        .orderBy("vec_id", "rank")
+        .cache()
     )
+    _KNN_CACHE[sf_dir] = ranked
+    return ranked
 
 
 def _recall_oracle() -> str:
@@ -2413,10 +2436,21 @@ def _pq_assign_cols(v, books: dict) -> list:
     return cols
 
 
-def _pq_train_books(emb: DataFrame) -> dict:
+def _pq_train_books(emb: DataFrame, sf_dir: str | None = None) -> dict:
     """Train the per-subspace PQ codebooks: deterministic first-K
     sub-vector seeds, one Lloyd update. Only the PQ_M x PQ_K x PQ_D
-    codebook crosses the driver (kmeans_codebook convention)."""
+    codebook crosses the driver (kmeans_codebook convention).
+
+    Memoized per corpus dir when `sf_dir` is given (r10): the trained
+    codebook is the index structure a serving layer holds — the same
+    class as the persisted-index ("pq_books", dir) entry and the
+    memoized query vector — and FOUR registry queries (ann_pq,
+    ann_ivfpq, pq_recall_eval, build_pq_index) each re-ran the two
+    training jobs (seed collect + Lloyd-update aggregate) per call."""
+    if sf_dir is not None:
+        cached = _LIT_CACHE.get(("pq_books_trained", sf_dir))
+        if cached is not None:
+            return cached
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     seeds = (
         emb.where(F.col("vec_id") < PQ_K)
@@ -2468,7 +2502,7 @@ def _pq_train_books(emb: DataFrame) -> dict:
         by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[int(r["dim"])] = (
             int(r["microv"]) / 1000000.0
         )
-    return {
+    books = {
         m: sorted(
             [
                 (cid, [dims[p] for p in sorted(dims)])
@@ -2478,6 +2512,9 @@ def _pq_train_books(emb: DataFrame) -> dict:
         )
         for m in range(PQ_M)
     }
+    if sf_dir is not None:
+        _LIT_CACHE[("pq_books_trained", sf_dir)] = books
+    return books
 
 
 def _pq_encode(emb: DataFrame, books: dict) -> DataFrame:
@@ -2542,7 +2579,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    books1 = _pq_train_books(emb)
+    books1 = _pq_train_books(emb, sf_dir)
     codes = _pq_encode(emb, books1)
     qrows = (
         emb.where(F.col("vec_id") < PQ_NQ)
@@ -2679,7 +2716,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    books1 = _pq_train_books(emb)
+    books1 = _pq_train_books(emb, sf_dir)
     codes = _pq_encode(emb, books1)
     # IVF coarse assignment (ann_ivf structure): broadcast centroids,
     # argmax cosine per vector
@@ -2879,7 +2916,7 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str | None = Non
     book_dir = _os.path.join(index_dir, "codebook")
     if not _os.path.exists(_os.path.join(book_dir, "_SUCCESS")):
         emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-        books1 = _pq_train_books(emb)
+        books1 = _pq_train_books(emb, sf_dir)
         codes = _pq_encode(emb, books1)
         cents = emb.where(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("ccid"), F.col("embedding").alias("cvec")
@@ -3166,7 +3203,7 @@ GROUP BY t.query_id ORDER BY t.query_id
 )
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
-    books1 = _pq_train_books(emb)
+    books1 = _pq_train_books(emb, sf_dir)
     codes = _pq_encode(emb, books1)
     qrows = (
         emb.where(F.col("vec_id") < PQ_NQ)
@@ -3968,7 +4005,7 @@ FROM deg ORDER BY in_degree DESC, vec_id LIMIT {_HUB_TOP}
     ),
 )
 def hub_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    knn = knn_join(spark, sf_dir)
+    knn = _knn_pairs(spark, sf_dir)
     deg = knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count("*").alias("in_degree"),
         F.sum(F.col("cos_sim").cast("decimal(18,4)")).alias("sc"),
@@ -5353,7 +5390,7 @@ FROM votes GROUP BY lq ORDER BY lq
 )
 def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = knn_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    pairs = _knn_pairs(spark, sf_dir).select("vec_id", "neighbor_id")
     lab_q = emb.select(F.col("vec_id"), F.col("label").alias("lq"))
     lab_n = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ln_")
@@ -6392,7 +6429,7 @@ ORDER BY true_label, pred_label
 )
 def knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    nbrs = knn_join(spark, sf_dir)
+    nbrs = _knn_pairs(spark, sf_dir)
     nb = nbrs.join(
         emb.select(
             F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")

@@ -1622,15 +1622,41 @@ def langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r10 (guide §1.2): substr(text, i, K) walks i chars on UTF8
+    # strings, so the old per-position transform was O(len²) char
+    # steps per doc. Build the 3-grams by zipping the char array with
+    # its 1- and 2-shifted slices instead — O(len) per row, and no
+    # lambda references an OUTER column, so CollapseProject cannot
+    # inline the split back into a per-element body (the
+    # test_no_tokenizer_inside_lambda_bodies pitfall: a first rewrite
+    # via slice(cs, i, K) inside a transform lambda was silently
+    # re-inlined and stayed quadratic). concat_ws skips the null
+    # padding zip_with adds past the shorter slice, reproducing
+    # substr's end-of-string truncation exactly.
+    n = F.size(F.col("cs"))
+    gram3 = F.zip_with(
+        F.zip_with(
+            F.col("cs"),
+            F.slice(F.col("cs"), 2, n - 1),
+            lambda a, b: F.concat_ws("", a, b),
+        ),
+        F.slice(F.col("cs"), 3, n - 2),
+        lambda a, b: F.concat_ws("", a, b),
+    )
     tgs = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length(text) - {CHARGRAM_K - 1}, 1)),"
-            f" i -> substr(text, i, {CHARGRAM_K}))"
+        F.when(n >= CHARGRAM_K, F.slice(gram3, 1, n - (CHARGRAM_K - 1))).otherwise(
+            F.array(F.substring(F.col("text"), 1, CHARGRAM_K))
         )
     )
-    tg_doc = docs.select(
-        "doc_id", F.col("lang").alias("lang_declared"), tgs.alias("tgs")
-    )
+    from email_etl_spark.io import parallelize_scan as _ps
+
+    # heavy per-row gram work: spread the single-split scan (io.py)
+    tg_doc = _ps(docs).select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        "text",
+        F.split(F.col("text"), "").alias("cs"),
+    ).select("doc_id", "lang_declared", tgs.alias("tgs"))
     tgx = tg_doc.select("doc_id", "lang_declared", F.explode("tgs").alias("tg"))
     cnt = tgx.groupBy(F.col("lang_declared").alias("lang"), "tg").agg(
         F.count("*").alias("n")
@@ -1646,11 +1672,18 @@ def langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_hits"))
     )
-    wd = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    # per-doc argmax (n_hits DESC, lang ASC) as one aggregation:
+    # min(struct(-n_hits, lang)) replays the row_number window's order
+    # with map-side partial combining (guide §2.3; the semdedup_prune
+    # rewrite) — langs are distinct per (doc, lang) group, no ties
     pred = (
-        hits.withColumn("rn", F.row_number().over(wd))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("lang_pred"))
+        hits.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_hits")).alias("nn"), F.col("lang").alias("lang"))
+            ).alias("b")
+        )
+        .select("doc_id", F.col("b.lang").alias("lang_pred"))
     )
     return (
         tg_doc.select("doc_id", "lang_declared")
@@ -4375,6 +4408,38 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _mattr_contrib_kernel(it):
+    """Per-doc MATTR distinct-in-window contribution sum. The lag is
+    DOC-LOCAL (previous occurrence of the same token within the doc),
+    so the old posexplode + per-(doc, tok) lag window shuffled the
+    whole token stream for a computation that never crosses documents
+    (r10, guide §2.4 — remove shuffles outright). All-integer math:
+    s = Σ_pos max(min(pos, nt−W) − max(pos−W+1, prev+1, 0) + 1, 0),
+    identical to the old window formula term by term."""
+    import pandas as pd
+
+    W = _MATTR_W
+    rows = []
+    for pdf in it:
+        for did, src, toks in zip(pdf["doc_id"], pdf["source"], pdf["toks"]):
+            nt = len(toks)
+            if nt < W:
+                continue
+            last: dict = {}
+            s = 0
+            cap = nt - W
+            for pos, tok in enumerate(toks):
+                prev = last.get(tok, -1)
+                lo = max(pos - W + 1, prev + 1, 0)
+                hi = min(pos, cap)
+                if hi >= lo:
+                    s += hi - lo + 1
+                last[tok] = pos
+            rows.append((int(did), src, s, nt))
+    yield pd.DataFrame(rows, columns=["doc_id", "source", "s", "nt"])
+
+
+
 @register(
     "mattr_diversity",
     oracle=f"""
@@ -4417,8 +4482,9 @@ FROM j GROUP BY source ORDER BY source
         "occurrence counts the windows where it is the FIRST in-window "
         "occurrence of its type — #windows = |[max(pos-W+1, prev+1, 0), "
         "min(pos, n-W)]| off ONE lag window over the (doc, token) "
-        "stream, so the whole statistic is one posexplode + one keyed "
-        "window + two rollups, exact integer bps end to end (the "
+        "stream, and the previous-occurrence lag is DOC-LOCAL, so the "
+        "whole statistic is one zero-shuffle Arrow pass over the token "
+        "arrays + two rollups, exact integer bps end to end (the "
         "sum over occurrences telescopes to sum of per-window distinct "
         "counts — the standard distinct-in-sliding-window identity). "
         f"Docs under {_MATTR_W} tokens are excluded (documented "
@@ -4426,32 +4492,21 @@ FROM j GROUP BY source ORDER BY source
     ),
 )
 def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     W = _MATTR_W
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.size(T.tokens(F.col("text"))).alias("nt"),  # free: no window
-        F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"),
-    ).where(F.col("nt") >= W)
-    lw = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    p = t.select(
-        "doc_id",
-        "source",
-        "pos",
-        "nt",
-        F.coalesce(F.lag("pos").over(lw), F.lit(-1)).alias("prev"),
-    )
-    contrib = F.greatest(
-        F.least(F.col("pos"), F.col("nt") - W)
-        - F.greatest(F.col("pos") - W + 1, F.col("prev") + 1, F.lit(0))
-        + 1,
-        F.lit(0),
-    )
-    c = p.groupBy("doc_id", "source").agg(
-        F.sum(contrib).alias("s"), F.first("nt").alias("nt")
+    from email_etl_spark.io import parallelize_scan
+
+    # tokenization stays JVM-side (T.tokens is the engine's contract —
+    # a Python re-implementation would re-open the lower()/regex
+    # unicode parity question); the kernel only does exact integer
+    # arithmetic over the token ARRAY, so the result is bit-identical
+    c = (
+        parallelize_scan(docs)
+        .select("doc_id", "source", T.tokens(F.col("text")).alias("toks"))
+        .mapInPandas(
+            _mattr_contrib_kernel,
+            schema="doc_id bigint, source string, s bigint, nt bigint",
+        )
     )
     m = c.select(
         "doc_id",

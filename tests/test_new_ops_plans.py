@@ -96,12 +96,15 @@ def test_knn_confusion_rides_block_tiling(spark):
 
 
 def test_mattr_single_window_pass(spark):
-    # per-doc token length comes from size() BEFORE the explode; the
-    # only Window is the (doc, token) lag — a second (doc-count)
-    # window here would mean the free formulation regressed
+    # r10 shape: the previous-occurrence lag is doc-local, so the
+    # whole contribution sum is ONE zero-shuffle Arrow pass over the
+    # token arrays — no Window, no explode anywhere; a Window or
+    # Generate reappearing means the kernel formulation regressed to
+    # the shuffled token-stream shape
     plan = _plan(spark, "mattr_diversity")
-    assert _n_window_nodes(plan) == 1, plan
-    assert "Generate" in plan, plan
+    assert _n_window_nodes(plan) == 0, plan
+    assert "Generate" not in plan, plan
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_yule_k_two_level_agg_no_window(spark):

@@ -106,6 +106,9 @@ def test_no_tokenizer_inside_lambda_bodies(spark):
         "dedup_substring",
         "vocab_stats",
         "langid_chargram",
+        # r10: shipped the pitfall unguarded — the pushed-down n_occ
+        # filter re-inlined tokens(text) into the position lambda
+        "phrase_search",
     ):
         plan = (
             REGISTRY[name]
