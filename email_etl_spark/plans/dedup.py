@@ -162,6 +162,28 @@ def _shingle_table(docs: DataFrame, k: int, sf_dir: str | None = None) -> DataFr
     return sh
 
 
+_MD5_SIG_CACHE: dict = {}  # (sf_dir, k) -> cached md5 signature table
+_reg_cache(_MD5_SIG_CACHE, lambda key: key[0], on_drop=_unpersist_value)
+
+
+def _md5_sig_table(docs: DataFrame, sf_dir: str | None, k: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh31) md5-lane signature table, memoized per
+    corpus dir (r10): the 8-md5-per-shingle signature projection is
+    the most expensive pass in the md5-lane family, and FIVE registry
+    queries each re-ran it per call — the calibration/est_error pair
+    joins twice (both sides). Derived from the cached _shingle_table,
+    same lifecycle/eviction (register_dir_cache + unpersist)."""
+    key = (sf_dir, k)
+    cached = _MD5_SIG_CACHE.get(key) if sf_dir is not None else None
+    if cached is not None and cached.sparkSession is docs.sparkSession:
+        return cached
+    sig = H.with_minhash_sig(_shingle_table(docs, k, sf_dir=sf_dir), "sh").drop("sh")
+    if sf_dir is not None:
+        sig = sig.cache()
+        _MD5_SIG_CACHE[key] = sig
+    return sig
+
+
 def _lsh_verified_pairs(
     docs: DataFrame,
     k: int,
@@ -183,7 +205,11 @@ def _lsh_verified_pairs(
     is the worst case for inverted-index joins.
     """
     return _verified_pairs_from_shingles(
-        _shingle_table(docs, k, sf_dir=sf_dir), threshold, with_containment, lanes=lanes
+        _shingle_table(docs, k, sf_dir=sf_dir),
+        threshold,
+        with_containment,
+        lanes=lanes,
+        md5_sig=_md5_sig_table(docs, sf_dir, k) if lanes == "md5" and sf_dir else None,
     )
 
 
@@ -193,6 +219,7 @@ def _verified_pairs_from_shingles(
     with_containment: bool = False,
     ordered: bool = True,
     lanes: str = "xx",
+    md5_sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH bucket-then-verify over a prebuilt (doc_id, sh) shingle
     table — the body of _lsh_verified_pairs, split out so the
@@ -215,7 +242,10 @@ def _verified_pairs_from_shingles(
     # full-data shuffles cheaper at scale).
     # band buckets → candidate pairs (distinct across bands)
     if lanes == "md5":
-        sig = H.with_minhash_sig(sh, "sh").drop("sh")
+        # reuse the memoized per-corpus signature table when the
+        # caller has one (_md5_sig_table); ad-hoc shingle frames build
+        # their own projection as before
+        sig = md5_sig if md5_sig is not None else H.with_minhash_sig(sh, "sh").drop("sh")
         sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
         bands = F.array(
             *[
@@ -2176,9 +2206,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(
         docs, k=3, threshold=MINHASH_THRESHOLD, sf_dir=sf_dir, lanes="md5"
     )
-    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig = _md5_sig_table(docs, sf_dir)
     la = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.N_LANES)]
     )
@@ -2372,9 +2400,8 @@ GROUP BY c.r ORDER BY rows_per_band
 )
 def lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh")).cache()
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sh = _shingle_table(docs, 3, sf_dir=sf_dir)
+    sig = _md5_sig_table(docs, sf_dir)
 
     cfg_structs = []
     for r in _BAND_CURVE_ROWS:
@@ -2994,9 +3021,7 @@ FROM bc GROUP BY band ORDER BY band
 )
 def lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = parallelize_scan(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    sh = toks.select("doc_id", H.shingles(F.col("toks"), k=3).alias("sh"))
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    sig = _md5_sig_table(docs, sf_dir)
     sig_cols = [F.col(f"mh{i}") for i in range(H.N_LANES)]
     bands = F.array(
         *[
@@ -3409,8 +3434,14 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_table(docs, 3, sf_dir=sf_dir)
     # lanes="md5": the oracle replays the md5 LSH pair set alongside
     # the md5 lane estimates — keep both sides on the contract lanes
-    pairs = _verified_pairs_from_shingles(sh, MINHASH_THRESHOLD, ordered=False, lanes="md5")
-    sig = H.with_minhash_sig(sh, "sh").drop("sh")
+    pairs = _verified_pairs_from_shingles(
+        sh,
+        MINHASH_THRESHOLD,
+        ordered=False,
+        lanes="md5",
+        md5_sig=_md5_sig_table(docs, sf_dir),
+    )
+    sig = _md5_sig_table(docs, sf_dir)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(H.N_LANES)],
