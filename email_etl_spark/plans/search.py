@@ -6162,7 +6162,12 @@ def _collect_label_centroids(spark: SparkSession, sf_dir: str):
     centroids, collected ONCE as plan constants (the MLlib-codebook
     shape, embedding_outliers discipline): one corpus scan total, so
     consumers that reference the codebook k times don't re-derive the
-    aggregate k times."""
+    aggregate k times. Memoized per corpus dir (r10): two registry
+    queries (silhouette_centroid, davies_bouldin) each re-collected
+    the same codebook per call — the _pq_train_books class."""
+    cached = _LIT_CACHE.get(("label_cents", sf_dir))
+    if cached is not None:
+        return cached
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     cf = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -6181,9 +6186,11 @@ def _collect_label_centroids(spark: SparkSession, sf_dir: str):
         by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = (
             int(r["microv"]) / 1000000.0
         )
-    return [
+    cents = [
         (lbl, [dims[p] for p in sorted(dims)]) for lbl, dims in sorted(by_label.items())
     ]
+    _LIT_CACHE[("label_cents", sf_dir)] = cents
+    return cents
 
 
 def _centroid_codebook_df(spark: SparkSession, cents) -> DataFrame:

@@ -2767,7 +2767,12 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # the bigram-count table feeds FOUR branches (c1, cont, t, and the
+    # scoring join) and a lazy branch re-runs the whole
+    # tokenize+explode+agg lineage per consumer — localCheckpoint
+    # truncates it to one evaluation (the topic_coherence convention;
+    # the table is bigram-vocab-sized, not corpus-sized)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"), F.count("*").alias("n1"))
     cont = c2.groupBy("w2").agg(F.count("*").alias("cont"))
     t = c2.agg(F.count("*").alias("t"))
@@ -3775,7 +3780,12 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BD_TERMS)
         .select("tok")
     )
-    st = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    # st and grid feed 2 and 4 downstream branches respectively, and a
+    # lazy branch re-runs the whole tokenize+explode lineage per
+    # consumer (measured: ~12 corpus passes for one query run).
+    # localCheckpoint truncates both — they are source-dimension-sized
+    # (|sources| and |sources|x20 rows), the topic_coherence class.
+    st = tok.groupBy("source").agg(F.count("*").alias("n_tok")).localCheckpoint(eager=True)
     rf = (
         tok.join(F.broadcast(top), "tok")
         .groupBy("source", "tok")
@@ -3799,7 +3809,7 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             F.coalesce(F.col("rf_nano"), F.lit(0)).cast("bigint").alias("rf_nano"),
         )
-    )
+    ).localCheckpoint(eager=True)
     ns = st.agg(F.count("*").alias("s"))
     mu = (
         grid.groupBy("tok")
