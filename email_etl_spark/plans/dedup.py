@@ -1380,23 +1380,27 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10 (133 s -> see OPTIMIZATION_r10): three output-identical cuts
     # on the O((p·n)²) exact side —
     # 1. LOSSLESS size prefilter inside the pair join: J = i/u ≤
-    #    min/max, and the gate is round(J,4) ≥ 0.5 ⟺ J ≥ 0.49995 =
-    #    9999/20000, so 20000·min < 9999·max (exact BIGINTs) proves a
-    #    pair can never pass — the expensive array_intersect runs only
-    #    on size-compatible survivors;
+    #    min/max, and the exact half-up gate j_bps ≥ thr_bps unwinds to
+    #    20000·i ≥ (2·thr_bps−1)·u (truncating div algebra, VERDICT
+    #    r10-verified), so 20000·min < (2·thr_bps−1)·max proves a pair
+    #    can never pass — the expensive array_intersect runs only on
+    #    size-compatible survivors. r11 (ADVICE r10): the constant is
+    #    now DERIVED from MINHASH_THRESHOLD (11999 at 0.6) — the r10
+    #    literal 9999 was the 0.5-gate bound, lossless but loose;
     # 2. array_intersect materialized ONCE per pair (the old jac tree
     #    referenced it twice — numerator and union — and Catalyst does
     #    not CSE across the filter);
     # 3. n_exact and n_lsh from ONE pass (left join + conditional
     #    count) instead of two branches that each re-ran the whole
     #    quadratic join.
+    _gate = 2 * _thr_bps(MINHASH_THRESHOLD) - 1  # 11999 at thr 0.6
     sized = (
         a.join(
             b,
             (F.col("doc_a") < F.col("doc_b"))
             & (
                 F.lit(20000).cast("bigint") * F.least("na", "nb")
-                >= F.lit(9999).cast("bigint") * F.greatest("na", "nb")
+                >= F.lit(_gate).cast("bigint") * F.greatest("na", "nb")
             ),
         )
         .select(
@@ -1407,10 +1411,14 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
         )
     )
-    jac = F.round(
-        F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")), 4
-    )
-    exact_pairs = sized.where(jac >= MINHASH_THRESHOLD).select("doc_a", "doc_b")
+    # exact integer gate, same algebra as the oracle's j_bps ≥ thr_bps
+    # ((20000·i + u) div (2·u) ≥ thr ⟺ 20000·i ≥ (2·thr−1)·u): no
+    # double division or ROUND left in the pair filter
+    _u = F.col("na") + F.col("nb") - F.col("ni")
+    exact_pairs = sized.where(
+        F.lit(20000).cast("bigint") * F.col("ni")
+        >= F.lit(_gate).cast("bigint") * _u
+    ).select("doc_a", "doc_b")
     flagged = exact_pairs.join(
         lsh_pairs.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
     )

@@ -1547,8 +1547,8 @@ SELECT event_type,
        {n_cnt} AS noise_count,
        ROUND((CAST(s AS DOUBLE) + {n_sum})
              / GREATEST(1.0, n + {n_cnt}), 4) AS released_mean,
-       {c} AS clip,
-       1.0 AS epsilon
+       CAST({c} AS DOUBLE) AS clip,
+       CAST(1.0 AS DOUBLE) AS epsilon
 FROM a ORDER BY event_type
 """
 

@@ -4815,13 +4815,16 @@ def pca_projection_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-ran its whole two-pass power iteration per call, plus 64
     # element-wise F.lit py4j round-trips — the trained axis is a
     # plan constant per corpus (the pca_top2_state / pq-books class)
-    arr = _LIT_CACHE.get(("pca1_loadings", sf_dir))
-    if arr is None:
+    # the cached value is the PLAIN FLOAT LIST, not the built Column: a
+    # py4j-backed Column dangles if the JVM gateway restarts within the
+    # process, while list values are driver-side only and the F.expr
+    # construction from them is cheap (ADVICE r10)
+    vals = _LIT_CACHE.get(("pca1_loadings", sf_dir))
+    if vals is None:
         loads = pca_power_top1(spark, sf_dir).orderBy("dim").collect()
-        arr = F.expr(
-            "array(" + ",".join(f"{float(r['loading'])!r}D" for r in loads) + ")"
-        )
-        _LIT_CACHE[("pca1_loadings", sf_dir)] = arr
+        vals = [float(r["loading"]) for r in loads]
+        _LIT_CACHE[("pca1_loadings", sf_dir)] = vals
+    arr = F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
     p = emb.select(
         "vec_id",
         F.posexplode("embedding").alias("pos", "x"),

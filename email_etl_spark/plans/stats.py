@@ -1497,7 +1497,7 @@ s AS (
 SELECT CAST(n AS BIGINT) AS n_events,
        CAST(n_cells AS BIGINT) AS n_cells,
        CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
-       CAST(chi2_e8 AS DECIMAL(38,0)) AS chi2_e8,
+       CAST(CAST(chi2_e8 AS HUGEINT) AS VARCHAR) AS chi2_e8,
        CAST((10 * chi2_e8) // (CAST(n AS HUGEINT) * LEAST(nr - 1, nc - 1))
             AS BIGINT) AS v_sq_e9
 FROM s
@@ -1558,7 +1558,12 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_events"),
             "n_cells",
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
-            F.col("chi2_e8").cast("decimal(38,0)").alias("chi2_e8"),
+            # digit-string presentation: DECIMAL(38,0) output columns
+            # hash-mismatch across engines in type-faithful client
+            # layers (pandas renders DuckDB decimals as float64 — the
+            # r10 driver red); strings are conversion-invariant and
+            # lossless at any scale
+            F.col("chi2_e8").cast("decimal(38,0)").cast("string").alias("chi2_e8"),
             F.expr(
                 "CAST((CAST(10 AS DECIMAL(38,0)) * chi2_e8)"
                 " div (CAST(n AS DECIMAL(38,0)) * least(nr - 1, nc - 1)) AS BIGINT)"

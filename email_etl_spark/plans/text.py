@@ -1140,9 +1140,9 @@ s AS (
   FROM t GROUP BY source
 )
 SELECT source, CAST(n AS BIGINT) AS n_docs,
-       CAST(n * sxy4 - sx * sy4 AS DECIMAL(38,0)) AS corr_num_e4,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-       CAST(n * syy8 - sy4 * sy4 AS DECIMAL(38,0)) AS var_y_num_e8
+       CAST(n * sxy4 - sx * sy4 AS VARCHAR) AS corr_num_e4,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS var_x_num,
+       CAST(n * syy8 - sy4 * sy4 AS VARCHAR) AS var_y_num_e8
 FROM s ORDER BY source
 """,
     doc=(
@@ -1155,8 +1155,10 @@ FROM s ORDER BY source
         "and r ships as the exact signed rational triple r = "
         "corr_num_e4 / sqrt(var_x_num * var_y_num_e8) — Pearson's "
         "numerator n*sxy-sx*sy and both variance numerators as "
-        "DECIMAL(38,0) integers (units cancel: e4 numerator over "
-        "sqrt(1 * e8)); no double output at all, the r9 ks_stat red "
+        "exact canonical digit strings (units cancel: e4 numerator "
+        "over sqrt(1 * e8); decimal-typed output columns render as "
+        "float64 in pandas-layer clients and hash-mismatch — the r10 "
+        "driver red); no double output at all, the r9 ks_stat red "
         "proved shared IEEE trees are not env-stable. sqrt + divide "
         "is the caller's last-mile op (SURVEY §2.D)."
     ),
@@ -1185,11 +1187,16 @@ def quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "source",
             F.col("n").cast("bigint").alias("n_docs"),
-            F.expr("CAST(n * sxy4 - sx * sy4 AS DECIMAL(38,0))").alias(
+            # digit-string presentation: DECIMAL(38,0) output columns
+            # hash-mismatch across engines in type-faithful client
+            # layers (pandas renders DuckDB decimals as float64 — the
+            # r10 driver red); strings are conversion-invariant and
+            # lossless at any scale
+            F.expr("CAST(CAST(n * sxy4 - sx * sy4 AS DECIMAL(38,0)) AS STRING)").alias(
                 "corr_num_e4"
             ),
-            F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("var_x_num"),
-            F.expr("CAST(n * syy8 - sy4 * sy4 AS DECIMAL(38,0))").alias(
+            F.expr("CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS STRING)").alias("var_x_num"),
+            F.expr("CAST(CAST(n * syy8 - sy4 * sy4 AS DECIMAL(38,0)) AS STRING)").alias(
                 "var_y_num_e8"
             ),
         )
@@ -4432,6 +4439,8 @@ def _mattr_contrib_kernel(it):
     rows = []
     for pdf in it:
         for did, src, toks in zip(pdf["doc_id"], pdf["source"], pdf["toks"]):
+            if toks is None:  # NULL text -> null token array (ADVICE r10)
+                continue
             nt = len(toks)
             if nt < W:
                 continue

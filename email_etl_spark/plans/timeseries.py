@@ -953,7 +953,7 @@ q AS (
 SELECT CAST(lag AS INT) AS lag,
        r AS acf,
        ROUND(nd * (nd + 2.0) * acc, 4) AS q_stat,
-       CASE lag {crit} END AS crit_95,
+       CAST(CASE lag {crit} END AS DOUBLE) AS crit_95,
        ROUND(nd * (nd + 2.0) * acc, 4) > CASE lag {crit} END AS reject
 FROM q ORDER BY lag
 """
@@ -1370,7 +1370,7 @@ w AS (
 s AS (
   SELECT MAX(ABS(24 * cum - (h + 1) * n)) AS d_int, MAX(n) AS n FROM w
 )
-SELECT n AS n_events,
+SELECT CAST(n AS BIGINT) AS n_events,
        CAST((1000000 * d_int) // (24 * n) AS BIGINT) AS d_stat_micro,
        CAST((1000000 * CAST(d_int AS HUGEINT) * CAST(d_int AS HUGEINT))
             // (576 * CAST(n AS HUGEINT)) AS BIGINT) AS ks_sq_e6,
@@ -1399,8 +1399,13 @@ FROM s
         "caller's last-mile op). The raw unrounded D*sqrt(n) double "
         "was this query's SECOND driver red (r9): a shared IEEE op "
         "tree is NOT bit-stable across engine environments, so no "
-        "output column may carry one. The only ordered pass is a "
-        "24-row cumulative window off the hour rollup (SURVEY §2.H)."
+        "output column may carry one. Its THIRD red (r10) was the "
+        "oracle's un-cast window-sum n_events: SUM promotes to "
+        "HUGEINT in DuckDB, and pandas-layer clients render HUGEINT "
+        "as float64 ('100000.0') while Spark ships int64 — every "
+        "declared output is now BIGINT/BOOLEAN on both engines. The "
+        "only ordered pass is a 24-row cumulative window off the "
+        "hour rollup (SURVEY §2.H)."
     ),
 )
 def ks_uniform_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,10 +2574,10 @@ SELECT n AS n_days,
        CAST(day_idx AS BIGINT) AS peak_day_idx,
        CAST(d_num AS BIGINT) AS dev_num,
        CAST(CAST(n AS HUGEINT) * sq - CAST(sm AS HUGEINT) * sm
-            AS DECIMAL(38,0)) AS s2_num,
-       CAST(CAST(d_num AS HUGEINT) * d_num * (n - 1) AS DECIMAL(38,0)) AS g_sq_num,
+            AS VARCHAR) AS s2_num,
+       CAST(CAST(d_num AS HUGEINT) * d_num * (n - 1) AS VARCHAR) AS g_sq_num,
        CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sq - CAST(sm AS HUGEINT) * sm)
-            AS DECIMAL(38,0)) AS g_sq_den
+            AS VARCHAR) AS g_sq_den
 FROM m
 """,
     doc=(
@@ -2584,12 +2589,15 @@ FROM m
         "against the sample spread, which is what an on-call pages "
         "on). Computed entirely from the exact integers (n, sum, "
         "sumsq, D = max|n*x - sum|): dev_num ships as BIGINT; s2_num "
-        "= n*sumsq - sum^2 ships as DECIMAL(38,0) — sm*sm passes "
-        "BIGINT once total events exceed ~3e9 (ADVICE r9), so both "
-        "engines square in HUGEINT/DECIMAL(38,0) — and G ships as "
-        "the exact rational pair G^2 = g_sq_num/g_sq_den (dev^2*(n-1) "
-        "over n*S2, both DECIMAL(38,0)-exact at any corpus scale: "
-        "numerator <= 1e36 at n=1e4 days x 1e12 events). No double "
+        "= n*sumsq - sum^2 — sm*sm passes BIGINT once total events "
+        "exceed ~3e9 (ADVICE r9), so both engines square in "
+        "HUGEINT/DECIMAL(38,0) — and G ships as the exact rational "
+        "pair G^2 = g_sq_num/g_sq_den (dev^2*(n-1) over n*S2, exact "
+        "at any corpus scale: numerator <= 1e36 at n=1e4 days x 1e12 "
+        "events); the wide integers present as canonical digit "
+        "STRINGS because decimal-typed output columns render as "
+        "float64 in pandas-layer clients and hash-mismatch across "
+        "engines (the r10 driver red, root-caused r11). No double "
         "output at all — the r9 ks_stat red proved shared IEEE op "
         "trees are not env-stable; sqrt(num/den) is the caller's "
         "last-mile op. The critical value depends on n through the "
@@ -2628,15 +2636,22 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = (
         "(CAST(n AS DECIMAL(38,0)) * sq - CAST(sm AS DECIMAL(38,0)) * sm)"
     )
+    # presentation: the exact integers ship as canonical digit STRINGS,
+    # not DECIMAL(38,0) — client layers (pandas/arrow) render DuckDB
+    # DECIMAL/HUGEINT as float64 ('2592860.0') while Spark ships exact
+    # digits, so a decimal-typed output column hash-mismatches in any
+    # type-faithful comparator even when the values are identical (the
+    # r10 driver red, root-caused r11). Strings are invariant under
+    # every client conversion and lossless at any corpus scale.
     return m.select(
         F.col("n").alias("n_days"),
         F.col("day_idx").cast("bigint").alias("peak_day_idx"),
         F.col("dev").cast("bigint").alias("dev_num"),
-        F.expr(f"CAST({s2} AS DECIMAL(38,0))").alias("s2_num"),
+        F.expr(f"CAST(CAST({s2} AS DECIMAL(38,0)) AS STRING)").alias("s2_num"),
         F.expr(
-            "CAST(CAST(dev AS DECIMAL(38,0)) * dev * (n - 1) AS DECIMAL(38,0))"
+            "CAST(CAST(CAST(dev AS DECIMAL(38,0)) * dev * (n - 1) AS DECIMAL(38,0)) AS STRING)"
         ).alias("g_sq_num"),
-        F.expr(f"CAST(CAST(n AS DECIMAL(38,0)) * {s2} AS DECIMAL(38,0))").alias(
+        F.expr(f"CAST(CAST(CAST(n AS DECIMAL(38,0)) * {s2} AS DECIMAL(38,0)) AS STRING)").alias(
             "g_sq_den"
         ),
     )

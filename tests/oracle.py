@@ -30,7 +30,18 @@ def _norm_value(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):
-        v = float(v)
+        # EXACT canonical digits — never through float. The r10 driver
+        # reds hid behind the old float collapse: above 2^53 it masked
+        # small integer divergences, and it normalized Spark's Decimal
+        # and DuckDB's float64-rendered decimal to the same string
+        # while type-faithful comparators (the driver) saw
+        # '2592860' vs '2592860.0'. Decimal outputs are now banned
+        # outright (tests/test_output_types.py); exact rendering here
+        # makes any future one visible instead of silently passing.
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -92,6 +103,35 @@ def compare(
     problems: list[str] = []
     s_cols, s_rows = run_spark(builder, spark, sf_dir)
     o_cols, o_rows = run_oracle(sql, sf_dir)
+    # declared-type guard (r10 driver red, root-caused r11): DuckDB
+    # DECIMAL/HUGEINT output columns render as float64 in pandas-layer
+    # clients ('2592860.0') while Spark ships exact digits, so a
+    # decimal-typed declared output hash-mismatches in any
+    # type-faithful comparator even when values are identical. Flag it
+    # here so every sweep sees it, not just the driver.
+    try:
+        decl = duckdb_conn(sf_dir).execute(
+            "DESCRIBE " + sql.replace("__SF_DIR__", sf_dir.rstrip("/"))
+        ).fetchall()
+        bad_decl = [
+            (r[0], r[1])
+            for r in decl
+            if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()
+        ]
+        if bad_decl:
+            problems.append(f"{name}: decimal-typed oracle outputs {bad_decl}")
+    except Exception:
+        pass  # DESCRIBE quirk — value comparison below still runs
+    bad_spark = sorted(
+        {
+            s_cols[i]
+            for r in s_rows
+            for i in range(len(s_cols))
+            if isinstance(r[i], Decimal)
+        }
+    )
+    if bad_spark:
+        problems.append(f"{name}: Decimal-typed spark outputs {bad_spark}")
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"{name}: columns differ spark={s_cols} oracle={o_cols}")
         return problems
