@@ -65,7 +65,15 @@ def embed_text_udf():
     def embed(texts):
         return texts.map(lambda t: _embed_one(t or ""))
 
-    return embed
+    # asNondeterministic (guide §4.4): a Generate/filter above the
+    # embedding column otherwise gets its inferred non-null predicate
+    # pushed BELOW the projection, duplicating the ArrowEvalPython node
+    # — every row paid the sha256 embedding twice (seen in
+    # plans/r11/embed_docs_before.txt: two ArrowEvalPython, the lower
+    # one feeding `Filter size(pythonUDF0) > 0`). The function is
+    # value-deterministic; the flag only forbids the optimizer from
+    # re-evaluating it.
+    return embed.asNondeterministic()
 
 
 def categorize_udf():
@@ -167,7 +175,10 @@ def extract_actions_udf():
     def extract(texts):
         return pd.Series([one(t) for t in texts])
 
-    return extract
+    # asNondeterministic (guide §4.4, the embed_text_udf fix): the
+    # size(actions) > 0 filter above the explode otherwise gets pushed
+    # below the projection and the extractor runs twice per row
+    return extract.asNondeterministic()
 
 
 def extract_action_items(docs: DataFrame, text_col: str = "text") -> DataFrame:

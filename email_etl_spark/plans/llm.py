@@ -185,6 +185,12 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("bigint").alias("dim"),
             F.round(F.col("comp_f").cast("double"), 7).alias("comp"),
         )
+        # localCheckpoint (r11, guide §5/§3.3): the global orderBy's
+        # RangePartitioning runs a separate SAMPLING job that re-executes
+        # the child — including the Arrow embedding UDF — end to end;
+        # materializing the exploded rows first means the sort (sampling
+        # + exchange) reads them instead of re-embedding the corpus
+        .localCheckpoint(eager=True)
         .orderBy("doc_id", "dim")
     )
 

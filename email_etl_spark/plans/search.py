@@ -1007,10 +1007,12 @@ FROM ranked WHERE rk <= {_KNN_K} ORDER BY vec_id, rank
         "LOCAL top-(k+slack) per row — so the shuffle carries O(P·k) "
         "candidate rows per vector, never the O(n) similarity row — "
         "then survivors are exact-fold verified (the matmul is a "
-        "pruner, not the contract) and a per-query window takes the "
-        "global top-k with a deterministic (cos desc, id) tiebreak. "
-        "No driver collect, no corpus broadcast; P grows with the "
-        "corpus so a block always fits a task. ann_lsh/ann_ivf are the "
+        "pruner, not the contract) and a per-query sorted-truncate "
+        "aggregation takes the global top-k with a deterministic "
+        "(cos desc, id) tiebreak (bounded P·(k+slack) list per query, "
+        "map-side combined — no corpus-wide sort). No driver collect, "
+        "no corpus broadcast; P = ceil(n/4096) grows with the corpus "
+        "so a block always fits a task. ann_lsh/ann_ivf are the "
         "approximate fast paths when recall<1 is acceptable."
     ),
 )
@@ -1031,8 +1033,12 @@ from email_etl_spark.cache import unpersist_value as _unpersist_value  # noqa: E
 _register_dir_cache(_KNN_CACHE, lambda k: k, on_drop=_unpersist_value)
 
 
+_KNN_BLOCK = 4096  # tile side in rows: one tile's similarity matrix
+# is at most 4096² float64 = 128 MB — a bounded per-task allocation at
+# any corpus size (guide §5)
+
+
 def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    P = 8
     slack = 8  # local-rank cushion >> any matmul-vs-fold fp divergence
 
     cached = _KNN_CACHE.get(sf_dir)
@@ -1040,6 +1046,15 @@ def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r11: P DERIVED from the corpus (the doc always promised "P grows
+    # with the corpus"; the r10 code pinned P=8, which is 36 tiny tiles
+    # + 9x row duplication at test scale and an OOM at 100 TB where a
+    # block would hold n/8 rows). ceil(n/4096) keeps every tile's
+    # matmul bounded; the count is one metadata-cheap job memoized with
+    # the result handle. Candidate superset proof is P-independent:
+    # each unordered pair lands in exactly one tile, and a global
+    # top-k member is necessarily a local top-k member of its tile.
+    P = max(1, -(-emb.count() // _KNN_BLOCK))
     blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
     base = emb.select("vec_id", "embedding", blk.alias("blk"))
     left = base.select(
@@ -1077,7 +1092,7 @@ def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = unit(a) @ unit(b).T
         sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # mask self
         kk = _KNN_K + slack
-        out_q, out_n = [], []
+        qs, ns = [], []
         # a-rows take neighbors from b; on off-diagonal tiles b-rows
         # symmetrically take neighbors from a (the diagonal tile holds
         # the same rows in both roles, so one direction covers it)
@@ -1087,18 +1102,39 @@ def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             if ids_q is None:
                 continue
-            top = np.argsort(-s, axis=1)[:, :kk]
-            for row, cols in enumerate(top):
-                cols = cols[np.isfinite(s[row, cols])]
-                out_q.extend([ids_q[row]] * len(cols))
-                out_n.extend(ids_n[cols])
-        return pd.DataFrame({"q": np.asarray(out_q, dtype="int64"), "n": np.asarray(out_n, dtype="int64")})
+            # r11 (guide §4.2): vectorized local top-(k+slack) —
+            # argpartition is O(cols) per row vs argsort's O(cols log
+            # cols), and the flatten is pure NumPy (the old per-row
+            # Python loop walked every query row). Candidates are an
+            # unordered superset (the exact-fold verify + global top-k
+            # downstream impose the contract order), so no sort needed.
+            kk_eff = min(kk, s.shape[1])
+            if kk_eff < s.shape[1]:
+                top = np.argpartition(-s, kk_eff - 1, axis=1)[:, :kk_eff]
+            else:
+                top = np.broadcast_to(np.arange(s.shape[1]), s.shape).copy()
+            vals = np.take_along_axis(s, top, axis=1)
+            mask = np.isfinite(vals)
+            qs.append(np.repeat(ids_q, mask.sum(axis=1)))
+            ns.append(ids_n[top[mask]])
+        return pd.DataFrame({
+            "q": np.concatenate(qs) if qs else np.empty(0, dtype="int64"),
+            "n": np.concatenate(ns) if ns else np.empty(0, dtype="int64"),
+        })
 
+    # no distinct() on the candidate stream (r11): each ordered (q, n)
+    # pair is emitted by EXACTLY one (tile, direction) — the pair's
+    # block pair (blk_q, blk_n) selects the tile (min, max); the
+    # a-direction emits it iff blk_q <= blk_n, the b-direction iff
+    # blk_q >= blk_n, and the diagonal runs the a-direction only — and
+    # within a direction the per-row top indices are unique. A
+    # duplicate would surface as a repeated neighbor_id in the oracle
+    # diff; the deleted distinct was a full extra shuffle+aggregate of
+    # the candidate stream.
     cand = (
         left.unionByName(right)
         .groupBy("pa", "pb")
         .applyInPandas(tile, schema="q long, n long")
-        .distinct()
     )
 
     # exact-fold verification on candidates only, then the global top-k.
@@ -1109,19 +1145,42 @@ def _knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
     scored = (
         cand
-        .join(eq, "q")
         .join(en, "n")
+        .join(eq, "q")
         .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
     )
-    w = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
+    # r11 (guide §2.3, the semdedup_prune/dedup_keep_best convention,
+    # VERDICT r10 #4): global top-k via sort_array over a per-query
+    # collect_list instead of a row_number window — no full Sort of the
+    # candidate stream, map-side partial combining, and the n-keyed
+    # join runs BEFORE the q-keyed one so the final q aggregation can
+    # reuse the q exchange when the joins shuffle (§2.4). Order is the
+    # window's exactly: struct sorts (c DESC, -n DESC) = (c DESC, n
+    # ASC); per-q lists are bounded by P·(k+slack) candidates.
     ranked = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _KNN_K)
+        scored.groupBy("q")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("c").alias("c"),
+                            (-F.col("n")).alias("mn"),
+                            F.col("n").alias("n"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                _KNN_K,
+            ).alias("top")
+        )
+        .select("q", F.posexplode("top").alias("pos", "t"))
         .select(
             F.col("q").alias("vec_id"),
-            F.col("rk").cast("bigint").alias("rank"),
-            F.col("n").alias("neighbor_id"),
-            F.col("c").alias("cos_sim"),
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("t.n").alias("neighbor_id"),
+            F.col("t.c").alias("cos_sim"),
         )
         .cache()
     )
@@ -3850,6 +3909,11 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {EXPAND_TOP}
 )
 def expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # NOTE (r11): do NOT localCheckpoint pres despite the 3-branch
+    # fan-out — the three consumers root at IDENTICAL distinct
+    # subtrees, which AQE's ReuseExchange deduplicates at runtime, so
+    # the tokenize already runs once; an eager checkpoint measured
+    # 2.5 -> 4.2 s (isolated A/B, sf0.1) as pure added materialization
     pres = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).distinct()
@@ -3863,11 +3927,18 @@ def expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qt", "tok")
         .agg(F.count("*").alias("n_co"))
     )
-    wq = Window.partitionBy("qt").orderBy(F.desc("n_co"), "tok")
+    # per-qt argmax (n_co DESC, tok ASC) as one aggregation:
+    # min(struct(-n_co, tok)) replays the row_number window's order
+    # with map-side partial combining (guide §2.3; the semdedup_prune
+    # convention) — (qt, tok) rows are unique, so no ties
     partner = (
-        co.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") == 1)
-        .select("tok", F.lit(1).alias("w"))
+        co.groupBy("qt")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_co")).alias("nn"), F.col("tok").alias("tok"))
+            ).alias("b")
+        )
+        .select(F.col("b.tok").alias("tok"), F.lit(1).alias("w"))
     )
     base = (
         docs.sparkSession.createDataFrame([(t,) for t in terms], "tok string")
@@ -4178,17 +4249,21 @@ ORDER BY vec_a, vec_b
         "dedup_embedding/knn_join block tiling — P mod-blocks, each "
         "(i,j) tile one bounded NumPy matmul that emits only local "
         "top-(1+slack) cross-group candidates per row, exact-fold "
-        "verify on survivors, per-query window top-1, then the "
-        "mutuality self-join runs on the n-row best table (SURVEY "
-        "§2.F). No driver collect, no corpus broadcast; shuffle "
-        "carries O(P·k) candidate rows per vector."
+        "verify on survivors, per-query argmax aggregation (map-side "
+        "combined, no candidate-stream sort), then the mutuality "
+        "self-join runs on the n-row best table (SURVEY §2.F). No "
+        "driver collect, no corpus broadcast; shuffle carries O(P·k) "
+        "candidate rows per vector; P = ceil(n/4096) grows with the "
+        "corpus."
     ),
 )
 def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    P = 8
     slack = 8  # local-rank cushion >> any matmul-vs-fold fp divergence
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # P derived from the corpus (r11, the _knn_pairs convention): one
+    # bounded tile at test scale instead of 36, OOM-safe blocks at 100 TB
+    P = max(1, -(-emb.count() // _KNN_BLOCK))
     blk = F.pmod(F.col("vec_id"), F.lit(P)).cast("int")
     base = emb.select("vec_id", "embedding", (F.col("label") % 2).alias("grp"), blk.alias("blk"))
     left = base.select(
@@ -4231,7 +4306,7 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims[same] = -np.inf
         sims[a_ids[:, None] == b_ids[None, :]] = -np.inf
         kk = 1 + slack
-        out_q, out_n = [], []
+        qs, ns = [], []
         # the diagonal tile holds the same rows in both roles, so one
         # direction covers it; off-diagonal tiles emit both directions
         for ids_q, ids_n, s in (
@@ -4240,20 +4315,28 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             if ids_q is None:
                 continue
-            top = np.argsort(-s, axis=1)[:, :kk]
-            for row, cols in enumerate(top):
-                cols = cols[np.isfinite(s[row, cols])]
-                out_q.extend([ids_q[row]] * len(cols))
-                out_n.extend(ids_n[cols])
-        return pd.DataFrame(
-            {"q": np.asarray(out_q, dtype="int64"), "n": np.asarray(out_n, dtype="int64")}
-        )
+            # vectorized local top-(1+slack) (r11, the _knn_pairs
+            # kernel): argpartition + NumPy flatten, no per-row loop
+            kk_eff = min(kk, s.shape[1])
+            if kk_eff < s.shape[1]:
+                top = np.argpartition(-s, kk_eff - 1, axis=1)[:, :kk_eff]
+            else:
+                top = np.broadcast_to(np.arange(s.shape[1]), s.shape).copy()
+            vals = np.take_along_axis(s, top, axis=1)
+            mask = np.isfinite(vals)
+            qs.append(np.repeat(ids_q, mask.sum(axis=1)))
+            ns.append(ids_n[top[mask]])
+        return pd.DataFrame({
+            "q": np.concatenate(qs) if qs else np.empty(0, dtype="int64"),
+            "n": np.concatenate(ns) if ns else np.empty(0, dtype="int64"),
+        })
 
+    # no distinct(): each ordered pair comes from exactly one
+    # (tile, direction) — the _knn_pairs proof applies verbatim
     cand = (
         left.unionByName(right)
         .groupBy("pa", "pb")
         .applyInPandas(tile, schema="q long, n long")
-        .distinct()
     )
 
     # no broadcast hint on the O(n·k) candidate stream (see knn_join)
@@ -4261,15 +4344,25 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = emb.select(F.col("vec_id").alias("n"), F.col("embedding").alias("en"))
     scored = (
         cand
-        .join(eq, "q")
         .join(en, "n")
+        .join(eq, "q")
         .select("q", "n", cosine_rounded(F.col("eq"), F.col("en")).alias("c"))
     )
-    w = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
+    # per-query argmax (c DESC, n ASC) as one aggregation with map-side
+    # partial combining (guide §2.3; the langid/semdedup convention) —
+    # the row_number window cost a full sort of the candidate stream
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("q", "n", "c")
+        scored.groupBy("q")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"),
+                    F.col("n").alias("n"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("b")
+        )
+        .select("q", F.col("b.n").alias("n"), F.col("b.c").alias("c"))
     )
     back = best.select(F.col("q").alias("n"), F.col("n").alias("q"))
     return (
@@ -4382,14 +4475,25 @@ def topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = docs.agg(F.count("*").alias("n_docs"))
     dft = pres.groupBy("tok").agg(F.count("*").alias("df"))
     dp = tp.select("ta", "tb").distinct()
-    px = pres.select(F.col("tok").alias("ta"), "doc_id")
-    py = pres.select(F.col("tok").alias("tb_y"), F.col("doc_id").alias("doc_y"))
-    co = (
-        F.broadcast(dp)
-        .join(px, "ta", "left")
-        .join(py, (F.col("tb") == F.col("tb_y")) & (F.col("doc_id") == F.col("doc_y")), "left")
+    # r11 (guide §2.4): pair co-occurrence via per-doc term SETS × the
+    # broadcast K·10-row pair list instead of the doc-keyed
+    # pres-×-pres SortMergeJoin chain — one rollup of the (already
+    # term-filtered) presence stream, one broadcast nested filter, one
+    # dimension-sized aggregate; the two SMJ sorts and their exchanges
+    # are gone. Pairs that never co-occur are restored by the left
+    # join below (dfj = 0 -> npmi = -1 endpoint).
+    docsets = pres.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    co_hit = (
+        docsets.join(
+            F.broadcast(dp),
+            F.array_contains("toks", F.col("ta"))
+            & F.array_contains("toks", F.col("tb")),
+        )
         .groupBy("ta", "tb")
-        .agg(F.count("doc_y").alias("dfj"))
+        .agg(F.count("*").alias("dfj"))
+    )
+    co = F.broadcast(dp).join(co_hit, ["ta", "tb"], "left").select(
+        "ta", "tb", F.coalesce("dfj", F.lit(0)).alias("dfj")
     )
     fa = dft.select(F.col("tok").alias("ta"), F.col("df").alias("dfa"))
     fb = dft.select(F.col("tok").alias("tb"), F.col("df").alias("dfb"))

@@ -1657,13 +1657,18 @@ def langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from email_etl_spark.io import parallelize_scan as _ps
 
-    # heavy per-row gram work: spread the single-split scan (io.py)
+    # heavy per-row gram work: spread the single-split scan (io.py).
+    # localCheckpoint (r11, guide §2.4 / the topic_coherence branch
+    # convention): the gram table feeds THREE branches (profile counts,
+    # the classification hit join, and the final declared-label join),
+    # and each lazy consumer re-ran the whole zip_with gram build —
+    # one materialized pass now serves all three.
     tg_doc = _ps(docs).select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
         "text",
         F.split(F.col("text"), "").alias("cs"),
-    ).select("doc_id", "lang_declared", tgs.alias("tgs"))
+    ).select("doc_id", "lang_declared", tgs.alias("tgs")).localCheckpoint(eager=True)
     tgx = tg_doc.select("doc_id", "lang_declared", F.explode("tgs").alias("tg"))
     cnt = tgx.groupBy(F.col("lang_declared").alias("lang"), "tg").agg(
         F.count("*").alias("n")
